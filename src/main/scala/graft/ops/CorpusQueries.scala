@@ -1,0 +1,449 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** FM-Index, text-analysis, dedup, similarity and multimodal operators over the
+  * `documents` / `embeddings` / `events` testdata tables, each with a DuckDB oracle.
+  *
+  * Parity rules: hashes are md5 hex (identical in both engines), ratios avoided in favor
+  * of integer counts, float math done in DOUBLE with identical operation order, rankings
+  * totally ordered with integer tiebreakers.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val FmPatterns: Seq[String] = Seq("merge", "spark", "the ", "window", "zz-absent")
+  val RouteRulesEvents = Seq(
+    graft.pipeline.SinkRule("errors", "error"),
+    graft.pipeline.SinkRule("purchases", "purchase"),
+    graft.pipeline.SinkRule("k8", "\"k\": 8")
+  )
+
+  // ---------------------------------------------------------------- helpers (Spark side)
+
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles, 1-based positions [1, len-2]; empty below 3 words. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  private def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, x => md5s(concat(lit(s"$j:"), x))))
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  // ---------------------------------------------------------------- helpers (oracle side)
+
+  /** DuckDB: word 3-gram shingles of string_split(text, ' '). */
+  private val duckShingles =
+    "list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
+
+  private def duckMinhash(j: Int): String =
+    s"list_min(list_transform($duckShingles, x -> md5('$j:' || x)))"
+
+  private def duckOverlapCount(patternSql: String): String =
+    s"len(list_filter(range(1, length(text) + 2 - length($patternSql)), " +
+      s"i -> substr(text, i, length($patternSql)) = $patternSql))"
+
+  private val duckHex4 =
+    "((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(md5(t),4,1))-1))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Events -> transcripts derivation shared by the pipeline queries (must be replicated
+    * exactly by the SQL CTE below).
+    */
+  def eventTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("conv_id", concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")))
+      .withColumn("turn_idx", row_number().over(w) - 1)
+      .withColumn("role",
+        when(col("event_type") === "error", "system")
+          .when(col("event_type").isin("signup", "purchase"), "user")
+          .when(col("event_type") === "click", "assistant")
+          .otherwise("tool"))
+      .withColumn("tool",
+        when(col("event_type") === "error", "bash")
+          .when(col("event_type") === "view", "browser")
+          .otherwise(""))
+      .withColumn("text",
+        concat(col("event_type"), lit(" "), col("props"), lit(" v="),
+          floor(col("value") / 100).cast("long").cast("string")))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  private val duckTranscripts =
+    """transcripts AS (
+      |  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+      |    CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1 AS INT) AS turn_idx,
+      |    CASE WHEN event_type = 'error' THEN 'system'
+      |         WHEN event_type IN ('signup','purchase') THEN 'user'
+      |         WHEN event_type = 'click' THEN 'assistant' ELSE 'tool' END AS role,
+      |    event_type || ' ' || props || ' v=' ||
+      |      CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS text,
+      |    CASE WHEN event_type = 'error' THEN 'bash'
+      |         WHEN event_type = 'view' THEN 'browser' ELSE '' END AS tool,
+      |    ts
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- FM-Index: global overlapping-count per pattern via partition-local shards ---
+    "q20_fm_count" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      DocShards.countPatterns(s, shards, FmPatterns).orderBy(col("pattern"))
+    }),
+
+    // --- FM-Index locate: per-document match positions ---
+    "q21_fm_locate" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      DocShards.locatePatterns(s, shards, Seq("merge", "window"))
+        .orderBy(col("pattern"), col("doc_id"), col("pos"))
+    }),
+
+    // --- FM-Index extract: slice [10, 30) of each document, reconstructed from the shard ---
+    "q22_fm_extract" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      DocShards.extractSlices(s, shards, from = 10, len = 20).orderBy(col("doc_id"))
+    }),
+
+    // --- FM-Index boundary extraction: full documents containing a pattern, text rebuilt
+    //     from the compressed shard (per-document text equality at the oracle gate) ---
+    "q23_fm_reconstruct" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      DocShards.docsOfMatches(s, shards, "window").orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis: token counts ---
+    "q30_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis: quality scoring on integer features ---
+    "q31_quality" -> ((s, dir) => {
+      val w = words(col("text"))
+      val nTok = size(w)
+      val nStop = size(filter(w, x => x.isin("the", "a")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"), nStop.cast("long").as("n_stopwords"))
+        .withColumn("quality_class",
+          when(col("n_tokens") < 20, "short")
+            .when(col("n_stopwords") * 10 >= col("n_tokens"), "stopword_heavy")
+            .otherwise("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis: language-id heuristic (deterministic stopword rule) ---
+    "q32_lang_id" -> ((s, dir) => {
+      val w = words(col("text"))
+      val en = size(filter(w, x => x.isin("the", "a", "of")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), en.as("en_markers"), size(w).as("n_tokens"))
+        .withColumn("lang_pred",
+          when(col("en_markers") * 20 >= col("n_tokens"), "en_like").otherwise("unknown"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // --- document fingerprinting: content hash + first minhash ---
+    "q33_fingerprint" -> ((s, dir) => {
+      val sh = shingles(words(col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5s(col("text")).as("fp"),
+          array_min(transform(sh, x => md5s(x))).as("minhash1"),
+          size(sh).cast("long").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- exact dedup: hash-groupBy keeping the smallest id ---
+    "q40_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5s(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("fp"))
+    }),
+
+    // --- near-dup candidates: MinHash (8 hashes) + LSH banding (4 bands x 2 rows) ---
+    "q41_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(words(col("text")))
+      var sig = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+      for (j <- 0 until 8) sig = sig.withColumn(s"mh$j", minhash(col("sh"), j))
+      val bands = (0 until 4).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band_idx"),
+          md5s(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band"))
+      }.reduce(_ unionAll _)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
+      val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
+      a.join(c, col("band_idx") === col("bi2") && col("band") === col("b2") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- SimHash: 16-bit signature from token-hash bit majorities ---
+    "q42_simhash" -> ((s, dir) => {
+      val w = words(col("text"))
+      val hs = transform(w, x =>
+        conv(substring(md5s(x), 1, 4), 16, 10).cast("long"))
+      val nTok = size(w)
+      val sim = (0 until 16).map { k =>
+        val ones = size(filter(hs, h => shiftright(h, k).bitwiseAND(lit(1L)) === 1))
+        when(ones * 2 >= nTok, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), sim.as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- ANN baseline: brute-force cosine top-5, double math, total order ---
+    "q50_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- ANN scale path: IVF-style coarse bucketing by dominant dimension ---
+    "q51_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def bucket(e: Column): Column =
+        array_position(transform(e, x => abs(x)), array_max(transform(e, x => abs(x))))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          bucket(col("embedding")).as("qb"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        bucket(col("embedding")).as("cb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("qb") === col("cb") && col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cb").as("bucket"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- multimodal plumbing: opaque binary payloads with typed metadata ---
+    "q60_blob_stats" -> ((s, dir) => {
+      val blob = col("text").cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(blob).cast("long").as("n_bytes"),
+          ((length(blob) + 255) / 256).cast("long").as("n_chunks"),
+          ascii(substring(col("text"), 1, 1)).as("head_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- log pipeline stage 1: grok-style derivation of transcripts from events ---
+    "q70_parse_transcripts" -> ((s, dir) =>
+      eventTranscripts(s, dir).orderBy(col("conv_id"), col("turn_idx"))),
+
+    // --- log pipeline stage 2: FM-shard substring routing with match counts ---
+    "q71_route_fm" -> ((s, dir) => {
+      import s.implicits._
+      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
+      val cfg = graft.pipeline.TranscriptPipeline.Config(
+        numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
+      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
+        .select(col("sink"), col("conv_id"), col("turn_idx"), col("n_matches"))
+        .orderBy(col("sink"), col("conv_id"), col("turn_idx"))
+    }),
+
+    // --- log pipeline stage 3: per-conversation aggregates over routed rows ---
+    "q72_conv_agg" -> ((s, dir) => {
+      import s.implicits._
+      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
+      val cfg = graft.pipeline.TranscriptPipeline.Config(
+        numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
+      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      val routed = graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
+      routed.groupBy(col("sink"), col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"), sum(col("n_matches")).as("n_matches"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy(col("sink"), col("conv_id"))
+    }),
+
+    // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
+    //     equal the input text (per-turn text equality, checked by the oracle) ---
+    "q73_turn_equality" -> ((s, dir) => {
+      import s.implicits._
+      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
+      val cfg = graft.pipeline.TranscriptPipeline.Config(
+        numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
+      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      graft.pipeline.TranscriptPipeline.route(s, shards, Seq(RouteRulesEvents.head))
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------- oracles
+
+  private val patternList = FmPatterns.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_fm_count" ->
+      s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
+         |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
+         |  FROM documents, (SELECT unnest($patternList) AS pattern) p
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_fm_locate" ->
+      s"""SELECT doc_id, pattern, CAST(i - 1 AS BIGINT) AS pos FROM (
+         |  SELECT d.doc_id, p.pattern,
+         |    unnest(list_filter(range(1, length(text) + 2 - length(p.pattern)),
+         |      i -> substr(text, i, length(p.pattern)) = p.pattern)) AS i
+         |  FROM documents d, (SELECT unnest(['merge','window']) AS pattern) p
+         |) ORDER BY pattern, doc_id, pos""".stripMargin,
+    "q22_fm_extract" ->
+      """SELECT doc_id, substr(text, 11, 20) AS snippet FROM documents
+        |WHERE length(text) >= 10 ORDER BY doc_id""".stripMargin,
+    "q23_fm_reconstruct" ->
+      """SELECT doc_id, text FROM documents WHERE contains(text, 'window')
+        |ORDER BY doc_id""".stripMargin,
+    "q30_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_quality" ->
+      """SELECT doc_id, n_tokens, n_stopwords,
+        |  CASE WHEN n_tokens < 20 THEN 'short'
+        |       WHEN n_stopwords * 10 >= n_tokens THEN 'stopword_heavy'
+        |       ELSE 'ok' END AS quality_class
+        |FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS n_stopwords
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q32_lang_id" ->
+      """SELECT lang, lang_pred, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) * 20
+        |      >= len(string_split(text,' ')) THEN 'en_like' ELSE 'unknown' END AS lang_pred
+        |  FROM documents) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  list_min(list_transform($duckShingles, x -> md5(x))) AS minhash1,
+         |  len($duckShingles) AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_minhash_lsh" -> {
+      val mh = (0 until 8).map(j => s"${duckMinhash(j)} AS mh$j").mkString(",\n    ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS band FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sig AS (SELECT doc_id,
+         |    $mh
+         |  FROM documents),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |FROM bands a JOIN bands c
+         |  ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q42_simhash" -> {
+      val hs = s"list_transform(string_split(text,' '), t -> $duckHex4)"
+      val bits = (0 until 16).map(k =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1)) >= len(hs) " +
+          s"THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, $hs AS hs FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "q50_knn_brute" -> {
+      val dotQC = duckDot("qe", "ce")
+      val nQ = duckDot("qe", "qe")
+      val nC = duckDot("ce", "ce")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM q, c WHERE neighbor_id <> query_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         |  neighbor_id
+         |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q51_knn_ivf" -> {
+      val dotQC = duckDot("qe", "ce")
+      val nQ = duckDot("qe", "qe")
+      val nC = duckDot("ce", "ce")
+      val bucket = "list_indexof(list_transform(embedding, x -> abs(x)), " +
+        "list_max(list_transform(embedding, x -> abs(x))))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, $bucket AS qb
+         |    FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, $bucket AS cb FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, cb,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM q JOIN c ON qb = cb AND neighbor_id <> query_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         |  neighbor_id, CAST(cb AS BIGINT) AS bucket
+         |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "q60_blob_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
+        |  ascii(substr(text, 1, 1)) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q70_parse_transcripts" ->
+      s"""WITH $duckTranscripts
+         |SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    "q71_route_fm" ->
+      s"""WITH $duckTranscripts,
+         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
+         |  ('k8','"k": 8')) AS r(sink, pattern))
+         |SELECT r.sink, t.conv_id, t.turn_idx,
+         |  CAST((length(t.text) - length(replace(t.text, r.pattern, ''))) / length(r.pattern) AS INT) AS n_matches
+         |FROM transcripts t JOIN rules r ON contains(t.text, r.pattern)
+         |ORDER BY r.sink, t.conv_id, t.turn_idx""".stripMargin,
+    "q72_conv_agg" ->
+      s"""WITH $duckTranscripts,
+         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
+         |  ('k8','"k": 8')) AS r(sink, pattern)),
+         |routed AS (
+         |  SELECT r.sink, t.conv_id, t.turn_idx, t.ts,
+         |    (length(t.text) - length(replace(t.text, r.pattern, ''))) / length(r.pattern) AS n_matches
+         |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
+         |SELECT sink, conv_id, count(*) AS n_turns, CAST(sum(n_matches) AS BIGINT) AS n_matches,
+         |  min(ts) AS first_ts, max(ts) AS last_ts
+         |FROM routed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q73_turn_equality" ->
+      s"""WITH $duckTranscripts
+         |SELECT conv_id, turn_idx, text FROM transcripts WHERE contains(text, 'error')
+         |ORDER BY conv_id, turn_idx""".stripMargin
+  )
+}

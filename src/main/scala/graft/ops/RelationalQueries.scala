@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator catalog over the TPC-H-ish testdata tables. Each query has a
+  * DuckDB-equivalent oracle in `oracleSql`. Parity rules: monetary aggregates accumulate
+  * in DECIMAL(18,2) (exact, order-independent) and surface as DOUBLE; every output is
+  * totally ordered; all column names aliased identically on both sides.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: accumulate integer cents (order-independent, both engines agree
+    * bit-for-bit) and divide once at the end. Avoids double->decimal per-row rounding,
+    * whose half-way behavior differs between engines. */
+  private def dsum(c: Column): Column = sum(round(c * 100).cast("long")) / lit(100.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation: partial+final agg, decimal-exact sums (TPC-H Q1 shape) ---
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- filter + projection (predicate/column pushdown to parquet) ---
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- broadcast hash joins through two dimensions ---
+    "q03_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --- large shuffle join fact-to-fact ---
+    "q04_join_shuffle" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- anti join (NOT EXISTS) ---
+    "q05_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- semi join (EXISTS) ---
+    "q05b_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- window functions: row_number + running sum per partition ---
+    "q06_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_spend",
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100.0))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // --- per-group top-k via ranking window ---
+    "q07_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
+    // --- global sort + limit (top-k) ---
+    "q08_sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+
+    // --- set operations: INTERSECT / EXCEPT ---
+    "q09_set_ops" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val bigBuyers = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      buyers.except(bigBuyers).orderBy(col("custkey"))
+    }),
+
+    // --- grouping sets: rollup ---
+    "q10_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- string scalar functions (regexp, substring, case, length) ---
+    "q11_string_fns" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head")
+        )
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- date functions: monthly truncation ---
+    "q12_date_trunc" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("monthly_revenue"))
+        .orderBy(col("order_month"))
+    }),
+
+    // --- distinct aggregation ---
+    "q13_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- explode / lateral view: word histogram ---
+    "q14_explode_words" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    }),
+
+    // --- event-time tumbling window aggregation (batch form) ---
+    "q15_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // --- semi-structured extraction from a JSON-ish column ---
+    "q16_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+        |  CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05b_semi_join" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q07_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
+    "q08_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q09_set_ops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY custkey""".stripMargin,
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q11_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper, substr(p_name, 1, 8) AS name_prefix,
+        |  length(p_name) AS name_len, regexp_extract(p_type, '^(\w+)', 1) AS type_head
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_date_trunc" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month, count(*) AS n_orders,
+        |  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS monthly_revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_explode_words" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_events_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_max,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,307 @@
+package graft.pipeline
+
+import graft.core.{FmIndex, FmIndexBuilder}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** One FM-Index shard: the compressed index + per-turn metadata for one deterministic
+  * partition of the transcript table. The shard's corpus is the concatenation of its
+  * turns' texts joined by a single separator; `offsets`/`lens` map corpus
+  * positions back to turns. The shard replaces the raw text downstream — routed rows
+  * rematerialize their text via FM extract.
+  */
+case class ShardRow(
+    shard_id: Int,
+    shard_seq: Int,
+    shard: Array[Byte],
+    n_turns: Int,
+    corpus_chars: Long,
+    alphabet: Int,
+    checksum: Long,
+    conv_ids: Array[String],
+    turn_idxs: Array[Int],
+    roles: Array[String],
+    tools: Array[String],
+    ts_micros: Array[Long],
+    offsets: Array[Int],
+    lens: Array[Int]
+)
+
+/** A turn routed to a sink, with its text reconstructed from the shard (not carried
+  * through from the input) — per-turn text equality is therefore exercised on every row.
+  */
+case class RoutedHit(
+    sink: String,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    tool: String,
+    ts: Timestamp,
+    n_matches: Int,
+    text: String,
+    shard_id: Int
+)
+
+/** Internal: a Turn with its deterministic shard assignment (encoders need this public). */
+case class TurnWithShard(
+    conv_id: String, turn_idx: Int, role: String, text: String, tool: String,
+    ts: Timestamp, shard_id: Int)
+
+object TsMicros {
+  /** java.sql.Timestamp <-> epoch micros, preserving sub-millisecond precision. */
+  def toMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
+case class LineageRow(
+    shard_id: Int,
+    shard_seq: Int,
+    n_turns: Long,
+    corpus_chars: Long,
+    alphabet: Int,
+    checksum: Long,
+    rows_routed: Long,
+    attempt: Int
+)
+
+/** Parse -> index -> route -> aggregate over transcript tables, Spark-first.
+  *
+  * Scale design (targets a 1000-executor cluster; tested on local[N]):
+  *  - shard assignment is a PURE FUNCTION of the row: shard_id =
+  *    pmod(hash(conv_id, floor(turn_idx / saltBlock)), numShards). The salt block splits
+  *    skewed conversations across shards while keeping runs of consecutive turns together;
+  *    determinism makes resume-by-shard safe regardless of cluster size or task retries.
+  *  - exactly ONE shuffle colocates turns into shards (repartition on shard_id), then
+  *    sortWithinPartitions streams through Spark's spill-safe external sort; shard
+  *    construction is a single mapPartitions pass with run-detection on shard_id — no
+  *    per-group in-memory regrouping beyond one shard's corpus (capped by maxCorpusChars).
+  *  - routing deserializes each shard once and evaluates all broadcast patterns against
+  *    it (mapPartitions); per-(sink, conv) aggregation is a classic partial+final agg
+  *    handled by Catalyst.
+  *  - enrichment joins are broadcast hash joins (dimensions are tiny by design).
+  *  - lineage rows + a JSON manifest make the job resumable: committed shard_ids are
+  *    skipped on re-run, so a killed job continues without recount drift.
+  */
+object TranscriptPipeline {
+
+  case class Config(
+      numShards: Int = 64,
+      saltBlock: Int = 4096,
+      sampleRate: Int = 16,
+      maxCorpusChars: Int = 1 << 27, // split shards beyond 128M chars (int positions cap)
+      rules: Seq[SinkRule] = Transcripts.DefaultRules
+  )
+
+  val Separator = '\n'
+
+  /** Deterministic shard id column. */
+  def shardIdCol(cfg: Config) =
+    pmod(hash(col("conv_id"), floor(col("turn_idx") / cfg.saltBlock)), lit(cfg.numShards))
+      .cast("int")
+
+  // ------------------------------------------------------------------ index stage
+
+  def buildShards(spark: SparkSession, turns: Dataset[Turn], cfg: Config): Dataset[ShardRow] = {
+    import spark.implicits._
+    turns
+      .withColumn("shard_id", shardIdCol(cfg))
+      .repartition(cfg.numShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("conv_id"), col("turn_idx"))
+      .as[TurnWithShard]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        // each next() consumes one shard piece: a run of equal shard_id, split when the
+        // corpus cap is reached (int positions bound the shard corpus size)
+        new Iterator[ShardRow] {
+          private var curShard = Int.MinValue
+          private var curSeq = 0
+
+          override def hasNext: Boolean = buf.hasNext
+
+          override def next(): ShardRow = {
+            val shardId = buf.head.shard_id
+            if (shardId != curShard) { curShard = shardId; curSeq = 0 }
+            val sb = new java.lang.StringBuilder
+            val convIds = mutable.ArrayBuffer[String]()
+            val turnIdxs = mutable.ArrayBuffer[Int]()
+            val roles = mutable.ArrayBuffer[String]()
+            val tools = mutable.ArrayBuffer[String]()
+            val tsMicros = mutable.ArrayBuffer[Long]()
+            val offsets = mutable.ArrayBuffer[Int]()
+            val lens = mutable.ArrayBuffer[Int]()
+            var checksum = 0L
+            while (buf.hasNext && buf.head.shard_id == shardId && sb.length < cfg.maxCorpusChars) {
+              val t = buf.next()
+              if (sb.length > 0) sb.append(Separator)
+              offsets += sb.length
+              lens += t.text.length
+              sb.append(t.text)
+              convIds += t.conv_id; turnIdxs += t.turn_idx; roles += t.role
+              tools += t.tool; tsMicros += TsMicros.toMicros(t.ts)
+              checksum += t.conv_id.hashCode.toLong * 31L + t.turn_idx
+            }
+            val corpus = new Array[Char](sb.length)
+            sb.getChars(0, sb.length, corpus, 0)
+            val fm = new FmIndexBuilder().setSampleRate(cfg.sampleRate).build(corpus)
+            val row = ShardRow(shardId, curSeq, fm.serialize(), convIds.length,
+              corpus.length.toLong, fm.getAlphabetLength, checksum,
+              convIds.toArray, turnIdxs.toArray, roles.toArray, tools.toArray,
+              tsMicros.toArray, offsets.toArray, lens.toArray)
+            curSeq += 1
+            row
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------ route stage
+
+  /** Evaluates every routing rule against every shard; emits one row per (sink, turn)
+    * with the overlapping-match count and the turn text RECONSTRUCTED via FM extract.
+    * A match is attributed to the turn containing its start position.
+    */
+  def route(spark: SparkSession, shards: Dataset[ShardRow], rules: Seq[SinkRule]): Dataset[RoutedHit] = {
+    import spark.implicits._
+    val bRules = spark.sparkContext.broadcast(rules.toArray)
+    shards.flatMap { s =>
+      val fm = FmIndex.deserialize(s.shard)
+      val textCache = mutable.HashMap[Int, String]()
+      def turnText(t: Int): String =
+        textCache.getOrElseUpdate(t, fm.extractString(s.offsets(t), s.offsets(t) + s.lens(t)))
+
+      bRules.value.iterator.flatMap { rule =>
+        val positions = fm.locateAll(rule.pattern.toCharArray)
+        if (positions.isEmpty) Iterator.empty
+        else {
+          // merge-walk sorted positions against sorted turn offsets
+          val perTurn = mutable.LinkedHashMap[Int, Int]()
+          var t = 0
+          positions.foreach { pos =>
+            while (t + 1 < s.offsets.length && s.offsets(t + 1) <= pos) t += 1
+            perTurn.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
+          }
+          perTurn.iterator.map { case (turn, n) =>
+            RoutedHit(rule.sink, s.conv_ids(turn), s.turn_idxs(turn), s.roles(turn),
+              s.tools(turn), TsMicros.toTimestamp(s.ts_micros(turn)), n, turnText(turn), s.shard_id)
+          }
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- aggregate stage
+
+  /** Per-(sink, conversation) aggregate counts, ordered by (conv_id). */
+  def conversationAggregates(routed: DataFrame): DataFrame =
+    routed
+      .groupBy(col("sink"), col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("n_matches")).as("n_matches"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts")
+      )
+      .orderBy(col("sink"), col("conv_id"))
+
+  /** Windowed per-conversation running stats ordered by (conv_id, turn_idx). */
+  def runningWindow(routed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sink"), col("conv_id")).orderBy(col("turn_idx"))
+    routed
+      .withColumn("hit_rank", row_number().over(w))
+      .withColumn("running_matches",
+        sum(col("n_matches")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("sink", "conv_id", "turn_idx", "hit_rank", "running_matches", "n_matches")
+  }
+
+  /** Broadcast enrichment with role/tool dimensions. */
+  def enrich(spark: SparkSession, routed: Dataset[RoutedHit]): DataFrame =
+    routed
+      .join(broadcast(Transcripts.roleLookup(spark)), Seq("role"), "left")
+      .join(broadcast(Transcripts.toolLookup(spark)), Seq("tool"), "left")
+
+  // ----------------------------------------------------------------- full job + resume
+
+  case class RunReport(shardsBuilt: Long, turnsIndexed: Long, rowsRouted: Long, resumed: Boolean)
+
+  private def manifestPath(outDir: String) = Paths.get(outDir, "_manifests")
+
+  private def committedShards(outDir: String): Set[Int] = {
+    val dir = manifestPath(outDir)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val snaps = Files.list(dir).toArray.map(_.toString).filter(_.contains("snapshot-")).sorted
+    if (snaps.isEmpty) return Set.empty
+    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    "\"shard_id\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt).map(_.group(1).toInt).toSet
+  }
+
+  private def writeSnapshot(outDir: String, lineage: Array[LineageRow], attempt: Int): Unit = {
+    val dir = manifestPath(outDir)
+    Files.createDirectories(dir)
+    val entries = lineage.sortBy(l => (l.shard_id, l.shard_seq)).map { l =>
+      s"""{"shard_id": ${l.shard_id}, "shard_seq": ${l.shard_seq}, "n_turns": ${l.n_turns}, """ +
+        s""""corpus_chars": ${l.corpus_chars}, "checksum": ${l.checksum}, "rows_routed": ${l.rows_routed}}"""
+    }
+    val json = s"""{"attempt": $attempt, "shards": [${entries.mkString(",\n")}]}"""
+    Files.write(dir.resolve(f"snapshot-$attempt%05d.json"),
+      json.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Runs parse->index->route->aggregate, writing per-sink tables, aggregates and lineage
+    * under `outDir`. If a manifest exists, committed shards are skipped (resume).
+    */
+  def runToSinks(spark: SparkSession, turns: Dataset[Turn], cfg: Config, outDir: String): RunReport = {
+    import spark.implicits._
+    val committed = committedShards(outDir)
+    val resumed = committed.nonEmpty
+    val attempt = if (resumed) {
+      Files.list(manifestPath(outDir)).toArray.length
+    } else 0
+
+    val pendingTurns =
+      if (committed.isEmpty) turns
+      else turns.withColumn("__sid", shardIdCol(cfg))
+        .filter(!col("__sid").isin(committed.toSeq: _*))
+        .drop("__sid").as[Turn]
+
+    val shards = buildShards(spark, pendingTurns, cfg).persist()
+    val routed = route(spark, shards, cfg.rules).persist()
+
+    val enriched = enrich(spark, routed)
+    val mode = if (resumed) "append" else "overwrite"
+    enriched.write.mode(mode).partitionBy("sink").parquet(s"$outDir/sinks")
+
+    // aggregates are recomputed from the FULL sinks table so a resumed run converges to
+    // exactly the single-run result (no partial-aggregate drift across attempts)
+    val allSinks = spark.read.parquet(s"$outDir/sinks")
+    conversationAggregates(allSinks).write.mode("overwrite").parquet(s"$outDir/aggregates")
+    runningWindow(allSinks).write.mode("overwrite").parquet(s"$outDir/window")
+
+    val routedCounts = routed.groupBy(col("shard_id")).count().as[(Int, Long)].collect().toMap
+    val lineage = shards
+      .map(s => (s.shard_id, s.shard_seq, s.n_turns.toLong, s.corpus_chars, s.alphabet, s.checksum))
+      .collect()
+      .map { case (id, seq, n, chars, alpha, sum) =>
+        LineageRow(id, seq, n, chars, alpha, sum, routedCounts.getOrElse(id, 0L), attempt)
+      }
+    spark.createDataset(lineage.toSeq).write.mode(mode).parquet(s"$outDir/lineage")
+
+    val report = RunReport(lineage.length.toLong, lineage.map(_.n_turns).sum,
+      routedCounts.values.sum, resumed)
+    writeSnapshot(outDir, lineage ++ (if (resumed) committed.toArray.map(id =>
+      LineageRow(id, -1, 0, 0, 0, 0, 0, attempt - 1)) else Array.empty[LineageRow]), attempt)
+    shards.unpersist()
+    routed.unpersist()
+    report
+  }
+}

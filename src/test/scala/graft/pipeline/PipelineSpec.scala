@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import graft.core.FmIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end pipeline checks (the BASELINE.md invariants):
+  *  - routed-row equality: FM-shard routing == Catalyst contains() oracle, per sink
+  *  - per-turn text equality: FM extract of EVERY turn == the input text column
+  *  - aggregate-count equality vs the oracle pipeline
+  *  - grok parse round-trip: render raw lines -> regex parse -> original rows
+  *  - resume: partial run + resumed run == single full run, no recount drift
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private lazy val turns = Transcripts.generate(spark, nConvs = 40, turnsPerConv = 25,
+    skewConvs = 2, skewFactor = 20).cache()
+
+  private val cfg = TranscriptPipeline.Config(numShards = 8, saltBlock = 16, sampleRate = 8)
+
+  /** Catalyst-only oracle: route by substring containment on the raw input. */
+  private def oracleRouted(rules: Seq[SinkRule]): DataFrame = {
+    import spark.implicits._
+    rules.map { r =>
+      turns.filter(col("text").contains(r.pattern))
+        .select(lit(r.sink).as("sink"), col("conv_id"), col("turn_idx"),
+          col("role"), col("tool"), col("ts"), col("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  test("grok parse of rendered raw lines round-trips every field") {
+    import spark.implicits._
+    val raw = Transcripts.renderRawLines(turns)
+    val parsed = Transcripts.parseRawLines(spark, raw)
+    assert(parsed.count() == turns.count())
+    // millisecond-precision ts survives the render/parse cycle
+    val diff = parsed.exceptAll(turns).count() + turns.exceptAll(parsed).count()
+    assert(diff == 0, "parsed rows differ from original rows")
+  }
+
+  test("FM-shard routing equals the Catalyst contains() oracle per sink") {
+    val shards = TranscriptPipeline.buildShards(spark, turns, cfg).cache()
+    val routed = TranscriptPipeline.route(spark, shards, cfg.rules)
+      .select("sink", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+    val oracle = oracleRouted(cfg.rules)
+    val missing = oracle.exceptAll(routed).count()
+    val extra = routed.exceptAll(oracle).count()
+    assert(missing == 0 && extra == 0, s"routing mismatch: missing=$missing extra=$extra")
+    assert(routed.count() > 0, "routing should produce rows on the synthetic corpus")
+    shards.unpersist()
+  }
+
+  test("per-turn text equality: extract of every turn equals the input text") {
+    import spark.implicits._
+    val shards = TranscriptPipeline.buildShards(spark, turns, cfg)
+    val reconstructed = shards.flatMap { s =>
+      val fm = FmIndex.deserialize(s.shard)
+      (0 until s.n_turns).iterator.map { t =>
+        (s.conv_ids(t), s.turn_idxs(t), fm.extractString(s.offsets(t), s.offsets(t) + s.lens(t)))
+      }
+    }.toDF("conv_id", "turn_idx", "text")
+    val original = turns.select("conv_id", "turn_idx", "text")
+    assert(reconstructed.count() == original.count())
+    assert(reconstructed.exceptAll(original).count() == 0, "reconstructed text differs")
+  }
+
+  test("match counts equal the FM count() on each shard corpus and the oracle") {
+    import spark.implicits._
+    val shards = TranscriptPipeline.buildShards(spark, turns, cfg).cache()
+    val pattern = "size="
+    // per-shard FM count on the concatenated corpus == per-turn oracle sum (separator
+    // is not part of any pattern so no cross-turn matches exist)
+    val fmTotal = shards.map { s =>
+      FmIndex.deserialize(s.shard).count(pattern.toCharArray).toLong
+    }.reduce(_ + _)
+    val oracleTotal = turns
+      .select(sum(size(split(col("text"), java.util.regex.Pattern.quote(pattern), -1)) - 1))
+      .first().getLong(0)
+    assert(fmTotal == oracleTotal, s"fm=$fmTotal oracle=$oracleTotal")
+    shards.unpersist()
+  }
+
+  test("skewed conversations are split across shards by the salt block") {
+    import spark.implicits._
+    val sid = TranscriptPipeline.shardIdCol(cfg)
+    val perConvShards = turns.withColumn("sid", sid)
+      .groupBy("conv_id").agg(countDistinct("sid").as("n"))
+    val skewed = perConvShards.filter(col("conv_id") === "conv-00000000").first().getLong(1)
+    assert(skewed > 1, s"skewed conversation should span multiple shards, got $skewed")
+  }
+
+  test("full run writes sinks/aggregates/lineage and a resumed run converges exactly") {
+    import spark.implicits._
+    val outFull = Files.createTempDirectory("graft_full").toString
+    val outResume = Files.createTempDirectory("graft_resume").toString
+
+    val r1 = TranscriptPipeline.runToSinks(spark, turns, cfg, outFull)
+    assert(!r1.resumed && r1.shardsBuilt > 0 && r1.rowsRouted > 0)
+
+    // simulate a killed job: first attempt only processed shards 0..3
+    val half = turns.withColumn("sid", TranscriptPipeline.shardIdCol(cfg))
+      .filter(col("sid") < 4).drop("sid").as[Turn]
+    val p1 = TranscriptPipeline.runToSinks(spark, half, cfg, outResume)
+    assert(!p1.resumed)
+    val p2 = TranscriptPipeline.runToSinks(spark, turns, cfg, outResume)
+    assert(p2.resumed, "second run must resume from the manifest")
+
+    val sinksFull = spark.read.parquet(s"$outFull/sinks").drop("sink")
+    val sinksRes = spark.read.parquet(s"$outResume/sinks").drop("sink")
+    assert(sinksFull.exceptAll(sinksRes).count() == 0 &&
+      sinksRes.exceptAll(sinksFull).count() == 0, "resumed sinks differ from single-run sinks")
+
+    val aggFull = spark.read.parquet(s"$outFull/aggregates")
+    val aggRes = spark.read.parquet(s"$outResume/aggregates")
+    assert(aggFull.exceptAll(aggRes).count() == 0 && aggRes.exceptAll(aggFull).count() == 0)
+
+    val lineage = spark.read.parquet(s"$outFull/lineage")
+    assert(lineage.count() == r1.shardsBuilt)
+    assert(lineage.agg(sum("n_turns")).first().getLong(0) == turns.count())
+  }
+
+  test("windowed running aggregates are ordered and monotone per conversation") {
+    val shards = TranscriptPipeline.buildShards(spark, turns, cfg)
+    val routed = TranscriptPipeline.route(spark, shards, cfg.rules)
+    val win = TranscriptPipeline.runningWindow(routed.toDF())
+    val bad = win.filter(col("running_matches") < col("n_matches")).count()
+    assert(bad == 0)
+    // hit_rank is dense per (sink, conv)
+    val chk = win.groupBy("sink", "conv_id")
+      .agg(count(lit(1)).as("n"), max("hit_rank").as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(chk == 0)
+  }
+}
