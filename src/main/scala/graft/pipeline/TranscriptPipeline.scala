@@ -99,8 +99,15 @@ object TranscriptPipeline {
       saltBlock: Int = 4096,
       sampleRate: Int = 16,
       maxCorpusChars: Int = 1 << 27, // split shards beyond 128M chars (int positions cap)
-      rules: Seq[SinkRule] = Transcripts.DefaultRules
-  )
+      rules: Seq[SinkRule] = Transcripts.DefaultRules,
+      numPartitionsOpt: Option[Int] = None
+  ) {
+    /** Task partitions for the shard-build shuffle. Keep numShards >= 4x numPartitions:
+      * shard_ids hash into partitions, so several shards per partition smooth the
+      * Poisson imbalance of the shard_id -> partition assignment.
+      */
+    def numPartitions: Int = numPartitionsOpt.getOrElse(math.max(1, numShards / 4))
+  }
 
   val Separator = '\n'
 
@@ -115,7 +122,7 @@ object TranscriptPipeline {
     import spark.implicits._
     turns
       .withColumn("shard_id", shardIdCol(cfg))
-      .repartition(cfg.numShards, col("shard_id"))
+      .repartition(cfg.numPartitions, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("conv_id"), col("turn_idx"))
       .as[TurnWithShard]
       .mapPartitions { it =>
@@ -279,25 +286,42 @@ object TranscriptPipeline {
 
     val enriched = enrich(spark, routed)
     val mode = if (resumed) "append" else "overwrite"
-    enriched.write.mode(mode).partitionBy("sink").parquet(s"$outDir/sinks")
+    // round-robin to numPartitions tasks before the dynamic-partition write: bounds the
+    // file count at numPartitions x |sinks| instead of shard-count x |sinks|
+    enriched.repartition(cfg.numPartitions)
+      .write.mode(mode).partitionBy("sink").parquet(s"$outDir/sinks")
 
-    // aggregates are recomputed from the FULL sinks table so a resumed run converges to
-    // exactly the single-run result (no partial-aggregate drift across attempts)
-    val allSinks = spark.read.parquet(s"$outDir/sinks")
-    conversationAggregates(allSinks).write.mode("overwrite").parquet(s"$outDir/aggregates")
-    runningWindow(allSinks).write.mode("overwrite").parquet(s"$outDir/window")
+    // aggregates must cover ALL committed data: a fresh run can aggregate the in-memory
+    // routed rows directly; a resumed run re-reads the full sinks table so the final
+    // output converges to exactly the single-run result (no recount drift)
+    val aggSource = if (resumed) spark.read.parquet(s"$outDir/sinks") else enriched
 
-    val routedCounts = routed.groupBy(col("shard_id")).count().as[(Int, Long)].collect().toMap
-    val lineage = shards
-      .map(s => (s.shard_id, s.shard_seq, s.n_turns.toLong, s.corpus_chars, s.alphabet, s.checksum))
-      .collect()
-      .map { case (id, seq, n, chars, alpha, sum) =>
-        LineageRow(id, seq, n, chars, alpha, sum, routedCounts.getOrElse(id, 0L), attempt)
-      }
+    // the remaining outputs are independent -> submit them as concurrent Spark jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fAgg = Future {
+      conversationAggregates(aggSource).write.mode("overwrite").parquet(s"$outDir/aggregates")
+    }
+    val fWin = Future {
+      runningWindow(aggSource).write.mode("overwrite").parquet(s"$outDir/window")
+    }
+    val fLineage = Future {
+      val routedCounts = routed.groupBy(col("shard_id")).count().as[(Int, Long)].collect().toMap
+      shards
+        .map(s => (s.shard_id, s.shard_seq, s.n_turns.toLong, s.corpus_chars, s.alphabet, s.checksum))
+        .collect()
+        .map { case (id, seq, n, chars, alpha, sum) =>
+          LineageRow(id, seq, n, chars, alpha, sum, routedCounts.getOrElse(id, 0L), attempt)
+        }
+    }
+    val lineage = Await.result(fLineage, Duration.Inf)
     spark.createDataset(lineage.toSeq).write.mode(mode).parquet(s"$outDir/lineage")
+    Await.result(fAgg, Duration.Inf)
+    Await.result(fWin, Duration.Inf)
 
     val report = RunReport(lineage.length.toLong, lineage.map(_.n_turns).sum,
-      routedCounts.values.sum, resumed)
+      lineage.map(_.rows_routed).sum, resumed)
     writeSnapshot(outDir, lineage ++ (if (resumed) committed.toArray.map(id =>
       LineageRow(id, -1, 0, 0, 0, 0, 0, attempt - 1)) else Array.empty[LineageRow]), attempt)
     shards.unpersist()
