@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.core.FmIndex
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Per-executor cache of deserialized FM-Index shards, keyed by content hash. Rows of a
+  * shard table repeat the same shard bytes across expression invocations; deserializing
+  * per row would dominate. Small LRU — shard tables are scanned shard-run-at-a-time.
+  */
+private object ShardCache {
+  private val MaxEntries = 8
+  private val cache = new java.util.LinkedHashMap[Long, FmIndex](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Long, FmIndex]): Boolean =
+      size() > MaxEntries
+  }
+
+  def get(bytes: Array[Byte]): FmIndex = {
+    val key = java.util.Arrays.hashCode(bytes).toLong << 32 | (bytes.length & 0xffffffffL)
+    cache.synchronized {
+      var fm = cache.get(key)
+      if (fm == null) {
+        fm = FmIndex.deserialize(bytes)
+        cache.put(key, fm)
+      }
+      fm
+    }
+  }
+}
+
+/** fm_count(shard BINARY, pattern STRING) -> INT: overlapping occurrences of the pattern
+  * in the corpus indexed by the serialized shard. Catalyst scalar expression (evaluated
+  * via CodegenFallback — the rank/select inner loop is opaque to codegen anyway).
+  */
+case class FmCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "fm_count"
+  override protected def nullSafeEval(shard: Any, pattern: Any): Any = {
+    val fm = ShardCache.get(shard.asInstanceOf[Array[Byte]])
+    fm.count(pattern.asInstanceOf[UTF8String].toString.toCharArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** fm_extract(shard BINARY, start INT, stop INT) -> STRING: decompress the corpus slice
+  * [start, stop) from the shard.
+  */
+case class FmExtract(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fm_extract"
+  override protected def nullSafeEval(shard: Any, start: Any, stop: Any): Any = {
+    val fm = ShardCache.get(shard.asInstanceOf[Array[Byte]])
+    UTF8String.fromString(fm.extractString(start.asInstanceOf[Int], stop.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Typed Aggregator: corpus redundancy n/r (total length over total equal-symbol runs),
+  * the reference's BWT compressibility metric
+  * (/root/reference/indices/src/main/java/com/dynatrace/encoding/BurrowsWheelerTransform.java:103-136)
+  * lifted to a distributed aggregate over a text column.
+  */
+object RedundancyAggregator extends Aggregator[String, (Long, Long), Double] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), text: String): (Long, Long) = {
+    if (text.isEmpty) b
+    else {
+      var runs = 1L
+      var i = 1
+      while (i < text.length) {
+        if (text.charAt(i) != text.charAt(i - 1)) runs += 1
+        i += 1
+      }
+      (b._1 + text.length, b._2 + runs)
+    }
+  }
+  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = (a._1 + b._1, a._2 + b._2)
+  override def finish(r: (Long, Long)): Double = if (r._2 == 0) 0.0 else r._1.toDouble / r._2
+  override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object FmFunctions {
+
+  /** Column API (public surface): resolves through the function registry, so it works
+    * with Spark 4's ColumnNode-based Column without private bridges.
+    */
+  def fm_count(shard: Column, pattern: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("fm_count", shard, pattern)
+  }
+
+  def fm_extract(shard: Column, start: Column, stop: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("fm_extract", shard, start, stop)
+  }
+
+  def redundancy(text: Column): Column =
+    org.apache.spark.sql.functions.udaf(RedundancyAggregator).apply(text)
+
+  /** SQL registration: SELECT fm_count(shard, 'pattern') FROM shard_table. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fm_count", exprs => FmCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fm_extract", exprs => FmExtract(exprs(0), exprs(1), exprs(2)), "scala_udf")
+  }
+}

@@ -136,6 +136,30 @@ object CorpusQueries {
       DocShards.docsOfMatches(s, shards, "window").orderBy(col("doc_id"))
     }),
 
+    // --- FM-Index via Catalyst expression: fm_count over the shard table ---
+    "q24_fm_count_expr" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16).toDF()
+      val pats = Seq("batch", "value")
+      pats.map { p =>
+        shards.select(lit(p).as("pattern"),
+          graft.functions.FmFunctions.fm_count(col("shard"), lit(p)).cast("long").as("c"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("pattern")).agg(sum(col("c")).as("n_matches"))
+        .orderBy(col("pattern"))
+    }),
+
+    // --- corpus redundancy metric (typed Aggregator) with expression cross-check ---
+    "q34_redundancy" -> ((s, dir) => {
+      val chars = split(col("text"), "")
+      val runs = (size(filter(sequence(lit(1), size(chars) - 1),
+        i => element_at(chars, i) =!= element_at(chars, i + 1))) + 1).cast("long")
+      t(s, dir, "documents")
+        .select(length(col("text")).cast("long").as("n_chars"), runs.as("n_runs"),
+          col("text"))
+        .agg(sum(col("n_chars")).as("total_chars"), sum(col("n_runs")).as("total_runs"),
+          graft.functions.FmFunctions.redundancy(col("text")).as("redundancy"))
+    }),
+
     // --- text analysis: token counts ---
     "q30_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -335,6 +359,19 @@ object CorpusQueries {
     "q23_fm_reconstruct" ->
       """SELECT doc_id, text FROM documents WHERE contains(text, 'window')
         |ORDER BY doc_id""".stripMargin,
+    "q24_fm_count_expr" ->
+      s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
+         |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
+         |  FROM documents, (SELECT unnest(['batch', 'value']) AS pattern) p
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_redundancy" ->
+      """SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(list_filter(range(1, len(string_split(text, ''))),
+        |    i -> string_split(text, '')[i] != string_split(text, '')[i+1])) + 1) AS BIGINT) AS total_runs,
+        |  CAST(sum(length(text)) AS DOUBLE) /
+        |    CAST(sum(len(list_filter(range(1, len(string_split(text, ''))),
+        |      i -> string_split(text, '')[i] != string_split(text, '')[i+1])) + 1) AS DOUBLE) AS redundancy
+        |FROM documents""".stripMargin,
     "q30_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.pipeline.{Transcripts, Turn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Conversation session state for the stateful streaming aggregation. */
+case class ConvState(nTurns: Long, nErrorTurns: Long, firstTsMicros: Long, lastTsMicros: Long)
+
+case class ConvUpdate(
+    conv_id: String,
+    n_turns: Long,
+    n_error_turns: Long,
+    first_ts_micros: Long,
+    last_ts_micros: Long
+)
+
+/** Structured Streaming surface of the transcript pipeline: readStream -> grok parse ->
+  * watermarked windowed aggregates, plus arbitrary stateful per-conversation tracking via
+  * flatMapGroupsWithState. The reference is strictly batch (SURVEY.md section 2b,
+  * streaming row) — this is additional Spark-native surface; shard building itself stays
+  * batch (rebuilding an FM-Index per micro-batch would be wrong).
+  */
+object StreamingPipeline {
+
+  /** Grok/regex parse of a stream of raw transcript lines (same expressions as batch). */
+  def parseStream(spark: SparkSession, rawLines: DataFrame): Dataset[Turn] =
+    Transcripts.parseRawLines(spark, rawLines)
+
+  /** Tumbling-window per-role aggregates with a watermark for late data. */
+  def windowedCounts(turns: Dataset[Turn], window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("role"))
+      .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+      .select(col("window.start").as("window_start"), col("role"), col("n_turns"), col("n_chars"))
+
+  /** Stateful per-conversation running aggregates (update mode): each micro-batch emits
+    * the refreshed conversation summary.
+    */
+  def conversationState(spark: SparkSession, turns: Dataset[Turn]): Dataset[ConvUpdate] = {
+    import spark.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) => {
+          var s = state.getOption.getOrElse(ConvState(0, 0, Long.MaxValue, Long.MinValue))
+          rows.foreach { t =>
+            val us = graft.pipeline.TsMicros.toMicros(t.ts)
+            s = ConvState(
+              s.nTurns + 1,
+              s.nErrorTurns + (if (t.text.contains("ERROR")) 1 else 0),
+              math.min(s.firstTsMicros, us),
+              math.max(s.lastTsMicros, us))
+          }
+          state.update(s)
+          Iterator.single(ConvUpdate(convId, s.nTurns, s.nErrorTurns, s.firstTsMicros, s.lastTsMicros))
+        })
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.functions.FmFunctions
+import graft.pipeline.Transcripts
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ModulesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-modules-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  test("fm_count / fm_extract Catalyst expressions match direct shard queries") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shards = DocShards.build(spark, docs, numShards = 4).toDF()
+    FmFunctions.register(spark)
+    shards.createOrReplaceTempView("doc_shards")
+
+    // Column API
+    val viaExpr = shards
+      .select(FmFunctions.fm_count(col("shard"), lit("merge")).as("c"))
+      .agg(sum("c")).first().getLong(0)
+    // SQL API
+    val viaSql = spark.sql("SELECT sum(fm_count(shard, 'merge')) FROM doc_shards").first().getLong(0)
+    // direct
+    val direct = DocShards.countPatterns(spark, shards.as[DocShard], Seq("merge"))
+      .select("n_matches").first().getLong(0)
+    assert(viaExpr == direct && viaSql == direct)
+    assert(direct > 0)
+
+    val firstSlice = spark.sql("SELECT fm_extract(shard, 0, 10) FROM doc_shards LIMIT 1")
+      .first().getString(0)
+    assert(firstSlice.length == 10)
+  }
+
+  test("redundancy aggregator equals the single-string metric") {
+    import spark.implicits._
+    val texts = Seq("aaabbb", "abab", "cccc")
+    val ds = texts.toDF("text")
+    val got = ds.select(FmFunctions.redundancy(col("text"))).first().getDouble(0)
+    val chars = texts.map(_.length).sum
+    val runs = texts.map(t => 1 + t.zip(t.tail).count { case (a, b) => a != b }).sum
+    assert(math.abs(got - chars.toDouble / runs) < 1e-12)
+  }
+
+  test("multimodal: batched stub feature extraction has real schema, batching and determinism") {
+    import spark.implicits._
+    val assets = spark.range(100).as[Long].map { i =>
+      val payload = Array.tabulate(((i % 7) * 300 + 100).toInt)(j => ((i * 31 + j) % 251).toByte)
+      Asset(i, if (i % 2 == 0) "image" else "audio", payload, s"src${i % 3}")
+    }
+    val feats = Multimodal.extractFeatures(spark, assets, numPartitions = 4, batchSize = 8)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.features.length == Multimodal.FeatureDim))
+    assert(rows.forall(r => r.n_frames == math.ceil(r.n_bytes / 256.0).toInt))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, assets, numPartitions = 4, batchSize = 8).collect()
+    assert(rows.sortBy(_.asset_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.asset_id).map(_.features.toSeq).toSeq)
+    // near-dup join runs and is symmetric-free (a < b)
+    val dups = Multimodal.nearDuplicates(spark, feats, 0.999)
+    assert(dups.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("streaming: windowed counts and stateful conversation aggregates match batch") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, nConvs = 12, turnsPerConv = 15)
+    val rawDir = Files.createTempDirectory("stream_raw").toString
+    Transcripts.renderRawLines(turns).write.mode("overwrite").parquet(rawDir)
+
+    val rawStream = spark.readStream
+      .schema("value STRING")
+      .parquet(rawDir)
+    val parsed = StreamingPipeline.parseStream(spark, rawStream)
+
+    // windowed aggregate, complete mode
+    val q1 = StreamingPipeline.windowedCounts(parsed)
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.table("win_out")
+    val batch = StreamingPipeline.windowedCounts(Transcripts.parseRawLines(
+      spark, spark.read.parquet(rawDir)))
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+
+    // stateful per-conversation aggregates, update mode; last update per conv == batch
+    val q2 = StreamingPipeline.conversationState(spark, parsed)
+      .writeStream.outputMode("update").format("memory").queryName("conv_out").start()
+    q2.processAllAvailable(); q2.stop()
+    val lastUpdates = spark.table("conv_out")
+      .groupBy("conv_id")
+      .agg(max(struct(col("n_turns"), col("n_error_turns"), col("first_ts_micros"),
+        col("last_ts_micros"))).as("s"))
+      .select(col("conv_id"), col("s.n_turns"), col("s.n_error_turns"))
+    val expected = turns.toDF()
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("text").contains("ERROR"), 1L).otherwise(0L)).as("n_error_turns"))
+    assert(lastUpdates.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(lastUpdates).count() == 0)
+  }
+}
