@@ -16,6 +16,12 @@ object CorpusQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Small-file tables arrive as 1-2 input partitions; CPU-heavy per-row derivations
+    * (hashing, shingling) need an explicit fan-out to use the cluster.
+    */
+  private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   val FmPatterns: Seq[String] = Seq("merge", "spark", "the ", "window", "zz-absent")
   val RouteRulesEvents = Seq(
     graft.pipeline.SinkRule("errors", "error"),
@@ -150,10 +156,10 @@ object CorpusQueries {
 
     // --- corpus redundancy metric (typed Aggregator) with expression cross-check ---
     "q34_redundancy" -> ((s, dir) => {
-      val chars = split(col("text"), "")
-      val runs = (size(filter(sequence(lit(1), size(chars) - 1),
-        i => element_at(chars, i) =!= element_at(chars, i + 1))) + 1).cast("long")
-      t(s, dir, "documents")
+      val runs = (size(filter(sequence(lit(1), size(col("ch")) - 1),
+        i => element_at(col("ch"), i) =!= element_at(col("ch"), i + 1))) + 1).cast("long")
+      tWide(s, dir, "documents")
+        .withColumn("ch", split(col("text"), ""))
         .select(length(col("text")).cast("long").as("n_chars"), runs.as("n_runs"),
           col("text"))
         .agg(sum(col("n_chars")).as("total_chars"), sum(col("n_runs")).as("total_runs"),
@@ -197,11 +203,14 @@ object CorpusQueries {
 
     // --- document fingerprinting: content hash + first minhash ---
     "q33_fingerprint" -> ((s, dir) => {
-      val sh = shingles(words(col("text")))
-      t(s, dir, "documents")
+      // materialize words then shingles as columns: lambda bodies otherwise re-split
+      // the text on every element access
+      tWide(s, dir, "documents")
+        .withColumn("w", words(col("text")))
+        .withColumn("sh", shingles(col("w")))
         .select(col("doc_id"), md5s(col("text")).as("fp"),
-          array_min(transform(sh, x => md5s(x))).as("minhash1"),
-          size(sh).cast("long").as("n_shingles"))
+          array_min(transform(col("sh"), x => md5s(x))).as("minhash1"),
+          size(col("sh")).cast("long").as("n_shingles"))
         .orderBy(col("doc_id"))
     }),
 
@@ -215,8 +224,9 @@ object CorpusQueries {
 
     // --- near-dup candidates: MinHash (8 hashes) + LSH banding (4 bands x 2 rows) ---
     "q41_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(words(col("text")))
-      var sig = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+      var sig = tWide(s, dir, "documents")
+        .withColumn("w", words(col("text")))
+        .select(col("doc_id"), shingles(col("w")).as("sh"))
       for (j <- 0 until 8) sig = sig.withColumn(s"mh$j", minhash(col("sh"), j))
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), lit(b).as("band_idx"),
@@ -240,7 +250,7 @@ object CorpusQueries {
         val ones = size(filter(hs, h => shiftright(h, k).bitwiseAND(lit(1L)) === 1))
         when(ones * 2 >= nTok, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("doc_id"), sim.as("simhash"))
         .orderBy(col("doc_id"))
     }),
