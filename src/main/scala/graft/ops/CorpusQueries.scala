@@ -240,6 +240,36 @@ object CorpusQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // --- exact n-gram Jaccard near-dup scores over distinct word-3-gram shingles ---
+    "q43_jaccard_ngram" -> ((s, dir) => {
+      val base = tWide(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("w", words(col("text")))
+        .select(col("doc_id"), array_distinct(shingles(col("w"))).as("sh"))
+      val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .filter(col("inter") >= 2)
+        .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- embedding-cosine near-duplicate pairs (exact, double math) ---
+    "q52_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      b.crossJoin(broadcast(a))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // --- SimHash: 16-bit signature from token-hash bit majorities ---
     "q42_simhash" -> ((s, dir) => {
       val w = words(col("text"))
@@ -419,6 +449,27 @@ object CorpusQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |FROM bands a JOIN bands c
          |  ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q43_jaccard_ngram" ->
+      s"""WITH base AS (SELECT doc_id, list_distinct($duckShingles) AS sh
+         |  FROM documents WHERE doc_id < 300)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
+         |  CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS uni,
+         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |    CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+         |FROM base a JOIN base b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+    "q52_embed_neardup" -> {
+      val dotAB = duckDot("ea", "eb")
+      val nA = duckDot("ea", "ea")
+      val nB = duckDot("eb", "eb")
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings WHERE vec_id < 200),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings)
+         |SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
+         |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
          |ORDER BY 1, 2""".stripMargin
     },
     "q42_simhash" -> {
