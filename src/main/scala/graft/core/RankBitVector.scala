@@ -13,18 +13,22 @@ import java.io.{DataInput, DataOutput}
 final class RankBitVector private (
     val numBits: Int,
     private val words: Array[Long],
-    private val blockRank: Array[Int]
+    private val blockRank: Array[Int],
+    private val subRank: Array[Long] // 7 packed 9-bit cumulative word counts per block
 ) {
 
   @inline def access(pos: Int): Boolean =
     ((words(pos >>> 6) >>> (pos & 63)) & 1L) != 0L
 
-  /** Number of 1-bits in [0, pos). */
+  /** Number of 1-bits in [0, pos): absolute block count + packed in-block word count +
+    * one masked popcount (true Rank9 shape — no loops).
+    */
   def rankOnes(pos: Int): Int = {
     val wordIdx = pos >>> 6
-    var r = blockRank(pos >>> 9)
-    var w = (pos >>> 9) << 3
-    while (w < wordIdx) { r += java.lang.Long.bitCount(words(w)); w += 1 }
+    val block = pos >>> 9
+    val k = wordIdx & 7
+    var r = blockRank(block)
+    if (k != 0) r += ((subRank(block) >>> (9 * (k - 1))) & 0x1ffL).toInt
     val rem = pos & 63
     if (rem != 0) r += java.lang.Long.bitCount(words(wordIdx) & ((1L << rem) - 1L))
     r
@@ -33,7 +37,7 @@ final class RankBitVector private (
   /** Number of 0-bits in [0, pos). */
   @inline def rankZeroes(pos: Int): Int = pos - rankOnes(pos)
 
-  def sizeInBytes: Long = 8L * words.length + 4L * blockRank.length + 16
+  def sizeInBytes: Long = 8L * words.length + 4L * blockRank.length + 8L * subRank.length + 16
 
   def write(out: DataOutput): Unit = {
     out.writeInt(numBits)
@@ -62,16 +66,25 @@ object RankBitVector {
   def fromWords(numBits: Int, words: Array[Long]): RankBitVector = {
     val nBlocks = ((numBits + 511) >>> 9) + 1
     val blockRank = new Array[Int](nBlocks max 1)
+    val subRank = new Array[Long](nBlocks max 1)
     var acc = 0
     var b = 0
     while (b < nBlocks) {
       blockRank(b) = acc
-      var w = b << 3
-      val end = math.min(w + 8, words.length)
-      while (w < end) { acc += java.lang.Long.bitCount(words(w)); w += 1 }
+      var inBlock = 0
+      var packed = 0L
+      var k = 0
+      while (k < 8) {
+        val w = (b << 3) + k
+        if (w < words.length) inBlock += java.lang.Long.bitCount(words(w))
+        if (k < 7) packed |= inBlock.toLong << (9 * k)
+        k += 1
+      }
+      subRank(b) = packed
+      acc += inBlock
       b += 1
     }
-    new RankBitVector(numBits, words, blockRank)
+    new RankBitVector(numBits, words, blockRank, subRank)
   }
 
   def read(in: DataInput): RankBitVector = {

@@ -259,7 +259,7 @@ object CorpusQueries {
     // --- embedding-cosine near-duplicate pairs (exact, double math) ---
     "q52_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = emb.filter(col("vec_id") < 200)
+      val a = emb.filter(col("vec_id") < 100)
         .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       b.crossJoin(broadcast(a))
@@ -466,7 +466,7 @@ object CorpusQueries {
       val dotAB = duckDot("ea", "eb")
       val nA = duckDot("ea", "ea")
       val nB = duckDot("eb", "eb")
-      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings WHERE vec_id < 200),
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings WHERE vec_id < 100),
          |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings)
          |SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
          |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
