@@ -312,7 +312,10 @@ object TranscriptPipeline {
         .map(s => (s.shard_id, s.shard_seq, s.n_turns.toLong, s.corpus_chars, s.alphabet, s.checksum))
         .collect()
         .map { case (id, seq, n, chars, alpha, sum) =>
-          LineageRow(id, seq, n, chars, alpha, sum, routedCounts.getOrElse(id, 0L), attempt)
+          // attribute routed rows to the first piece of a split shard (counts are per
+          // shard_id; duplicating them across seq pieces would double-count)
+          val routedForPiece = if (seq == 0) routedCounts.getOrElse(id, 0L) else 0L
+          LineageRow(id, seq, n, chars, alpha, sum, routedForPiece, attempt)
         }
     }
     val lineage = Await.result(fLineage, Duration.Inf)
