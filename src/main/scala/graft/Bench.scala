@@ -70,13 +70,13 @@ object Bench {
     // SMT ceiling, not the pipeline. 2v8 is a clean N-vs-4N physical-core comparison.
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val highCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val rawDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "/tmp/graft_bench_rawlines2")
+    val rawDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "/tmp/graft_bench_rawlines3")
 
     // phase 1: scaling evidence on the pipeline. The sandbox shares CPUs with other
     // tenants, so measurements are INTERLEAVED (high, low, high, low, ...) and the
     // minimum per level is kept — noise epochs then hit both levels symmetrically.
     val gen = newSession(cpus)
-    val nTurns = ensureBenchCorpus(gen, rawDir, nConvs = 5000, turnsPerConv = 120)
+    val nTurns = ensureBenchCorpus(gen, rawDir, nConvs = 7500, turnsPerConv = 120)
     var sec32 = Double.MaxValue
     var sec8 = Double.MaxValue
     var n32 = 0L

@@ -29,7 +29,7 @@ final class FmIndex private (
     private val suffixes: IntVector,
     private val positions: IntVector, // null when !enableExtract
     private val sampledSuffixes: RankBitVector,
-    private val wavelet: WaveletMatrix
+    private val wavelet: SymbolRankSeq
 ) {
 
   @inline private def code(ch: Char): Int = monotonicMap.getOrElse(ch.toLong, 0.toShort).toInt
@@ -348,6 +348,10 @@ final class FmIndex private (
     suffixes.write(out)
     if (enableExtract) positions.write(out)
     sampledSuffixes.write(out)
+    out.writeByte(wavelet match {
+      case _: HuffmanWaveletTree => 1
+      case _ => 0
+    })
     wavelet.write(out)
   }
 
@@ -451,7 +455,8 @@ object FmIndex {
     }
 
     val bwt = Bwt.fromSuffixArray(seq, sa)
-    val wavelet = WaveletMatrix(bwt, sigma)
+    // Huffman-shaped wavelet: frequent BWT symbols descend ~entropy levels, not log(sigma)
+    val wavelet = HuffmanWaveletTree(bwt, sigma)
 
     new FmIndex(sampleRate, enableExtract, n, map, lookUp, cumulative, bitWidth,
       suffixes, positions, sampled, wavelet)
@@ -481,7 +486,10 @@ object FmIndex {
     val suffixes = IntVector.read(in)
     val positions = if (enableExtract) IntVector.read(in) else null
     val sampled = RankBitVector.read(in)
-    val wavelet = WaveletMatrix.read(in)
+    val wavelet: SymbolRankSeq = in.readByte() match {
+      case 1 => HuffmanWaveletTree.read(in)
+      case _ => WaveletMatrix.read(in)
+    }
     new FmIndex(sampleRate, enableExtract, length, map, lookUp, cumulative, bitWidth,
       suffixes, positions, sampled, wavelet)
   }

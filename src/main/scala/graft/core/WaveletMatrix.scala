@@ -17,7 +17,7 @@ final class WaveletMatrix private (
     private val levels: Array[RankBitVector],
     private val zeros: Array[Int],
     private val symStart: Array[Int]
-) {
+) extends SymbolRankSeq {
 
   def sigma: Int = symStart.length
 
