@@ -129,6 +129,36 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // --- grouping sets: cube over two dimensions ---
+    "q10b_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- set operations: INTERSECT ---
+    "q09b_intersect" -> ((s, dir) => {
+      val early = t(s, dir, "orders").filter(col("o_orderdate") < "1995-01-01")
+        .select(col("o_custkey").as("custkey")).distinct()
+      val late = t(s, dir, "orders").filter(col("o_orderdate") >= "1995-01-01")
+        .select(col("o_custkey").as("custkey")).distinct()
+      early.intersect(late).orderBy(col("custkey"))
+    }),
+
+    // --- array aggregation + higher-order array functions ---
+    "q17_array_fns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          count(lit(1)).as("n"))
+        .select(col("l_orderkey"), col("n"),
+          element_at(col("lines"), 1).as("first_line"),
+          element_at(col("lines"), -1).as("last_line"),
+          size(filter(col("lines"), x => x % 2 === 0)).cast("long").as("n_even"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // --- string scalar functions (regexp, substring, case, length) ---
     "q11_string_fns" -> ((s, dir) => {
       t(s, dir, "part")
@@ -248,6 +278,22 @@ object RelationalQueries {
         |  CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q10b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q09b_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |ORDER BY custkey""".stripMargin,
+    "q17_array_fns" ->
+      """SELECT l_orderkey, n, lines[1] AS first_line, lines[-1] AS last_line,
+        |  CAST(len(list_filter(lines, x -> x % 2 = 0)) AS BIGINT) AS n_even
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, count(*) AS n
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY l_orderkey""".stripMargin,
     "q11_string_fns" ->
       """SELECT p_partkey, upper(p_brand) AS brand_upper, substr(p_name, 1, 8) AS name_prefix,
         |  length(p_name) AS name_len, regexp_extract(p_type, '^(\w+)', 1) AS type_head

@@ -53,7 +53,7 @@ class FmIndexSpec extends AnyFunSuite {
     val rnd = new Random(42)
     for (rate <- sampleRates) {
       val fmi = new FmIndexBuilder().setSampleRate(rate).build(LogChars)
-      for (_ <- 0 until 30) {
+      for (_ <- 0 until 100) {
         val start = rnd.nextInt(LogCorpus.length - 32)
         val pat = LogCorpus.substring(start, start + 1 + rnd.nextInt(31)).toCharArray
         assert(fmi.count(pat) == countOverlapping(LogChars, pat), s"rate=$rate pat='${new String(pat)}'")
@@ -66,7 +66,7 @@ class FmIndexSpec extends AnyFunSuite {
     val locations = new Array[Int](10000)
     for (rate <- sampleRates) {
       val fmi = new FmIndexBuilder().setSampleRate(rate).build(LogChars)
-      for (_ <- 0 until 30) {
+      for (_ <- 0 until 100) {
         val start = rnd.nextInt(LogCorpus.length - 32)
         val pat = LogCorpus.substring(start, start + 16 + rnd.nextInt(16)).toCharArray
         val count = fmi.locate(pat, 0, pat.length, locations, 10000)
@@ -88,7 +88,7 @@ class FmIndexSpec extends AnyFunSuite {
     val locations = new Array[Int](100000)
     for (rate <- Seq(1, 4, 16)) {
       val fmi = new FmIndexBuilder().setSampleRate(rate).build(modified)
-      for (_ <- 0 until 30) {
+      for (_ <- 0 until 100) {
         val start = rnd.nextInt(modified.length - 32)
         val pat = java.util.Arrays.copyOfRange(modified, start, start + 1 + rnd.nextInt(31))
         val count = fmi.locate(pat, 0, pat.length, locations, -1)
@@ -117,7 +117,7 @@ class FmIndexSpec extends AnyFunSuite {
     val rnd = new Random(42)
     val locations = new Array[Int](10000)
     val fmi = new FmIndexBuilder().setSampleRate(4).build(LogChars)
-    for (_ <- 0 until 30) {
+    for (_ <- 0 until 100) {
       val start = rnd.nextInt(LogCorpus.length - 64)
       val sub = LogCorpus.substring(start, start + 32 + rnd.nextInt(32)).toCharArray
       val subStart = rnd.nextInt(8)
@@ -132,7 +132,7 @@ class FmIndexSpec extends AnyFunSuite {
     val fmi = new FmIndexBuilder().setSampleRate(2).build(LogChars)
     val dest = new Array[Char](64)
     val locations = new Array[Int](50000)
-    for (_ <- 0 until 30) {
+    for (_ <- 0 until 100) {
       val start = rnd.nextInt(LogCorpus.length - 32)
       val aux = LogCorpus.substring(start, start + 1 + rnd.nextInt(31))
       val bytes = aux.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -163,7 +163,7 @@ class FmIndexSpec extends AnyFunSuite {
     for (rate <- sampleRates) {
       val fmi = new FmIndexBuilder().setSampleRate(rate).build(LogChars)
       assert(fmi.extractString(0, LogChars.length) == LogCorpus, s"full extract rate=$rate")
-      for (_ <- 0 until 30) {
+      for (_ <- 0 until 100) {
         val start = rnd.nextInt(LogChars.length - 100)
         val end = start + rnd.nextInt(100)
         assert(fmi.extractString(start, end) == LogCorpus.substring(start, end))
@@ -226,7 +226,7 @@ class FmIndexSpec extends AnyFunSuite {
     val dest = new Array[Char](1 << 15)
     for (rate <- sampleRates) {
       val fmi = new FmIndexBuilder().setSampleRate(rate).build(LogChars)
-      for (_ <- 0 until 30) {
+      for (_ <- 0 until 100) {
         val seed = rnd.nextInt(LogChars.length - 100)
         var n = fmi.extractUntilBoundary(seed, dest, 0, '\n')
         assert(new String(dest, 0, n) == extractUntilBoundary(LogChars, seed, '\n'), s"both seed=$seed rate=$rate")
@@ -244,7 +244,7 @@ class FmIndexSpec extends AnyFunSuite {
     val fmi = new FmIndexBuilder().setSampleRate(8).build(LogChars)
     val back = FmIndex.deserialize(fmi.serialize())
     assert(back.hashCode == fmi.hashCode)
-    for (_ <- 0 until 30) {
+    for (_ <- 0 until 100) {
       val seed = rnd.nextInt(LogChars.length - 100)
       val n = back.extractUntilBoundary(seed, dest, 0, '\n')
       assert(new String(dest, 0, n) == extractUntilBoundary(LogChars, seed, '\n'))
@@ -264,7 +264,7 @@ class FmIndexSpec extends AnyFunSuite {
     val fmi = new FmIndexBuilder().setSampleRate(4).build(text)
     val sas = new SuffixArraySearch(text)
     val rnd = new Random(42)
-    for (_ <- 0 until 30) {
+    for (_ <- 0 until 100) {
       val start = rnd.nextInt(text.length - 16)
       val pat = java.util.Arrays.copyOfRange(text, start, start + 1 + rnd.nextInt(15))
       assert(fmi.count(pat) == sas.count(pat))
