@@ -224,6 +224,8 @@ object TranscriptPipeline {
   def runningWindow(routed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("sink"), col("conv_id")).orderBy(col("turn_idx"))
     routed
+      // project BEFORE the window: the sort must not drag the text payload through
+      .select("sink", "conv_id", "turn_idx", "n_matches")
       .withColumn("hit_rank", row_number().over(w))
       .withColumn("running_matches",
         sum(col("n_matches")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -286,9 +288,9 @@ object TranscriptPipeline {
 
     val enriched = enrich(spark, routed)
     val mode = if (resumed) "append" else "overwrite"
-    // round-robin to numPartitions tasks before the dynamic-partition write: bounds the
-    // file count at numPartitions x |sinks| instead of shard-count x |sinks|
-    enriched.repartition(cfg.numPartitions)
+    // round-robin to cluster-width tasks before the dynamic-partition write: output
+    // file count (and the driver-serial commit) tracks the cluster, not the shard count
+    enriched.repartition(spark.sparkContext.defaultParallelism)
       .write.mode(mode).partitionBy("sink").parquet(s"$outDir/sinks")
 
     // aggregates must cover ALL committed data: a fresh run can aggregate the in-memory
