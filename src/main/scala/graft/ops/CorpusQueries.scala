@@ -42,8 +42,19 @@ object CorpusQueries {
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  private def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, x => md5s(concat(lit(s"$j:"), x))))
+  /** 8 deterministic salts for the MinHash family (fixed 60-bit constants). */
+  val MinhashSalts: Array[Long] = Array(
+    0x243f6a8885a308dL, 0x13198a2e0370734L, 0xa4093822299f31dL, 0x082efa98ec4e6c8L,
+    0x452821e638d0137L, 0xbe5466cf34e90c6L, 0xc0ac29b7c97c50dL, 0x3f84d5b5b547091L)
+
+  /** MinHash family from ONE md5 per shingle: the 60-bit hex prefix xor a per-function
+    * salt (9x fewer digests than hashing per function).
+    */
+  private def shingleHash(sh: Column): Column =
+    transform(sh, x => conv(substring(md5s(x), 1, 15), 16, 10).cast("long"))
+
+  private def minhashFromHs(hs: Column, j: Int): Column =
+    array_min(transform(hs, h => h.bitwiseXOR(lit(MinhashSalts(j)))))
 
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -59,8 +70,20 @@ object CorpusQueries {
     "list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)), " +
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
 
+  /** DuckDB: parse the 60-bit md5 hex prefix of a lambda var into a BIGINT. md5(x) is
+    * inlined per nibble because DuckDB lambdas cannot contain subqueries — the oracle
+    * pays 15 digests per shingle; the Spark side pays one.
+    */
+  private val duckHash60: String = {
+    val terms = (1 to 15).map { k =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(15 - k)
+      s"(strpos('0123456789abcdef', substr(md5(x), $k, 1)) - 1) * $pow"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
   private def duckMinhash(j: Int): String =
-    s"list_min(list_transform($duckShingles, x -> md5('$j:' || x)))"
+    s"list_min(list_transform(hs, h -> xor(h, ${MinhashSalts(j)})))"
 
   private def duckOverlapCount(patternSql: String): String =
     s"len(list_filter(range(1, length(text) + 2 - length($patternSql)), " +
@@ -226,11 +249,13 @@ object CorpusQueries {
     "q41_minhash_lsh" -> ((s, dir) => {
       var sig = tWide(s, dir, "documents")
         .withColumn("w", words(col("text")))
-        .select(col("doc_id"), shingles(col("w")).as("sh"))
-      for (j <- 0 until 8) sig = sig.withColumn(s"mh$j", minhash(col("sh"), j))
+        .withColumn("sh", shingles(col("w")))
+        .select(col("doc_id"), shingleHash(col("sh")).as("hs"))
+      for (j <- 0 until 8) sig = sig.withColumn(s"mh$j", minhashFromHs(col("hs"), j))
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), lit(b).as("band_idx"),
-          md5s(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band"))
+          md5s(concat(col(s"mh${2 * b}").cast("string"), lit(":"),
+            col(s"mh${2 * b + 1}").cast("string"))).as("band"))
       }.reduce(_ unionAll _)
       val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
       val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
@@ -440,11 +465,15 @@ object CorpusQueries {
     "q41_minhash_lsh" -> {
       val mh = (0 until 8).map(j => s"${duckMinhash(j)} AS mh$j").mkString(",\n    ")
       val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS band FROM sig")
+        s"SELECT doc_id, $b AS band_idx, md5(CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+          s"CAST(mh${2 * b + 1} AS VARCHAR)) AS band FROM sig")
         .mkString("\n  UNION ALL ")
-      s"""WITH sig AS (SELECT doc_id,
-         |    $mh
+      s"""WITH hashed AS (SELECT doc_id,
+         |    list_transform($duckShingles, x -> $duckHash60) AS hs
          |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |    $mh
+         |  FROM hashed),
          |bands AS ($bands)
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |FROM bands a JOIN bands c
