@@ -22,6 +22,7 @@ case class ShardRow(
     n_turns: Int,
     corpus_chars: Long,
     alphabet: Int,
+    alpha_bits: Array[Long], // 1024-bit char-presence fingerprint (char & 1023)
     checksum: Long,
     conv_ids: Array[String],
     turn_idxs: Array[Int],
@@ -160,8 +161,18 @@ object TranscriptPipeline {
             val corpus = new Array[Char](sb.length)
             sb.getChars(0, sb.length, corpus, 0)
             val fm = new FmIndexBuilder().setSampleRate(cfg.sampleRate).build(corpus)
+            // char-presence fingerprint: the distributed analog of the reference's
+            // unknown-symbol short-circuit (FmIndex.java:457-459) lifted to shard
+            // granularity — routing skips shards that cannot contain a pattern's chars
+            val alphaBits = new Array[Long](16)
+            var ci = 0
+            while (ci < corpus.length) {
+              val b = corpus(ci) & 1023
+              alphaBits(b >>> 6) |= 1L << (b & 63)
+              ci += 1
+            }
             val row = ShardRow(shardId, curSeq, fm.serialize(), convIds.length,
-              corpus.length.toLong, fm.getAlphabetLength, checksum,
+              corpus.length.toLong, fm.getAlphabetLength, alphaBits, checksum,
               convIds.toArray, turnIdxs.toArray, roles.toArray, tools.toArray,
               tsMicros.toArray, offsets.toArray, lens.toArray)
             curSeq += 1
@@ -177,16 +188,29 @@ object TranscriptPipeline {
     * with the overlapping-match count and the turn text RECONSTRUCTED via FM extract.
     * A match is attributed to the turn containing its start position.
     */
+  /** True iff every char of `pattern` is present in the shard's fingerprint. */
+  def mayContain(alphaBits: Array[Long], pattern: String): Boolean = {
+    var i = 0
+    while (i < pattern.length) {
+      val b = pattern.charAt(i) & 1023
+      if ((alphaBits(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   def route(spark: SparkSession, shards: Dataset[ShardRow], rules: Seq[SinkRule]): Dataset[RoutedHit] = {
     import spark.implicits._
     val bRules = spark.sparkContext.broadcast(rules.toArray)
     shards.flatMap { s =>
-      val fm = FmIndex.deserialize(s.shard)
+      lazy val fm = FmIndex.deserialize(s.shard)
       val textCache = mutable.HashMap[Int, String]()
       def turnText(t: Int): String =
         textCache.getOrElseUpdate(t, fm.extractString(s.offsets(t), s.offsets(t) + s.lens(t)))
 
       bRules.value.iterator.flatMap { rule =>
+        if (!mayContain(s.alpha_bits, rule.pattern)) Iterator.empty
+        else {
         val positions = fm.locateAll(rule.pattern.toCharArray)
         if (positions.isEmpty) Iterator.empty
         else {
@@ -202,8 +226,20 @@ object TranscriptPipeline {
               s.tools(turn), TsMicros.toTimestamp(s.ts_micros(turn)), n, turnText(turn), s.shard_id)
           }
         }
+        }
       }
     }
+  }
+
+  /** Persists the shard table (the compressed index REPLACES the raw text downstream);
+    * route/aggregate jobs re-run from here without rebuilding.
+    */
+  def writeShardTable(shards: Dataset[ShardRow], dir: String): Unit =
+    shards.write.mode("overwrite").parquet(dir)
+
+  def readShardTable(spark: SparkSession, dir: String): Dataset[ShardRow] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[ShardRow]
   }
 
   // -------------------------------------------------------------- aggregate stage
