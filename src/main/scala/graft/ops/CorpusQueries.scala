@@ -247,16 +247,46 @@ object CorpusQueries {
 
     // --- near-dup candidates: MinHash (8 hashes) + LSH banding (4 bands x 2 rows) ---
     "q41_minhash_lsh" -> ((s, dir) => {
-      var sig = tWide(s, dir, "documents")
-        .withColumn("w", words(col("text")))
-        .withColumn("sh", shingles(col("w")))
-        .select(col("doc_id"), shingleHash(col("sh")).as("hs"))
-      for (j <- 0 until 8) sig = sig.withColumn(s"mh$j", minhashFromHs(col("hs"), j))
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band_idx"),
-          md5s(concat(col(s"mh${2 * b}").cast("string"), lit(":"),
-            col(s"mh${2 * b + 1}").cast("string"))).as("band"))
-      }.reduce(_ unionAll _)
+      import s.implicits._
+      // minhash signatures in a typed mapPartitions kernel (interpreted higher-order
+      // lambdas cost ~10x here); band join + dedup stay declarative Catalyst
+      val bands = tWide(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def md5hex(x: String): String = {
+            md.reset()
+            val d = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val sb = new java.lang.StringBuilder(32)
+            var i = 0
+            while (i < 16) {
+              sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+              sb.append(Character.forDigit(d(i) & 0xf, 16))
+              i += 1
+            }
+            sb.toString
+          }
+          it.flatMap { case (docId, text) =>
+            val w = text.split(" ", -1)
+            val mins = Array.fill(8)(Long.MaxValue)
+            var i = 0
+            while (i + 2 < w.length) {
+              val h = java.lang.Long.parseLong(
+                md5hex(w(i) + " " + w(i + 1) + " " + w(i + 2)).substring(0, 15), 16)
+              var j = 0
+              while (j < 8) {
+                val hj = h ^ MinhashSalts(j)
+                if (hj < mins(j)) mins(j) = hj
+                j += 1
+              }
+              i += 1
+            }
+            if (i == 0) Iterator.empty // fewer than 3 words: no shingles, null minhashes
+            else (0 until 4).iterator.map(b =>
+              (docId, b, md5hex(s"${mins(2 * b)}:${mins(2 * b + 1)}")))
+          }
+        }
+        .toDF("doc_id", "band_idx", "band")
       val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
       val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
       a.join(c, col("band_idx") === col("bi2") && col("band") === col("b2") &&
