@@ -28,7 +28,7 @@ final class FmIndex private (
     private val bitWidthSuffixes: Int,
     private val suffixes: IntVector,
     private val positions: IntVector, // null when !enableExtract
-    private val sampledSuffixes: RankBitVector,
+    private val sampledSuffixes: BitRankSeq,
     private val wavelet: SymbolRankSeq
 ) {
 
@@ -331,7 +331,7 @@ final class FmIndex private (
   // ---------------------------------------------------------------- serde
 
   def write(out: DataOutput): Unit = {
-    out.writeByte(FmIndex.SerialVersionV0)
+    out.writeByte(FmIndex.SerialVersion)
     out.writeInt(sampleRate)
     out.writeBoolean(enableExtract)
     out.writeInt(length)
@@ -347,7 +347,7 @@ final class FmIndex private (
     cumulative.foreach(out.writeInt)
     suffixes.write(out)
     if (enableExtract) positions.write(out)
-    sampledSuffixes.write(out)
+    BitSeqSerde.write(out, sampledSuffixes)
     out.writeByte(wavelet match {
       case _: HuffmanWaveletTree => 1
       case _ => 0
@@ -374,7 +374,8 @@ final class FmIndex private (
 
 object FmIndex {
 
-  private[core] val SerialVersionV0: Byte = 0
+  // v1: bitvectors carry a kind byte (0 = Rank9, 1 = RRR-compressed)
+  private[core] val SerialVersion: Byte = 1
 
   val MaxAlphabet: Int = Short.MaxValue.toInt
 
@@ -383,7 +384,8 @@ object FmIndex {
     * appended sentinel takes code 0) -> cumulative counts -> SA-IS -> SA sampling -> BWT ->
     * wavelet matrix.
     */
-  def build(input: Array[Char], sampleRate: Int = 32, enableExtract: Boolean = true): FmIndex = {
+  def build(input: Array[Char], sampleRate: Int = 32, enableExtract: Boolean = true,
+      compress: Boolean = false): FmIndex = {
     require(sampleRate > 0, "sampleRate must be positive")
     val n = input.length + 1
 
@@ -441,7 +443,9 @@ object FmIndex {
       }
       i += 1
     }
-    val sampled = sampledB.result()
+    // compress = reference-style RRR storage (entropy-sized, slower rank) for both the
+    // SA-sample marks and every wavelet node; default Rank9 favors query speed
+    val sampled = BitSeqSerde.maybeCompress(sampledB.result(), compress)
 
     var positions: IntVector = null
     if (enableExtract) {
@@ -456,14 +460,14 @@ object FmIndex {
 
     val bwt = Bwt.fromSuffixArray(seq, sa)
     // Huffman-shaped wavelet: frequent BWT symbols descend ~entropy levels, not log(sigma)
-    val wavelet = HuffmanWaveletTree(bwt, sigma)
+    val wavelet = HuffmanWaveletTree(bwt, sigma, compress)
 
     new FmIndex(sampleRate, enableExtract, n, map, lookUp, cumulative, bitWidth,
       suffixes, positions, sampled, wavelet)
   }
 
   def read(in: DataInput): FmIndex = {
-    Serde.checkSerialVersion(SerialVersionV0, in.readByte())
+    Serde.checkSerialVersion(SerialVersion, in.readByte())
     val sampleRate = in.readInt()
     val enableExtract = in.readBoolean()
     val length = in.readInt()
@@ -485,7 +489,7 @@ object FmIndex {
     while (i < cumulative.length) { cumulative(i) = in.readInt(); i += 1 }
     val suffixes = IntVector.read(in)
     val positions = if (enableExtract) IntVector.read(in) else null
-    val sampled = RankBitVector.read(in)
+    val sampled = BitSeqSerde.read(in)
     val wavelet: SymbolRankSeq = in.readByte() match {
       case 1 => HuffmanWaveletTree.read(in)
       case _ => WaveletMatrix.read(in)
@@ -541,9 +545,12 @@ object FmIndex {
 final class FmIndexBuilder {
   private var sampleRate: Int = 32
   private var enableExtraction: Boolean = true
+  private var compress: Boolean = false
 
   def setSampleRate(rate: Int): FmIndexBuilder = { sampleRate = rate; this }
   def setEnableExtraction(enabled: Boolean): FmIndexBuilder = { enableExtraction = enabled; this }
-  def build(text: Array[Char]): FmIndex = FmIndex.build(text, sampleRate, enableExtraction)
+  /** RRR-compressed bitvectors (reference-style storage) instead of Rank9. */
+  def setCompression(enabled: Boolean): FmIndexBuilder = { compress = enabled; this }
+  def build(text: Array[Char]): FmIndex = FmIndex.build(text, sampleRate, enableExtraction, compress)
   def build(text: String): FmIndex = build(text.toCharArray)
 }

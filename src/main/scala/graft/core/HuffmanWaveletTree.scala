@@ -32,7 +32,7 @@ final class HuffmanWaveletTree private (
     private val nodeLeft: Array[Int], // >= 0: internal node id; < 0: leaf, sym = -v - 1
     private val nodeRight: Array[Int],
     private val root: Int,
-    private val nodeBv: Array[RankBitVector]
+    private val nodeBv: Array[BitRankSeq] // Rank9 (fast) or RRR (compressed) per build
 ) extends SymbolRankSeq {
 
   /** Occurrences of `sym` in [0, pos). */
@@ -91,7 +91,7 @@ final class HuffmanWaveletTree private (
     }
     out.writeInt(root)
     i = 0
-    while (i < nodeBv.length) { nodeBv(i).write(out); i += 1 }
+    while (i < nodeBv.length) { BitSeqSerde.write(out, nodeBv(i)); i += 1 }
   }
 
   override def hashCode: Int = {
@@ -105,9 +105,10 @@ final class HuffmanWaveletTree private (
 object HuffmanWaveletTree {
 
   /** Builds over `seq` with values in [0, sigma); every value should occur at least once
-    * (absent values get rank 0 via zero-length codes).
+    * (absent values get rank 0 via zero-length codes). `compress` stores every node
+    * bitvector RRR-compressed (entropy-sized, ~2-4x slower rank) instead of Rank9.
     */
-  def apply(seq: Array[Int], sigma: Int): HuffmanWaveletTree = {
+  def apply(seq: Array[Int], sigma: Int, compress: Boolean = false): HuffmanWaveletTree = {
     val n = seq.length
     val freq = new Array[Long](sigma)
     var i = 0
@@ -120,7 +121,7 @@ object HuffmanWaveletTree {
       require(present.isEmpty || present.head == 0,
         "degenerate single-symbol sequences must use symbol 0")
       return new HuffmanWaveletTree(n, sigma, new Array[Long](sigma),
-        new Array[Byte](sigma), Array.empty, Array.empty, -1, Array.empty)
+        new Array[Byte](sigma), Array.empty, Array.empty, -1, Array.empty[BitRankSeq])
     }
 
     // deterministic Huffman: min-heap on (freq, id); leaf ids 0..sigma-1, internal after
@@ -178,7 +179,7 @@ object HuffmanWaveletTree {
       i += 1
     }
     new HuffmanWaveletTree(n, sigma, codes, codeLens, nodeLeft, nodeRight, root,
-      builders.map(_.result()))
+      builders.map(b => BitSeqSerde.maybeCompress(b.result(), compress)))
   }
 
   def read(in: DataInput): HuffmanWaveletTree = {
@@ -194,9 +195,9 @@ object HuffmanWaveletTree {
     i = 0
     while (i < numInternal) { nodeLeft(i) = in.readInt(); nodeRight(i) = in.readInt(); i += 1 }
     val root = in.readInt()
-    val nodeBv = new Array[RankBitVector](numInternal)
+    val nodeBv = new Array[BitRankSeq](numInternal)
     i = 0
-    while (i < numInternal) { nodeBv(i) = RankBitVector.read(in); i += 1 }
+    while (i < numInternal) { nodeBv(i) = BitSeqSerde.read(in); i += 1 }
     new HuffmanWaveletTree(length, sigma, codes, codeLens, nodeLeft, nodeRight, root, nodeBv)
   }
 }

@@ -15,7 +15,7 @@ final class RankBitVector private (
     private val words: Array[Long],
     private val blockRank: Array[Int],
     private val subRank: Array[Long] // 7 packed 9-bit cumulative word counts per block
-) {
+) extends BitRankSeq {
 
   @inline def access(pos: Int): Boolean =
     ((words(pos >>> 6) >>> (pos & 63)) & 1L) != 0L

@@ -23,7 +23,7 @@ final class RrrVector private (
     private val offsets: VariableWidthIntVector, // variable-width offset stream
     private val sampledRanks: Array[Int], // rank1 at block sampleRate*k
     private val sampledOffsetPos: Array[Long] // offset-stream bit position there
-) {
+) extends BitRankSeq {
   import RrrVector._
 
   /** The bit at `pos`. */

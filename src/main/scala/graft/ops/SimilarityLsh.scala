@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Signed-random-projection (hyperplane) LSH for cosine similarity — the scale path for
+  * embedding near-duplicate joins: candidates come from an EQUI-JOIN on (band_idx,
+  * band_val) keys instead of an all-pairs cartesian, then only candidates are exactly
+  * reranked. Charikar's SimHash-for-vectors scheme: P(sign agrees) = 1 - theta/pi.
+  *
+  * Hyperplane weights are small integers from a fixed LCG so the DuckDB oracle can
+  * inline the IDENTICAL matrix as SQL literals and reproduce the whole pipeline
+  * bit-for-bit (double math, same operation order) — the correctness gate then verifies
+  * the LSH computation itself, not just a downstream filter.
+  *
+  * Recall is tunable, not 1.0: with b-bit bands and L bands, a pair at angle theta
+  * collides with prob 1-(1-p^b)^L, p = 1-theta/pi. At real near-dup thresholds
+  * (cos >= 0.8) the prune is orders of magnitude; at loose thresholds it degrades
+  * gracefully toward the exact join. The plan SHAPE (shuffle on band keys, rerank only
+  * matches) is what survives a 100x scale-up.
+  */
+object SimilarityLsh {
+
+  /** Deterministic plane weights in [-4, 4], row-major LCG stream (seed fixed). */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Int]] = {
+    var s = 0x9e3779b97f4a7c15L
+    Array.tabulate(nPlanes, dim) { (_, _) =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 9) - 4).toInt
+    }
+  }
+
+  /** Sequential-fold double dot product — operation order matches the oracle's
+    * list_sum(list_transform(...)) exactly (established parity rule).
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  private def planeLit(w: Array[Int]): Column = array(w.map(x => lit(x.toDouble)): _*)
+
+  /** One BIGINT band value per band: bandBits sign bits packed little-endian. */
+  def bandValues(emb: Column, planes: Array[Array[Int]], bandBits: Int): Seq[Column] = {
+    require(planes.length % bandBits == 0)
+    planes.grouped(bandBits).map { group =>
+      group.zipWithIndex.map { case (w, j) =>
+        when(dotD(emb, planeLit(w)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toSeq
+  }
+
+  /** (carry..., id, band_idx, band_val) rows: L rows per input row. */
+  def bands(df: DataFrame, idCol: String, embCol: String, planes: Array[Array[Int]],
+      bandBits: Int, carry: Seq[String] = Nil): DataFrame = {
+    val vals = bandValues(col(embCol), planes, bandBits)
+    df.select((carry.map(col) :+ col(idCol) :+
+      posexplode(array(vals: _*)).as(Seq("band_idx", "band_val"))): _*)
+  }
+
+  /** Distinct unordered candidate pairs (id_a < id_b) sharing any band (and every
+    * `matchCols` group key, e.g. a media `kind`). The equi-join shuffles on the band
+    * key — no cartesian anywhere.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String, matchCols: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("band_idx", "band_val") ++ matchCols
+    val a = bandsDf.select((col(idCol).as("id_a") +: keys.map(col)): _*)
+    val b = bandsDf.select((col(idCol).as("id_b") +: keys.map(c => col(c).as(s"__r_$c"))): _*)
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col("id_a") < col("id_b")
+    a.join(b, cond).select((col("id_a") +: col("id_b") +: matchCols.map(col)): _*).distinct()
+  }
+
+  // --------------------------------------------------------------- oracle SQL rendering
+
+  /** DuckDB: the same plane dot with identical double op order. */
+  def duckPlaneDot(embExpr: String, w: Array[Int]): String = {
+    val wl = w.mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, ${w.length + 1}), " +
+      s"i -> CAST($embExpr[i] AS DOUBLE) * CAST(($wl)[i] AS DOUBLE)))"
+  }
+
+  /** DuckDB: band value g over `planes` with bandBits bits. */
+  def duckBandVal(embExpr: String, planes: Array[Array[Int]], bandBits: Int, g: Int): String = {
+    val terms = (0 until bandBits).map { j =>
+      s"(CASE WHEN ${duckPlaneDot(embExpr, planes(g * bandBits + j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+}

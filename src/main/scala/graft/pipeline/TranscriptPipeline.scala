@@ -64,17 +64,6 @@ object TsMicros {
   }
 }
 
-case class LineageRow(
-    shard_id: Int,
-    shard_seq: Int,
-    n_turns: Long,
-    corpus_chars: Long,
-    alphabet: Int,
-    checksum: Long,
-    rows_routed: Long,
-    attempt: Int
-)
-
 /** Parse -> index -> route -> aggregate over transcript tables, Spark-first.
   *
   * Scale design (targets a 1000-executor cluster; tested on local[N]):
@@ -101,7 +90,8 @@ object TranscriptPipeline {
       sampleRate: Int = 16,
       maxCorpusChars: Int = 1 << 27, // split shards beyond 128M chars (int positions cap)
       rules: Seq[SinkRule] = Transcripts.DefaultRules,
-      numPartitionsOpt: Option[Int] = None
+      numPartitionsOpt: Option[Int] = None,
+      compressIndexes: Boolean = false // RRR-compressed shard bitvectors (size over speed)
   ) {
     /** Task partitions for the shard-build shuffle. Keep numShards >= 4x numPartitions:
       * shard_ids hash into partitions, so several shards per partition smooth the
@@ -160,7 +150,8 @@ object TranscriptPipeline {
             }
             val corpus = new Array[Char](sb.length)
             sb.getChars(0, sb.length, corpus, 0)
-            val fm = new FmIndexBuilder().setSampleRate(cfg.sampleRate).build(corpus)
+            val fm = new FmIndexBuilder().setSampleRate(cfg.sampleRate)
+              .setCompression(cfg.compressIndexes).build(corpus)
             // char-presence fingerprint: the distributed analog of the reference's
             // unknown-symbol short-circuit (FmIndex.java:457-459) lifted to shard
             // granularity — routing skips shards that cannot contain a pattern's chars
@@ -199,7 +190,14 @@ object TranscriptPipeline {
     true
   }
 
-  def route(spark: SparkSession, shards: Dataset[ShardRow], rules: Seq[SinkRule]): Dataset[RoutedHit] = {
+  /** `locateCap` guards against pathological high-frequency patterns: locateAll costs
+    * O(occurrences x sampleRate) LF-walks, which for a pattern matching a large fraction
+    * of the corpus exceeds the cost of simply scanning the turns. Above the cap, routing
+    * falls back to extracting each turn once (O(corpus), bounded) and counting
+    * overlapping occurrences directly — identical output, bounded worst case.
+    */
+  def route(spark: SparkSession, shards: Dataset[ShardRow], rules: Seq[SinkRule],
+      locateCap: Int = 1 << 22): Dataset[RoutedHit] = {
     import spark.implicits._
     val bRules = spark.sparkContext.broadcast(rules.toArray)
     shards.flatMap { s =>
@@ -208,24 +206,36 @@ object TranscriptPipeline {
       def turnText(t: Int): String =
         textCache.getOrElseUpdate(t, fm.extractString(s.offsets(t), s.offsets(t) + s.lens(t)))
 
+      def hit(turn: Int, n: Int, sink: String): RoutedHit =
+        RoutedHit(sink, s.conv_ids(turn), s.turn_idxs(turn), s.roles(turn),
+          s.tools(turn), TsMicros.toTimestamp(s.ts_micros(turn)), n, turnText(turn), s.shard_id)
+
       bRules.value.iterator.flatMap { rule =>
         if (!mayContain(s.alpha_bits, rule.pattern)) Iterator.empty
         else {
-        val positions = fm.locateAll(rule.pattern.toCharArray)
-        if (positions.isEmpty) Iterator.empty
-        else {
-          // merge-walk sorted positions against sorted turn offsets
-          val perTurn = mutable.LinkedHashMap[Int, Int]()
-          var t = 0
-          positions.foreach { pos =>
-            while (t + 1 < s.offsets.length && s.offsets(t + 1) <= pos) t += 1
-            perTurn.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
+          // count first: one O(|pattern|) backward search decides the strategy
+          val total = fm.count(rule.pattern.toCharArray)
+          if (total == 0) Iterator.empty
+          else if (total <= locateCap) {
+            val positions = fm.locateAll(rule.pattern.toCharArray)
+            // merge-walk sorted positions against sorted turn offsets
+            val perTurn = mutable.LinkedHashMap[Int, Int]()
+            var t = 0
+            positions.foreach { pos =>
+              while (t + 1 < s.offsets.length && s.offsets(t + 1) <= pos) t += 1
+              perTurn.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
+            }
+            perTurn.iterator.map { case (turn, n) => hit(turn, n, rule.sink) }
+          } else {
+            // scan fallback: overlapping occurrences per turn on the extracted text
+            (0 until s.n_turns).iterator.flatMap { turn =>
+              val text = turnText(turn)
+              var n = 0
+              var i = text.indexOf(rule.pattern)
+              while (i >= 0) { n += 1; i = text.indexOf(rule.pattern, i + 1) }
+              if (n == 0) Iterator.empty else Iterator.single(hit(turn, n, rule.sink))
+            }
           }
-          perTurn.iterator.map { case (turn, n) =>
-            RoutedHit(rule.sink, s.conv_ids(turn), s.turn_idxs(turn), s.roles(turn),
-              s.tools(turn), TsMicros.toTimestamp(s.ts_micros(turn)), n, turnText(turn), s.shard_id)
-          }
-        }
         }
       }
     }
@@ -278,63 +288,109 @@ object TranscriptPipeline {
 
   case class RunReport(shardsBuilt: Long, turnsIndexed: Long, rowsRouted: Long, resumed: Boolean)
 
+  /** Commit protocol (an Iceberg-snapshot pattern on plain parquet; no table format in
+    * this sandbox). The LINEAGE PARQUET is the source of truth for what is committed:
+    *
+    *  1. run start: write `_manifests/start-K` (K = number of existing start markers) —
+    *     attempt ids are unique even across crashed runs, so a crashed attempt's orphan
+    *     sink rows can never be adopted by a later commit.
+    *  2. append sink rows under `sinks/sink=S/attempt=K/`.
+    *  3. append lineage rows (one per shard piece) with attempt=K.
+    *  4. atomically create `_manifests/commit-K` (write temp + ATOMIC_MOVE). Only now is
+    *     attempt K committed.
+    *
+    * Readers (`readSinks`, resume) only trust attempts with a commit marker, so a crash
+    * in any window (after the sink append, or mid-lineage-write) leaves orphan files
+    * that are simply never read — no duplicated rows, no recount drift. Resume derives
+    * committed shard_ids from the lineage parquet and ANTI-JOINS pending turns against
+    * them (scales to millions of shards; no driver-side id list, no giant `isin` tree).
+    */
   private def manifestPath(outDir: String) = Paths.get(outDir, "_manifests")
 
-  private def committedShards(outDir: String): Set[Int] = {
+  private def listMarkers(outDir: String, prefix: String): Set[Int] = {
     val dir = manifestPath(outDir)
     if (!Files.isDirectory(dir)) return Set.empty
-    val snaps = Files.list(dir).toArray.map(_.toString).filter(_.contains("snapshot-")).sorted
-    if (snaps.isEmpty) return Set.empty
-    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
-    "\"shard_id\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt).map(_.group(1).toInt).toSet
+    val s = Files.list(dir)
+    try s.toArray.map(_.toString.split('/').last)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toInt).toSet
+    finally s.close()
   }
 
-  private def writeSnapshot(outDir: String, lineage: Array[LineageRow], attempt: Int): Unit = {
+  private def writeMarker(outDir: String, name: String, body: String): Unit = {
     val dir = manifestPath(outDir)
     Files.createDirectories(dir)
-    val entries = lineage.sortBy(l => (l.shard_id, l.shard_seq)).map { l =>
-      s"""{"shard_id": ${l.shard_id}, "shard_seq": ${l.shard_seq}, "n_turns": ${l.n_turns}, """ +
-        s""""corpus_chars": ${l.corpus_chars}, "checksum": ${l.checksum}, "rows_routed": ${l.rows_routed}}"""
-    }
-    val json = s"""{"attempt": $attempt, "shards": [${entries.mkString(",\n")}]}"""
-    Files.write(dir.resolve(f"snapshot-$attempt%05d.json"),
-      json.getBytes(StandardCharsets.UTF_8),
+    val tmp = dir.resolve(name + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def committedAttempts(outDir: String): Set[Int] = listMarkers(outDir, "commit-")
+
+  /** Committed sink rows only (attempts with a commit marker); `attempt` is dropped —
+    * it is commit bookkeeping, not data. Partition pruning keeps orphan files unread.
+    */
+  def readSinks(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = committedAttempts(outDir)
+    spark.read.parquet(s"$outDir/sinks")
+      .filter(col("attempt").isInCollection(committed.toSeq))
+      .drop("attempt")
   }
 
   /** Runs parse->index->route->aggregate, writing per-sink tables, aggregates and lineage
-    * under `outDir`. If a manifest exists, committed shards are skipped (resume).
+    * under `outDir`. If committed attempts exist, their shards are skipped (resume).
     */
   def runToSinks(spark: SparkSession, turns: Dataset[Turn], cfg: Config, outDir: String): RunReport = {
     import spark.implicits._
-    val committed = committedShards(outDir)
+    val committed = committedAttempts(outDir)
     val resumed = committed.nonEmpty
-    val attempt = if (resumed) {
-      Files.list(manifestPath(outDir)).toArray.length
-    } else 0
+    val attempt = (listMarkers(outDir, "start-") ++ committed + (-1)).max + 1
+    writeMarker(outDir, s"start-$attempt", s"""{"attempt": $attempt}""")
 
     val pendingTurns =
-      if (committed.isEmpty) turns
-      else turns.withColumn("__sid", shardIdCol(cfg))
-        .filter(!col("__sid").isin(committed.toSeq: _*))
-        .drop("__sid").as[Turn]
+      if (!resumed) turns
+      else {
+        // lineage parquet = committed shard ids; anti-join scales to any shard count
+        val committedIds = spark.read.parquet(s"$outDir/lineage")
+          .filter(col("attempt").isInCollection(committed.toSeq))
+          .select(col("shard_id").as("__cid")).distinct()
+        turns.withColumn("__sid", shardIdCol(cfg))
+          .join(committedIds, col("__sid") === col("__cid"), "left_anti")
+          .drop("__sid").as[Turn]
+      }
 
     val shards = buildShards(spark, pendingTurns, cfg).persist()
     val routed = route(spark, shards, cfg.rules).persist()
 
-    val enriched = enrich(spark, routed)
-    val mode = if (resumed) "append" else "overwrite"
+    val enriched = enrich(spark, routed).withColumn("attempt", lit(attempt))
     // round-robin to cluster-width tasks before the dynamic-partition write: output
     // file count (and the driver-serial commit) tracks the cluster, not the shard count
     enriched.repartition(spark.sparkContext.defaultParallelism)
-      .write.mode(mode).partitionBy("sink").parquet(s"$outDir/sinks")
+      .write.mode("append").partitionBy("sink", "attempt").parquet(s"$outDir/sinks")
 
-    // aggregates must cover ALL committed data: a fresh run can aggregate the in-memory
-    // routed rows directly; a resumed run re-reads the full sinks table so the final
+    // lineage is written BY SPARK (no driver collect of per-shard rows) and appended,
+    // then the attempt is committed with one atomic marker
+    val routedCounts = routed.groupBy(col("shard_id")).agg(count(lit(1)).as("__rr"))
+    val lineageDf = shards
+      .select(col("shard_id"), col("shard_seq"), col("n_turns").cast("long").as("n_turns"),
+        col("corpus_chars"), col("alphabet"), col("checksum"))
+      .join(routedCounts, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("shard_seq"), col("n_turns"), col("corpus_chars"),
+        col("alphabet"), col("checksum"),
+        // attribute routed rows to the first piece of a split shard (counts are per
+        // shard_id; duplicating them across seq pieces would double-count)
+        when(col("shard_seq") === 0, coalesce(col("__rr"), lit(0L)))
+          .otherwise(lit(0L)).as("rows_routed"),
+        lit(attempt).as("attempt"))
+    lineageDf.write.mode("append").parquet(s"$outDir/lineage")
+    writeMarker(outDir, s"commit-$attempt", s"""{"attempt": $attempt, "committed": true}""")
+
+    // aggregates must cover ALL committed data: a fresh run aggregates the in-memory
+    // routed rows directly; a resumed run re-reads the committed sinks so the final
     // output converges to exactly the single-run result (no recount drift)
-    val aggSource = if (resumed) spark.read.parquet(s"$outDir/sinks") else enriched
+    val aggSource = if (resumed) readSinks(spark, outDir) else enriched.drop("attempt")
 
-    // the remaining outputs are independent -> submit them as concurrent Spark jobs
+    // the two outputs are independent -> submit them as concurrent Spark jobs
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -344,29 +400,17 @@ object TranscriptPipeline {
     val fWin = Future {
       runningWindow(aggSource).write.mode("overwrite").parquet(s"$outDir/window")
     }
-    val fLineage = Future {
-      val routedCounts = routed.groupBy(col("shard_id")).count().as[(Int, Long)].collect().toMap
-      shards
-        .map(s => (s.shard_id, s.shard_seq, s.n_turns.toLong, s.corpus_chars, s.alphabet, s.checksum))
-        .collect()
-        .map { case (id, seq, n, chars, alpha, sum) =>
-          // attribute routed rows to the first piece of a split shard (counts are per
-          // shard_id; duplicating them across seq pieces would double-count)
-          val routedForPiece = if (seq == 0) routedCounts.getOrElse(id, 0L) else 0L
-          LineageRow(id, seq, n, chars, alpha, sum, routedForPiece, attempt)
-        }
-    }
-    val lineage = Await.result(fLineage, Duration.Inf)
-    spark.createDataset(lineage.toSeq).write.mode(mode).parquet(s"$outDir/lineage")
     Await.result(fAgg, Duration.Inf)
     Await.result(fWin, Duration.Inf)
 
-    val report = RunReport(lineage.length.toLong, lineage.map(_.n_turns).sum,
-      lineage.map(_.rows_routed).sum, resumed)
-    writeSnapshot(outDir, lineage ++ (if (resumed) committed.toArray.map(id =>
-      LineageRow(id, -1, 0, 0, 0, 0, 0, attempt - 1)) else Array.empty[LineageRow]), attempt)
+    // report totals for THIS attempt from its lineage (one tiny aggregate, no row collect)
+    val stats = spark.read.parquet(s"$outDir/lineage")
+      .filter(col("attempt") === attempt)
+      .agg(count(lit(1)), coalesce(sum("n_turns"), lit(0L)),
+        coalesce(sum("rows_routed"), lit(0L)))
+      .first()
     shards.unpersist()
     routed.unpersist()
-    report
+    RunReport(stats.getLong(0), stats.getLong(1), stats.getLong(2), resumed)
   }
 }

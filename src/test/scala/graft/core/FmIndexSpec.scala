@@ -18,6 +18,29 @@ class FmIndexSpec extends AnyFunSuite {
     assert(locations.take(count).sorted.toSeq == expected.toSeq)
   }
 
+  test("RRR-compressed build: identical count/locate/extract, smaller bytes, round-trips") {
+    val rnd = new Random(1234)
+    val fast = new FmIndexBuilder().setSampleRate(8).build(LogChars)
+    val small = new FmIndexBuilder().setSampleRate(8).setCompression(true).build(LogChars)
+    for (_ <- 0 until 60) {
+      val start = rnd.nextInt(LogCorpus.length - 32)
+      val pat = LogCorpus.substring(start, start + 1 + rnd.nextInt(31)).toCharArray
+      assert(small.count(pat) == fast.count(pat))
+      assert(small.locateAll(pat).toSeq == fast.locateAll(pat).toSeq)
+    }
+    val a = rnd.nextInt(LogCorpus.length - 64)
+    assert(small.extractString(a, a + 64) == fast.extractString(a, a + 64))
+    // RRR round-trips through the kind-byte serde and stays compressed
+    val back = FmIndex.deserialize(small.serialize())
+    assert(back.hashCode == small.hashCode)
+    assert(back.count("the".toCharArray) == fast.count("the".toCharArray))
+    val fastBytes = fast.serialize().length
+    val smallBytes = small.serialize().length
+    info(s"serialized bytes: rank9=$fastBytes rrr=$smallBytes " +
+      f"(${100.0 * smallBytes / fastBytes}%.1f%%)")
+    assert(smallBytes < fastBytes, "RRR build should serialize smaller on log text")
+  }
+
   test("count on a simple string") {
     val text = "This is a long string\u0000".toCharArray
     val fmi = new FmIndexBuilder().setEnableExtraction(false).build(text)

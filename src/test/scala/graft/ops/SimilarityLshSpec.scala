@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.functions.ShardCache
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityLshSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lsh-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q52 LSH+rerank: precision 1.0 vs brute force, recall measured and sane") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", SimilarityLsh.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select("vec_a", "vec_b")
+
+    val lsh = CorpusQueries.queries("q52_embed_neardup")(spark, dir)
+
+    val extra = lsh.exceptAll(brute).count() // would be a rerank bug
+    assert(extra == 0, s"LSH emitted $extra pairs the exact join rejects (precision < 1)")
+
+    val nBrute = brute.count()
+    val nLsh = lsh.count()
+    val recall = if (nBrute == 0) 1.0 else nLsh.toDouble / nBrute
+    info(f"SRP-LSH 8x4-bit bands at cos>=0.35: recall $recall%.3f ($nLsh/$nBrute), " +
+      "candidates are an equi-join on band keys (no cartesian)")
+    // 0.35 is a deliberately loose threshold (~70 degrees); SRP recall there is
+    // bounded by 1-(1-p^4)^8 with p~0.61 — assert the implementation achieves it
+    assert(nBrute > 0, "fixture should contain qualifying pairs")
+    assert(recall >= 0.5, f"recall $recall%.3f collapsed — banding is miswired")
+  }
+
+  test("LSH recall approaches 1 at real near-dup thresholds (cos >= 0.8)") {
+    import spark.implicits._
+    // planted near-duplicates: base vectors plus small perturbations
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val bands = SimilarityLsh.bands(df, "vec_id", "embedding", CorpusQueries.EmbedPlanes, 4)
+    val cand = SimilarityLsh.candidatePairs(bands, "vec_id")
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val lsh = cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", SimilarityLsh.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.8).select("id_a", "id_b")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", SimilarityLsh.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.8).select("id_a", "id_b")
+
+    val nBrute = brute.count()
+    val nLsh = lsh.count()
+    assert(nBrute >= 150, s"fixture should plant many near-dup pairs, got $nBrute")
+    val recall = nLsh.toDouble / nBrute
+    info(f"recall at cos>=0.8: $recall%.3f ($nLsh/$nBrute)")
+    assert(recall >= 0.97, f"recall $recall%.3f below the near-dup design point")
+    // and the candidate set actually prunes: far fewer candidates than all pairs
+    val allPairs = df.count() * (df.count() - 1) / 2
+    val nCand = cand.count()
+    info(s"candidates $nCand of $allPairs pairs (${100.0 * nCand / allPairs}%)")
+    assert(nCand < allPairs / 2, "banding failed to prune")
+  }
+
+  test("multimodal near-dup finds every planted duplicate without an all-pairs join") {
+    import spark.implicits._
+    val assets = spark.range(120).as[Long].map { i =>
+      // 0..99 distinct payloads; 100..119 duplicate payload of asset i-100
+      val src = if (i < 100) i else i - 100
+      val payload = Array.tabulate(((src % 7) * 300 + 100).toInt)(j => ((src * 31 + j) % 251).toByte)
+      Asset(i, if (src % 2 == 0) "image" else "audio", payload, s"src${src % 3}")
+    }
+    val feats = Multimodal.extractFeatures(spark, assets, numPartitions = 4, batchSize = 8)
+    val dups = Multimodal.nearDuplicates(spark, feats, 0.9999).cache()
+    // identical payloads share every band: all 20 planted pairs must surface
+    val planted = dups.filter(col("id_b") - col("id_a") === 100).count()
+    assert(planted == 20, s"expected all 20 planted duplicate pairs, got $planted")
+    assert(dups.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(dups.filter(col("cos") < 0.9999).count() == 0)
+  }
+
+  test("ShardCache keys by content: equal-hashCode inputs cannot alias") {
+    // two different corpora -> different shards; cache must hold BOTH and answer each
+    ShardCache.clear()
+    val fmA = new graft.core.FmIndexBuilder().build("abracadabra".toCharArray)
+    val fmB = new graft.core.FmIndexBuilder().build("abracadabrX".toCharArray)
+    val ba = fmA.serialize()
+    val bb = fmB.serialize()
+    assert(ShardCache.get(ba).count("abra".toCharArray) == 2)
+    assert(ShardCache.get(bb).count("abra".toCharArray) == 1)
+    assert(ShardCache.entryCount == 2, "distinct shard bytes must occupy distinct cache slots")
+    // same bytes -> same entry (no growth)
+    ShardCache.get(ba.clone())
+    assert(ShardCache.entryCount == 2)
+  }
+}

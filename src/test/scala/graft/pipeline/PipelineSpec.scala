@@ -114,10 +114,10 @@ class PipelineSpec extends AnyFunSuite {
     val p1 = TranscriptPipeline.runToSinks(spark, half, cfg, outResume)
     assert(!p1.resumed)
     val p2 = TranscriptPipeline.runToSinks(spark, turns, cfg, outResume)
-    assert(p2.resumed, "second run must resume from the manifest")
+    assert(p2.resumed, "second run must resume from the committed lineage")
 
-    val sinksFull = spark.read.parquet(s"$outFull/sinks").drop("sink")
-    val sinksRes = spark.read.parquet(s"$outResume/sinks").drop("sink")
+    val sinksFull = TranscriptPipeline.readSinks(spark, outFull)
+    val sinksRes = TranscriptPipeline.readSinks(spark, outResume)
     assert(sinksFull.exceptAll(sinksRes).count() == 0 &&
       sinksRes.exceptAll(sinksFull).count() == 0, "resumed sinks differ from single-run sinks")
 
@@ -128,6 +128,52 @@ class PipelineSpec extends AnyFunSuite {
     val lineage = spark.read.parquet(s"$outFull/lineage")
     assert(lineage.count() == r1.shardsBuilt)
     assert(lineage.agg(sum("n_turns")).first().getLong(0) == turns.count())
+  }
+
+  test("crash before the commit marker never duplicates sink rows (crash-atomic resume)") {
+    import spark.implicits._
+    val outFull = Files.createTempDirectory("graft_atomic_full").toString
+    val out = Files.createTempDirectory("graft_atomic").toString
+    TranscriptPipeline.runToSinks(spark, turns, cfg, outFull)
+
+    // attempt 0: only shards 0..3 commit cleanly
+    val half = turns.withColumn("sid", TranscriptPipeline.shardIdCol(cfg))
+      .filter(col("sid") < 4).drop("sid").as[Turn]
+    TranscriptPipeline.runToSinks(spark, half, cfg, out)
+
+    // attempt 1 "crashes" after appending sinks + lineage but BEFORE the commit marker:
+    // run it fully, then delete the marker — the on-disk state is exactly the crash window
+    TranscriptPipeline.runToSinks(spark, turns, cfg, out)
+    val marker = java.nio.file.Paths.get(out, "_manifests", "commit-1")
+    assert(Files.deleteIfExists(marker), "expected commit-1 marker to exist")
+
+    // readers must not see the orphaned attempt
+    val committedOnly = TranscriptPipeline.readSinks(spark, out)
+    val attempt0 = spark.read.parquet(s"$out/sinks").filter(col("attempt") === 0).drop("attempt")
+    assert(committedOnly.exceptAll(attempt0).count() == 0 &&
+      attempt0.exceptAll(committedOnly).count() == 0, "orphan attempt rows leaked to readers")
+
+    // the re-run takes a FRESH attempt id (orphan rows can never be adopted) and the
+    // final committed view equals the single-run result exactly — no duplicated rows
+    val r = TranscriptPipeline.runToSinks(spark, turns, cfg, out)
+    assert(r.resumed)
+    val fin = TranscriptPipeline.readSinks(spark, out)
+    val full = TranscriptPipeline.readSinks(spark, outFull)
+    assert(fin.exceptAll(full).count() == 0 && full.exceptAll(fin).count() == 0,
+      "post-crash resume diverged from the single-run sinks")
+  }
+
+  test("high-frequency-pattern scan fallback routes identically to the locate path") {
+    val shards = TranscriptPipeline.buildShards(spark, turns, cfg).cache()
+    val cols = Seq("sink", "conv_id", "turn_idx", "role", "tool", "ts", "n_matches", "text")
+    val viaLocate = TranscriptPipeline.route(spark, shards, cfg.rules)
+      .selectExpr(cols: _*)
+    // locateCap = 0 forces the O(corpus) scan fallback for every matched pattern
+    val viaScan = TranscriptPipeline.route(spark, shards, cfg.rules, locateCap = 0)
+      .selectExpr(cols: _*)
+    assert(viaLocate.exceptAll(viaScan).count() == 0 &&
+      viaScan.exceptAll(viaLocate).count() == 0, "scan fallback differs from locate routing")
+    shards.unpersist()
   }
 
   test("alphabet fingerprint prunes shards that cannot match, never drops real matches") {
