@@ -8,13 +8,15 @@ import graft.pipeline.{PartitionedTable, SinkRule, Transcripts, TranscriptPipeli
   *   spark-submit --class graft.PipelineMain <jar> \
   *     --input <transcript table dir | "synthetic:N_CONVS:TURNS"> \
   *     --output <out dir> [--shards 4096] [--sample-rate 16] [--salt-block 4096] \
-  *     [--rules sink=pattern,sink=pattern,...] [--raw-lines]
+  *     [--rules sink=pattern,sink=pattern,...] [--raw-lines] [--compress]
   *
   * Runs parse -> index -> route -> aggregate and writes per-sink tables, aggregates,
-  * window stats, lineage and a snapshot manifest under --output. Re-running with the
-  * same --output resumes from the committed shards in the manifest. Cluster size comes
-  * from spark-submit (--master / executor settings); nothing here depends on it —
-  * shard assignment is a pure function of the data.
+  * window stats and lineage under --output with atomic per-attempt commit markers.
+  * Re-running with the same --output resumes: committed shard_ids (from the lineage
+  * parquet) are anti-joined away, and a crash in any window leaves only orphan files
+  * that readers never see. Cluster size comes from spark-submit (--master / executor
+  * settings); nothing here depends on it — shard assignment is a pure function of the
+  * data.
   */
 object PipelineMain {
 
@@ -24,6 +26,7 @@ object PipelineMain {
     while (i < args.length) {
       args(i) match {
         case "--raw-lines" => m += "raw-lines" -> "true"; i += 1
+        case "--compress" => m += "compress" -> "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m += flag.drop(2) -> args(i + 1); i += 2
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
@@ -58,7 +61,8 @@ object PipelineMain {
       numShards = opts.getOrElse("shards", "4096").toInt,
       saltBlock = opts.getOrElse("salt-block", "4096").toInt,
       sampleRate = opts.getOrElse("sample-rate", "16").toInt,
-      rules = rules)
+      rules = rules,
+      compressIndexes = opts.contains("compress"))
 
     val turns =
       if (input.startsWith("synthetic:")) {

@@ -350,6 +350,7 @@ final class FmIndex private (
     BitSeqSerde.write(out, sampledSuffixes)
     out.writeByte(wavelet match {
       case _: HuffmanWaveletTree => 1
+      case _: WaveletFbb => 2
       case _ => 0
     })
     wavelet.write(out)
@@ -384,8 +385,16 @@ object FmIndex {
     * appended sentinel takes code 0) -> cumulative counts -> SA-IS -> SA sampling -> BWT ->
     * wavelet matrix.
     */
+  /** Wavelet engines: Huffman-shaped tree (default, fastest), fixed-block boosting
+    * (entropy-adaptive per block, most compact), plain wavelet matrix (comparison).
+    */
+  sealed trait WaveletEngine
+  case object Huffman extends WaveletEngine
+  case object Fbb extends WaveletEngine
+  case object Matrix extends WaveletEngine
+
   def build(input: Array[Char], sampleRate: Int = 32, enableExtract: Boolean = true,
-      compress: Boolean = false): FmIndex = {
+      compress: Boolean = false, engine: WaveletEngine = Huffman): FmIndex = {
     require(sampleRate > 0, "sampleRate must be positive")
     val n = input.length + 1
 
@@ -460,7 +469,11 @@ object FmIndex {
 
     val bwt = Bwt.fromSuffixArray(seq, sa)
     // Huffman-shaped wavelet: frequent BWT symbols descend ~entropy levels, not log(sigma)
-    val wavelet = HuffmanWaveletTree(bwt, sigma, compress)
+    val wavelet: SymbolRankSeq = engine match {
+      case Huffman => HuffmanWaveletTree(bwt, sigma, compress)
+      case Fbb => WaveletFbb(bwt, sigma, compress)
+      case Matrix => WaveletMatrix(bwt, sigma)
+    }
 
     new FmIndex(sampleRate, enableExtract, n, map, lookUp, cumulative, bitWidth,
       suffixes, positions, sampled, wavelet)
@@ -492,6 +505,7 @@ object FmIndex {
     val sampled = BitSeqSerde.read(in)
     val wavelet: SymbolRankSeq = in.readByte() match {
       case 1 => HuffmanWaveletTree.read(in)
+      case 2 => WaveletFbb.read(in)
       case _ => WaveletMatrix.read(in)
     }
     new FmIndex(sampleRate, enableExtract, length, map, lookUp, cumulative, bitWidth,
@@ -546,11 +560,15 @@ final class FmIndexBuilder {
   private var sampleRate: Int = 32
   private var enableExtraction: Boolean = true
   private var compress: Boolean = false
+  private var engine: FmIndex.WaveletEngine = FmIndex.Huffman
 
   def setSampleRate(rate: Int): FmIndexBuilder = { sampleRate = rate; this }
   def setEnableExtraction(enabled: Boolean): FmIndexBuilder = { enableExtraction = enabled; this }
   /** RRR-compressed bitvectors (reference-style storage) instead of Rank9. */
   def setCompression(enabled: Boolean): FmIndexBuilder = { compress = enabled; this }
-  def build(text: Array[Char]): FmIndex = FmIndex.build(text, sampleRate, enableExtraction, compress)
+  /** Rank engine: Huffman wavelet tree (default), fixed-block boosting, or matrix. */
+  def setWaveletEngine(e: FmIndex.WaveletEngine): FmIndexBuilder = { engine = e; this }
+  def build(text: Array[Char]): FmIndex =
+    FmIndex.build(text, sampleRate, enableExtraction, compress, engine)
   def build(text: String): FmIndex = build(text.toCharArray)
 }

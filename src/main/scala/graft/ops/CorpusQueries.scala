@@ -306,10 +306,29 @@ object CorpusQueries {
     // of SHARED shingles, not with n^2. (At web scale add a document-frequency cap on
     // ultra-common shingles; unnecessary at these SFs and it would change the oracle.)
     "q43_jaccard_ngram" -> ((s, dir) => {
+      import s.implicits._
+      // typed shingle kernel: interpreted HOF shingling is ~10x slower AND Catalyst's
+      // InferFiltersFromGenerate pushes the inlined shingle expression below the
+      // repartition onto the few scan partitions; a typed node blocks both
       val ex = tWide(s, dir, "documents")
-        .withColumn("w", words(col("text")))
-        .withColumn("sh", array_distinct(shingles(col("w"))))
-        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, text) =>
+            val w = text.split(" ", -1)
+            if (w.length < 3) Iterator.empty
+            else {
+              val set = new java.util.LinkedHashSet[String]()
+              var i = 0
+              while (i + 2 < w.length) { set.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1 }
+              val n = set.size
+              val itr = set.iterator()
+              new Iterator[(Long, Int, String)] {
+                def hasNext: Boolean = itr.hasNext
+                def next(): (Long, Int, String) = (docId, n, itr.next())
+              }
+            }
+          }
+        }.toDF("doc_id", "n_sh", "shingle")
       val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
       val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
         col("shingle").as("sh_b"))
@@ -332,17 +351,21 @@ object CorpusQueries {
     // ~70deg) SRP prunes ~2x — at production near-dup thresholds (>=0.8) the same plan
     // prunes by orders of magnitude. No vec_id cap: the full table joins itself.
     "q52_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val bands = SimilarityLsh.bands(tWide(s, dir, "embeddings"),
-        "vec_id", "embedding", EmbedPlanes, bandBits = 4)
-      val cand = SimilarityLsh.candidatePairs(bands, "vec_id")
+      val bands = SimilarityLsh.bandsKernel(
+        tWide(s, dir, "embeddings")
+          .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
+        EmbedPlanes, bandBits = 4)
+      val cand = SimilarityLsh.candidatePairs(bands, "__id")
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
-      cand
+      val joined = cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
         .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-        .withColumn("cos", cosine(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.35)
-        .select(col("vec_a"), col("vec_b"))
+        .select(col("vec_a").cast("long"), col("vec_b").cast("long"), col("ea"), col("eb"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+      SimilarityLsh.rerankCosineKernel(joined, 0.35)
+        .toDF("vec_a", "vec_b")
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -378,16 +401,29 @@ object CorpusQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // --- ANN scale path: IVF-style coarse bucketing by dominant dimension ---
+    // --- ANN scale path: IVF-style coarse bucketing by dominant dimension, with
+    //     MULTI-PROBE on the query side (top-2 |dim| buckets) — the query probes the
+    //     two most likely inverted lists, doubling recall for near-boundary vectors
+    //     while candidates stay an equi-join on the bucket key ---
     "q51_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      def bucket(e: Column): Column =
-        array_position(transform(e, x => abs(x)), array_max(transform(e, x => abs(x))))
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          bucket(col("embedding")).as("qb"))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-        bucket(col("embedding")).as("cb"))
+      def absArr(e: Column): Column = transform(e, x => abs(x))
+      def bucket1(am: Column): Column = array_position(am, array_max(am))
+      // second-dominant bucket: mask the first maximum, take the next argmax
+      def masked(am: Column, p1: Column): Column =
+        transform(sequence(lit(1), size(am)),
+          i => when(i === p1, lit(-1e300)).otherwise(element_at(am, i)))
+      val q0 = emb.filter(col("vec_id") < 5)
+        .withColumn("am", absArr(col("embedding")))
+        .withColumn("b1", bucket1(col("am")))
+        .withColumn("m2", masked(col("am"), col("b1")))
+        .withColumn("b2", array_position(col("m2"), array_max(col("m2"))))
+      val q = q0.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(col("b1"), col("b2"))).as("qb"))
+      val c = emb
+        .withColumn("am", absArr(col("embedding")))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+          bucket1(col("am")).as("cb"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       c.join(broadcast(q), col("qb") === col("cb") && col("neighbor_id") =!= col("query_id"))
@@ -588,11 +624,15 @@ object CorpusQueries {
       val dotQC = duckDot("qe", "ce")
       val nQ = duckDot("qe", "qe")
       val nC = duckDot("ce", "ce")
-      val bucket = "list_indexof(list_transform(embedding, x -> abs(x)), " +
-        "list_max(list_transform(embedding, x -> abs(x))))"
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, $bucket AS qb
-         |    FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, $bucket AS cb FROM embeddings),
+      val am = "list_transform(embedding, x -> abs(x))"
+      val b1 = s"list_indexof($am, list_max($am))"
+      val m2 = s"list_transform(range(1, len(embedding) + 1), " +
+        s"i -> CASE WHEN i = b1 THEN -1e300 ELSE ($am)[i] END)"
+      s"""WITH q0 AS (SELECT vec_id, embedding, $b1 AS b1 FROM embeddings WHERE vec_id < 5),
+         |q1 AS (SELECT vec_id, embedding, b1,
+         |    list_indexof($m2, list_max($m2)) AS b2 FROM q0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, unnest([b1, b2]) AS qb FROM q1),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, $b1 AS cb FROM embeddings),
          |s AS (SELECT query_id, neighbor_id, cb,
          |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
          |  FROM q JOIN c ON qb = cb AND neighbor_id <> query_id)

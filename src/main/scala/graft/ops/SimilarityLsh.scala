@@ -73,6 +73,64 @@ object SimilarityLsh {
     a.join(b, cond).select((col("id_a") +: col("id_b") +: matchCols.map(col)): _*).distinct()
   }
 
+  // ------------------------------------------------------------------ typed kernels
+  // Interpreted higher-order lambdas cost ~10x, and Catalyst's InferFiltersFromGenerate
+  // + pushdown can inline a whole HOF pipeline into a pre-shuffle Filter that runs on
+  // the (few) scan partitions. The hot paths therefore run as typed mapPartitions
+  // kernels with IDENTICAL double operation order to the declarative/oracle forms:
+  // a while-loop `acc += x(i).toDouble * w(i)` is the same left fold as
+  // aggregate(zip_with(...)) and DuckDB's list_sum(list_transform(...)).
+
+  /** (id, band_idx, band_val) rows from a typed kernel — bit-identical to `bands`. */
+  def bandsKernel(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      planes: Array[Array[Int]], bandBits: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val numBands = planes.length / bandBits
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, emb) =>
+        val bands = new Array[Long](numBands)
+        var p = 0
+        while (p < planes.length) {
+          val w = planes(p)
+          var acc = 0.0
+          var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * w(i).toDouble; i += 1 }
+          if (acc >= 0.0) bands(p / bandBits) |= 1L << (p % bandBits)
+          p += 1
+        }
+        (0 until numBands).iterator.map(g => (id, g, bands(g)))
+      }
+    }.toDF("__id", "band_idx", "band_val")
+  }
+
+  /** Exact cosine rerank of candidate pairs; cos computed with the same op order as
+    * `cosine` (dot / (sqrt(dot_aa) * sqrt(dot_bb)), sequential folds).
+    */
+  def rerankCosineKernel(ds: org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Array[Float])],
+      minCos: Double): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { case (a, b, ea, eb) =>
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var i = 0
+        while (i < ea.length) {
+          dot += ea(i).toDouble * eb(i).toDouble
+          i += 1
+        }
+        i = 0
+        while (i < ea.length) { na += ea(i).toDouble * ea(i).toDouble; i += 1 }
+        i = 0
+        while (i < eb.length) { nb += eb(i).toDouble * eb(i).toDouble; i += 1 }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos >= minCos) Iterator.single((a, b)) else Iterator.empty
+      }
+    }
+  }
+
   // --------------------------------------------------------------- oracle SQL rendering
 
   /** DuckDB: the same plane dot with identical double op order. */

@@ -79,6 +79,18 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(nCand < allPairs / 2, "banding failed to prune")
   }
 
+  test("typed band kernel is bit-identical to the declarative bands (oracle parity)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val declarative = SimilarityLsh.bands(emb, "vec_id", "embedding", CorpusQueries.EmbedPlanes, 4)
+      .select(col("vec_id").cast("long").as("__id"), col("band_idx"), col("band_val"))
+    val kernel = SimilarityLsh.bandsKernel(
+      emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
+      CorpusQueries.EmbedPlanes, 4)
+    assert(declarative.exceptAll(kernel).count() == 0 &&
+      kernel.exceptAll(declarative).count() == 0, "kernel bands diverge from declarative")
+  }
+
   test("multimodal near-dup finds every planted duplicate without an all-pairs join") {
     import spark.implicits._
     val assets = spark.range(120).as[Long].map { i =>
