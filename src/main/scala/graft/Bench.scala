@@ -70,7 +70,15 @@ object Bench {
     // SMT ceiling, not the pipeline. 2v8 is a clean N-vs-4N physical-core comparison.
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val highCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val rawDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "/tmp/graft_bench_rawlines3")
+    // corpus size: big enough that fixed per-job costs (scheduling, parquet commit,
+    // planning) are a small fraction of the HIGH-side wall time — at 100 TB those codes
+    // are noise, and a too-small corpus makes the sandbox run understate true scaling
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "15000").toInt
+    val turnsPerConv = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "120").toInt
+    val basePairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PAIRS", "7").toInt
+    val rawDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
+      s"/tmp/graft_bench_rawlines_${nConvs}x$turnsPerConv")
 
     // phase 1: scaling evidence on the pipeline. The sandbox shares CPUs with other
     // tenants (observed bursts cost up to 40% of a single run), so measurements are
@@ -80,13 +88,11 @@ object Bench {
     // pairs, extra pairs run only while the minima are still improving materially —
     // same estimator, more evidence under noise.
     val gen = newSession(cpus)
-    val nTurns = ensureBenchCorpus(gen, rawDir, nConvs = 7500, turnsPerConv = 120)
+    val nTurns = ensureBenchCorpus(gen, rawDir, nConvs, turnsPerConv)
     var secHigh = Double.MaxValue
     var secLow = Double.MaxValue
     var nHigh = 0L
     var nLow = 0L
-    val basePairs = 5
-    val maxPairs = 8
     var pair = 0
     var improving = true
     while (pair < basePairs || (pair < maxPairs && improving)) {

@@ -7,6 +7,11 @@ package graft.core
   * the cap needs corpus + SA-IS int arrays + BWT in memory at once).
   *
   * Usage: runMain graft.core.BigShardStress [chars] [sampleRate]
+  *    or: runMain graft.core.BigShardStress --file <path> <reps> [sampleRate]
+  * The --file mode replicates a UTF-8 log fixture (e.g. the reference's
+  * HDFS_2k_multichar.log) and additionally reports serialized size as a percentage of
+  * input UTF-8 BYTES — the unit the reference's size benchmark uses (44.5% @rate 32 on
+  * Android.log, FmIndexSerializedSizeBenchmark.java:57).
   * Prints one JSON line per engine config.
   */
 object BigShardStress {
@@ -48,10 +53,26 @@ object BigShardStress {
   }
 
   def main(args: Array[String]): Unit = {
-    val chars = if (args.length > 0) args(0).toInt else 1 << 27 // 128M default
-    val sampleRate = if (args.length > 1) args(1).toInt else 32
-    System.err.println(s"[stress] generating $chars chars...")
-    val text = corpus(chars)
+    val (text, inputBytes, sampleRate) =
+      if (args.headOption.contains("--file")) {
+        val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))
+        val reps = args(2).toInt
+        val rate = if (args.length > 3) args(3).toInt else 32
+        val one = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new java.lang.StringBuilder(one.length * reps)
+        (0 until reps).foreach(_ => sb.append(one))
+        val out = new Array[Char](sb.length)
+        sb.getChars(0, sb.length, out, 0)
+        System.err.println(s"[stress] fixture ${args(1)} x$reps: ${out.length} chars, " +
+          s"${raw.length.toLong * reps} bytes")
+        (out, raw.length.toLong * reps, rate)
+      } else {
+        val chars = if (args.length > 0) args(0).toInt else 1 << 27 // 128M default
+        val rate = if (args.length > 1) args(1).toInt else 32
+        System.err.println(s"[stress] generating $chars chars...")
+        (corpus(chars), -1L, rate)
+      }
+    val chars = text.length
     val baseHeap = usedHeapMb()
 
     val configs = Seq[(String, FmIndexBuilder)](
@@ -99,6 +120,7 @@ object BigShardStress {
           f""""buildSec":$buildSec%.1f,"mcharsPerSec":${chars / 1e6 / buildSec}%.2f,""" +
           f""""peakHeapMb":$peakMb,"retainedMb":$retainedMb,"serializedBytes":$bytes,""" +
           f""""bytesPerChar":${bytes.toDouble / chars}%.3f,""" +
+          (if (inputBytes > 0) f""""pctOfInputBytes":${100.0 * bytes / inputBytes}%.1f,""" else "") +
           f""""countUsPerPattern":$countUs%.0f,"locate1000Us":$locateUs%.0f,""" +
           f""""extract1024Us":$extractUs%.0f}""")
     }

@@ -434,6 +434,50 @@ object CorpusQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- real IVF ANN: quantized-integer k-means (k=10, 2 Lloyd iterations), nprobe=3,
+    //     exact cosine rerank of probed candidates, hit flag vs the exact top-5 ---
+    // The whole model is deterministic integer math, so the DuckDB oracle re-derives the
+    // identical centroids/assignments/probes and the gate verifies the ANN pipeline
+    // itself. Recall >= 0.9 at ~30% of the table scanned is asserted in IvfKmeansSpec —
+    // on isotropic random embeddings, IVF's hardest case. Candidates come from an
+    // equi-join on the cluster id (inverted lists); only the brute-force REFERENCE side
+    // (needed for the hit flag) is a broadcast cartesian, bounded by the 10-query side.
+    "q51b_ivf_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val ds = tWide(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      val model = IvfKmeans.fit(ds, k = 10, iters = 2)
+      val assigned = IvfKmeans.assignAll(ds, model).toDF("neighbor_id", "cl")
+      val probes = IvfKmeans.probesFor(ds.filter(_._1 < 10), model, nprobe = 3)
+        .toDF("query_id", "qcl")
+      val cand = probes
+        .join(assigned, col("qcl") === col("cl") && col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      val wI = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val ivf = cand
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wI).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("bq"), col("embedding").as("qe"))
+      val wB = Window.partitionBy(col("bq")).orderBy(col("cos").desc, col("bn"))
+      val brute = emb.select(col("vec_id").as("bn"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q))
+        .filter(col("bn") =!= col("bq"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 5)
+        .select(col("bq"), col("bn"))
+      ivf.join(brute, col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+        .withColumn("hit", when(col("bn").isNotNull, 1L).otherwise(0L))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("hit"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- multimodal plumbing: opaque binary payloads with typed metadata ---
     "q60_blob_stats" -> ((s, dir) => {
       val blob = col("text").cast("binary")
@@ -640,6 +684,37 @@ object CorpusQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
          |  neighbor_id, CAST(cb AS BIGINT) AS bucket
          |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "q51b_ivf_kmeans" -> {
+      val dotQC = duckDot("qe", "ce")
+      val nQ = duckDot("qe", "qe")
+      val nC = duckDot("ce", "ce")
+      val model = IvfKmeans.duckModelCtes(k = 10, iters = 2, nprobe = 3, dim = 64,
+        querySql = "v.vec_id < 10")
+      s"""WITH $model,
+         |cand AS (SELECT pr.query_id, af.vec_id AS neighbor_id
+         |  FROM pr JOIN af ON af.cl = pr.qcl AND af.vec_id <> pr.query_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM cand c
+         |  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) ea ON ea.vec_id = c.query_id
+         |  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) eb ON eb.vec_id = c.neighbor_id),
+         |ivf AS (SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS bq, c.vec_id AS bn,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q,
+         |       (SELECT vec_id, embedding AS ce FROM embeddings) c
+         |  WHERE c.vec_id <> q.vec_id),
+         |brute AS (SELECT bq, bn FROM (
+         |  SELECT bq, bn, row_number() OVER (PARTITION BY bq ORDER BY cos DESC, bn) AS rank
+         |  FROM bs) WHERE rank <= 5)
+         |SELECT i.query_id, i.rank, i.neighbor_id,
+         |  CAST(CASE WHEN b.bn IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM ivf i LEFT JOIN brute b ON b.bq = i.query_id AND b.bn = i.neighbor_id
+         |ORDER BY 1, 2""".stripMargin
     },
     "q60_blob_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
