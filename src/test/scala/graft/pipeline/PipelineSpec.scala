@@ -163,6 +163,45 @@ class PipelineSpec extends AnyFunSuite {
       "post-crash resume diverged from the single-run sinks")
   }
 
+  test("resume at 10,000 shards: anti-join scales, no shard-count-proportional driver state") {
+    import spark.implicits._
+    // many tiny shards: the shape that breaks driver-side id lists / isin trees
+    // shard keys are (conv_id, turn_idx/saltBlock): 3000 convs x 10 blocks = 30k keys
+    // over 10k shards -> ~95% of shards populated (Poisson 1 - e^-3)
+    val bigCfg = TranscriptPipeline.Config(numShards = 10000, saltBlock = 2,
+      sampleRate = 8, numPartitionsOpt = Some(32))
+    val manyTurns = Transcripts.generate(spark, nConvs = 3000, turnsPerConv = 20).cache()
+    val outFull = Files.createTempDirectory("graft_10k_full").toString
+    val out = Files.createTempDirectory("graft_10k").toString
+
+    val rf = TranscriptPipeline.runToSinks(spark, manyTurns, bigCfg, outFull)
+    assert(rf.shardsBuilt > 9000, s"expected ~10k populated shards, got ${rf.shardsBuilt}")
+
+    // attempt 0 commits roughly half the shards, then the full input resumes over it
+    val half = manyTurns.withColumn("sid", TranscriptPipeline.shardIdCol(bigCfg))
+      .filter(col("sid") < 5000).drop("sid").as[Turn]
+    TranscriptPipeline.runToSinks(spark, half, bigCfg, out)
+    val r = TranscriptPipeline.runToSinks(spark, manyTurns, bigCfg, out)
+    assert(r.resumed)
+    assert(r.shardsBuilt < rf.shardsBuilt,
+      "resume must rebuild only uncommitted shards, not the whole table")
+
+    val fin = TranscriptPipeline.readSinks(spark, out)
+    val full = TranscriptPipeline.readSinks(spark, outFull)
+    assert(fin.exceptAll(full).count() == 0 && full.exceptAll(fin).count() == 0,
+      "10k-shard resume diverged from the single-run sinks")
+
+    // plan audit: pending-turn filtering is a LeftAnti JOIN against the lineage
+    // parquet, never an In/InSet literal list over shard ids
+    val committed = spark.read.parquet(s"$out/lineage")
+      .select(col("shard_id").as("__cid")).distinct()
+    val pendingPlan = manyTurns.withColumn("__sid", TranscriptPipeline.shardIdCol(bigCfg))
+      .join(committed, col("__sid") === col("__cid"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(pendingPlan.contains("LeftAnti"), "resume filter must be an anti-join")
+    manyTurns.unpersist()
+  }
+
   test("high-frequency-pattern scan fallback routes identically to the locate path") {
     val shards = TranscriptPipeline.buildShards(spark, turns, cfg).cache()
     val cols = Seq("sink", "conv_id", "turn_idx", "role", "tool", "ts", "n_matches", "text")
