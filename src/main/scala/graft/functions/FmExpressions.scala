@@ -2,9 +2,10 @@ package graft.functions
 
 import graft.core.FmIndex
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -83,6 +84,34 @@ case class FmExtract(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** fm_locate(shard BINARY, pattern STRING): GENERATOR (UDTF surface) producing one
+  * `pos INT` row per overlapping occurrence of the pattern in the shard's corpus —
+  * the Catalyst analog of the reference's locate
+  * (/root/reference/indices/src/main/java/com/dynatrace/fm/FmIndex.java:487-552).
+  * The analyzer's ExtractGenerators rule lifts it out of a Project into a Generate
+  * node, so `SELECT fm_locate(shard, pattern)` explodes like posexplode does. Output
+  * order within a shard is ascending position (locateAll sorts; the reference leaves
+  * order unspecified and its tests sort).
+  */
+case class FmLocateGen(left: Expression, right: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+  override def elementSchema: StructType =
+    StructType(StructField("pos", IntegerType, nullable = false) :: Nil)
+  override def prettyName: String = "fm_locate"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val shard = left.eval(input)
+    val pattern = right.eval(input)
+    if (shard == null || pattern == null) Iterator.empty
+    else {
+      val fm = ShardCache.get(shard.asInstanceOf[Array[Byte]])
+      fm.locateAll(pattern.asInstanceOf[UTF8String].toString.toCharArray)
+        .iterator.map(p => InternalRow(p))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Typed Aggregator: corpus redundancy n/r (total length over total equal-symbol runs),
   * the reference's BWT compressibility metric
   * (/root/reference/indices/src/main/java/com/dynatrace/encoding/BurrowsWheelerTransform.java:103-136)
@@ -126,11 +155,19 @@ object FmFunctions {
   def redundancy(text: Column): Column =
     org.apache.spark.sql.functions.udaf(RedundancyAggregator).apply(text)
 
+  /** Generator surface: SELECT fm_locate(shard, pattern) explodes into pos rows. */
+  def fm_locate(shard: Column, pattern: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("fm_locate", shard, pattern)
+  }
+
   /** SQL registration: SELECT fm_count(shard, 'pattern') FROM shard_table. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fm_count", exprs => FmCount(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fm_extract", exprs => FmExtract(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fm_locate", exprs => FmLocateGen(exprs(0), exprs(1)), "scala_udf")
   }
 }

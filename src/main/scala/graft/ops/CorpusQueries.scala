@@ -181,6 +181,25 @@ object CorpusQueries {
         .orderBy(col("pattern"))
     }),
 
+    // --- FM-Index via Catalyst GENERATOR (UDTF surface): fm_locate explodes match
+    //     positions per (shard, pattern); position -> document mapping is declarative
+    //     (count of offsets <= pos), so the whole query after the shard scan is a plan
+    //     of Generate + HOF expressions — no mapPartitions ---
+    "q25_fm_locate_expr" -> ((s, dir) => {
+      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16).toDF()
+      val pats = Seq("merge", "window")
+      val located = shards
+        .select(col("doc_ids"), col("offsets"),
+          explode(array(pats.map(lit): _*)).as("pattern"), col("shard"))
+        .select(col("doc_ids"), col("offsets"), col("pattern"),
+          graft.functions.FmFunctions.fm_locate(col("shard"), col("pattern")).as("pos"))
+      located
+        .withColumn("d", size(filter(col("offsets"), o => o <= col("pos"))))
+        .select(element_at(col("doc_ids"), col("d")).as("doc_id"), col("pattern"),
+          (col("pos") - element_at(col("offsets"), col("d"))).cast("long").as("pos"))
+        .orderBy(col("pattern"), col("doc_id"), col("pos"))
+    }),
+
     // --- corpus redundancy metric (typed Aggregator) with expression cross-check ---
     "q34_redundancy" -> ((s, dir) => {
       val runs = (size(filter(sequence(lit(1), size(col("ch")) - 1),
@@ -560,6 +579,13 @@ object CorpusQueries {
          |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
          |  FROM documents, (SELECT unnest(['batch', 'value']) AS pattern) p
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_fm_locate_expr" ->
+      s"""SELECT doc_id, pattern, CAST(i - 1 AS BIGINT) AS pos FROM (
+         |  SELECT d.doc_id, p.pattern,
+         |    unnest(list_filter(range(1, length(text) + 2 - length(p.pattern)),
+         |      i -> substr(text, i, length(p.pattern)) = p.pattern)) AS i
+         |  FROM documents d, (SELECT unnest(['merge','window']) AS pattern) p
+         |) ORDER BY pattern, doc_id, pos""".stripMargin,
     "q34_redundancy" ->
       """SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  CAST(sum(len(list_filter(range(1, len(string_split(text, ''))),

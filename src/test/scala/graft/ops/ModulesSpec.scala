@@ -43,6 +43,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(firstSlice.length == 10)
   }
 
+  test("fm_locate generator explodes match positions via a Generate node") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shards = DocShards.build(spark, docs, numShards = 4).toDF()
+    FmFunctions.register(spark)
+    shards.createOrReplaceTempView("doc_shards_g")
+
+    val viaGen = spark.sql(
+      "SELECT fm_locate(shard, 'merge') AS pos FROM doc_shards_g")
+    assert(viaGen.queryExecution.executedPlan.toString.contains("Generate"),
+      "fm_locate must be planned as a Generate (UDTF), not a scalar projection")
+
+    // positions per shard equal locateAll on the deserialized shard
+    val genCount = viaGen.count()
+    val direct = shards.as[DocShard].collect().map { s =>
+      graft.core.FmIndex.deserialize(s.shard).locateAll("merge".toCharArray).length
+    }.sum
+    assert(genCount == direct && direct > 0)
+
+    // global count agrees with the scalar fm_count expression
+    val viaCount = spark.sql("SELECT sum(fm_count(shard, 'merge')) FROM doc_shards_g")
+      .first().getLong(0)
+    assert(genCount == viaCount)
+  }
+
   test("redundancy aggregator equals the single-string metric") {
     import spark.implicits._
     val texts = Seq("aaabbb", "abab", "cccc")
