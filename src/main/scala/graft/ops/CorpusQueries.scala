@@ -388,18 +388,35 @@ object CorpusQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // --- SimHash: 16-bit signature from token-hash bit majorities ---
+    // --- SimHash: 16-bit signature from token-hash bit majorities. Typed kernel:
+    //     the interpreted-HOF form (transform + 16 filters re-hashing every token)
+    //     costs ~4x; integer majority votes are engine-exact vs the oracle ---
     "q42_simhash" -> ((s, dir) => {
-      val w = words(col("text"))
-      val hs = transform(w, x =>
-        conv(substring(md5s(x), 1, 4), 16, 10).cast("long"))
-      val nTok = size(w)
-      val sim = (0 until 16).map { k =>
-        val ones = size(filter(hs, h => shiftright(h, k).bitwiseAND(lit(1L)) === 1))
-        when(ones * 2 >= nTok, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      import s.implicits._
       tWide(s, dir, "documents")
-        .select(col("doc_id"), sim.as("simhash"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (docId, text) =>
+            val w = text.split(" ", -1)
+            val ones = new Array[Int](16)
+            var i = 0
+            while (i < w.length) {
+              md.reset()
+              val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 4 hex digits == first 2 bytes, big-endian (matches conv(substring))
+              val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+              var k = 0
+              while (k < 16) { ones(k) += (h >>> k) & 1; k += 1 }
+              i += 1
+            }
+            var sim = 0L
+            var k = 0
+            while (k < 16) { if (2 * ones(k) >= w.length) sim |= 1L << k; k += 1 }
+            (docId, sim)
+          }
+        }
+        .toDF("doc_id", "simhash")
         .orderBy(col("doc_id"))
     }),
 
