@@ -144,34 +144,34 @@ object CorpusQueries {
 
     // --- FM-Index: global overlapping-count per pattern via partition-local shards ---
     "q20_fm_count" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16)
       DocShards.countPatterns(s, shards, FmPatterns).orderBy(col("pattern"))
     }),
 
     // --- FM-Index locate: per-document match positions ---
     "q21_fm_locate" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16)
       DocShards.locatePatterns(s, shards, Seq("merge", "window"))
         .orderBy(col("pattern"), col("doc_id"), col("pos"))
     }),
 
     // --- FM-Index extract: slice [10, 30) of each document, reconstructed from the shard ---
     "q22_fm_extract" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16)
       DocShards.extractSlices(s, shards, from = 10, len = 20).orderBy(col("doc_id"))
     }),
 
     // --- FM-Index boundary extraction: full documents containing a pattern, text rebuilt
     //     from the compressed shard (per-document text equality at the oracle gate) ---
     "q23_fm_reconstruct" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16)
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16)
       DocShards.docsOfMatches(s, shards, "window").orderBy(col("doc_id"))
     }),
 
     // --- FM-Index via Catalyst expression: fm_count over the shard table. One scan:
     //     the pattern list is exploded against each shard row (not one scan per pattern) ---
     "q24_fm_count_expr" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16).toDF()
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16).toDF()
       val pats = Seq("batch", "value")
       shards
         .select(col("shard"), explode(array(pats.map(lit): _*)).as("pattern"))
@@ -186,7 +186,7 @@ object CorpusQueries {
     //     (count of offsets <= pos), so the whole query after the shard scan is a plan
     //     of Generate + HOF expressions — no mapPartitions ---
     "q25_fm_locate_expr" -> ((s, dir) => {
-      val shards = DocShards.build(s, t(s, dir, "documents"), numShards = 16).toDF()
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16).toDF()
       val pats = Seq("merge", "window")
       val located = shards
         .select(col("doc_ids"), col("offsets"),
@@ -531,10 +531,9 @@ object CorpusQueries {
     // --- log pipeline stage 2: FM-shard substring routing with match counts ---
     "q71_route_fm" -> ((s, dir) => {
       import s.implicits._
-      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
       val cfg = graft.pipeline.TranscriptPipeline.Config(
         numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
-      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      val shards = ShardTableCache.eventShards(s, dir, cfg)
       graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
         .select(col("sink"), col("conv_id"), col("turn_idx"), col("n_matches"))
         .orderBy(col("sink"), col("conv_id"), col("turn_idx"))
@@ -543,10 +542,9 @@ object CorpusQueries {
     // --- log pipeline stage 3: per-conversation aggregates over routed rows ---
     "q72_conv_agg" -> ((s, dir) => {
       import s.implicits._
-      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
       val cfg = graft.pipeline.TranscriptPipeline.Config(
         numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
-      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      val shards = ShardTableCache.eventShards(s, dir, cfg)
       val routed = graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
       routed.groupBy(col("sink"), col("conv_id"))
         .agg(count(lit(1)).as("n_turns"), sum(col("n_matches")).as("n_matches"),
@@ -558,10 +556,9 @@ object CorpusQueries {
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
       import s.implicits._
-      val turns = eventTranscripts(s, dir).as[graft.pipeline.Turn]
       val cfg = graft.pipeline.TranscriptPipeline.Config(
         numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
-      val shards = graft.pipeline.TranscriptPipeline.buildShards(s, turns, cfg)
+      val shards = ShardTableCache.eventShards(s, dir, cfg)
       graft.pipeline.TranscriptPipeline.route(s, shards, Seq(RouteRulesEvents.head))
         .select(col("conv_id"), col("turn_idx"), col("text"))
         .orderBy(col("conv_id"), col("turn_idx"))
