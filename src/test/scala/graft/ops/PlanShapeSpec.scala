@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that matter at 100x scale, asserted on the
+  * actual executed plans so a refactor cannot silently regress them.
+  *  - filters/projections reach the parquet scan (PushedFilters, pruned ReadSchema)
+  *  - small dimensions broadcast; the big fact side never builds a hash table
+  *  - similarity/near-dup candidate generation never plans a cartesian
+  *    (BroadcastNestedLoopJoin/CartesianProduct), except the LABELED brute-force
+  *    baselines whose broadcast side is bounded by construction
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters not pushed to scan:\n${p.take(2000)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q03: both dimension joins are broadcast hash joins (fact side streams)") {
+    val p = plan("q03_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to a shuffle join")
+  }
+
+  test("q05/q05b: anti and semi joins broadcast the subquery side") {
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+    assert(plan("q05b_semi_join").contains("LeftSemi"))
+  }
+
+  test("similarity candidate generation plans no cartesian anywhere") {
+    for (q <- Seq("q41_minhash_lsh", "q43_jaccard_ngram", "q52_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned an all-pairs join:\n${p.take(1500)}")
+    }
+  }
+
+  test("labeled brute-force baselines are the only nested-loop plans in the catalog") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = plan(q)
+      val nl = "CartesianProduct".r.findAllIn(p).size +
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      if (nl > 0) Some(q -> nl) else None
+    }
+    // q50 IS the brute-force baseline; q51b carries one bounded brute side for its
+    // recall hit column. Nothing else may nest-loop.
+    val allowed = Set("q50_knn_brute", "q51b_ivf_kmeans")
+    assert(offenders.map(_._1).toSet.subsetOf(allowed),
+      s"unexpected nested-loop joins: $offenders")
+  }
+
+  test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
+    import spark.implicits._
+    val turns = graft.pipeline.Transcripts.generate(spark, 10, 10)
+    val cfg = graft.pipeline.TranscriptPipeline.Config(numShards = 4, saltBlock = 8, sampleRate = 8)
+    val shards = graft.pipeline.TranscriptPipeline.buildShards(spark, turns, cfg)
+    val p = shards.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"shard build must shuffle exactly once:\n${p.take(1500)}")
+  }
+}
