@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by min-label propagation — the clustering step of a
+  * dedup pipeline (exact-dup + LSH near-dup edges in, cluster ids out; the cluster id is
+  * the smallest member id, so "keep the canonical doc" is `doc_id = cluster_id`).
+  *
+  * Scale shape: every iteration is one shuffle (edge join on node id + min-agg); labels
+  * only decrease, so convergence is checked with a cheap exact `sum(lbl)` fixpoint probe
+  * instead of a row-diff join. Rounds needed = graph diameter — for dedup graphs
+  * components are near-cliques of duplicates (diameter 2-3), so the loop terminates in a
+  * handful of rounds even at web scale. (For adversarial long-chain graphs the
+  * alternating large-star/small-star algorithm halves path lengths per round; dedup
+  * workloads don't need it and it costs 2x shuffles per round.) `localCheckpoint`
+  * truncates the growing lineage so round N's plan doesn't replan rounds 1..N-1.
+  */
+object ConnectedComponents {
+
+  /** @param edges two numeric columns (a, b), undirected, self-loops/dups tolerated.
+    * @return (node, cluster_id) for every node appearing in `edges`, cluster_id = min
+    *         node id reachable; deterministic.
+    */
+  def run(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    val sym = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(edges.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var checksum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // each node takes min(own label, labels of neighbors): one join + one min-agg
+      val viaNbr = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src").as("node2")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(viaNbr, col("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      converged = nextSum == checksum // labels are monotone non-increasing: equal sum = fixpoint
+      checksum = nextSum
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+}

@@ -88,6 +88,22 @@ object CorpusQueries {
   private def duckMinhash(j: Int): String =
     s"list_min(list_transform(hs, h -> xor(h, ${MinhashSalts(j)})))"
 
+  /** DuckDB CTE chain reproducing the Spark MinHash-LSH banding (shared q41/q44). */
+  private lazy val duckLshCtes: String = {
+    val mh = (0 until 8).map(j => s"${duckMinhash(j)} AS mh$j").mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR)) AS band FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""hashed AS (SELECT doc_id,
+       |    list_transform($duckShingles, x -> $duckHash60) AS hs
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |    $mh
+       |  FROM hashed),
+       |bands AS ($bands)""".stripMargin
+  }
+
   private def duckOverlapCount(patternSql: String): String =
     s"len(list_filter(range(1, length(text) + 2 - length($patternSql)), " +
       s"i -> substr(text, i, length($patternSql)) = $patternSql))"
@@ -137,6 +153,58 @@ object CorpusQueries {
       |         WHEN event_type = 'view' THEN 'browser' ELSE '' END AS tool,
       |    ts
       |  FROM events)""".stripMargin
+
+  /** MinHash-LSH near-dup candidate pairs (doc_a < doc_b), shared by q41 and the
+    * dedup-clustering query q44. Signatures run in a typed mapPartitions kernel
+    * (interpreted higher-order lambdas cost ~10x here); the band join + dedup stay
+    * declarative Catalyst — candidates are an EQUI-JOIN on (band_idx, band), never
+    * all-pairs.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = tWide(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(x: String): String = {
+          md.reset()
+          val d = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < 16) {
+            sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(d(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.flatMap { case (docId, text) =>
+          val w = text.split(" ", -1)
+          val mins = Array.fill(8)(Long.MaxValue)
+          var i = 0
+          while (i + 2 < w.length) {
+            val h = java.lang.Long.parseLong(
+              md5hex(w(i) + " " + w(i + 1) + " " + w(i + 2)).substring(0, 15), 16)
+            var j = 0
+            while (j < 8) {
+              val hj = h ^ MinhashSalts(j)
+              if (hj < mins(j)) mins(j) = hj
+              j += 1
+            }
+            i += 1
+          }
+          if (i == 0) Iterator.empty // fewer than 3 words: no shingles, null minhashes
+          else (0 until 4).iterator.map(b =>
+            (docId, b, md5hex(s"${mins(2 * b)}:${mins(2 * b + 1)}")))
+        }
+      }
+      .toDF("doc_id", "band_idx", "band")
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
+    val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
+    a.join(c, col("band_idx") === col("bi2") && col("band") === col("b2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
 
   // ---------------------------------------------------------------------------- queries
 
@@ -269,54 +337,8 @@ object CorpusQueries {
     }),
 
     // --- near-dup candidates: MinHash (8 hashes) + LSH banding (4 bands x 2 rows) ---
-    "q41_minhash_lsh" -> ((s, dir) => {
-      import s.implicits._
-      // minhash signatures in a typed mapPartitions kernel (interpreted higher-order
-      // lambdas cost ~10x here); band join + dedup stay declarative Catalyst
-      val bands = tWide(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def md5hex(x: String): String = {
-            md.reset()
-            val d = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val sb = new java.lang.StringBuilder(32)
-            var i = 0
-            while (i < 16) {
-              sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-              sb.append(Character.forDigit(d(i) & 0xf, 16))
-              i += 1
-            }
-            sb.toString
-          }
-          it.flatMap { case (docId, text) =>
-            val w = text.split(" ", -1)
-            val mins = Array.fill(8)(Long.MaxValue)
-            var i = 0
-            while (i + 2 < w.length) {
-              val h = java.lang.Long.parseLong(
-                md5hex(w(i) + " " + w(i + 1) + " " + w(i + 2)).substring(0, 15), 16)
-              var j = 0
-              while (j < 8) {
-                val hj = h ^ MinhashSalts(j)
-                if (hj < mins(j)) mins(j) = hj
-                j += 1
-              }
-              i += 1
-            }
-            if (i == 0) Iterator.empty // fewer than 3 words: no shingles, null minhashes
-            else (0 until 4).iterator.map(b =>
-              (docId, b, md5hex(s"${mins(2 * b)}:${mins(2 * b + 1)}")))
-          }
-        }
-        .toDF("doc_id", "band_idx", "band")
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
-      val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
-      a.join(c, col("band_idx") === col("bi2") && col("band") === col("b2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q41_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
     // --- exact n-gram Jaccard near-dup scores via an INVERTED SHINGLE INDEX ---
     // Not all-pairs: explode distinct shingles, equi-join on the shingle (pairs sharing
@@ -359,6 +381,63 @@ object CorpusQueries {
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- dedup CLUSTERING: connected components over exact-dup + LSH near-dup edges ---
+    // The full dedup pipeline shape: edge generation is hash-grouping (exact) plus the
+    // q41 band equi-join (near), then min-label propagation assigns every clustered doc
+    // its canonical id ("keep doc_id = cluster_id"). No all-pairs step anywhere; the
+    // iterative step is one shuffle per round and dedup components have tiny diameter.
+    "q44_dup_clusters" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").select(col("doc_id"), md5s(col("text")).as("fp"))
+      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
+      val exact = fp.join(keep, "fp").filter(col("doc_id") > col("keep"))
+        .select(col("doc_id").as("doc_a"), col("keep").as("doc_b"))
+      val edges = minhashLshPairs(s, dir).union(exact)
+      ConnectedComponents.run(edges)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
+    // --- TF-IDF-style distinctive terms: top-3 per doc by (tf desc, df asc) ---
+    // Integer ranking (tf, df) keeps both engines bit-exact; df is broadcast (vocab-
+    // sized) so the tf side never reshuffles.
+    "q45_top_terms" -> ((s, dir) => {
+      val tok = tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // --- n-gram language-model counts: top-100 bigrams (count desc, bigram asc) ---
+    "q46_bigram_lm" -> ((s, dir) => {
+      val w = words(col("text"))
+      tWide(s, dir, "documents")
+        .select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+    }),
+
+    // --- deterministic train/eval split: content-hash bucketing (md5 first nibble,
+    //     0-c -> train = 13/16), the standard leakage-free corpus split ---
+    "q47_train_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(substring(md5s(col("text")), 1, 1) <= "c", "train").otherwise("eval"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))
     }),
 
     // --- embedding near-dup: hyperplane-LSH candidates + exact cosine rerank ---
@@ -633,24 +712,49 @@ object CorpusQueries {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q41_minhash_lsh" -> {
-      val mh = (0 until 8).map(j => s"${duckMinhash(j)} AS mh$j").mkString(",\n    ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, md5(CAST(mh${2 * b} AS VARCHAR) || ':' || " +
-          s"CAST(mh${2 * b + 1} AS VARCHAR)) AS band FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH hashed AS (SELECT doc_id,
-         |    list_transform($duckShingles, x -> $duckHash60) AS hs
-         |  FROM documents),
-         |sig AS (SELECT doc_id,
-         |    $mh
-         |  FROM hashed),
-         |bands AS ($bands)
+    "q41_minhash_lsh" ->
+      s"""WITH $duckLshCtes
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |FROM bands a JOIN bands c
          |  ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id
-         |ORDER BY 1, 2""".stripMargin
-    },
+         |ORDER BY 1, 2""".stripMargin,
+    "q44_dup_clusters" ->
+      s"""WITH RECURSIVE $duckLshCtes,
+         |lsh AS (SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+         |  FROM bands a JOIN bands c
+         |    ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id),
+         |exact AS (SELECT d.doc_id AS a, g.keep AS b FROM documents d
+         |  JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep FROM documents GROUP BY 1) g
+         |    ON md5(d.text) = g.fp AND d.doc_id > g.keep),
+         |edges AS (SELECT a, b FROM lsh UNION SELECT b, a FROM lsh UNION
+         |          SELECT a, b FROM exact UNION SELECT b, a FROM exact),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node)
+         |SELECT r.node AS doc_id, min(r.lbl) AS cluster_id
+         |FROM reach r GROUP BY 1 ORDER BY 2, 1""".stripMargin,
+    "q45_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+        |  FROM tf JOIN df ON tf.term = df.term) WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q46_bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q47_train_split" ->
+      """SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_jaccard_ngram" ->
       s"""WITH base AS (SELECT doc_id, list_distinct($duckShingles) AS sh FROM documents),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM base),

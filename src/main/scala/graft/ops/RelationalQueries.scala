@@ -205,6 +205,92 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // --- exact percentiles (sort-based, interpolated) per group ---
+    "q13b_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- pivot: wide per-day event-type counts (explicit value list, no collect) ---
+    "q15b_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("day"))
+    }),
+
+    // --- AS-OF join: latest order at-or-before each event, per user. Spark lacks the
+    //     operator; the scalable composition is union-the-streams + last(ignoreNulls)
+    //     over one (user)-partitioned sort — ONE shuffle, linear, no join explosion
+    //     (the naive theta-join form is quadratic per user). Orders sort before events
+    //     at equal ts (at-or-before semantics). ---
+    "q18_asof_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("ts"))
+        .agg(max(col("o_orderkey")).as("ok"))
+      val e = t(s, dir, "events")
+        .select(col("user_id").as("uid"), col("ts"), col("event_id"))
+      val tagged = e.select(col("uid"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("ok"), lit(0).as("kind"))
+        .unionByName(o.select(col("uid"), col("ts"),
+          lit(null).cast("long").as("event_id"), col("ok"), lit(1).as("kind")))
+      val w = Window.partitionBy(col("uid")).orderBy(col("ts"), col("kind").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lo", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id"), col("uid").as("user_id"), col("ts"),
+          coalesce(col("lo"), lit(-1L)).as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- sessionization: gap-based session ids (12h) + per-session aggregates ---
+    "q19_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 43200000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // --- sequence funnel: first view -> first later click -> first later purchase.
+    //     Each stage is a groupBy on user_id; inter-stage joins are user-keyed
+    //     equi-joins on already-aggregated (one row per user) sides. ---
+    "q19b_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+          (lit(1L) + when(col("first_click").isNotNull, 1L).otherwise(0L)
+            + when(col("first_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // --- semi-structured extraction from a JSON-ish column ---
     "q16_events_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -313,6 +399,54 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13b_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_cont(o_totalprice, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15b_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(*) FILTER (WHERE event_type='click') AS click,
+        |  count(*) FILTER (WHERE event_type='error') AS error,
+        |  count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type='signup') AS signup,
+        |  count(*) FILTER (WHERE event_type='view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, COALESCE(o.ok, -1) AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q19_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19b_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY 1)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q16_events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
