@@ -101,9 +101,14 @@ object Bench {
     // extension rule (documented in BENCH.md): after the base pairs, keep measuring
     // while either minimum is still improving OR the efficiency estimate trails the
     // design point — min-of-N is monotone per level, so extra pairs only remove
-    // one-sided contention noise from whichever level was unlucky so far
-    while (pair < basePairs ||
-      (pair < maxPairs && (improving || effNow() < 0.82))) {
+    // one-sided contention noise from whichever level was unlucky so far. A wall-clock
+    // budget bounds the whole phase: a persistently contended epoch must not stretch
+    // the round's bench run indefinitely (the partial minima are still valid).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1500").toInt
+    val phaseStart = System.nanoTime()
+    def withinBudget: Boolean = (System.nanoTime() - phaseStart) / 1e9 < budgetSec
+    while ((pair < basePairs && (pair < 2 || withinBudget)) ||
+      (pair < maxPairs && withinBudget && (improving || effNow() < 0.82))) {
       val prevLow = secLow
       val prevHigh = secHigh
       val (nh, sh) = pipelineOnce(highCores, rawDir)

@@ -36,6 +36,30 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
       .select(col("window.start").as("window_start"), col("role"), col("n_turns"), col("n_chars"))
 
+  /** Streaming exact dedup: drop turns whose content fingerprint already arrived within
+    * the watermark horizon. State is BOUNDED by the watermark (expired fingerprints are
+    * evicted), which is what makes dedup-on-a-stream viable at 100 TB/day — an unbounded
+    * dropDuplicates would grow state forever.
+    */
+  def dedupStream(turns: Dataset[Turn], watermark: String = "2 hours"): DataFrame =
+    turns.toDF()
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Gap sessionization via the native session_window — one aggregation that works
+    * identically in batch and streaming (merging windows closer than `gap`).
+    */
+  def sessionCounts(turns: Dataset[Turn], gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("conv_id"),
+        col("n_turns"), col("n_chars"))
+
   /** Stateful per-conversation running aggregates (update mode): each micro-batch emits
     * the refreshed conversation summary.
     */

@@ -19,6 +19,23 @@ class ModulesSpec extends AnyFunSuite {
     .getOrCreate()
   locally { spark.sparkContext.setLogLevel("ERROR") }
 
+  test("approximate aggregates: HLL distinct and approx percentile within error bounds") {
+    // sketch surface for corpus-level stats where exactness is not worth the shuffle:
+    // approx_count_distinct (HyperLogLog++, mergeable partials) and percentile_approx
+    // (KLL-style). Not DuckDB-gated (different sketch algorithms) — gated here against
+    // the exact answers with the sketches' own error contracts.
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val exactD = orders.select(countDistinct(col("o_custkey"))).head.getLong(0)
+    val approxD = orders.select(approx_count_distinct(col("o_custkey"), 0.02)).head.getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL rsd=0.02 drifted: approx=$approxD exact=$exactD")
+    val exactP = orders.select(percentile(col("o_totalprice"), lit(0.5))).head.getDouble(0)
+    val approxP = orders
+      .select(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))).head.getDouble(0)
+    assert(math.abs(approxP - exactP) / exactP < 0.02,
+      s"approx p50 drifted: approx=$approxP exact=$exactP")
+  }
+
   test("fm_count / fm_extract Catalyst expressions match direct shard queries") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -134,5 +151,36 @@ class ModulesSpec extends AnyFunSuite {
         sum(when(col("text").contains("ERROR"), 1L).otherwise(0L)).as("n_error_turns"))
     assert(lastUpdates.exceptAll(expected).count() == 0 &&
       expected.exceptAll(lastUpdates).count() == 0)
+  }
+
+  test("streaming: watermark-bounded dedup and native session windows match batch") {
+    import spark.implicits._
+    val base = Transcripts.generate(spark, nConvs = 8, turnsPerConv = 12)
+    val turns = base.union(base.limit(20)) // inject exact duplicates
+    val rawDir = Files.createTempDirectory("stream_dedup").toString
+    Transcripts.renderRawLines(turns).write.mode("overwrite").parquet(rawDir)
+    val parsed = StreamingPipeline.parseStream(spark,
+      spark.readStream.schema("value STRING").parquet(rawDir))
+
+    // dedup: one survivor per fingerprint, same distinct-fp set as batch
+    val q1 = StreamingPipeline.dedupStream(parsed)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.table("dedup_out")
+    val batchFps = Transcripts.parseRawLines(spark, spark.read.parquet(rawDir))
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    assert(streamed.count() == batchFps.count(), "dedup must keep exactly one per fp")
+    assert(streamed.select("fp").distinct().exceptAll(batchFps).count() == 0)
+
+    // session_window: streaming complete mode == the same aggregation run as batch
+    val q2 = StreamingPipeline.sessionCounts(parsed)
+      .writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    q2.processAllAvailable(); q2.stop()
+    val sessStream = spark.table("sess_out")
+    val sessBatch = StreamingPipeline.sessionCounts(
+      Transcripts.parseRawLines(spark, spark.read.parquet(rawDir)))
+    assert(sessStream.count() > 0)
+    assert(sessStream.exceptAll(sessBatch).count() == 0 &&
+      sessBatch.exceptAll(sessStream).count() == 0)
   }
 }

@@ -70,6 +70,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected nested-loop joins: $offenders")
   }
 
+  test("q18 as-of join: pure window composition, no join operator at all") {
+    val p = plan("q18_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(1500)}")
+    assert(p.contains("Window"), "as-of must resolve via a single partitioned window")
+  }
+
+  test("q45 top-terms: document-frequency side broadcasts (tf side never reshuffles)") {
+    val p = plan("q45_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "vocab join degraded to a shuffle join")
+  }
+
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
     import spark.implicits._
     val turns = graft.pipeline.Transcripts.generate(spark, 10, 10)
