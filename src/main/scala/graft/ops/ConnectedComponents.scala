@@ -40,10 +40,12 @@ object ConnectedComponents {
       // each node takes min(own label, labels of neighbors): one join + one min-agg
       val viaNbr = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("node2")).agg(min(col("lbl")).as("nbr_lbl"))
+      // lazy checkpoint: the sum() action below materializes the iteration in ONE job
+      // (an eager checkpoint would run a second, separate job per round)
       val next = labels.join(viaNbr, col("node") === col("node2"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
       converged = nextSum == checksum // labels are monotone non-increasing: equal sum = fixpoint
       checksum = nextSum

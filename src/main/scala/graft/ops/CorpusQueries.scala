@@ -400,16 +400,18 @@ object CorpusQueries {
     }),
 
     // --- TF-IDF-style distinctive terms: top-3 per doc by (tf desc, df asc) ---
-    // Integer ranking (tf, df) keeps both engines bit-exact; df is broadcast (vocab-
-    // sized) so the tf side never reshuffles.
+    // Integer ranking (tf, df) keeps both engines bit-exact. SINGLE corpus pass:
+    // explode once, tf = partial+final hash agg, df = count over a term-partitioned
+    // window on the (doc, term) rows (tf has one row per doc containing the term, so
+    // the window count IS the document frequency) — no second explode, no join.
     "q45_top_terms" -> ((s, dir) => {
-      val tok = tWide(s, dir, "documents")
+      val tf = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val wDf = Window.partitionBy(col("term"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(broadcast(dfreq), "term")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))

@@ -76,10 +76,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), "as-of must resolve via a single partitioned window")
   }
 
-  test("q45 top-terms: document-frequency side broadcasts (tf side never reshuffles)") {
+  test("q45 top-terms: single corpus pass — df via window, no join, no second explode") {
     val p = plan("q45_top_terms")
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.contains("SortMergeJoin"), "vocab join degraded to a shuffle join")
+    assert(!p.contains("Join"), s"q45 must not join:\n${p.take(1500)}")
+    assert("Generate".r.findAllIn(p).size == 1, "corpus must be exploded exactly once")
   }
 
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
