@@ -442,6 +442,56 @@ object CorpusQueries {
         .orderBy(col("split"))
     }),
 
+    // --- bigram-LM scoring: fit a BOUNDED model (top-100 bigrams by corpus count),
+    //     broadcast it, score every doc by model-hit mass + OOV count. The model side
+    //     is bounded by construction, so the apply stage is a broadcast join at ANY
+    //     corpus size — the standard shape for scoring against a fixed vocab/LM. ---
+    "q48_lm_score" -> ((s, dir) => {
+      val w = words(col("text"))
+      val bg = tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bigram")).limit(100)
+      bg.join(broadcast(lm), Seq("bigram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("c"), lit(0L))).as("lm_hits"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("oov"))
+        .withColumn("score", col("lm_hits").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Count-Min-Sketch heavy hitters with EXACT output: the sketch (driver-fit,
+    //     broadcast) prefilters shingle instances before the shuffle — CMS never
+    //     underestimates, so no heavy key is lost; the exact groupBy + HAVING removes
+    //     the sketch's false positives. Result is bit-identical to the plain HAVING
+    //     query while shuffling only candidate rows. ---
+    "q49_cms_heavy" -> ((s, dir) => {
+      val T = 100L
+      val sh = tWide(s, dir, "documents").filter(length(col("text")) >= 8)
+        .select(explode(transform(sequence(lit(1), length(col("text")) - 7),
+          i => col("text").substr(i, lit(8)))).as("shingle"))
+      val cms = sh.stat.countMinSketch("shingle", 0.0001, 0.99, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((x: String) => bc.value.estimateCount(x))
+      sh.filter(est(col("shingle")) >= T)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= T)
+        .orderBy(col("shingle"))
+    }),
+
+    // --- document fingerprint via a NATIVE codegen'd Catalyst expression: rolling_hash
+    //     participates in whole-stage codegen (doGenCode emits a static call), unlike
+    //     the CodegenFallback FM expressions whose inner loop is an opaque index ---
+    "q38_rolling_fp" -> ((s, dir) => {
+      t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.rolling_hash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- embedding near-dup: hyperplane-LSH candidates + exact cosine rerank ---
     // The cartesian is gone: candidates come from an equi-join on 8 x 4-bit sign bands
     // (SimilarityLsh), then only candidates are reranked with exact double cosine. The
@@ -757,6 +807,28 @@ object CorpusQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM w),
+        |lm AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1 ORDER BY c DESC, bigram LIMIT 100)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(COALESCE(lm.c, 0)) AS BIGINT) AS lm_hits,
+        |  CAST(sum(CASE WHEN lm.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(sum(COALESCE(lm.c, 0)) AS DOUBLE) / count(*) AS score
+        |FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_cms_heavy" ->
+      """WITH s AS (SELECT unnest(list_transform(range(1, length(text) - 6),
+        |    i -> substr(text, i, 8))) AS shingle
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT shingle, count(*) AS n FROM s GROUP BY 1 HAVING count(*) >= 100
+        |ORDER BY shingle""".stripMargin,
+    "q38_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin,
     "q43_jaccard_ngram" ->
       s"""WITH base AS (SELECT doc_id, list_distinct($duckShingles) AS sh FROM documents),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM base),

@@ -291,6 +291,91 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // --- unpivot / melt: the inverse of q15b's pivot, via the native Unpivot node
+    //     (physical Expand — one pass, no per-column scans) ---
+    "q15c_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // --- GROUPING SETS beyond rollup/cube: an explicit, non-hierarchical set list
+    //     ((status), (priority), ()) through the SQL surface ---
+    "q10c_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q10c")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+          |FROM orders_q10c
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // --- range/interval join, BANDED: Spark has no native interval-overlap join; the
+    //     naive form is a nested-loop theta join (quadratic). Scale shape: explode each
+    //     window into its covering day buckets, equi-join on the bucket, then apply the
+    //     exact overlap predicate — candidate count is linear in (rows x band width).
+    //     An interval here is a (user, day) activity span; windows are fixed 12h promos
+    //     every 36h. ---
+    "q18b_range_join" -> ((s, dir) => {
+      val wins = s.range(24).select(col("id").as("window_id"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 36*id)").as("ws"),
+        expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 36*id + 12)").as("we"))
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val wb = wins.select(col("window_id"), col("ws"), col("we"),
+        explode(sequence(date_trunc("day", col("ws")), date_trunc("day", col("we")),
+          expr("interval 1 day"))).as("d"))
+      wb.join(iv, Seq("d"))                                   // banded equi-join
+        .filter(col("s") <= col("we") && col("e") >= col("ws")) // exact overlap
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_intervals"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("window_id"))
+    }),
+
+    // --- skew-salted shuffle join: the standard hot-key mitigation. The fact side gets
+    //     a deterministic salt; the dim side replicates each row across all salts; the
+    //     join key becomes (key, salt), spreading any hot key over S partitions. Output
+    //     is identical to the unsalted join (oracle = plain join). shuffle_hash hint
+    //     keeps it a real shuffled join so the salting is load-bearing. ---
+    "q04b_salted_join" -> ((s, dir) => {
+      val S = 8
+      val fact = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_linenumber")), lit(S)))
+      val dim = t(s, dir, "orders")
+        .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- Bloom-filter-accelerated semi-join: build a Bloom sketch over the (filtered)
+    //     key side, prefilter the probe side BEFORE the shuffle (no false negatives,
+    //     so nothing is lost), then an exact semi-join removes the false positives.
+    //     At scale the sketch prefilter cuts shuffle volume by the selectivity of the
+    //     key set; the result is bit-identical to the plain EXISTS. ---
+    "q05c_bloom_semi" -> ((s, dir) => {
+      val keys = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      val bloom = keys.stat.bloomFilter("o_custkey", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bc.value.mightContain(k))
+      t(s, dir, "customer")
+        .filter(mightContain(col("c_custkey")))
+        .join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- semi-structured extraction from a JSON-ish column ---
     "q16_events_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -447,6 +532,44 @@ object RelationalQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON c.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "q15c_unpivot" ->
+      """WITH p AS (SELECT date_trunc('day', ts) AS day,
+        |  count(*) FILTER (WHERE event_type='click') AS click,
+        |  count(*) FILTER (WHERE event_type='error') AS error,
+        |  count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type='signup') AS signup,
+        |  count(*) FILTER (WHERE event_type='view') AS view
+        |FROM events GROUP BY 1)
+        |SELECT day, event_type, n
+        |FROM p UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        |ORDER BY day, event_type""".stripMargin,
+    "q10c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q18b_range_join" ->
+      """WITH w AS (SELECT range AS window_id,
+        |    TIMESTAMP '2024-01-01' + range * INTERVAL 36 HOUR AS ws,
+        |    TIMESTAMP '2024-01-01' + range * INTERVAL 36 HOUR + INTERVAL 12 HOUR AS we
+        |  FROM range(24)),
+        |iv AS (SELECT user_id, date_trunc('day', ts) AS d, min(ts) AS s, max(ts) AS e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_id, count(*) AS n_intervals, count(DISTINCT user_id) AS n_users
+        |FROM w JOIN iv ON iv.s <= w.we AND iv.e >= w.ws
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04b_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05c_bloom_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
     "q16_events_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,

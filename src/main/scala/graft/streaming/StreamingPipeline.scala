@@ -60,6 +60,30 @@ object StreamingPipeline {
         col("session_window.end").as("session_end"), col("conv_id"),
         col("n_turns"), col("n_chars"))
 
+  /** STREAM-STREAM interval join with watermarks on both sides: each user turn joins
+    * the assistant turns of its conversation arriving within `horizon` after it. The
+    * time-range condition plus the two watermarks is what BOUNDS the join state (each
+    * side can evict rows older than watermark + horizon) — the requirement for joining
+    * two unbounded streams at production scale; an un-watermarked stream-stream join
+    * grows state forever.
+    */
+  def requestResponseJoin(turns: Dataset[Turn], horizon: String = "10 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val u = turns.toDF().filter(col("role") === "user")
+      .select(col("conv_id").as("u_conv"), col("turn_idx").as("u_idx"),
+        col("ts").as("u_ts"))
+      .withWatermark("u_ts", watermark)
+    val a = turns.toDF().filter(col("role") === "assistant")
+      .select(col("conv_id").as("a_conv"), col("turn_idx").as("a_idx"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    u.join(a, col("u_conv") === col("a_conv") &&
+        col("a_ts") >= col("u_ts") &&
+        col("a_ts") <= col("u_ts") + expr(s"interval $horizon"))
+      .select(col("u_conv").as("conv_id"), col("u_idx"), col("a_idx"),
+        col("u_ts"), col("a_ts"))
+  }
+
   /** Stateful per-conversation running aggregates (update mode): each micro-batch emits
     * the refreshed conversation summary.
     */

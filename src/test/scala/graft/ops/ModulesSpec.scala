@@ -183,4 +183,22 @@ class ModulesSpec extends AnyFunSuite {
     assert(sessStream.exceptAll(sessBatch).count() == 0 &&
       sessBatch.exceptAll(sessStream).count() == 0)
   }
+
+  test("streaming: watermarked stream-stream interval join matches the batch join") {
+    val turns = Transcripts.generate(spark, nConvs = 10, turnsPerConv = 16)
+    val rawDir = Files.createTempDirectory("stream_ssj").toString
+    Transcripts.renderRawLines(turns).write.mode("overwrite").parquet(rawDir)
+    val parsed = StreamingPipeline.parseStream(spark,
+      spark.readStream.schema("value STRING").parquet(rawDir))
+
+    val q = StreamingPipeline.requestResponseJoin(parsed)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+    val batch = StreamingPipeline.requestResponseJoin(
+      Transcripts.parseRawLines(spark, spark.read.parquet(rawDir)))
+    assert(streamed.count() > 0, "interval join produced no pairs")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "stream-stream interval join diverged from the batch join")
+  }
 }

@@ -82,6 +82,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(p).size == 1, "corpus must be exploded exactly once")
   }
 
+  test("q18b range join: banded equi-join, never a nested-loop theta join") {
+    val p = plan("q18b_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join planned as nested loop:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "banded range join must resolve via an equi-join on the day bucket")
+  }
+
+  test("q15c unpivot: one-pass Expand, no per-column scans") {
+    val p = plan("q15c_unpivot")
+    assert(p.contains("Expand"), s"unpivot must plan an Expand node:\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "unpivot must scan the input once")
+  }
+
+  test("q04b salted join: a real shuffled join on (key, salt)") {
+    val p = plan("q04b_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salting needs a shuffled join:\n${p.take(1500)}")
+    assert(p.contains("salt"), "join keys must include the salt column")
+  }
+
+  test("q05c bloom semi-join: sketch prefilter below an exact semi-join") {
+    val p = plan("q05c_bloom_semi")
+    assert(p.contains("LeftSemi"), s"exact semi-join missing:\n${p.take(1500)}")
+  }
+
+  test("q38 rolling_hash: expression fuses into whole-stage codegen") {
+    // AQE inserts WholeStageCodegen per stage at execution — run first, then inspect
+    val df = SparkEntry.queries("q38_rolling_fp")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("rolling_hash"))
+    assert(line.isDefined, s"rolling_hash not in plan:\n${p.take(1500)}")
+    assert(line.exists(_.contains("*(")),
+      s"rolling_hash fell out of whole-stage codegen: ${line.get.trim}")
+  }
+
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
     import spark.implicits._
     val turns = graft.pipeline.Transcripts.generate(spark, 10, 10)
