@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BinaryExpression, Expression, ExpressionInfo, GreaterThan,
+  GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for the fingerprint test (shared by interpreted eval and codegen). */
+object AlphaFingerprint {
+  /** True iff every UTF-16 unit of `pattern` has its (char & 1023) bit set in the
+    * 1024-bit presence fingerprint. False guarantees the indexed corpus lacks some
+    * pattern char, hence fm_count(shard, pattern) == 0 — the one-sided guarantee the
+    * pruning rule relies on (same construction as the pipeline's shard fingerprint,
+    * TranscriptPipeline.mayContain).
+    */
+  def mayContain(fp: ArrayData, pattern: UTF8String): Boolean = {
+    val s = pattern.toString
+    var i = 0
+    while (i < s.length) {
+      val b = s.charAt(i) & 1023
+      if ((fp.getLong(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** alpha_may_contain(fp ARRAY<BIGINT>, pattern STRING) -> BOOLEAN. Codegen-native. */
+case class AlphaMayContain(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "alpha_may_contain"
+  override protected def nullSafeEval(fp: Any, pattern: Any): Any =
+    AlphaFingerprint.mayContain(fp.asInstanceOf[ArrayData], pattern.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, p) => s"graft.functions.AlphaFingerprint.mayContain($f, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Optimizer rule: in a Filter whose condition requires `fm_count(shard, pat) > 0`
+  * (or >= 1), and whose child exposes the shard table's `alpha_fp` fingerprint column
+  * (ARRAY<BIGINT>, written next to `shard` by the graft shard builders), prepend the
+  * cheap fingerprint test. Sound because alpha_may_contain == false implies some
+  * pattern char is absent from the indexed corpus, so fm_count is 0 and the original
+  * predicate already rejects the row — the rewrite only short-circuits the expensive
+  * deserialize + backward-search path. The Catalyst analog of the reference's
+  * unknown-symbol short-circuit (fm/FmIndex.java:457-459) lifted to plan level, and
+  * the declarative twin of the pipeline's imperative mayContain guard in route().
+  */
+object FmFingerprintPruning extends Rule[LogicalPlan] {
+
+  private def fpAttr(child: LogicalPlan): Option[AttributeReference] =
+    child.output.collectFirst {
+      case a: AttributeReference
+        if a.name == "alpha_fp" && a.dataType == ArrayType(LongType, containsNull = false) => a
+      case a: AttributeReference
+        if a.name == "alpha_fp" && a.dataType == ArrayType(LongType, containsNull = true) => a
+    }
+
+  private def positive(e: Expression): Boolean = e match {
+    case Literal(v: Int, _) => v >= 0
+    case Literal(v: Long, _) => v >= 0
+    case _ => false
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) if fpAttr(child).isDefined =>
+      val fp = fpAttr(child).get
+      var changed = false
+      val guarded = cond.transformUp {
+        // fm_count(shard, p) > n (n >= 0)  /  fm_count(shard, p) >= n (n >= 1)
+        case cmp @ GreaterThan(fc: FmCount, n) if positive(n) =>
+          changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+        case cmp @ GreaterThanOrEqual(fc: FmCount, Literal(n: Int, t)) if n >= 1 =>
+          changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+      }
+      // idempotent: a condition already guarded contains AlphaMayContain, whose
+      // arguments no longer match the bare-comparison patterns above
+      if (changed && !cond.exists(_.isInstanceOf[AlphaMayContain])) Filter(guarded, child)
+      else f
+  }
+}
+
+/** Session-extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `builder.withExtensions(new GraftExtensions)`) registers every graft Catalyst
+  * function permanently for the session AND injects the fingerprint pruning rule —
+  * the deployment surface for clusters where jobs are plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def info(name: String): ExpressionInfo = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("fm_count"), info("fm_count"),
+      (exprs: Seq[Expression]) => FmCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("fm_extract"), info("fm_extract"),
+      (exprs: Seq[Expression]) => FmExtract(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("fm_locate"), info("fm_locate"),
+      (exprs: Seq[Expression]) => FmLocateGen(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"), info("rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    e.injectFunction((FunctionIdentifier("alpha_may_contain"), info("alpha_may_contain"),
+      (exprs: Seq[Expression]) => AlphaMayContain(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => FmFingerprintPruning)
+  }
+}
+
+object GraftExtensions {
+  /** Install the pruning rule into an ALREADY-RUNNING session (the extensions config
+    * can only be set at session build time). Idempotent.
+    */
+  def installRules(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(FmFingerprintPruning))
+      spark.experimental.extraOptimizations = cur :+ FmFingerprintPruning
+  }
+}

@@ -268,6 +268,32 @@ object CorpusQueries {
         .orderBy(col("pattern"), col("doc_id"), col("pos"))
     }),
 
+    // --- pure-SQL FM surface + optimizer-rule pruning: the session-extension path.
+    //     fm_count runs inside spark.sql; the FmFingerprintPruning rule (injectable via
+    //     spark.sql.extensions=graft.functions.GraftExtensions) rewrites each
+    //     fm_count(shard, p) > 0 filter to short-circuit on the shard's 1024-bit
+    //     alphabet fingerprint BEFORE deserializing the index — the plan-level analog
+    //     of the reference's unknown-symbol short-circuit. The rule targets the
+    //     canonical routing shape, filter-directly-over-the-shard-scan, so the query is
+    //     one filtered scan per pattern over the PERSISTED in-memory shard table (an
+    //     exploded pattern join would bury the predicate in a join condition and let
+    //     column pruning strip alpha_fp first). Patterns not containing the document
+    //     separator cannot span documents, so the sum equals the per-document oracle. ---
+    "q26_fm_prune_sql" -> ((s, dir) => {
+      graft.functions.FmFunctions.register(s)
+      graft.functions.GraftExtensions.installRules(s)
+      ShardTableCache.docShards(s, dir, numShards = 16).toDF()
+        .createOrReplaceTempView("doc_shards_q26")
+      val branches = Seq("merge", "the ", "zz-absent").map { p =>
+        s"""SELECT '$p' AS pattern, fm_count(shard, '$p') AS c
+           |FROM doc_shards_q26 WHERE fm_count(shard, '$p') > 0""".stripMargin
+      }
+      s.sql(
+        s"""SELECT pattern, CAST(sum(c) AS BIGINT) AS n_matches
+           |FROM (${branches.mkString("\nUNION ALL\n")})
+           |GROUP BY pattern ORDER BY pattern""".stripMargin)
+    }),
+
     // --- corpus redundancy metric (typed Aggregator) with expression cross-check ---
     "q34_redundancy" -> ((s, dir) => {
       val runs = (size(filter(sequence(lit(1), size(col("ch")) - 1),
@@ -706,6 +732,11 @@ object CorpusQueries {
          |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
          |  FROM documents, (SELECT unnest($patternList) AS pattern) p
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_fm_prune_sql" ->
+      s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
+         |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
+         |  FROM documents, (SELECT unnest(['merge', 'the ', 'zz-absent']) AS pattern) p
+         |) GROUP BY 1 HAVING sum(cnt) > 0 ORDER BY 1""".stripMargin,
     "q21_fm_locate" ->
       s"""SELECT doc_id, pattern, CAST(i - 1 AS BIGINT) AS pos FROM (
          |  SELECT d.doc_id, p.pattern,

@@ -14,7 +14,8 @@ case class DocShard(
     shard: Array[Byte],
     doc_ids: Array[Long],
     offsets: Array[Int],
-    lens: Array[Int]
+    lens: Array[Int],
+    alpha_fp: Array[Long] // 1024-bit char-presence fingerprint (char & 1023)
 )
 
 /** FM-Index operators over the `documents` testdata table, Spark-first: one shuffle to
@@ -59,7 +60,17 @@ object DocShards {
             sb.getChars(0, sb.length, corpus, 0)
             val fm = new FmIndexBuilder().setSampleRate(sampleRate)
               .setCompression(compress).build(corpus)
-            DocShard(shardId, fm.serialize(), ids.toArray, offsets.toArray, lens.toArray)
+            // char-presence fingerprint: lets a filter on fm_count(shard, p) > 0 skip
+            // the shard without deserializing (FmFingerprintPruning optimizer rule)
+            val alphaBits = new Array[Long](16)
+            var ci = 0
+            while (ci < corpus.length) {
+              val b = corpus(ci) & 1023
+              alphaBits(b >>> 6) |= 1L << (b & 63)
+              ci += 1
+            }
+            DocShard(shardId, fm.serialize(), ids.toArray, offsets.toArray, lens.toArray,
+              alphaBits)
           }
         }
       }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.ops.ShardTableCache
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session-extension surface: alpha_may_contain expression semantics, the
+  * FmFingerprintPruning optimizer rule (soundness + that it actually fires), and the
+  * GraftExtensions wiring class.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-extensions-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("alpha_may_contain: false only when some pattern char is absent") {
+    val fp = new Array[Long](16)
+    for (c <- "merge the quick\n") { val b = c & 1023; fp(b >>> 6) |= 1L << (b & 63) }
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = ArrayData.toArrayData(fp)
+    assert(AlphaFingerprint.mayContain(arr, UTF8String.fromString("merge")))
+    assert(AlphaFingerprint.mayContain(arr, UTF8String.fromString("")))
+    assert(!AlphaFingerprint.mayContain(arr, UTF8String.fromString("zebra")),
+      "z is absent -> must report false")
+    // one-sided: may return true for absent patterns made of present chars
+    assert(AlphaFingerprint.mayContain(arr, UTF8String.fromString("greet")))
+  }
+
+  test("FmFingerprintPruning fires on fm_count filters and preserves results") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    val shards = ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+    shards.createOrReplaceTempView("shards_ext_test")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM shards_ext_test
+        |WHERE fm_count(shard, 'merge') > 0""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("alpha_may_contain"),
+      s"pruning rule did not fire:\n${opt.take(1500)}")
+    // soundness: guarded result == unguarded result (rule removed)
+    val n = q.head().getLong(0)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == FmFingerprintPruning)
+    val n0 = spark.sql(
+      """SELECT count(*) AS n FROM shards_ext_test
+        |WHERE fm_count(shard, 'merge') > 0""".stripMargin).head().getLong(0)
+    GraftExtensions.installRules(spark)
+    assert(n == n0, s"pruning changed the result: $n vs $n0")
+    assert(n > 0, "fixture must contain matching shards")
+  }
+
+  test("pruning eliminates shards for patterns with absent chars (fingerprint works)") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    val shards = ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+    // CJK char absent from the synthetic docs' ASCII region: fingerprint must kill all
+    // rows without consulting the index; and semantics must agree with fm_count
+    shards.createOrReplaceTempView("shards_ext_test2")
+    val rows = spark.sql(
+      """SELECT count(*) AS n FROM shards_ext_test2
+        |WHERE fm_count(shard, 'zqßx') > 0""".stripMargin).head().getLong(0)
+    val direct = shards.select(
+        sum(when(FmFunctions.fm_count(col("shard"), lit("zqßx")) > 0, 1L)
+          .otherwise(0L)).as("n")).head().getLong(0)
+    assert(rows == direct)
+  }
+
+  test("GraftExtensions class wires functions and rule into a SparkSessionExtensions") {
+    // the config path (spark.sql.extensions) can't be exercised on the shared test
+    // session (extensions bind at session construction); apply the class directly and
+    // verify the injections are accepted
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)
+  }
+
+  test("idempotent: running the optimizer twice does not stack guards") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    val shards = ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+    shards.createOrReplaceTempView("shards_ext_test3")
+    val opt = spark.sql(
+      """SELECT count(*) AS n FROM shards_ext_test3
+        |WHERE fm_count(shard, 'merge') > 0""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert("alpha_may_contain".r.findAllIn(opt).size == 1,
+      s"guard duplicated:\n${opt.take(1500)}")
+  }
+}

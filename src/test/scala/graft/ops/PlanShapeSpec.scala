@@ -118,6 +118,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rolling_hash fell out of whole-stage codegen: ${line.get.trim}")
   }
 
+  test("q26: fingerprint-pruning rule fires on every fm_count filter branch") {
+    val df = SparkEntry.queries("q26_fm_prune_sql")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("alpha_may_contain".r.findAllIn(opt).size == 3,
+      s"FmFingerprintPruning must guard all 3 pattern branches:\n${opt.take(2000)}")
+  }
+
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
     import spark.implicits._
     val turns = graft.pipeline.Transcripts.generate(spark, 10, 10)
