@@ -168,10 +168,52 @@ final class FmIndex private (
     b
   }
 
+  /** Rightward boundary scan shared by extractUntilBoundary{,Right}: appends the chars
+    * of (from0, x) to `destination` at `offset + already`, where x is the first
+    * boundary position after from0 or the corpus end (sentinel excluded); returns the
+    * count appended. Implemented as a windowed scan over the proven extract(start,
+    * stop) primitive — each window is decoded by ONE LF-walk and scanned forward
+    * (cheaper than the reference's +4-char re-walks, FmIndex.java:692-756, which pay a
+    * fresh sample-skip walk every 4 chars). NOTE a deliberate divergence from the
+    * reference IMPLEMENTATION in the final window: the reference's end-of-corpus
+    * branch (FmIndex.java:908-916) overwrites an already-found boundary position,
+    * returning stray chars when a match abuts the corpus end; its own char-walk test
+    * oracle (test Util.java:167-258) — and therefore this method — stops at the
+    * boundary there too.
+    */
+  private def scanRightUntilBoundary(
+      from0: Int, destination: Array[Char], offset: Int, already: Int, boundary: Char): Int = {
+    val step = 64
+    val win = new Array[Char](math.min(step, math.max(1, length - 1)))
+    var n = 0
+    var start = from0 + 1
+    var done = false
+    while (!done && start < length - 1) {
+      val stop = math.min(start + step, length - 1)
+      extract(start, stop, win, 0)
+      var i = 0
+      while (i < stop - start && !done) {
+        if (win(i) == boundary) done = true
+        else {
+          if (offset + already + n >= destination.length)
+            throw new RuntimeException(
+              "Extraction does not fit in the supplied destination. Currently extracted: " +
+                (offset + already + n))
+          destination(offset + already + n) = win(i)
+          n += 1
+        }
+        i += 1
+      }
+      start = stop
+    }
+    n
+  }
+
   /** Extracts the record around `from` delimited on both sides by `boundary` (exclusive).
-    * Returns 0 (empty) when the character at `from` is itself the boundary. The rightward
-    * scan proceeds in incremental 4-char segments, mirroring the reference's observable
-    * behavior exactly (FmIndex.java:640-759).
+    * Returns 0 (empty) when the character at `from` is itself the boundary.
+    * (Reference semantics: FmIndex.java:640-759 and the char-walk oracle in
+    * test Util.java:167-258; see scanRightUntilBoundary for the one corpus-end
+    * divergence from the reference implementation.)
     */
   def extractUntilBoundary(from0: Int, destination: Array[Char], offset: Int, boundary: Char): Int = {
     checkBoundsForExtraction(from0, destination)
@@ -202,47 +244,19 @@ final class FmIndex private (
     val downStreamLength = destination.length - (downStreamPos + 1)
     System.arraycopy(destination, downStreamPos + 1, destination, offset, downStreamLength)
 
-    // rightward (upstream) incremental walk, 4 chars at a time
-    val step = 4
-    var from = from0
-    var finalPos = -1
-    var timesUpStream = 1
-    var exit = false
-    while (finalPos == -1 && !exit) {
-      val prevFrom = from
-      from = math.min(from + step, this.length - 1)
-      var rem = from - prevFrom
-      var upStreamPos = (timesUpStream - 1) * step + rem - 1
-      samplePosition = positions.getValue(from / sampleRate + 1).toInt + 1
-      skip = sampleRate - from % sampleRate
-      if (from / sampleRate == positions.length - 2) skip = length - from
-      distance = 0
-      while (rem > 0) {
-        val packed = wavelet.inverseSelect(samplePosition - 1)
-        val c = (packed & 0xffffL).toInt
-        samplePosition = cumulative(c) + (packed >>> 16).toInt + 1
-        if (distance >= skip) {
-          if (c == mappedBoundary) {
-            if (upStreamPos == 0) return 0 // the char at `from0` is the boundary
-            finalPos = upStreamPos
-          }
-          if (offset + downStreamLength + upStreamPos >= destination.length)
-            throw new RuntimeException(
-              "Extraction does not fit in the supplied destination. Currently extracted: " +
-                (offset + downStreamLength + upStreamPos))
-          destination(offset + downStreamLength + upStreamPos) = monotonicLookUp(c).toChar
-          upStreamPos -= 1
-          rem -= 1
-        }
-        distance += 1
-      }
-      if (from == this.length - 1) {
-        finalPos = if (upStreamPos < 0) 1 else upStreamPos + from - prevFrom
-        exit = true
-      }
-      timesUpStream += 1
-    }
-    downStreamLength + finalPos
+    // the char at from0 itself (the leftward walk covers only chars BEFORE from0):
+    // boundary here means the empty extraction regardless of either side
+    val self = new Array[Char](1)
+    extract(from0, from0 + 1, self, 0)
+    if (self(0) == boundary) return 0
+    if (offset + downStreamLength >= destination.length)
+      throw new RuntimeException(
+        "Extraction does not fit in the supplied destination. Currently extracted: " +
+          (offset + downStreamLength))
+    destination(offset + downStreamLength) = self(0)
+
+    1 + downStreamLength +
+      scanRightUntilBoundary(from0, destination, offset, downStreamLength + 1, boundary)
   }
 
   /** Leftward-only variant (e.g. the key of a key=value pair). FmIndex.java:772-831. */
@@ -280,52 +294,18 @@ final class FmIndex private (
   }
 
   /** Rightward-only variant (e.g. the value of a key=value pair). FmIndex.java:844-922. */
+  /** Rightward-only variant (e.g. the value of a key=value pair): chars strictly after
+    * `from0` up to the boundary or corpus end; empty when the char at `from0` is the
+    * boundary itself. FmIndex.java:844-922 semantics per the char-walk oracle.
+    */
   def extractUntilBoundaryRight(from0: Int, destination: Array[Char], offset: Int, boundary: Char): Int = {
     checkBoundsForExtraction(from0, destination)
-    val mappedBoundary = mappedBoundaryOrThrow(boundary)
-
-    val step = 4
-    var from = from0
-    var finalPos = -1
-    var timesUpStream = 1
-    var exit = false
-    while (finalPos == -1 && !exit) {
-      val prevFrom = from
-      from = math.min(from + step, this.length - 1)
-      var rem = from - prevFrom
-      var upStreamPos = (timesUpStream - 1) * step + rem - 1
-      var samplePosition = positions.getValue(from / sampleRate + 1).toInt + 1
-      var skip = sampleRate - from % sampleRate
-      if (from / sampleRate == positions.length - 2) skip = length - from
-      var distance = 0
-      while (rem > 0) {
-        val packed = wavelet.inverseSelect(samplePosition - 1)
-        val c = (packed & 0xffffL).toInt
-        samplePosition = cumulative(c) + (packed >>> 16).toInt + 1
-        if (distance >= skip) {
-          if (c == mappedBoundary) {
-            if (upStreamPos == 0) return 0
-            finalPos = upStreamPos
-          }
-          if (offset + upStreamPos >= destination.length)
-            throw new RuntimeException(
-              "Extraction does not fit in the supplied destination. Currently extracted: " +
-                (offset + upStreamPos))
-          if (upStreamPos > 0) {
-            destination(offset + upStreamPos - 1) = monotonicLookUp(c).toChar
-            upStreamPos -= 1
-          }
-          rem -= 1
-        }
-        distance += 1
-      }
-      if (from == this.length - 1) {
-        finalPos = upStreamPos + from - prevFrom
-        exit = true
-      }
-      timesUpStream += 1
-    }
-    finalPos - 1
+    mappedBoundaryOrThrow(boundary)
+    if (from0 >= length - 1) return 0 // sentinel position: nothing to the right
+    val self = new Array[Char](1)
+    extract(from0, from0 + 1, self, 0)
+    if (self(0) == boundary) return 0
+    scanRightUntilBoundary(from0, destination, offset, 0, boundary)
   }
 
   // ---------------------------------------------------------------- serde

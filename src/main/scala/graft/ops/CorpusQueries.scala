@@ -268,6 +268,14 @@ object CorpusQueries {
         .orderBy(col("pattern"), col("doc_id"), col("pos"))
     }),
 
+    // --- FM one-sided boundary extraction (the reference's key=value surface):
+    //     prefix/suffix of each matching document around its FIRST match, via
+    //     extractUntilBoundaryLeft / extractUntilBoundaryRight on the shard ---
+    "q27_fm_boundary_parts" -> ((s, dir) => {
+      val shards = ShardTableCache.docShards(s, dir, numShards = 16)
+      DocShards.boundaryParts(s, shards, "window").orderBy(col("doc_id"))
+    }),
+
     // --- pure-SQL FM surface + optimizer-rule pruning: the session-extension path.
     //     fm_count runs inside spark.sql; the FmFingerprintPruning rule (injectable via
     //     spark.sql.extensions=graft.functions.GraftExtensions) rewrites each
@@ -732,6 +740,12 @@ object CorpusQueries {
          |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
          |  FROM documents, (SELECT unnest($patternList) AS pattern) p
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_fm_boundary_parts" ->
+      """SELECT doc_id, CAST(strpos(text, 'window') AS BIGINT) AS p,
+        |  CASE WHEN strpos(text, 'window') = 1 THEN ''
+        |       ELSE substr(text, 1, strpos(text, 'window') - 1) END AS prefix,
+        |  substr(text, strpos(text, 'window') + 6) AS suffix
+        |FROM documents WHERE contains(text, 'window') ORDER BY doc_id""".stripMargin,
     "q26_fm_prune_sql" ->
       s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
          |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt

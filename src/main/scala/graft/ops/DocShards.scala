@@ -124,6 +124,43 @@ object DocShards {
     }.toDF("doc_id", "snippet")
   }
 
+  /** Key/value-style split around the FIRST match of `pattern` in each matching
+    * document, using the one-sided boundary extractions: prefix = chars from the
+    * document start to just before the match (extractUntilBoundaryLeft), suffix =
+    * chars just after the match to the document end (extractUntilBoundaryRight) —
+    * the reference's key=value extraction surface
+    * (/root/reference/indices/src/main/java/com/dynatrace/fm/FmIndex.java:772-831,844-922)
+    * over a distributed shard table. `p` is the 1-based match position.
+    */
+  def boundaryParts(spark: SparkSession, shards: Dataset[DocShard], pattern: String): DataFrame = {
+    import spark.implicits._
+    shards.flatMap { s =>
+      val fm = FmIndex.deserialize(s.shard)
+      val pat = pattern.toCharArray
+      val first = mutable.LinkedHashMap[Int, Int]() // doc slot -> first local hit
+      fm.locateAll(pat).foreach { pos => // ascending, so first insert wins
+        var t = java.util.Arrays.binarySearch(s.offsets, pos)
+        if (t < 0) t = -t - 2
+        if (!first.contains(t)) first(t) = pos - s.offsets(t)
+      }
+      val dest = new Array[Char](1 << 16)
+      first.iterator.map { case (t, local) =>
+        val g = s.offsets(t) + local
+        val prefix =
+          if (local == 0) "" // match at doc start: nothing left of it inside the doc
+          else {
+            val n = fm.extractUntilBoundaryLeft(g - 1, dest, 0, Separator)
+            new String(dest, 0, n)
+          }
+        val suffix = {
+          val n = fm.extractUntilBoundaryRight(g + pat.length - 1, dest, 0, Separator)
+          new String(dest, 0, n)
+        }
+        (s.doc_ids(t), (local + 1).toLong, prefix, suffix)
+      }
+    }.toDF("doc_id", "p", "prefix", "suffix")
+  }
+
   /** Documents containing `pattern`, with text RECONSTRUCTED from the shard via
     * extractUntilBoundary around the first match (the separator delimits documents).
     */
