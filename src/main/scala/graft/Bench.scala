@@ -71,9 +71,13 @@ object Bench {
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val highCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
     // corpus size: big enough that fixed per-job costs (scheduling, parquet commit,
-    // planning) are a small fraction of the HIGH-side wall time — at 100 TB those codes
-    // are noise, and a too-small corpus makes the sandbox run understate true scaling
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "15000").toInt
+    // planning) are a small fraction of the HIGH-side wall time — at 100 TB those costs
+    // are noise, and a too-small corpus makes the sandbox run understate true scaling.
+    // Fitting the recorded runs to wall = fixed + work/cores gives fixed ~4.5 s and
+    // work ~205 s at 15000 convs: the fixed tail alone caps measured 2-vs-8 efficiency
+    // at ~0.89. At 24000 convs the same tail costs ~0.93, leaving real headroom over
+    // the >= 0.8 criterion instead of measuring the sandbox's serial floor.
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "24000").toInt
     val turnsPerConv = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "120").toInt
     val basePairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PAIRS", "8").toInt
@@ -104,7 +108,7 @@ object Bench {
     // one-sided contention noise from whichever level was unlucky so far. A wall-clock
     // budget bounds the whole phase: a persistently contended epoch must not stretch
     // the round's bench run indefinitely (the partial minima are still valid).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1500").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2400").toInt
     val phaseStart = System.nanoTime()
     def withinBudget: Boolean = (System.nanoTime() - phaseStart) / 1e9 < budgetSec
     while ((pair < basePairs && (pair < 2 || withinBudget)) ||
