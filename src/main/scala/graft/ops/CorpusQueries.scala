@@ -476,6 +476,64 @@ object CorpusQueries {
         .orderBy(col("split"))
     }),
 
+    // --- frequency-ranked token-id vocabulary + per-doc id stats: the tokenizer-prep
+    //     step of a training pipeline. The vocab ranking is an inherently global sort,
+    //     but its input is the AGGREGATED vocab (bounded), not the corpus; the apply
+    //     side is a broadcast join. ---
+    "q28_token_ids" -> ((s, dir) => {
+      val tok = tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .withColumn("id", row_number()
+          .over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+        .select(col("term"), col("id"))
+      tok.join(broadcast(vocab), "term")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("top_term_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- train/eval DECONTAMINATION: eval docs sharing >= 3 distinct shingles with
+    //     the train split (q47's content-hash split). Inverted-index equi-join on the
+    //     shingle — the train side is the DISTINCT shingle set, so a hot shingle
+    //     contributes one row, not one per train doc. ---
+    "q29_decontam" -> ((s, dir) => {
+      val sh = tWide(s, dir, "documents")
+        .withColumn("split",
+          when(substring(md5s(col("text")), 1, 1) <= "c", "train").otherwise("eval"))
+        .withColumn("w", words(col("text")))
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(shingles(col("w")))).as("shingle"))
+      val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
+      sh.filter(col("split") === "eval")
+        .join(trainSh, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- PII-style scrubbing: redact digit runs in the semi-structured props column
+    //     (per-row regexp_replace, embarrassingly parallel) ---
+    "q35_redact" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), regexp_replace(col("props"), "[0-9]{2,}", "#").as("redacted"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- repetition scoring: distinct-token ratio per doc (quality signal; integer
+    //     counts + one double division keep both engines bit-exact) ---
+    "q36_repetition" -> ((s, dir) => {
+      val w = words(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(w).cast("long").as("n_tokens"),
+          size(array_distinct(w)).cast("long").as("n_distinct"))
+        .withColumn("repetition",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- bigram-LM scoring: fit a BOUNDED model (top-100 bigrams by corpus count),
     //     broadcast it, score every doc by model-hit mass + OOV count. The model side
     //     is bounded by construction, so the apply stage is a broadcast join at ANY
@@ -852,6 +910,34 @@ object CorpusQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_token_ids" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS id
+        |  FROM tok GROUP BY term)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(id) AS BIGINT) AS id_sum,
+        |  CAST(min(id) AS BIGINT) AS top_term_id
+        |FROM tok JOIN vocab USING (term)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_decontam" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END AS split,
+         |    unnest(list_distinct($duckShingles)) AS shingle
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN tr ON sh.shingle = tr.shingle
+         |WHERE sh.split = 'eval'
+         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    "q35_redact" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]{2,}', '#', 'g') AS redacted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q36_repetition" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS repetition
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM w),
