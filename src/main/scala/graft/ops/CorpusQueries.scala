@@ -747,6 +747,28 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- multimodal frame sampling through the REAL batched mapPartitions path:
+    //     documents become binary assets with a deterministic kind; extractFeatures
+    //     gathers fixed-size batches per partition and emits byte/frame counts (the
+    //     stride/frameLen boundary math a keyframe sampler needs). The features
+    //     column (stub codec) is sbt-gated; the distributed plumbing is oracle-gated
+    //     here. ---
+    "q61_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id").as("asset_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("payload"),
+          col("source"))
+        .as[Asset]
+      Multimodal.extractFeatures(s, assets, numPartitions = s.sparkContext.defaultParallelism)
+        .toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("asset_id"))
+    }),
+
     // --- log pipeline stage 1: grok-style derivation of transcripts from events ---
     "q70_parse_transcripts" -> ((s, dir) =>
       eventTranscripts(s, dir).orderBy(col("conv_id"), col("turn_idx"))),
@@ -1070,6 +1092,12 @@ object CorpusQueries {
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
         |  ascii(substr(text, 1, 1)) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "q70_parse_transcripts" ->
       s"""WITH $duckTranscripts
          |SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts

@@ -94,6 +94,30 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // --- window-function zoo: ntile, percent_rank, lead, first_value over one
+    //     partitioned sort (a single window shuffle serves all four) ---
+    "q06b_window_zoo" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("nt", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("min_price", first(col("o_totalprice")).over(w))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- correlated scalar subquery (Catalyst rewrites it to an outer join + agg) ---
+    "q03b_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q03b")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q03b")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  (SELECT max(o_totalprice) FROM orders_q03b WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_q03b ORDER BY c_custkey""".stripMargin)
+    }),
+
     // --- per-group top-k via ranking window ---
     "q07_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -429,6 +453,19 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q06b_window_zoo" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        |  percent_rank() OVER w AS pr,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS min_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03b_scalar_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q07_topk_per_group" ->
       """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
