@@ -184,6 +184,40 @@ class ModulesSpec extends AnyFunSuite {
       sessBatch.exceptAll(sessStream).count() == 0)
   }
 
+  test("streaming: file sink + checkpoint restart is exactly-once across new data") {
+    val turns = Transcripts.generate(spark, nConvs = 10, turnsPerConv = 12)
+    val half = turns.count() / 2
+    val rawDir = Files.createTempDirectory("stream_ckpt_raw").toString
+    val outDir = Files.createTempDirectory("stream_ckpt_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("stream_ckpt_meta").toString
+    val all = Transcripts.renderRawLines(turns)
+    all.limit(half.toInt).write.mode("overwrite").parquet(rawDir)
+
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.parseStream(spark,
+          spark.readStream.schema("value STRING").parquet(rawDir))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce() // first half
+    // new files arrive while the stream is DOWN; the checkpoint must resume past
+    // the already-committed batch and process only the new files, exactly once
+    all.exceptAll(all.limit(half.toInt)).write.mode("append").parquet(rawDir)
+    runOnce() // picks up the second half only
+    runOnce() // no new data: must append nothing
+
+    val out = spark.read.parquet(outDir)
+    val expected = Transcripts.parseRawLines(spark, spark.read.parquet(rawDir)).toDF()
+    assert(out.count() == expected.count(),
+      s"restart duplicated or dropped rows: ${out.count()} vs ${expected.count()}")
+    assert(out.exceptAll(expected).count() == 0 && expected.exceptAll(out).count() == 0,
+      "file-sink contents diverged from the batch parse after restart")
+  }
+
   test("streaming: watermarked stream-stream interval join matches the batch join") {
     val turns = Transcripts.generate(spark, nConvs = 10, turnsPerConv = 16)
     val rawDir = Files.createTempDirectory("stream_ssj").toString
