@@ -218,6 +218,7 @@ final class FmIndex private (
   def extractUntilBoundary(from0: Int, destination: Array[Char], offset: Int, boundary: Char): Int = {
     checkBoundsForExtraction(from0, destination)
     val mappedBoundary = mappedBoundaryOrThrow(boundary)
+    if (from0 >= length - 1) return 0 // sentinel position: no record to extract
 
     // leftward (downstream) walk: chars at from0-1, from0-2, ... until boundary/corpus start
     var samplePosition = positions.getValue(from0 / sampleRate + 1).toInt + 1

@@ -12,14 +12,41 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static kernel for the fingerprint test (shared by interpreted eval and codegen). */
+/** Static kernel for the fingerprint build + test (shared by the shard builders, the
+  * interpreted eval, and the generated code — ONE definition so the builders and the
+  * pruning rule can never drift out of sync).
+  */
 object AlphaFingerprint {
+
+  /** 1024-bit char-presence fingerprint of a corpus: bit (c & 1023) set for every
+    * UTF-16 unit c present. Used by DocShards.build and TranscriptPipeline.buildShards.
+    */
+  def build(corpus: Array[Char]): Array[Long] = {
+    val bits = new Array[Long](16)
+    var i = 0
+    while (i < corpus.length) {
+      val b = corpus(i) & 1023
+      bits(b >>> 6) |= 1L << (b & 63)
+      i += 1
+    }
+    bits
+  }
   /** True iff every UTF-16 unit of `pattern` has its (char & 1023) bit set in the
     * 1024-bit presence fingerprint. False guarantees the indexed corpus lacks some
     * pattern char, hence fm_count(shard, pattern) == 0 — the one-sided guarantee the
-    * pruning rule relies on (same construction as the pipeline's shard fingerprint,
-    * TranscriptPipeline.mayContain).
+    * pruning rule relies on.
     */
+  def mayContain(fp: Array[Long], pattern: String): Boolean = {
+    var i = 0
+    while (i < pattern.length) {
+      val b = pattern.charAt(i) & 1023
+      if ((fp(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** ArrayData overload for the Catalyst expression (no array materialization). */
   def mayContain(fp: ArrayData, pattern: UTF8String): Boolean = {
     val s = pattern.toString
     var i = 0
@@ -56,35 +83,52 @@ case class AlphaMayContain(left: Expression, right: Expression) extends BinaryEx
   */
 object FmFingerprintPruning extends Rule[LogicalPlan] {
 
-  private def fpAttr(child: LogicalPlan): Option[AttributeReference] =
-    child.output.collectFirst {
-      case a: AttributeReference
-        if a.name == "alpha_fp" && a.dataType == ArrayType(LongType, containsNull = false) => a
-      case a: AttributeReference
-        if a.name == "alpha_fp" && a.dataType == ArrayType(LongType, containsNull = true) => a
-    }
+  private def isFpType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == ArrayType(LongType, containsNull = false) || t == ArrayType(LongType, containsNull = true)
 
-  private def positive(e: Expression): Boolean = e match {
+  private def positiveGt(e: Expression): Boolean = e match {
     case Literal(v: Int, _) => v >= 0
     case Literal(v: Long, _) => v >= 0
     case _ => false
   }
 
+  private def positiveGte(e: Expression): Boolean = e match {
+    case Literal(v: Int, _) => v >= 1
+    case Literal(v: Long, _) => v >= 1
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if fpAttr(child).isDefined =>
-      val fp = fpAttr(child).get
-      var changed = false
-      val guarded = cond.transformUp {
-        // fm_count(shard, p) > n (n >= 0)  /  fm_count(shard, p) >= n (n >= 1)
-        case cmp @ GreaterThan(fc: FmCount, n) if positive(n) =>
-          changed = true; And(AlphaMayContain(fp, fc.right), cmp)
-        case cmp @ GreaterThanOrEqual(fc: FmCount, Literal(n: Int, t)) if n >= 1 =>
-          changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+    case f @ Filter(cond, child) =>
+      // SOUNDNESS SCOPE: guard only when the child exposes exactly ONE (shard,
+      // alpha_fp) column pair AND the fm_count's shard argument IS that column. A
+      // filter above a self-join sees two pairs (ambiguous row provenance — wrapping
+      // the wrong pair would drop matching rows under OR), so the rule steps aside.
+      val shards = child.output.filter(_.name == "shard")
+      val fps = child.output.collect {
+        case a: AttributeReference if a.name == "alpha_fp" && isFpType(a.dataType) => a
       }
-      // idempotent: a condition already guarded contains AlphaMayContain, whose
-      // arguments no longer match the bare-comparison patterns above
-      if (changed && !cond.exists(_.isInstanceOf[AlphaMayContain])) Filter(guarded, child)
-      else f
+      if (shards.size != 1 || fps.size != 1) f
+      else {
+        val fp = fps.head
+        var changed = false
+        val guarded = cond.transformUp {
+          // fm_count(shard, p) > n (n >= 0)  /  fm_count(shard, p) >= n (n >= 1)
+          case cmp @ GreaterThan(fc: FmCount, n)
+              if positiveGt(n) && fc.left.semanticEquals(shards.head) =>
+            changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+          case cmp @ GreaterThanOrEqual(fc: FmCount, n)
+              if positiveGte(n) && fc.left.semanticEquals(shards.head) =>
+            changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+        }
+        // Idempotence is enforced by the exists() check below, NOT by the patterns:
+        // a guarded And(alpha_may_contain, fm_count > 0) still re-matches its inner
+        // comparison on a second pass, so without the check guards would stack.
+        // All-or-nothing is deliberate: a condition already containing any
+        // AlphaMayContain (rule-injected or user-written) is left untouched.
+        if (changed && !cond.exists(_.isInstanceOf[AlphaMayContain])) Filter(guarded, child)
+        else f
+      }
   }
 }
 

@@ -13,16 +13,28 @@ object RollingHashUtil {
 
   /** Polynomial rolling hash over UNICODE CODE POINTS: h = fold(h * 31 + cp) mod 1e9+7.
     * Code points (not UTF-16 units or bytes) so the definition is representation-
-    * independent and reproducible in any engine with code-point access.
+    * independent and reproducible in any engine with code-point access. Decodes the
+    * code points straight from the UTF8String's UTF-8 bytes — no per-row String
+    * allocation in the codegen'd hot path (input is valid UTF-8 by StringType
+    * contract; TextExpressionsSpec checks parity with a String/codePointAt reference
+    * over multi-byte and surrogate-pair inputs).
     */
   def hash(u: UTF8String): Long = {
-    val s = u.toString
+    val n = u.numBytes
     var h = 0L
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
+    while (i < n) {
+      val b0 = u.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var k = 1
+      while (k < len) { cp = (cp << 6) | (u.getByte(i + k) & 0x3f); k += 1 }
       h = (h * Mult + cp) % Mod
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }

@@ -62,15 +62,8 @@ object DocShards {
               .setCompression(compress).build(corpus)
             // char-presence fingerprint: lets a filter on fm_count(shard, p) > 0 skip
             // the shard without deserializing (FmFingerprintPruning optimizer rule)
-            val alphaBits = new Array[Long](16)
-            var ci = 0
-            while (ci < corpus.length) {
-              val b = corpus(ci) & 1023
-              alphaBits(b >>> 6) |= 1L << (b & 63)
-              ci += 1
-            }
             DocShard(shardId, fm.serialize(), ids.toArray, offsets.toArray, lens.toArray,
-              alphaBits)
+              graft.functions.AlphaFingerprint.build(corpus))
           }
         }
       }

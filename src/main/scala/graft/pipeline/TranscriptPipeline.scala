@@ -155,13 +155,7 @@ object TranscriptPipeline {
             // char-presence fingerprint: the distributed analog of the reference's
             // unknown-symbol short-circuit (FmIndex.java:457-459) lifted to shard
             // granularity — routing skips shards that cannot contain a pattern's chars
-            val alphaBits = new Array[Long](16)
-            var ci = 0
-            while (ci < corpus.length) {
-              val b = corpus(ci) & 1023
-              alphaBits(b >>> 6) |= 1L << (b & 63)
-              ci += 1
-            }
+            val alphaBits = graft.functions.AlphaFingerprint.build(corpus)
             val row = ShardRow(shardId, curSeq, fm.serialize(), convIds.length,
               corpus.length.toLong, fm.getAlphabetLength, alphaBits, checksum,
               convIds.toArray, turnIdxs.toArray, roles.toArray, tools.toArray,
@@ -179,16 +173,11 @@ object TranscriptPipeline {
     * with the overlapping-match count and the turn text RECONSTRUCTED via FM extract.
     * A match is attributed to the turn containing its start position.
     */
-  /** True iff every char of `pattern` is present in the shard's fingerprint. */
-  def mayContain(alphaBits: Array[Long], pattern: String): Boolean = {
-    var i = 0
-    while (i < pattern.length) {
-      val b = pattern.charAt(i) & 1023
-      if ((alphaBits(b >>> 6) & (1L << (b & 63))) == 0L) return false
-      i += 1
-    }
-    true
-  }
+  /** True iff every char of `pattern` is present in the shard's fingerprint
+    * (delegates to the shared kernel so builder and test can never drift).
+    */
+  def mayContain(alphaBits: Array[Long], pattern: String): Boolean =
+    graft.functions.AlphaFingerprint.mayContain(alphaBits, pattern)
 
   /** `locateCap` guards against pathological high-frequency patterns: locateAll costs
     * O(occurrences x sampleRate) LF-walks, which for a pattern matching a large fraction

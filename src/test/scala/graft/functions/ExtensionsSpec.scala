@@ -82,6 +82,30 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(e)
   }
 
+  test("rule steps aside on ambiguous provenance (self-join exposes two shard pairs)") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+      .createOrReplaceTempView("shards_ext_amb")
+    // the OR references BOTH sides: guarding either branch with the wrong side's
+    // fingerprint could wrongly kill rows, so the rule must not fire at all here
+    val q = spark.sql(
+      """SELECT count(*) AS n
+        |FROM shards_ext_amb a JOIN shards_ext_amb b ON a.shard_id <> b.shard_id
+        |WHERE fm_count(a.shard, 'merge') > 0 OR fm_count(b.shard, 'merge') > 0""".stripMargin)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("alpha_may_contain"),
+      "rule guarded a filter with ambiguous shard/fingerprint provenance")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == FmFingerprintPruning)
+    val n0 = spark.sql(
+      """SELECT count(*) AS n
+        |FROM shards_ext_amb a JOIN shards_ext_amb b ON a.shard_id <> b.shard_id
+        |WHERE fm_count(a.shard, 'merge') > 0 OR fm_count(b.shard, 'merge') > 0""".stripMargin)
+      .head().getLong(0)
+    GraftExtensions.installRules(spark)
+    assert(q.head().getLong(0) == n0)
+  }
+
   test("idempotent: running the optimizer twice does not stack guards") {
     FmFunctions.register(spark)
     GraftExtensions.installRules(spark)
