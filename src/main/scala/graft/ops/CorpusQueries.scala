@@ -747,6 +747,41 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- partitioned-table sink + source round-trip: write documents Hive-partitioned
+    //     by language, read back with a partition filter — the filter prunes whole
+    //     directories (PartitionFilters in the scan; PlanShapeSpec asserts it), the
+    //     identity-partitioning analog of Iceberg partition pruning ---
+    "q62_partitioned_source" -> ((s, dir) => {
+      val out = s"/tmp/graft_q62_${new java.io.File(dir).getName}"
+      t(s, dir, "documents").withColumn("lang_p", col("lang"))
+        .write.mode("overwrite").partitionBy("lang_p").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang_p") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // --- snapshot-isolated manifest source (Iceberg-layout discipline): data is read
+    //     ONLY through the committed manifest's file list, never a directory listing.
+    //     The query plants a stray uncommitted parquet file under the table AFTER the
+    //     commit — if the reader trusted the directory, the 'zz' partition would leak
+    //     into the output and the DuckDB gate would fail, so the gate itself enforces
+    //     the isolation property. ---
+    "q63_manifest_source" -> ((s, dir) => {
+      val out = s"/tmp/graft_q63_${new java.io.File(dir).getName}"
+      t(s, dir, "documents").withColumn("lang_p", col("lang"))
+        .write.mode("overwrite").partitionBy("lang_p").parquet(out)
+      graft.sources.ManifestTables.commit(out, "lang_p")
+      t(s, dir, "documents").limit(5)
+        .write.mode("overwrite").parquet(s"$out/lang_p=zz") // in-flight, uncommitted
+      graft.sources.ManifestTables.readData(s, out, "lang_p")
+        .groupBy(col("lang_p"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang_p").as("lang"), col("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // --- multimodal frame sampling through the REAL batched mapPartitions path:
     //     documents become binary assets with a deterministic kind; extractFeatures
     //     gathers fixed-size batches per partition and emits byte/frame counts (the
@@ -1092,6 +1127,11 @@ object CorpusQueries {
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
         |  ascii(substr(text, 1, 1)) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q62_partitioned_source" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_manifest_source" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

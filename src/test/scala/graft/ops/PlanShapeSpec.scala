@@ -118,6 +118,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rolling_hash fell out of whole-stage codegen: ${line.get.trim}")
   }
 
+  test("q62: the language filter prunes whole partition directories at the scan") {
+    val p = plan("q62_partitioned_source")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("lang_p") && !scan.contains("PartitionFilters: []"),
+      s"partition filter did not reach the scan: $scan")
+  }
+
   test("q26: fingerprint-pruning rule fires on every fm_count filter branch") {
     val df = SparkEntry.queries("q26_fm_prune_sql")(spark, dir)
     val opt = df.queryExecution.optimizedPlan.toString
