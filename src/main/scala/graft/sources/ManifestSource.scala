@@ -6,7 +6,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,28 +117,58 @@ private class ManifestFilesTable(dir: String) extends Table with SupportsRead {
 }
 
 private class ManifestScanBuilder(dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = ManifestFilesSource.Schema
+  private var partitionValues: Option[Set[String]] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new ManifestScan(dir, required)
+
+  /** Accepts equality/IN filters on the partition column — the scan then reads only
+    * matching manifest entries (partition pruning at the source). Everything else is
+    * left to Spark (returned as residual).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, residual) = filters.partition {
+      case EqualTo("partition", _: String) => true
+      case In("partition", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    val accepted = pushed.flatMap {
+      case EqualTo("partition", v: String) => Seq(Set(v))
+      case In("partition", vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => Nil
+    }
+    if (accepted.nonEmpty)
+      partitionValues = Some(accepted.reduce(_ intersect _))
+    residual
+  }
+  override def pushedFilters(): Array[Filter] =
+    partitionValues.map(vs => Array[Filter](In("partition", vs.toArray))).getOrElse(Array.empty)
+
+  override def build(): Scan = new ManifestScan(dir, required, partitionValues)
 }
 
-private class ManifestScan(dir: String, required: StructType) extends Scan with Batch {
+private class ManifestScan(dir: String, required: StructType,
+    partitionValues: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestInputPartition(dir))
+    Array(ManifestInputPartition(dir, partitionValues))
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required.fieldNames)
+  override def description(): String =
+    s"manifest_files($dir, partitions=${partitionValues.map(_.toSeq.sorted.mkString(",")).getOrElse("*")})"
 }
 
-private case class ManifestInputPartition(dir: String) extends InputPartition
+private case class ManifestInputPartition(dir: String, partitionValues: Option[Set[String]])
+    extends InputPartition
 
 private class ManifestReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val dir = partition.asInstanceOf[ManifestInputPartition].dir
-    val entries = ManifestTables.readLatest(dir).iterator
+    val p = partition.asInstanceOf[ManifestInputPartition]
+    val entries = ManifestTables.readLatest(p.dir).iterator
+      .filter(e => p.partitionValues.forall(_.contains(e.partition)))
     new PartitionReader[InternalRow] {
       private var cur: ManifestTables.Entry = _
       override def next(): Boolean = { val h = entries.hasNext; if (h) cur = entries.next(); h }

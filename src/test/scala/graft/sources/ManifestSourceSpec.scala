@@ -49,9 +49,26 @@ class ManifestSourceSpec extends AnyFunSuite {
       .select("bytes")
     val scanLine = meta.queryExecution.executedPlan.toString.linesIterator
       .find(_.contains("BatchScan")).getOrElse("")
-    assert(scanLine.contains("bytes") && !scanLine.contains("partition"),
+    assert(scanLine.contains("[bytes#") && !scanLine.contains("partition#"),
       s"scan did not prune columns: $scanLine")
     assert(meta.agg(sum("bytes")).head().getLong(0) > 0)
+  }
+
+  test("partition filter pushes into the DSv2 scan and prunes manifest entries") {
+    val out = freshTable()
+    val meta = spark.read.format(classOf[ManifestFilesSource].getName).load(out)
+      .filter(col("partition") === "en")
+    val scanLine = meta.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("partitions=en"),
+      s"filter not pushed into the source: $scanLine")
+    val rows = meta.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("partition") == "en"))
+    // IN-list filter too
+    val two = spark.read.format(classOf[ManifestFilesSource].getName).load(out)
+      .filter(col("partition").isin("en", "fr"))
+    assert(two.select("partition").distinct().collect().map(_.getString(0)).toSet
+      == Set("en", "fr"))
   }
 
   test("snapshot isolation: files written after the commit are invisible") {
