@@ -91,7 +91,9 @@ object TranscriptPipeline {
       maxCorpusChars: Int = 1 << 27, // split shards beyond 128M chars (int positions cap)
       rules: Seq[SinkRule] = Transcripts.DefaultRules,
       numPartitionsOpt: Option[Int] = None,
-      compressIndexes: Boolean = false // RRR-compressed shard bitvectors (size over speed)
+      compressIndexes: Boolean = false, // RRR-compressed shard bitvectors (size over speed)
+      waveletEngine: graft.core.FmIndex.WaveletEngine = graft.core.FmIndex.Huffman
+        // Fbb: per-block boosting — smallest + fastest count on repetitive log text
   ) {
     /** Task partitions for the shard-build shuffle. Keep numShards >= 4x numPartitions:
       * shard_ids hash into partitions, so several shards per partition smooth the
@@ -151,7 +153,8 @@ object TranscriptPipeline {
             val corpus = new Array[Char](sb.length)
             sb.getChars(0, sb.length, corpus, 0)
             val fm = new FmIndexBuilder().setSampleRate(cfg.sampleRate)
-              .setCompression(cfg.compressIndexes).build(corpus)
+              .setCompression(cfg.compressIndexes)
+              .setWaveletEngine(cfg.waveletEngine).build(corpus)
             // char-presence fingerprint: the distributed analog of the reference's
             // unknown-symbol short-circuit (FmIndex.java:457-459) lifted to shard
             // granularity — routing skips shards that cannot contain a pattern's chars

@@ -61,6 +61,18 @@ class PipelineSpec extends AnyFunSuite {
     shards.unpersist()
   }
 
+  test("FBB + RRR engine config routes identically (wavelet engine is a pure knob)") {
+    val fbbCfg = cfg.copy(waveletEngine = graft.core.FmIndex.Fbb, compressIndexes = true)
+    val base = TranscriptPipeline.route(spark,
+        TranscriptPipeline.buildShards(spark, turns, cfg), cfg.rules)
+      .select("sink", "conv_id", "turn_idx", "text")
+    val fbb = TranscriptPipeline.route(spark,
+        TranscriptPipeline.buildShards(spark, turns, fbbCfg), fbbCfg.rules)
+      .select("sink", "conv_id", "turn_idx", "text")
+    assert(base.exceptAll(fbb).count() == 0 && fbb.exceptAll(base).count() == 0,
+      "wavelet engine choice changed routing output")
+  }
+
   test("per-turn text equality: extract of every turn equals the input text") {
     import spark.implicits._
     val shards = TranscriptPipeline.buildShards(spark, turns, cfg)
