@@ -51,6 +51,25 @@ class TextExpressionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("UTF-8 byte-path decode equals String.codePointAt on arbitrary unicode strings") {
+    // property check over generated strings incl. astral-plane code points — guards
+    // the hand-rolled UTF-8 decode in RollingHashUtil.hash
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val cp = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e), // ASCII
+      2 -> Gen.choose(0x80, 0x7ff), // 2-byte
+      2 -> Gen.choose(0x800, 0xd7ff), // 3-byte below surrogates
+      1 -> Gen.choose(0xe000, 0xffff), // 3-byte above surrogates
+      1 -> Gen.choose(0x10000, 0x10ffff)) // 4-byte astral
+    val gen = Gen.listOf(cp).map(cps => new String(cps.toArray, 0, cps.length))
+    val prop = Prop.forAll(gen) { s =>
+      RollingHashUtil.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s)) == ref(s)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("rolling_hash distributes: distinct texts rarely collide on the fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.select(col("text")).distinct().count()
