@@ -8,14 +8,15 @@ import org.apache.spark.storage.StorageLevel
   * dedup pipeline (exact-dup + LSH near-dup edges in, cluster ids out; the cluster id is
   * the smallest member id, so "keep the canonical doc" is `doc_id = cluster_id`).
   *
-  * Scale shape: every iteration is one shuffle (edge join on node id + min-agg); labels
-  * only decrease, so convergence is checked with a cheap exact `sum(lbl)` fixpoint probe
-  * instead of a row-diff join. Rounds needed = graph diameter — for dedup graphs
-  * components are near-cliques of duplicates (diameter 2-3), so the loop terminates in a
-  * handful of rounds even at web scale. (For adversarial long-chain graphs the
-  * alternating large-star/small-star algorithm halves path lengths per round; dedup
-  * workloads don't need it and it costs 2x shuffles per round.) `localCheckpoint`
-  * truncates the growing lineage so round N's plan doesn't replan rounds 1..N-1.
+  * Scale shape: every iteration is neighbor-min propagation (one edge join + min-agg)
+  * FUSED WITH POINTER JUMPING (labels hop to their label's label, one more equi-join),
+  * so reach roughly doubles per round: convergence in O(log diameter) rounds instead of
+  * O(diameter) — the property that matters when a transitive near-dup CHAIN (not a
+  * clique) spans a web-scale corpus. Labels only decrease, so convergence is checked
+  * with a cheap exact `sum(lbl)` fixpoint probe instead of a row-diff join; for dedup
+  * graphs components are near-cliques (diameter 2-3) and the loop terminates in a
+  * handful of rounds either way. `localCheckpoint` truncates the growing lineage so
+  * round N's plan doesn't replan rounds 1..N-1.
   */
 object ConnectedComponents {
 
@@ -23,7 +24,12 @@ object ConnectedComponents {
     * @return (node, cluster_id) for every node appearing in `edges`, cluster_id = min
     *         node id reachable; deterministic.
     */
-  def run(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIters: Int = 50): DataFrame = runWithRounds(edges, maxIters)._1
+
+  /** run + the number of rounds executed (spec hook: a 2^k chain must finish in
+    * O(k) rounds, not O(2^k)).
+    */
+  def runWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val sym = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
@@ -40,12 +46,20 @@ object ConnectedComponents {
       // each node takes min(own label, labels of neighbors): one join + one min-agg
       val viaNbr = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("node2")).agg(min(col("lbl")).as("nbr_lbl"))
-      // lazy checkpoint: the sum() action below materializes the iteration in ONE job
-      // (an eager checkpoint would run a second, separate job per round)
-      val next = labels.join(viaNbr, col("node") === col("node2"), "left")
+      val prop = labels.join(viaNbr, col("node") === col("node2"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+      // pointer jumping: follow the label one hop (lbl := label-of-lbl). Every label
+      // IS a node id present in `labels`, so the lookup side is labels itself; the
+      // hop composes paths, doubling effective reach each round (log-d convergence).
+      val jump = prop.as("x")
+        .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+          col("x.lbl") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl"))
+      // lazy checkpoint: the sum() action below materializes the iteration in ONE job
+      // (an eager checkpoint would run a second, separate job per round)
+      val next = jump.localCheckpoint(false)
       val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
       converged = nextSum == checksum // labels are monotone non-increasing: equal sum = fixpoint
       checksum = nextSum
@@ -53,6 +67,6 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+    (labels.select(col("node"), col("lbl").as("cluster_id")), iter)
   }
 }

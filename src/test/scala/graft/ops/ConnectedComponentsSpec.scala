@@ -40,8 +40,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     check(Seq((5L, 2L), (7L, 7L), (10L, 11L), (11L, 12L), (3L, 9L), (9L, 3L)), "small")
   }
 
-  test("long chain needs diameter rounds and still converges") {
-    check((0L until 40L).map(i => (i, i + 1)), "chain-41")
+  test("long chain converges in O(log diameter) rounds (pointer jumping)") {
+    import spark.implicits._
+    val chain = (0L until 256L).map(i => (i, i + 1))
+    val (labels, rounds) = ConnectedComponents.runWithRounds(chain.toDF("a", "b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(chain), "chain-257 labels wrong")
+    // pure propagation would need 256 rounds; reach doubles per round with jumping
+    assert(rounds <= 14, s"chain-257 took $rounds rounds — pointer jumping regressed")
   }
 
   test("random graphs match a union-find oracle") {
