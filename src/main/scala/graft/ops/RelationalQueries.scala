@@ -108,6 +108,43 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- RANGE window frame (value-based, not row-based): peers within $1000 below
+    //     each order's price. Integer cents keep the frame boundary exact in both
+    //     engines. ---
+    "q06c_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_cents"))
+        .rangeBetween(-100000L, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+          count(lit(1)).over(w).as("n_within_1000"),
+          sum(col("price_cents")).over(w).as("cents_within_1000"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- typed COGROUP: per-key custom logic over BOTH sides' full iterators — the
+    //     operator shape joins can't express (one shuffle per side, no hash build;
+    //     group sizes bounded by per-key data, not the join product) ---
+    "q64_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .as[(Long, Double)]
+      o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+        val oList = os.toList
+        if (oList.isEmpty) Iterator.empty // lineitems without an order: drop
+        else {
+          var n = 0L
+          var qty = 0L
+          ls.foreach { x => n += 1; qty += math.round(x._2) } // quantities are integral
+          Iterator.single((k, oList.head._2, n, qty))
+        }
+      }.toDF("o_orderkey", "o_totalprice", "n_items", "qty_sum")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- correlated scalar subquery (Catalyst rewrites it to an outer join + agg) ---
     "q03b_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("customer_q03b")
@@ -462,6 +499,22 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q06c_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  count(*) OVER w AS n_within_1000,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_within_1000
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+        |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q64_cogroup" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  count(l.l_orderkey) AS n_items,
+        |  CAST(COALESCE(sum(CAST(round(l.l_quantity) AS BIGINT)), 0) AS BIGINT) AS qty_sum
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q03b_scalar_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
