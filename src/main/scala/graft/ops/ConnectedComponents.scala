@@ -27,9 +27,13 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIters: Int = 50): DataFrame = runWithRounds(edges, maxIters)._1
 
   /** run + the number of rounds executed (spec hook: a 2^k chain must finish in
-    * O(k) rounds, not O(2^k)).
+    * O(k) rounds, not O(2^k)). `pointerJump = false` drops the extra per-round join
+    * for workloads known to be clique-shaped (diameter 2-3), where jumping cannot
+    * save rounds; the jump is always skipped in round 1, where labels are still the
+    * identity and the hop is a provable no-op.
     */
-  def runWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+  def runWithRounds(edges: DataFrame, maxIters: Int = 50,
+      pointerJump: Boolean = true): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val sym = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
@@ -52,11 +56,14 @@ object ConnectedComponents {
       // pointer jumping: follow the label one hop (lbl := label-of-lbl). Every label
       // IS a node id present in `labels`, so the lookup side is labels itself; the
       // hop composes paths, doubling effective reach each round (log-d convergence).
-      val jump = prop.as("x")
-        .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
-          col("x.lbl") === col("jn"), "left")
-        .select(col("x.node").as("node"),
-          least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl"))
+      // Round 1 skips it: labels are the identity, so the hop changes nothing.
+      val jump =
+        if (!pointerJump || iter == 0) prop
+        else prop.as("x")
+          .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+            col("x.lbl") === col("jn"), "left")
+          .select(col("x.node").as("node"),
+            least(col("x.lbl"), coalesce(col("jl"), col("x.lbl"))).as("lbl"))
       // lazy checkpoint: the sum() action below materializes the iteration in ONE job
       // (an eager checkpoint would run a second, separate job per round)
       val next = jump.localCheckpoint(false)

@@ -752,7 +752,8 @@ object CorpusQueries {
     //     directories (PartitionFilters in the scan; PlanShapeSpec asserts it), the
     //     identity-partitioning analog of Iceberg partition pruning ---
     "q62_partitioned_source" -> ((s, dir) => {
-      val out = s"/tmp/graft_q62_${new java.io.File(dir).getName}"
+      // applicationId suffix: concurrent sessions on one host must not share state
+      val out = s"/tmp/graft_q62_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
       t(s, dir, "documents").withColumn("lang_p", col("lang"))
         .write.mode("overwrite").partitionBy("lang_p").parquet(out)
       s.read.parquet(out)
@@ -769,7 +770,7 @@ object CorpusQueries {
     //     into the output and the DuckDB gate would fail, so the gate itself enforces
     //     the isolation property. ---
     "q63_manifest_source" -> ((s, dir) => {
-      val out = s"/tmp/graft_q63_${new java.io.File(dir).getName}"
+      val out = s"/tmp/graft_q63_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
       t(s, dir, "documents").withColumn("lang_p", col("lang"))
         .write.mode("overwrite").partitionBy("lang_p").parquet(out)
       graft.sources.ManifestTables.commit(out, "lang_p")

@@ -28,10 +28,12 @@ object ManifestTables {
 
   def commit(dir: String, partCol: String, snapshot: Int = 0): Unit = {
     val root = Paths.get(dir)
-    val files = Files.walk(root).iterator().asScala
+    val walk = Files.walk(root)
+    val files = try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_manifests"))
       .map(p => root.relativize(p).toString)
       .toSeq.sorted
+    finally walk.close()
     def partOf(rel: String): String =
       rel.split('/').find(_.startsWith(partCol + "=")) match {
         case Some(seg) => seg.substring(partCol.length + 1)
@@ -60,12 +62,24 @@ object ManifestTables {
   private[sources] def readLatest(dir: String): Seq[Entry] = {
     val mdir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
-    val latest = Files.list(mdir).iterator().asScala.map(_.toString).toSeq.sorted.last
-    val txt = new String(Files.readAllBytes(Paths.get(latest)), StandardCharsets.UTF_8)
+    val stream = Files.list(mdir)
+    val snaps = try stream.iterator().asScala.map(_.toString).toSeq.sorted finally stream.close()
+    require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
+    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
     val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+    // partition key optional: PartitionedTable's transcript manifests share this file
+    // layout but carry no partition values (they surface as "")
     val entry =
-      ("\\{\"path\":\\s*\"([^\"]+)\",\\s*\"bytes\":\\s*(\\d+),\\s*\"partition\":\\s*\"([^\"]*)\"\\}").r
-    entry.findAllMatchIn(txt).map(m => Entry(m.group(1), m.group(2).toLong, m.group(3), snap)).toSeq
+      ("\\{\"path\":\\s*\"([^\"]+)\",\\s*\"bytes\":\\s*(\\d+)" +
+        "(?:,\\s*\"partition\":\\s*\"([^\"]*)\")?\\}").r
+    val out = entry.findAllMatchIn(txt)
+      .map(m => Entry(m.group(1), m.group(2).toLong, Option(m.group(3)).getOrElse(""), snap))
+      .toSeq
+    // loud failure on format drift: a manifest that lists files we cannot parse must
+    // never silently read as an empty table
+    require(out.nonEmpty || !txt.contains("\"path\""),
+      s"manifest ${snaps.last} lists files but none matched the entry format")
+    out
   }
 
   /** Reads the parquet files listed by the latest committed snapshot (snapshot
@@ -150,25 +164,30 @@ private class ManifestScanBuilder(dir: String)
 
 private class ManifestScan(dir: String, required: StructType,
     partitionValues: Option[Set[String]]) extends Scan with Batch {
+  // SNAPSHOT PINNED AT PLAN TIME: the manifest is resolved ONCE on the driver and the
+  // entry list ships inside the InputPartition. Reading it per-task would let a commit
+  // that lands between planning and execution (or between a task and its retry) leak
+  // a different snapshot into the same logical scan.
+  private lazy val pinned: Seq[ManifestTables.Entry] =
+    ManifestTables.readLatest(dir)
+      .filter(e => partitionValues.forall(_.contains(e.partition)))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestInputPartition(dir, partitionValues))
+    Array(ManifestInputPartition(pinned))
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required.fieldNames)
   override def description(): String =
     s"manifest_files($dir, partitions=${partitionValues.map(_.toSeq.sorted.mkString(",")).getOrElse("*")})"
 }
 
-private case class ManifestInputPartition(dir: String, partitionValues: Option[Set[String]])
+private case class ManifestInputPartition(entries: Seq[ManifestTables.Entry])
     extends InputPartition
 
 private class ManifestReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ManifestInputPartition]
-    val entries = ManifestTables.readLatest(p.dir).iterator
-      .filter(e => p.partitionValues.forall(_.contains(e.partition)))
+    val entries = partition.asInstanceOf[ManifestInputPartition].entries.iterator
     new PartitionReader[InternalRow] {
       private var cur: ManifestTables.Entry = _
       override def next(): Boolean = { val h = entries.hasNext; if (h) cur = entries.next(); h }
