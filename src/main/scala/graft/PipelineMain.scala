@@ -9,6 +9,7 @@ import graft.pipeline.{PartitionedTable, SinkRule, Transcripts, TranscriptPipeli
   *     --input <transcript table dir | "synthetic:N_CONVS:TURNS"> \
   *     --output <out dir> [--shards 4096] [--sample-rate 16] [--salt-block 4096] \
   *     [--rules sink=pattern,sink=pattern,...] [--raw-lines] [--compress]
+  *     [--compress-mode wavelet|all|off]
   *
   * Runs parse -> index -> route -> aggregate and writes per-sink tables, aggregates,
   * window stats and lineage under --output with atomic per-attempt commit markers.
@@ -62,7 +63,16 @@ object PipelineMain {
       saltBlock = opts.getOrElse("salt-block", "4096").toInt,
       sampleRate = opts.getOrElse("sample-rate", "16").toInt,
       rules = rules,
-      compressIndexes = opts.contains("compress"))
+      // --compress = RRR everywhere; --compress-mode wavelet = RRR nodes + Rank9
+      // sample marks (fast locate at most of the size win)
+      compression = opts.get("compress-mode").map {
+        case "wavelet" => graft.core.FmIndex.CompressWavelet
+        case "all" => graft.core.FmIndex.CompressAll
+        case "off" => graft.core.FmIndex.NoCompression
+        case other => sys.error(s"--compress-mode must be wavelet|all|off, got $other")
+      }.getOrElse(
+        if (opts.contains("compress")) graft.core.FmIndex.CompressAll
+        else graft.core.FmIndex.NoCompression))
 
     val turns =
       if (input.startsWith("synthetic:")) {

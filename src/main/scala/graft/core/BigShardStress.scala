@@ -79,7 +79,13 @@ object BigShardStress {
       ("huffman+rank9", new FmIndexBuilder().setSampleRate(sampleRate)),
       ("huffman+rrr", new FmIndexBuilder().setSampleRate(sampleRate).setCompression(true)),
       ("fbb+rrr", new FmIndexBuilder().setSampleRate(sampleRate)
-        .setWaveletEngine(FmIndex.Fbb).setCompression(true))
+        .setWaveletEngine(FmIndex.Fbb).setCompression(true)),
+      // MIXED: RRR wavelet nodes, Rank9 SA-sample marks — closes most of the RRR
+      // locate gap (the per-LF-step sample probe) at a fraction of a B/char
+      ("huffman+mixed", new FmIndexBuilder().setSampleRate(sampleRate)
+        .setCompressionMode(FmIndex.CompressWavelet)),
+      ("fbb+mixed", new FmIndexBuilder().setSampleRate(sampleRate)
+        .setWaveletEngine(FmIndex.Fbb).setCompressionMode(FmIndex.CompressWavelet))
     )
     val patterns = Seq("blk_", "PacketResponder", "size=1", "terminating")
     configs.foreach { case (name, builder) =>

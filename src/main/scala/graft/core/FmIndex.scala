@@ -374,8 +374,27 @@ object FmIndex {
   case object Fbb extends WaveletEngine
   case object Matrix extends WaveletEngine
 
+  /** Storage modes for the index's bitvectors. The wavelet nodes are the bulk of the
+    * size; the SA-sample mark bitvector is the locate hot path (every LF-walk step
+    * probes it). CompressWavelet therefore keeps most of CompressAll's footprint win
+    * while the locate walk pays Rank9 prices at the sample probe — the trade the
+    * reference cannot express (its compression flag is all-or-nothing).
+    */
+  sealed trait Compression
+  /** Rank9 everywhere: fastest queries, ~25% bitvector overhead. */
+  case object NoCompression extends Compression
+  /** RRR everywhere (reference-style): smallest, slowest locate. */
+  case object CompressAll extends Compression
+  /** MIXED: RRR wavelet nodes + Rank9 SA-sample marks. */
+  case object CompressWavelet extends Compression
+
   def build(input: Array[Char], sampleRate: Int = 32, enableExtract: Boolean = true,
-      compress: Boolean = false, engine: WaveletEngine = Huffman): FmIndex = {
+      compress: Boolean = false, engine: WaveletEngine = Huffman): FmIndex =
+    build(input, sampleRate, enableExtract,
+      if (compress) CompressAll else NoCompression, engine)
+
+  def build(input: Array[Char], sampleRate: Int, enableExtract: Boolean,
+      compression: Compression, engine: WaveletEngine): FmIndex = {
     require(sampleRate > 0, "sampleRate must be positive")
     val n = input.length + 1
 
@@ -433,9 +452,10 @@ object FmIndex {
       }
       i += 1
     }
-    // compress = reference-style RRR storage (entropy-sized, slower rank) for both the
-    // SA-sample marks and every wavelet node; default Rank9 favors query speed
-    val sampled = BitSeqSerde.maybeCompress(sampledB.result(), compress)
+    // CompressAll = reference-style RRR for BOTH the SA-sample marks and every wavelet
+    // node; CompressWavelet keeps the sample marks Rank9 (the locate hot path);
+    // default Rank9 everywhere favors query speed
+    val sampled = BitSeqSerde.maybeCompress(sampledB.result(), compression == CompressAll)
 
     var positions: IntVector = null
     if (enableExtract) {
@@ -449,10 +469,11 @@ object FmIndex {
     }
 
     val bwt = Bwt.fromSuffixArray(seq, sa)
+    val compressNodes = compression != NoCompression
     // Huffman-shaped wavelet: frequent BWT symbols descend ~entropy levels, not log(sigma)
     val wavelet: SymbolRankSeq = engine match {
-      case Huffman => HuffmanWaveletTree(bwt, sigma, compress)
-      case Fbb => WaveletFbb(bwt, sigma, compress)
+      case Huffman => HuffmanWaveletTree(bwt, sigma, compressNodes)
+      case Fbb => WaveletFbb(bwt, sigma, compressNodes)
       case Matrix => WaveletMatrix(bwt, sigma)
     }
 
@@ -540,16 +561,20 @@ object FmIndex {
 final class FmIndexBuilder {
   private var sampleRate: Int = 32
   private var enableExtraction: Boolean = true
-  private var compress: Boolean = false
+  private var compression: FmIndex.Compression = FmIndex.NoCompression
   private var engine: FmIndex.WaveletEngine = FmIndex.Huffman
 
   def setSampleRate(rate: Int): FmIndexBuilder = { sampleRate = rate; this }
   def setEnableExtraction(enabled: Boolean): FmIndexBuilder = { enableExtraction = enabled; this }
-  /** RRR-compressed bitvectors (reference-style storage) instead of Rank9. */
-  def setCompression(enabled: Boolean): FmIndexBuilder = { compress = enabled; this }
+  /** RRR-compressed bitvectors (reference-style all-or-nothing storage) vs Rank9. */
+  def setCompression(enabled: Boolean): FmIndexBuilder = {
+    compression = if (enabled) FmIndex.CompressAll else FmIndex.NoCompression; this
+  }
+  /** Full mode control incl. CompressWavelet (RRR nodes + Rank9 sample marks). */
+  def setCompressionMode(c: FmIndex.Compression): FmIndexBuilder = { compression = c; this }
   /** Rank engine: Huffman wavelet tree (default), fixed-block boosting, or matrix. */
   def setWaveletEngine(e: FmIndex.WaveletEngine): FmIndexBuilder = { engine = e; this }
   def build(text: Array[Char]): FmIndex =
-    FmIndex.build(text, sampleRate, enableExtraction, compress, engine)
+    FmIndex.build(text, sampleRate, enableExtraction, compression, engine)
   def build(text: String): FmIndex = build(text.toCharArray)
 }

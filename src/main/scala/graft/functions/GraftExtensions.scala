@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, BinaryExpression, Expression, ExpressionInfo, GreaterThan,
-  GreaterThanOrEqual, Literal}
+  GreaterThanOrEqual, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -101,25 +101,35 @@ object FmFingerprintPruning extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       // SOUNDNESS SCOPE: guard only when the child exposes exactly ONE (shard,
-      // alpha_fp) column pair AND the fm_count's shard argument IS that column. A
-      // filter above a self-join sees two pairs (ambiguous row provenance — wrapping
-      // the wrong pair would drop matching rows under OR), so the rule steps aside.
+      // alpha_fp) column pair, the fm_count's shard argument IS that column, AND both
+      // attributes flow unaliased from the SAME leaf relation — name-only pairing
+      // would let a same-named fingerprint from the other side of a join veto rows it
+      // says nothing about. A filter above a self-join sees two pairs (ambiguous row
+      // provenance), so the rule steps aside there too.
       val shards = child.output.filter(_.name == "shard")
       val fps = child.output.collect {
         case a: AttributeReference if a.name == "alpha_fp" && isFpType(a.dataType) => a
       }
-      if (shards.size != 1 || fps.size != 1) f
+      def sameLeaf = child.collectLeaves().exists(l =>
+        l.outputSet.contains(shards.head) && l.outputSet.contains(fps.head))
+      if (shards.size != 1 || fps.size != 1 || !sameLeaf) f
       else {
         val fp = fps.head
+        // NULL-SAFE GUARD: alpha_fp reads as nullable from parquet; a bare
+        // And(AlphaMayContain(fp, p), cmp) is null when fp is null, silently dropping
+        // rows whose fm_count predicate is true. Or(IsNull(fp), test) keeps the
+        // rewrite a pure short-circuit: unknown fingerprint = no pruning.
+        def guard(pattern: Expression): Expression =
+          Or(IsNull(fp), AlphaMayContain(fp, pattern))
         var changed = false
         val guarded = cond.transformUp {
           // fm_count(shard, p) > n (n >= 0)  /  fm_count(shard, p) >= n (n >= 1)
           case cmp @ GreaterThan(fc: FmCount, n)
               if positiveGt(n) && fc.left.semanticEquals(shards.head) =>
-            changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+            changed = true; And(guard(fc.right), cmp)
           case cmp @ GreaterThanOrEqual(fc: FmCount, n)
               if positiveGte(n) && fc.left.semanticEquals(shards.head) =>
-            changed = true; And(AlphaMayContain(fp, fc.right), cmp)
+            changed = true; And(guard(fc.right), cmp)
         }
         // Idempotence is enforced by the exists() check below, NOT by the patterns:
         // a guarded And(alpha_may_contain, fm_count > 0) still re-matches its inner

@@ -43,7 +43,9 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    var checksum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: sum() over zero rows is NULL — an empty edge set must return an empty
+    // labeling, not NPE (the q44 feed is non-empty, but run() is a public API)
+    var checksum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -67,13 +69,34 @@ object ConnectedComponents {
       // lazy checkpoint: the sum() action below materializes the iteration in ONE job
       // (an eager checkpoint would run a second, separate job per round)
       val next = jump.localCheckpoint(false)
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       converged = nextSum == checksum // labels are monotone non-increasing: equal sum = fixpoint
       checksum = nextSum
+      // round N only ever reads round N's checkpoint — free the superseded round's
+      // blocks eagerly so storage stays bounded at ONE label snapshot regardless of
+      // round count. Dataset.unpersist only clears cacheManager entries, not
+      // localCheckpoint blocks, so the unpersist must hit the checkpointed RDD itself
+      // (safe here: `next` was just materialized by the sum action, truncating its
+      // lineage past the previous round).
+      freeCheckpoint(labels)
       labels = next
       iter += 1
     }
     sym.unpersist()
     (labels.select(col("node"), col("lbl").as("cluster_id")), iter)
   }
+
+  /** Unpersists the block store behind a localCheckpoint'd frame (its analyzed plan is
+    * a LogicalRDD over the checkpointed RDD). No-op for non-checkpointed frames.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Spec hook: ids of the RDD blocks currently persisted for `df`'s checkpoint. */
+  private[graft] def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
 }

@@ -34,6 +34,36 @@ object CorpusQueries {
 
   // ---------------------------------------------------------------- helpers (Spark side)
 
+  /** Distributed dense rank ids 1..N in `order` (which must be a TOTAL order — ids are
+    * then independent of partition boundaries): range-repartition on the sort key, rank
+    * locally per partition, add per-partition offsets. The only driver-side data is one
+    * row count per partition (cluster-bounded); nothing ever funnels the full input
+    * through one task — the scale-safe replacement for a partitionless
+    * `row_number().over(Window.orderBy(...))`.
+    *
+    * MEMORY_ONLY persist: the ranged frame is read by the size-count job and the final
+    * job; eviction under pressure is safe because recomputation is deterministic
+    * (RangePartitioner samples with fixed per-partition-index seeds), and MEMORY_ONLY
+    * frees rather than spills when the executor needs the room.
+    */
+  def rankedIds(dfIn: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
+    val s = dfIn.sparkSession
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = dfIn.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sizes = ranged.groupBy(col("__pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      sizes.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged
+      .withColumn(idCol,
+        row_number().over(w).cast("long") + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
   private def words(c: Column): Column = split(c, " ")
@@ -159,8 +189,14 @@ object CorpusQueries {
     * (interpreted higher-order lambdas cost ~10x here); the band join + dedup stay
     * declarative Catalyst — candidates are an EQUI-JOIN on (band_idx, band), never
     * all-pairs.
+    *
+    * `maxBucket` is the web-scale hot-bucket guard (see SimilarityLsh.candidatePairs):
+    * a band value shared by k docs (boilerplate pages, empty-ish docs) emits k^2/2
+    * candidate rows in one shuffle partition; buckets above the cap are dropped before
+    * the self-join via a partial+final count. Default None = oracle-exact.
     */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     import s.implicits._
     val bands = tWide(s, dir, "documents")
       .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -199,8 +235,15 @@ object CorpusQueries {
         }
       }
       .toDF("doc_id", "band_idx", "band")
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
-    val c = bands.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
+    val capped = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        val sizes = bands.groupBy(col("band_idx"), col("band")).count()
+          .filter(col("count") <= cap).drop("count")
+        bands.join(sizes, Seq("band_idx", "band"))
+    }
+    val a = capped.select(col("doc_id").as("doc_a"), col("band_idx"), col("band"))
+    val c = capped.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"), col("band").as("b2"))
     a.join(c, col("band_idx") === col("bi2") && col("band") === col("b2") &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -435,17 +478,19 @@ object CorpusQueries {
 
     // --- TF-IDF-style distinctive terms: top-3 per doc by (tf desc, df asc) ---
     // Integer ranking (tf, df) keeps both engines bit-exact. SINGLE corpus pass:
-    // explode once, tf = partial+final hash agg, df = count over a term-partitioned
-    // window on the (doc, term) rows (tf has one row per doc containing the term, so
-    // the window count IS the document frequency) — no second explode, no join.
+    // explode once, tf = partial+final hash agg; df = a partial+final count over the
+    // tf rows (tf has exactly one row per doc containing the term, so count(*) per
+    // term IS the document frequency) joined back on the term key. The groupBy's
+    // map-side partial agg absorbs stop-word-grade hot terms — the round-2
+    // term-partitioned window put every row of a hot term into ONE window partition.
     "q45_top_terms" -> ((s, dir) => {
       val tf = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val wDf = Window.partitionBy(col("term"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(wDf))
+      tf.join(df, "term")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -477,15 +522,22 @@ object CorpusQueries {
     }),
 
     // --- frequency-ranked token-id vocabulary + per-doc id stats: the tokenizer-prep
-    //     step of a training pipeline. The vocab ranking is an inherently global sort,
-    //     but its input is the AGGREGATED vocab (bounded), not the corpus; the apply
-    //     side is a broadcast join. ---
+    //     step of a training pipeline. The (count desc, term) ranking is a DISTRIBUTED
+    //     range-partitioned sort: ids = per-partition row_number + a per-partition
+    //     offset (cumulative sizes of the preceding ranges). The only driver-side data
+    //     is one count per partition — cluster-bounded, never data-bounded — so a
+    //     billion-term web vocab ranks in parallel (round 2 used a partitionless
+    //     Window = the whole vocab through one task; PlanShapeSpec now bans that
+    //     shape). The total order is unchanged (term is unique), so ids and the
+    //     oracle hash are identical. The APPLY side stays a broadcast join: a
+    //     tokenizer vocab is capped by construction; uncapped vocabs would drop the
+    //     hint and shuffle on term. ---
     "q28_token_ids" -> ((s, dir) => {
       val tok = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .withColumn("id", row_number()
-          .over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      val vocab = rankedIds(
+        tok.groupBy(col("term")).agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("term")), "id")
         .select(col("term"), col("id"))
       tok.join(broadcast(vocab), "term")
         .groupBy(col("doc_id"))
@@ -781,6 +833,30 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"))
         .select(col("lang_p").as("lang"), col("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // --- DSv2 manifest DATA source (the Iceberg data-path analog): rows are served by
+    //     graft.sources.ManifestDataSource itself — pinned snapshot, one InputPartition
+    //     per committed file, the lang_p partition-value filter pruning whole files AT
+    //     THE MANIFEST before any parquet footer opens, partition column served as a
+    //     real column from the manifest's recorded values. The stray uncommitted file
+    //     (under the filtered-out 'zz' partition AND a second one under 'en') keeps the
+    //     oracle gate enforcing snapshot isolation on the data path. PlanShapeSpec pins
+    //     the pruned file count + pushed filter. ---
+    "q63b_manifest_data" -> ((s, dir) => {
+      val out = s"/tmp/graft_q63b_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+      t(s, dir, "documents").withColumn("lang_p", col("lang"))
+        .write.mode("overwrite").partitionBy("lang_p").parquet(out)
+      graft.sources.ManifestTables.commit(out, "lang_p")
+      t(s, dir, "documents").limit(5)
+        .write.mode("overwrite").parquet(s"$out/lang_p=zz") // in-flight, uncommitted
+      t(s, dir, "documents").limit(3).withColumn("n_chars", lit(-1L))
+        .write.mode("append").parquet(s"$out/lang_p=en")    // stray INSIDE the read partition
+      s.read.format("graft.sources.ManifestDataSource").load(out)
+        .filter(col("lang_p") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
     }),
 
     // --- multimodal frame sampling through the REAL batched mapPartitions path:
@@ -1133,6 +1209,9 @@ object CorpusQueries {
         |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_manifest_source" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63b_manifest_data" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -1148,7 +1227,7 @@ object CorpusQueries {
          |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
          |  ('k8','"k": 8')) AS r(sink, pattern))
          |SELECT r.sink, t.conv_id, t.turn_idx,
-         |  CAST((length(t.text) - length(replace(t.text, r.pattern, ''))) / length(r.pattern) AS INT) AS n_matches
+         |  CAST(${duckOverlapCount("r.pattern")} AS INT) AS n_matches
          |FROM transcripts t JOIN rules r ON contains(t.text, r.pattern)
          |ORDER BY r.sink, t.conv_id, t.turn_idx""".stripMargin,
     "q72_conv_agg" ->
@@ -1157,7 +1236,7 @@ object CorpusQueries {
          |  ('k8','"k": 8')) AS r(sink, pattern)),
          |routed AS (
          |  SELECT r.sink, t.conv_id, t.turn_idx, t.ts,
-         |    (length(t.text) - length(replace(t.text, r.pattern, ''))) / length(r.pattern) AS n_matches
+         |    ${duckOverlapCount("r.pattern")} AS n_matches
          |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
          |SELECT sink, conv_id, count(*) AS n_turns, CAST(sum(n_matches) AS BIGINT) AS n_matches,
          |  min(ts) AS first_ts, max(ts) AS last_ts

@@ -27,7 +27,7 @@ object DocShards {
   val Separator = '\n'
 
   def build(spark: SparkSession, docs: DataFrame, numShards: Int, sampleRate: Int = 8,
-      compress: Boolean = false): Dataset[DocShard] = {
+      compression: FmIndex.Compression = FmIndex.NoCompression): Dataset[DocShard] = {
     import spark.implicits._
     docs
       .select(col("doc_id").cast("long"), col("text"))
@@ -59,7 +59,7 @@ object DocShards {
             val corpus = new Array[Char](sb.length)
             sb.getChars(0, sb.length, corpus, 0)
             val fm = new FmIndexBuilder().setSampleRate(sampleRate)
-              .setCompression(compress).build(corpus)
+              .setCompressionMode(compression).build(corpus)
             // char-presence fingerprint: lets a filter on fm_count(shard, p) > 0 skip
             // the shard without deserializing (FmFingerprintPruning optimizer rule)
             DocShard(shardId, fm.serialize(), ids.toArray, offsets.toArray, lens.toArray,
@@ -136,7 +136,10 @@ object DocShards {
         if (t < 0) t = -t - 2
         if (!first.contains(t)) first(t) = pos - s.offsets(t)
       }
-      val dest = new Array[Char](1 << 16)
+      // sized from the shard's own max doc length (+1 for the boundary char) — a fixed
+      // 64 KiB buffer would make extractUntilBoundary{Left,Right} throw on any longer
+      // document even though the lengths are known here
+      val dest = new Array[Char](math.max(1 << 16, if (s.lens.isEmpty) 0 else s.lens.max + 1))
       first.iterator.map { case (t, local) =>
         val g = s.offsets(t) + local
         val prefix =
@@ -169,7 +172,7 @@ object DocShards {
         if (t < 0) t = -t - 2
         seen += t
       }
-      val dest = new Array[Char](1 << 16)
+      val dest = new Array[Char](math.max(1 << 16, if (s.lens.isEmpty) 0 else s.lens.max + 1))
       seen.iterator.map { t =>
         // reconstruct the whole document by boundary extraction around its first char
         val n = fm.extractUntilBoundary(s.offsets(t), dest, 0, Separator)

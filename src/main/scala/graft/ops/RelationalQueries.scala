@@ -267,13 +267,18 @@ object RelationalQueries {
     }),
 
     // --- exact percentiles (sort-based, interpolated) per group ---
+    // Anchored in integer cents: interpolation endpoints are then exactly-representable
+    // BIGINTs and the only float op is the interpolation itself plus ONE final /100 —
+    // the repo's numeric-exactness rule. Raw-double percentiles passed at sf0.001 but
+    // are not guaranteed ulp-identical across engines at every scale factor.
     "q13b_percentiles" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
-          percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+          (percentile(cents, lit(0.5)) / 100).as("p50"),
+          (percentile(cents, lit(0.9)) / 100).as("p90"),
+          (percentile(cents, lit(0.99)) / 100).as("p99"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -576,9 +581,9 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13b_percentiles" ->
       """SELECT o_orderpriority,
-        |  quantile_cont(o_totalprice, 0.5) AS p50,
-        |  quantile_cont(o_totalprice, 0.9) AS p90,
-        |  quantile_cont(o_totalprice, 0.99) AS p99,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100 AS p50,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100 AS p90,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) / 100 AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15b_pivot" ->

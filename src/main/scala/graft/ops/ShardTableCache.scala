@@ -27,15 +27,31 @@ private[graft] object ShardTableCache {
       cache.getOrElseUpdate(key(s, tag), build.persist()).asInstanceOf[Dataset[T]]
     }
 
+  /** SPARK_GRAFT_SHARD_COMPRESSION=off|all|wavelet flips the storage mode of every
+    * catalog shard table WITHOUT touching query code — how the driver's CORRECTNESS
+    * battery is re-run against compressed/mixed shards (results must be identical:
+    * compression is storage-only).
+    */
+  private[graft] def compressionMode: graft.core.FmIndex.Compression =
+    sys.env.getOrElse("SPARK_GRAFT_SHARD_COMPRESSION", "off") match {
+      case "all" => graft.core.FmIndex.CompressAll
+      case "wavelet" => graft.core.FmIndex.CompressWavelet
+      case _ => graft.core.FmIndex.NoCompression
+    }
+
   def docShards(s: SparkSession, dir: String, numShards: Int): Dataset[DocShard] =
-    getOrBuild(s, s"docs:$dir:$numShards") {
-      DocShards.build(s, s.read.parquet(s"$dir/documents.parquet"), numShards)
+    getOrBuild(s, s"docs:$dir:$numShards:$compressionMode") {
+      DocShards.build(s, s.read.parquet(s"$dir/documents.parquet"), numShards,
+        compression = compressionMode)
     }
 
   def eventShards(s: SparkSession, dir: String, cfg: TranscriptPipeline.Config): Dataset[ShardRow] = {
     import s.implicits._
-    getOrBuild(s, s"events:$dir:$cfg") {
-      TranscriptPipeline.buildShards(s, CorpusQueries.eventTranscripts(s, dir).as[Turn], cfg)
+    val effective =
+      if (compressionMode == graft.core.FmIndex.NoCompression) cfg
+      else cfg.copy(compression = compressionMode)
+    getOrBuild(s, s"events:$dir:$effective") {
+      TranscriptPipeline.buildShards(s, CorpusQueries.eventTranscripts(s, dir).as[Turn], effective)
     }
   }
 }

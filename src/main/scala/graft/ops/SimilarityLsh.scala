@@ -63,11 +63,30 @@ object SimilarityLsh {
   /** Distinct unordered candidate pairs (id_a < id_b) sharing any band (and every
     * `matchCols` group key, e.g. a media `kind`). The equi-join shuffles on the band
     * key — no cartesian anywhere.
+    *
+    * `maxBucket`: web-scale guard against degenerate buckets (a band value shared by k
+    * rows emits k^2/2 candidates inside ONE shuffle partition — all-zero embeddings,
+    * boilerplate docs). Buckets larger than the cap are dropped BEFORE the self-join via
+    * a partial+final count on the band key, bounding any bucket's candidate fan-out at
+    * maxBucket^2/2. Costs recall only on pairs whose every shared band is degenerate —
+    * exactly the pairs an exact rerank would mostly reject. Default None keeps the
+    * oracle-exact behavior (q41/q44/q52 gates compare against a capless SQL pipeline).
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String, matchCols: Seq[String] = Nil): DataFrame = {
+  def candidatePairs(bandsDf: DataFrame, idCol: String, matchCols: Seq[String] = Nil,
+      maxBucket: Option[Int] = None): DataFrame = {
     val keys = Seq("band_idx", "band_val") ++ matchCols
-    val a = bandsDf.select((col(idCol).as("id_a") +: keys.map(col)): _*)
-    val b = bandsDf.select((col(idCol).as("id_b") +: keys.map(c => col(c).as(s"__r_$c"))): _*)
+    val capped = maxBucket match {
+      case None => bandsDf
+      case Some(cap) =>
+        // partial+final groupBy absorbs the hot key map-side; the join back is an
+        // equi-join on the same band key the pair join shuffles on (no extra exchange
+        // of the big side under AQE-reused partitioning)
+        val sizes = bandsDf.groupBy(keys.map(col): _*).count()
+          .filter(col("count") <= cap).drop("count")
+        bandsDf.join(sizes, keys)
+    }
+    val a = capped.select((col(idCol).as("id_a") +: keys.map(col)): _*)
+    val b = capped.select((col(idCol).as("id_b") +: keys.map(c => col(c).as(s"__r_$c"))): _*)
     val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
       col("id_a") < col("id_b")
     a.join(b, cond).select((col("id_a") +: col("id_b") +: matchCols.map(col)): _*).distinct()

@@ -26,6 +26,60 @@ import scala.jdk.CollectionConverters._
   */
 object ManifestTables {
 
+  /** Minimal JSON string escape/unescape — a path or partition value containing a
+    * quote, backslash or control char must survive the manifest round-trip verbatim
+    * (an unescaped quote would truncate the entry and silently drop the file).
+    */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[sources] def jsonUnescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case other => sb.append(other); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Decodes Hive's %XX partition-directory escaping (Spark writes `a b` as `a%20b`)
+    * so manifests carry the RAW partition value — readers then never re-derive values
+    * from file paths.
+    */
+  private[sources] def hiveUnescape(s: String): String =
+    if (s.indexOf('%') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   def commit(dir: String, partCol: String, snapshot: Int = 0): Unit = {
     val root = Paths.get(dir)
     val walk = Files.walk(root)
@@ -36,16 +90,16 @@ object ManifestTables {
     finally walk.close()
     def partOf(rel: String): String =
       rel.split('/').find(_.startsWith(partCol + "=")) match {
-        case Some(seg) => seg.substring(partCol.length + 1)
+        case Some(seg) => hiveUnescape(seg.substring(partCol.length + 1))
         case None => ""
       }
     val fileList = files.map { f =>
-      s"""    {"path": "$f", "bytes": ${Files.size(root.resolve(f))}, "partition": "${partOf(f)}"}"""
+      s"""    {"path": "${jsonEscape(f)}", "bytes": ${Files.size(root.resolve(f))}, "partition": "${jsonEscape(partOf(f))}"}"""
     }
     val json =
       s"""{
          |  "snapshot": $snapshot,
-         |  "partition_column": "$partCol",
+         |  "partition_column": "${jsonEscape(partCol)}",
          |  "files": [
          |${fileList.mkString(",\n")}
          |  ]
@@ -59,21 +113,26 @@ object ManifestTables {
 
   private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int)
 
+  // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
+  private val JStr = "((?:[^\"\\\\]|\\\\.)*)"
+
   private[sources] def readLatest(dir: String): Seq[Entry] = {
     val mdir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
     val stream = Files.list(mdir)
-    val snaps = try stream.iterator().asScala.map(_.toString).toSeq.sorted finally stream.close()
+    val snaps = try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
+      .toSeq.sorted finally stream.close()
     require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
     val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
     val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
     // partition key optional: PartitionedTable's transcript manifests share this file
     // layout but carry no partition values (they surface as "")
     val entry =
-      ("\\{\"path\":\\s*\"([^\"]+)\",\\s*\"bytes\":\\s*(\\d+)" +
-        "(?:,\\s*\"partition\":\\s*\"([^\"]*)\")?\\}").r
+      (s"\\{\"path\":\\s*\"$JStr\",\\s*\"bytes\":\\s*(\\d+)" +
+        s"(?:,\\s*\"partition\":\\s*\"$JStr\")?\\}").r
     val out = entry.findAllMatchIn(txt)
-      .map(m => Entry(m.group(1), m.group(2).toLong, Option(m.group(3)).getOrElse(""), snap))
+      .map(m => Entry(jsonUnescape(m.group(1)), m.group(2).toLong,
+        jsonUnescape(Option(m.group(3)).getOrElse("")), snap))
       .toSeq
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
@@ -82,17 +141,32 @@ object ManifestTables {
     out
   }
 
-  /** Reads the parquet files listed by the latest committed snapshot (snapshot
-    * isolation: directory listings are never trusted) and restores the partition
-    * column from the manifest's partition values.
+  /** The partition column name recorded by the latest committed snapshot ("" if the
+    * manifest predates partition recording, e.g. PartitionedTable transcript tables).
+    */
+  private[sources] def readPartitionColumn(dir: String): String = {
+    val mdir = Paths.get(dir, "_manifests")
+    require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
+    val stream = Files.list(mdir)
+    val snaps = try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
+      .toSeq.sorted finally stream.close()
+    require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
+    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+  }
+
+  /** Reads the latest committed snapshot through the DSv2 data source (snapshot
+    * isolation: directory listings are never trusted). The partition column is served
+    * as a REAL column straight from the manifest's recorded values — nothing is
+    * re-derived from file paths — and partition-value filters prune whole files at the
+    * manifest before any parquet footer is opened.
     */
   def readData(spark: SparkSession, dir: String, partCol: String) = {
-    import org.apache.spark.sql.functions._
-    val entries = readLatest(dir)
-    val paths = entries.map(e => s"$dir/${e.path}")
-    spark.read.parquet(paths: _*)
-      .withColumn(partCol,
-        regexp_extract(input_file_name(), java.util.regex.Pattern.quote(partCol + "=") + "([^/]+)/", 1))
+    val recorded = readPartitionColumn(dir)
+    require(recorded == partCol,
+      s"manifest under $dir records partition column '$recorded', caller asked for '$partCol'")
+    spark.read.format("graft.sources.ManifestDataSource").load(dir)
   }
 }
 

@@ -41,6 +41,38 @@ class FmIndexSpec extends AnyFunSuite {
     assert(smallBytes < fastBytes, "RRR build should serialize smaller on log text")
   }
 
+  test("CompressWavelet mixed build: identical answers, size between Rank9 and full RRR") {
+    val rnd = new Random(4321)
+    val fast = new FmIndexBuilder().setSampleRate(8).build(LogChars)
+    val full = new FmIndexBuilder().setSampleRate(8).setCompression(true).build(LogChars)
+    val mixed = new FmIndexBuilder().setSampleRate(8)
+      .setCompressionMode(FmIndex.CompressWavelet).build(LogChars)
+    for (_ <- 0 until 60) {
+      val start = rnd.nextInt(LogCorpus.length - 32)
+      val pat = LogCorpus.substring(start, start + 1 + rnd.nextInt(31)).toCharArray
+      assert(mixed.count(pat) == fast.count(pat))
+      assert(mixed.locateAll(pat).toSeq == fast.locateAll(pat).toSeq)
+    }
+    val a = rnd.nextInt(LogCorpus.length - 64)
+    assert(mixed.extractString(a, a + 64) == fast.extractString(a, a + 64))
+    val buf = new Array[Char](LogCorpus.length + 2)
+    val buf2 = new Array[Char](LogCorpus.length + 2)
+    val n = mixed.extractUntilBoundary(a, buf, 0, '\n')
+    val n2 = fast.extractUntilBoundary(a, buf2, 0, '\n')
+    assert(new String(buf, 0, n) == new String(buf2, 0, n2))
+    val back = FmIndex.deserialize(mixed.serialize())
+    assert(back.hashCode == mixed.hashCode)
+    assert(back.count("the".toCharArray) == fast.count("the".toCharArray))
+    val (fb, mb, cb) = (fast.serialize().length, mixed.serialize().length, full.serialize().length)
+    info(s"serialized bytes: rank9=$fb mixed=$mb rrr=$cb")
+    // structural invariant: mixed = full-RRR wavelet + UNCOMPRESSED sample marks, so it
+    // can never serialize below full RRR. Whether it beats Rank9 depends on how
+    // compressible the wavelet nodes are — on this deliberately multichar-rich fixture
+    // they barely are; the 128M-char log-like stress shard is where the win shows
+    // (BENCH.md table). The answers being identical is the contract under test.
+    assert(mb >= cb, "mixed mode cannot be smaller than full RRR")
+  }
+
   test("count on a simple string") {
     val text = "This is a long string\u0000".toCharArray
     val fmi = new FmIndexBuilder().setEnableExtraction(false).build(text)

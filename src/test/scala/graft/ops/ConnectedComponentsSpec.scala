@@ -59,6 +59,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("empty edge input returns an empty labeling (no NPE on null sum)") {
+    import spark.implicits._
+    val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.collect().isEmpty)
+  }
+
+  test("checkpoint storage stays bounded across many rounds (superseded blocks freed)") {
+    import spark.implicits._
+    // 2^10-long chain → ~log2(1024) pointer-jump rounds, one localCheckpoint each
+    val chain = (0L until 1024L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (labels, rounds) = ConnectedComponents.runWithRounds(chain.toDF("a", "b"))
+    labels.count()
+    assert(rounds >= 8, s"expected >= 8 rounds on a 1025-chain, got $rounds")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL round's checkpoint (plus anything the session held before) may
+    // remain — round N-1's blocks must be freed when round N lands
+    assert(after <= before + 1,
+      s"persisted RDDs grew $before -> $after across $rounds rounds — checkpoints leak")
+  }
+
   test("q44 clusters are consistent: every LSH/exact edge lands in one cluster") {
     val dir = "/root/testdata/sf0.001"
     val clusters = CorpusQueries.queries("q44_dup_clusters")(spark, dir)

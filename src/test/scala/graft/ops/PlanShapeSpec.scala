@@ -56,18 +56,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("labeled brute-force baselines are the only nested-loop plans in the catalog") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
-      val p = plan(q)
+  test("catalog-wide: no unlabeled nested-loop joins, no partitionless Window") {
+    val nlOffenders = scala.collection.mutable.ListBuffer[(String, Int)]()
+    val winOffenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val p = exec.toString
       val nl = "CartesianProduct".r.findAllIn(p).size +
         "BroadcastNestedLoopJoin".r.findAllIn(p).size
-      if (nl > 0) Some(q -> nl) else None
+      if (nl > 0) nlOffenders += (q -> nl)
+      // a Window with no partition keys funnels its ENTIRE input through one task —
+      // the q28 round-2 hazard; banned everywhere in the catalog
+      val bare = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      if (bare.nonEmpty) winOffenders += q
     }
     // q50 IS the brute-force baseline; q51b carries one bounded brute side for its
     // recall hit column. Nothing else may nest-loop.
     val allowed = Set("q50_knn_brute", "q51b_ivf_kmeans")
-    assert(offenders.map(_._1).toSet.subsetOf(allowed),
-      s"unexpected nested-loop joins: $offenders")
+    assert(nlOffenders.map(_._1).toSet.subsetOf(allowed),
+      s"unexpected nested-loop joins: $nlOffenders")
+    assert(winOffenders.isEmpty,
+      s"partitionless Window (single-task global sort) in: $winOffenders")
   }
 
   test("q18 as-of join: pure window composition, no join operator at all") {
@@ -76,10 +88,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), "as-of must resolve via a single partitioned window")
   }
 
-  test("q45 top-terms: single corpus pass — df via window, no join, no second explode") {
+  test("q45 top-terms: df is an aggregated equi-join side, never a hot-term window") {
     val p = plan("q45_top_terms")
-    assert(!p.contains("Join"), s"q45 must not join:\n${p.take(1500)}")
-    assert("Generate".r.findAllIn(p).size == 1, "corpus must be exploded exactly once")
+    // two Generates — one per diamond branch (tf, and df's re-aggregation of tf):
+    // a deliberate second MAP-SIDE pass, traded for removing the round-2
+    // term-partitioned window that funneled every row of a stop-word-grade term
+    // into one window partition. Map passes scale linearly; hot keys don't.
+    assert("Generate".r.findAllIn(p).size <= 2, "df must re-aggregate, not re-explode more")
+    // a term-partitioned window spec is exactly the hot-key shape being banned (the
+    // rank window may still ORDER by df — that one partitions by doc_id)
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df must not come from a term-partitioned window:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q18b range join: banded equi-join, never a nested-loop theta join") {
@@ -123,6 +143,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scan.contains("lang_p") && !scan.contains("PartitionFilters: []"),
       s"partition filter did not reach the scan: $scan")
+  }
+
+  test("q63b: the DSv2 manifest data scan pins partitions=en and prunes files") {
+    val df = SparkEntry.queries("q63b_manifest_data")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("manifest_data")).getOrElse("")
+    assert(scan.contains("partitions=en"), s"partition filter not pushed: $scan")
+    val files = "files=(\\d+)".r.findFirstMatchIn(scan).map(_.group(1).toInt)
+    assert(files.exists(n => n > 0 && n <= 8),
+      s"expected a small pruned file count (one partition's files), got $files in: $scan")
   }
 
   test("q26: fingerprint-pruning rule fires on every fm_count filter branch") {

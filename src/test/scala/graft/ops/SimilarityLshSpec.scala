@@ -108,6 +108,28 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(dups.filter(col("cos") < 0.9999).count() == 0)
   }
 
+  test("hot-bucket cap bounds candidate fan-out on an adversarial corpus; default stays exact") {
+    // adversarial: 400 all-equal embeddings land in ONE bucket per band (k^2/2 pairs
+    // = 79,800 uncapped); 20 distinct vectors form small honest buckets
+    val planes = SimilarityLsh.planeWeights(nPlanes = 8, dim = 4)
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, Array(1f, 2f, 3f, 4f))) ++
+      (400L until 420L).map(i => (i, Array.tabulate(4)(j => (i % 13 + j).toFloat)))
+    val bands = SimilarityLsh.bands(rows.toDF("id", "embedding"), "id", "embedding",
+      planes, bandBits = 4)
+    val uncapped = SimilarityLsh.candidatePairs(bands, "id").count()
+    val capped = SimilarityLsh.candidatePairs(bands, "id", maxBucket = Some(50)).count()
+    assert(uncapped >= 79800L, s"adversarial corpus should explode uncapped: $uncapped")
+    // every bucket the degenerate vectors share exceeds the cap → their pairs vanish;
+    // remaining candidates are bounded by (bands x cap^2/2)
+    assert(capped <= 50L * 50 * 2 / 2, s"cap failed to bound candidates: $capped")
+    // the honest small buckets survive the cap
+    val honest = SimilarityLsh.candidatePairs(bands, "id", maxBucket = Some(50))
+      .filter(col("id_a") >= 400L).count()
+    assert(honest > 0, "cap must not drop small honest buckets")
+    info(s"uncapped=$uncapped capped=$capped honest=$honest")
+  }
+
   test("ShardCache keys by content: equal-hashCode inputs cannot alias") {
     // two different corpora -> different shards; cache must hold BOTH and answer each
     ShardCache.clear()

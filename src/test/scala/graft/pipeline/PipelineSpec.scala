@@ -62,7 +62,8 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("FBB + RRR engine config routes identically (wavelet engine is a pure knob)") {
-    val fbbCfg = cfg.copy(waveletEngine = graft.core.FmIndex.Fbb, compressIndexes = true)
+    val fbbCfg = cfg.copy(waveletEngine = graft.core.FmIndex.Fbb,
+      compression = graft.core.FmIndex.CompressAll)
     val base = TranscriptPipeline.route(spark,
         TranscriptPipeline.buildShards(spark, turns, cfg), cfg.rules)
       .select("sink", "conv_id", "turn_idx", "text")

@@ -96,4 +96,96 @@ class ManifestSourceSpec extends AnyFunSuite {
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  // ------------------------------------------------------------ DSv2 DATA table (r3)
+
+  private def dataTable(out: String) =
+    spark.read.format(classOf[ManifestDataSource].getName).load(out)
+
+  private def inputPartitionCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // AQE: executedPlan is final only after execution
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.inputRDD.getNumPartitions
+    }.sum
+  }
+
+  test("data table: a partition filter prunes whole FILES at the manifest") {
+    val out = freshTable()
+    val all = dataTable(out)
+    val en = dataTable(out).filter(col("lang_p") === "en")
+    val totalFiles = inputPartitionCount(all.select("doc_id"))
+    val enFiles = inputPartitionCount(en.select("doc_id"))
+    assert(totalFiles > enFiles && enFiles > 0,
+      s"expected manifest-level file pruning: total=$totalFiles en=$enFiles")
+    val scanLine = en.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("partitions=en"), s"filter not pushed: $scanLine")
+    // values match a plain pre-stray read
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(en.count() == want)
+  }
+
+  test("data table: full row fidelity vs the parquet reader (all columns, sorted)") {
+    val out = freshTable()
+    val got = dataTable(out)
+      .select("doc_id", "text", "lang", "source", "n_chars", "lang_p")
+      .orderBy("doc_id").collect()
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("lang_p", col("lang"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "lang_p")
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("data table: column pruning reaches the projected parquet read") {
+    val out = freshTable()
+    val df = dataTable(out).select("n_chars")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("n_chars#") && !scanLine.contains("text#"),
+      s"scan did not prune columns: $scanLine")
+    val got = df.agg(sum("n_chars")).head().getLong(0)
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(got == want)
+  }
+
+  test("data table: zero-column scans (count(*)) read only footer row counts") {
+    val out = freshTable()
+    assert(dataTable(out).count() ==
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+    // partition-column-only projection also avoids data pages
+    val parts = dataTable(out).select("lang_p").groupBy("lang_p").count().collect()
+    assert(parts.map(_.getString(0)).toSet == Set("en", "fr", "es", "de", "zh"))
+  }
+
+  test("data table: timestamps and doubles round-trip (events-shaped schema)") {
+    val out = Files.createTempDirectory("manifest_src_ev").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("et_p", col("event_type"))
+      .write.mode("overwrite").partitionBy("et_p").parquet(out)
+    ManifestTables.commit(out, "et_p")
+    val got = dataTable(out).select("event_id", "ts", "value", "et_p").orderBy("event_id").collect()
+    val want = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("et_p", col("event_type"))
+      .select("event_id", "ts", "value", "et_p").orderBy("event_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("manifest escaping: quotes/backslashes in values and %XX partition dirs round-trip") {
+    assert(ManifestTables.jsonUnescape(ManifestTables.jsonEscape("a\"b\\c\nd")) == "a\"b\\c\nd")
+    assert(ManifestTables.hiveUnescape("a%20b%3Ac") == "a b:c")
+    assert(ManifestTables.hiveUnescape("100%25") == "100%")
+    assert(ManifestTables.hiveUnescape("no-escapes") == "no-escapes")
+    // end-to-end: a partition VALUE containing a space (Hive-escaped on disk) is
+    // served raw by the data table and filterable by its raw form
+    val out = Files.createTempDirectory("manifest_src_esc").toString
+    spark.range(4).withColumn("p", concat(lit("v "), (col("id") % 2).cast("string")))
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    ManifestTables.commit(out, "p")
+    val vals = dataTable(out).select("p").distinct().collect().map(_.getString(0)).toSet
+    assert(vals == Set("v 0", "v 1"), s"got $vals")
+    assert(dataTable(out).filter(col("p") === "v 1").count() == 2)
+  }
 }
