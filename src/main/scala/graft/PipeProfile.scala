@@ -1,18 +1,27 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.pipeline.{Transcripts, TranscriptPipeline}
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
-/** Dev tool: per-stage wall times of the transcript pipeline at a given core count, to
-  * see where end-to-end throughput goes (parse / shuffle+sort / fm build / route /
-  * sinks+aggregates). Usage: runMain graft.PipeProfile [cores] [rawDir]
+/** Per-stage wall times + heap peaks of the transcript pipeline at a given core count —
+  * where end-to-end throughput and executor memory go (parse / shuffle+sort / fm build /
+  * route / sinks+aggregates). local-mode executors share the driver JVM, so the sampled
+  * heap peak IS the all-executors working set; divide by cores for a per-executor-core
+  * sizing estimate at cluster scale.
+  *
+  * Usage: runMain graft.PipeProfile [cores] [rawDir] [nConvs] [turnsPerConv]
+  *   - rawDir missing on disk -> generated at nConvs x turnsPerConv (defaults 15000x120)
+  *   - prints one [profile-json] line with stage seconds, heap peaks and turns/sec
+  *     (the scale-evidence artifact recorded in BENCH.md)
   */
 object PipeProfile {
   def main(args: Array[String]): Unit = {
     val cores = if (args.length > 0) args(0).toInt else 8
-    val rawDir = if (args.length > 1) args(1) else "/tmp/graft_bench_rawlines_15000x120"
+    val nConvs = if (args.length > 2) args(2).toInt else 15000
+    val turnsPerConv = if (args.length > 3) args(3).toInt else 120
+    val rawDir =
+      if (args.length > 1) args(1) else s"/tmp/graft_bench_rawlines_${nConvs}x$turnsPerConv"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -21,16 +30,39 @@ object PipeProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
     val cfg = TranscriptPipeline.Config(numShards = 512, saltBlock = 2048,
       sampleRate = 16, numPartitionsOpt = Some(128))
 
+    // whole-run heap sampler: per-stage peak = max sample between stage start/stop
+    @volatile var stagePeak = 0L
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (sampling) {
+        stagePeak = math.max(stagePeak, rt.totalMemory() - rt.freeMemory())
+        Thread.sleep(25)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    val stages = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
     def time[T](name: String)(f: => T): T = {
+      stagePeak = 0L
       val t0 = System.nanoTime()
       val r = f
-      System.err.println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val peakMb = stagePeak >> 20
+      stages(name) = (sec, peakMb)
+      System.err.println(f"[profile] $name%-28s $sec%8.2f s  peakHeap ${peakMb}%6d MB")
       r
+    }
+
+    if (!Files.exists(Paths.get(rawDir))) {
+      System.err.println(s"[profile] generating $rawDir ($nConvs convs x $turnsPerConv)...")
+      val turns = Transcripts.generate(spark, nConvs, turnsPerConv, skewConvs = 4, skewFactor = 25)
+      Transcripts.renderRawLines(turns).write.mode("overwrite").parquet(rawDir)
     }
 
     // warm-up
@@ -39,6 +71,7 @@ object PipeProfile {
       Files.createTempDirectory("prof_warm").toString)
 
     val raw = spark.read.parquet(rawDir)
+    val nTurns = raw.count()
     time("read+count raw")(raw.count())
 
     val parsed = Transcripts.parseRawLines(spark, raw)
@@ -64,9 +97,17 @@ object PipeProfile {
     }
     shards2.unpersist()
 
-    time("full runToSinks")(
+    val full = time("full runToSinks")(
       TranscriptPipeline.runToSinks(spark, Transcripts.parseRawLines(spark, raw), cfg,
         Files.createTempDirectory("prof_full").toString))
+    sampling = false
+    val fullSec = stages("full runToSinks")._1
+    val stageJson = stages.map { case (k, (s, m)) =>
+      f""""$k":{"sec":$s%.2f,"peakHeapMb":$m}"""
+    }.mkString("{", ",", "}")
+    println(
+      f"""[profile-json] {"cores":$cores,"turns":$nTurns,"turnsIndexed":${full.turnsIndexed},""" +
+        f""""turnsPerSec":${nTurns / fullSec}%.0f,"stages":$stageJson}""")
     spark.stop()
   }
 }

@@ -110,6 +110,11 @@ object BigShardStress {
       val peakMb = (peak >> 20) - baseHeap
       val retainedMb = usedHeapMb() - baseHeap
       val bytes = fm.serialize().length
+      // warm the query paths before timing: the FIRST engine config otherwise pays the
+      // JIT interpreter/compile cost in its numbers and cross-engine ratios skew
+      patterns.foreach(p => fm.count(p.toCharArray))
+      fm.locate("blk_".toCharArray, 0, 4, new Array[Int](1000), 1000)
+      fm.extractString(chars / 3, chars / 3 + 1024)
       val q0 = System.nanoTime()
       val counts = patterns.map(p => fm.count(p.toCharArray))
       val countUs = (System.nanoTime() - q0) / 1e3 / patterns.length

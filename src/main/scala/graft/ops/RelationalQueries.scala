@@ -266,6 +266,36 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // --- STRUCTURED STREAMING under the DuckDB gate: the events table replayed as a
+    //     bounded file stream (Trigger.AvailableNow), watermarked tumbling-window
+    //     aggregation, complete-mode memory sink — the streaming engine's final answer
+    //     must equal the batch oracle bit-for-bit (the same hourly rollup as q15
+    //     through the micro-batch engine; round 2 had streaming sbt-gated only). At
+    //     scale the same plan runs unbounded: the watermark bounds window state, and
+    //     AvailableNow is exactly the backfill/catch-up mode of a production stream. ---
+    "q67_stream_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob, not file path: the file-stream source requires a directory base
+      val src = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val agg = src
+        // watermarks require TIMESTAMP (session TZ is UTC, so the NTZ round-trip is
+        // the identity); the output hour goes back to NTZ for oracle schema parity
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("window").getField("start").cast("timestamp_ntz").as("hour"),
+          col("event_type"), col("n"), col("value_sum"))
+      val qn = s"graft_q67_${math.abs(s.sparkContext.applicationId.hashCode)}_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      try s.catalog.dropTempView(qn) catch { case _: Exception => }
+      val sq = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(qn).orderBy(col("hour"), col("event_type"))
+    }),
+
     // --- exact percentiles (sort-based, interpolated) per group ---
     // Anchored in integer cents: interpolation endpoints are then exactly-representable
     // BIGINTs and the only float op is the interpolation itself plus ONE final /100 —
@@ -576,6 +606,11 @@ object RelationalQueries {
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q67: the streaming engine must land on the identical batch answer
+    "q67_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
