@@ -66,6 +66,36 @@ object CorpusQueries {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** 16-bit SimHash per document (token-hash bit majorities), shared by q42/q37.
+    * h = first 2 md5 bytes big-endian — matches the oracle's conv(substring) hex math.
+    */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tWide(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, text) =>
+          val w = text.split(" ", -1)
+          val ones = new Array[Int](16)
+          var i = 0
+          while (i < w.length) {
+            md.reset()
+            val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            var k = 0
+            while (k < 16) { ones(k) += (h >>> k) & 1; k += 1 }
+            i += 1
+          }
+          var sim = 0L
+          var k = 0
+          while (k < 16) { if (2 * ones(k) >= w.length) sim |= 1L << k; k += 1 }
+          (docId, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   private def words(c: Column): Column = split(c, " ")
 
   /** Word 3-gram shingles, 1-based positions [1, len-2]; empty below 3 words. */
@@ -666,33 +696,32 @@ object CorpusQueries {
     // --- SimHash: 16-bit signature from token-hash bit majorities. Typed kernel:
     //     the interpreted-HOF form (transform + 16 filters re-hashing every token)
     //     costs ~4x; integer majority votes are engine-exact vs the oracle ---
-    "q42_simhash" -> ((s, dir) => {
-      import s.implicits._
-      tWide(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (docId, text) =>
-            val w = text.split(" ", -1)
-            val ones = new Array[Int](16)
-            var i = 0
-            while (i < w.length) {
-              md.reset()
-              val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              // first 4 hex digits == first 2 bytes, big-endian (matches conv(substring))
-              val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
-              var k = 0
-              while (k < 16) { ones(k) += (h >>> k) & 1; k += 1 }
-              i += 1
-            }
-            var sim = 0L
-            var k = 0
-            while (k < 16) { if (2 * ones(k) >= w.length) sim |= 1L << k; k += 1 }
-            (docId, sim)
-          }
-        }
-        .toDF("doc_id", "simhash")
-        .orderBy(col("doc_id"))
+    "q42_simhash" -> ((s, dir) =>
+      simhashSignatures(s, dir).orderBy(col("doc_id"))),
+
+    // --- SimHash near-dup PAIRING: pairs within hamming distance 1, candidates from
+    //     a band equi-join on the two 8-bit signature halves (pigeonhole: one
+    //     differing bit leaves at least one half intact, so recall is EXACT for
+    //     h <= 1), then an exact bit_count(xor) filter — the hamming-space twin of the
+    //     q41/q52 Jaccard/cosine LSH shapes, never an all-pairs join. The brute-force
+    //     DuckDB oracle proves the banding loses nothing. ---
+    "q37_simhash_neardup" -> ((s, dir) => {
+      val sim = simhashSignatures(s, dir)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array(
+          col("simhash").bitwiseAND(lit(255L)),
+          shiftright(col("simhash"), 8))).as(Seq("band_idx", "band_val")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+        col("band_idx"), col("band_val"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+        col("band_idx").as("bi2"), col("band_val").as("bv2"))
+      a.join(b, col("band_idx") === col("bi2") && col("band_val") === col("bv2") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // --- ANN baseline: brute-force cosine top-5, double math, total order ---
@@ -1132,6 +1161,20 @@ object CorpusQueries {
           s"THEN ${1L << k} ELSE 0 END)").mkString(" + ")
       s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM (SELECT doc_id, $hs AS hs FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    // brute-force all-pairs oracle: proves the 2x8-bit band join loses no h<=1 pair
+    "q37_simhash_neardup" -> {
+      val hs = s"list_transform(string_split(text,' '), t -> $duckHex4)"
+      val bits = (0 until 16).map(k =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1)) >= len(hs) " +
+          s"THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+      s"""WITH sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, $hs AS hs FROM documents))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q50_knn_brute" -> {
       val dotQC = duckDot("qe", "ce")

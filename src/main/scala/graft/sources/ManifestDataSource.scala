@@ -12,11 +12,14 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotatio
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,7 +29,7 @@ import scala.jdk.CollectionConverters._
 
 /** DataSource V2 DATA table over a manifest-committed parquet directory — the sibling
   * of ManifestFilesSource that serves the rows themselves (the Iceberg data-path
-  * analog; round 2 shipped only the `.files` metadata table):
+  * analog; round 2 shipped only the `.files` metadata table), READ AND WRITE:
   *
   *  - the snapshot is PINNED AT PLAN TIME: the committed file list resolves once on the
   *    driver and ships inside the InputPartitions, so a commit landing mid-query (or
@@ -41,10 +44,19 @@ import scala.jdk.CollectionConverters._
   *    (raw, Hive-unescaped) value — never re-derived from file paths;
   *  - column pruning reaches the parquet reader (SupportsPushDownRequiredColumns → a
   *    projected read schema, so unread columns are never decoded; a zero-column scan,
-  *    e.g. count(*), reads only footer row counts).
+  *    e.g. count(*), reads only footer row counts);
+  *  - TIME TRAVEL: `.option("snapshot", N)` pins the scan to committed snapshot N —
+  *    overwrites are LOGICAL (files drop out of the manifest, not off disk), so every
+  *    historical snapshot stays readable;
+  *  - WRITES commit a NEW snapshot atomically (temp + ATOMIC_MOVE): append = previous
+  *    entries + this write's files, overwrite = this write's files only. Task writers
+  *    land parquet under Hive-style `partCol=value/` dirs; a crashed or speculative
+  *    task leaves only orphan files no snapshot references — readers can never see a
+  *    torn write, the same isolation property the read path enforces.
   *
   * Usage: `spark.read.format("graft.sources.ManifestDataSource").load(dir)` after a
-  * `ManifestTables.commit(dir, partCol)`.
+  * `ManifestTables.commit(dir, partCol)` or a DSv2 write
+  * (`df.write.format(...).option("partcol", "lang_p").mode("append"|"overwrite").save(dir)`).
   */
 class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -64,11 +76,14 @@ object ManifestDataSource {
 
   /** File schema of the first committed data file + the manifest's partition column
     * appended as a (non-null) string. Derived on the driver at plan time only.
+    * EMPTY before the first commit — the write-path bootstrap (the first DSv2 write
+    * defines the schema); reads of an uncommitted table fail in newScanBuilder.
     */
   private[sources] def tableSchema(dir: String): StructType = {
     require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
+    if (ManifestTables.latestSnapshotId(dir).isEmpty) return new StructType()
     val entries = ManifestTables.readLatest(dir)
-    require(entries.nonEmpty, s"manifest under $dir lists no data files")
+    if (entries.isEmpty) return new StructType()
     val conf = hadoopConf()
     val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
     val reader = ParquetFileReader.open(in)
@@ -113,17 +128,29 @@ object ManifestDataSource {
 }
 
 private class ManifestDataTable(dir: String, tschema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
   override def name(): String = s"manifest_data($dir)"
   override def schema(): StructType = tschema
+  // ACCEPT_ANY_SCHEMA: Spark's built-in check would reject the first write into an
+  // empty (schema-less) table; newWriteBuilder re-checks appends against the real
+  // table schema itself
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionColumn(dir))
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(ManifestTables.latestSnapshotId(dir).isDefined,
+      s"no committed snapshot under $dir — write or commit first")
+    // time travel: .option("snapshot", N) pins the scan to a historical snapshot
+    val snapshot = Option(options.get("snapshot")).map(_.toInt)
+    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionColumn(dir), snapshot)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestWriteBuilder(dir, tschema, info)
 }
 
-private class ManifestDataScanBuilder(dir: String, tschema: StructType, partCol: String)
+private class ManifestDataScanBuilder(dir: String, tschema: StructType, partCol: String,
+    snapshot: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tschema
   private var partitionValues: Option[Set[String]] = None
@@ -150,14 +177,17 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType, partCol:
   override def pushedFilters(): Array[Filter] =
     partitionValues.map(vs => Array[Filter](In(partCol, vs.toArray))).getOrElse(Array.empty)
 
-  override def build(): Scan = new ManifestDataScan(dir, tschema, required, partCol, partitionValues)
+  override def build(): Scan =
+    new ManifestDataScan(dir, tschema, required, partCol, partitionValues, snapshot)
 }
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
-    partCol: String, partitionValues: Option[Set[String]]) extends Scan with Batch {
-  // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
+    partCol: String, partitionValues: Option[Set[String]], snapshot: Option[Int])
+    extends Scan with Batch {
+  // snapshot pinned at plan time (see class doc) + manifest-level partition pruning;
+  // an explicit snapshot option = time travel to that committed manifest
   private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readLatest(dir)
+    ManifestTables.readSnapshot(dir, snapshot)
       .filter(e => partitionValues.forall(_.contains(e.partition)))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -171,7 +201,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     new ManifestDataReaderFactory(fields, partCol)
   }
   override def description(): String =
-    s"manifest_data($dir, partitions=${partitionValues.map(_.toSeq.sorted.mkString(",")).getOrElse("*")}, files=${pinned.size})"
+    s"manifest_data($dir, partitions=${partitionValues.map(_.toSeq.sorted.mkString(",")).getOrElse("*")}, " +
+      s"files=${pinned.size}, snapshot=${snapshot.map(_.toString).getOrElse("latest")})"
 }
 
 private case class ManifestDataInputPartition(file: String, partition: String)
@@ -262,5 +293,179 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partC
       }
       override def close(): Unit = reader.close()
     }
+  }
+}
+
+// ------------------------------------------------------------------------- write path
+
+private class ManifestWriteBuilder(dir: String, tschema: StructType, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  // mode("overwrite") arrives as truncate(): the manifest REPLACES its entry list —
+  // the old files stay on disk (time travel keeps every snapshot readable)
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = {
+    val incoming = info.schema()
+    val partCol = {
+      val opt = Option(info.options.get("partcol")).getOrElse("")
+      val recorded =
+        if (ManifestTables.latestSnapshotId(dir).isDefined) ManifestTables.readPartitionColumn(dir)
+        else ""
+      if (opt.nonEmpty && recorded.nonEmpty)
+        require(opt == recorded, s"table records partition column '$recorded', write asked '$opt'")
+      if (opt.nonEmpty) opt else recorded
+    }
+    if (partCol.nonEmpty)
+      require(incoming.fieldNames.contains(partCol),
+        s"write is missing the partition column '$partCol'")
+    // ACCEPT_ANY_SCHEMA skips Spark's check; enforce append compatibility here
+    if (tschema.nonEmpty) {
+      val want = tschema.fields.map(f => (f.name, f.dataType)).toSet
+      val got = incoming.fields.map(f => (f.name, f.dataType)).toSet
+      require(want == got,
+        s"write schema ${incoming.simpleString} does not match table ${tschema.simpleString}")
+    }
+    new Write {
+      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, partCol, incoming, replace)
+    }
+  }
+}
+
+private case class ManifestWriteMessage(files: Seq[(String, Long, String)])
+    extends WriterCommitMessage
+
+private class ManifestBatchWrite(dir: String, partCol: String, schema: StructType,
+    replace: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)))
+
+  /** The commit point: ONE atomic manifest move publishes every task's files. Until it
+    * lands, nothing the tasks wrote is visible to any reader (the same stray-file
+    * isolation the read path enforces); after a crash the orphans are dead weight, not
+    * corruption.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.flatMap {
+      case ManifestWriteMessage(files) => files
+      case _ => Nil
+    }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
+    val previous =
+      if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
+      else ManifestTables.readLatest(dir)
+    val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+    ManifestTables.writeSnapshot(dir, partCol, previous ++ fresh, next)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort cleanup; an aborted write's files were never referenced anyway
+    messages.foreach {
+      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _) =>
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+        catch { case _: Exception => }
+      }
+      case _ =>
+    }
+  }
+}
+
+private class ManifestWriterFactory(dir: String, partCol: String,
+    fields: Array[(String, DataType)]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId)
+}
+
+/** Per-task writer: one open parquet-mr writer per partition value seen (Hive-style
+  * `partCol=value/` layout, values %XX-escaped on disk but RAW in the manifest).
+  */
+private class ManifestDataWriter(dir: String, partCol: String,
+    fields: Array[(String, DataType)], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx = fields.indexWhere(_._1 == partCol)
+  private val dataFields = fields.zipWithIndex.filter { case ((n, _), _) => n != partCol }
+  private val messageType: MessageType = {
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    dataFields.foreach { case ((name, dt), _) => b.addField(ManifestDataWriter.parquetField(name, dt)) }
+    b.named("graft_write")
+  }
+  private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
+  private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[Group]]()
+  private val paths = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def writerFor(partValue: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    writers.getOrElseUpdate(partValue, {
+      val rel = (if (partCol.isEmpty) ""
+        else s"$partCol=${ManifestTables.hiveEscape(partValue)}/") +
+        f"part-$partitionId%05d-$taskId-${writers.size}.parquet"
+      paths(partValue) = rel
+      val p = new Path(s"$dir/$rel")
+      org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(p, ManifestDataSource.hadoopConf()))
+        .withType(messageType)
+        .build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val partValue = if (partIdx < 0) "" else row.getUTF8String(partIdx).toString
+    val g = factory.newGroup()
+    dataFields.foreach { case ((name, dt), ord) =>
+      if (!row.isNullAt(ord)) dt match {
+        case LongType | TimestampType | TimestampNTZType => g.append(name, row.getLong(ord))
+        case IntegerType | DateType => g.append(name, row.getInt(ord))
+        case DoubleType => g.append(name, row.getDouble(ord))
+        case FloatType => g.append(name, row.getFloat(ord))
+        case BooleanType => g.append(name, row.getBoolean(ord))
+        case StringType => g.append(name,
+          org.apache.parquet.io.api.Binary.fromString(row.getUTF8String(ord).toString))
+        case BinaryType => g.append(name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(ord)))
+        case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
+      }
+    }
+    writerFor(partValue).write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    ManifestWriteMessage(paths.toSeq.map { case (v, rel) =>
+      (rel, java.nio.file.Files.size(java.nio.file.Paths.get(dir, rel)), v)
+    })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Exception => })
+    paths.values.foreach { rel =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+      catch { case _: Exception => }
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+private object ManifestDataWriter {
+  import org.apache.parquet.schema.Types
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  /** Spark field -> optional parquet primitive (the inverse of sparkFields). */
+  def parquetField(name: String, dt: DataType): Type = dt match {
+    case LongType => Types.optional(PrimitiveTypeName.INT64).named(name)
+    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
+    case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(name)
+    case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
+    case DateType => Types.optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
+    case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
+    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
+    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
+    case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
   }
 }

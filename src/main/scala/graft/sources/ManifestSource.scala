@@ -59,6 +59,21 @@ object ManifestTables {
       sb.toString
     }
 
+  /** Hive-style %XX escaping for partition DIRECTORY names (the charset Spark's own
+    * partitioned writes escape, space included) — the DSv2 writer lays files out
+    * exactly like a Spark `partitionBy` write so both layouts interoperate.
+    */
+  private[sources] def hiveEscape(s: String): String = {
+    def needs(c: Char): Boolean =
+      c < ' ' || c == '\u007f' || " \"#%'*/:=?\\{[]^".indexOf(c) >= 0
+    if (!s.exists(needs)) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach { c => if (needs(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c) }
+      sb.toString
+    }
+  }
+
   /** Decodes Hive's %XX partition-directory escaping (Spark writes `a b` as `a%20b`)
     * so manifests carry the RAW partition value — readers then never re-derive values
     * from file paths.
@@ -116,14 +131,40 @@ object ManifestTables {
   // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
   private val JStr = "((?:[^\"\\\\]|\\\\.)*)"
 
-  private[sources] def readLatest(dir: String): Seq[Entry] = {
+  /** All committed snapshot files, ascending by id (zero-padded names sort right). */
+  private def snapshotFiles(dir: String): Seq[String] = {
     val mdir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
     val stream = Files.list(mdir)
-    val snaps = try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
+    try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
       .toSeq.sorted finally stream.close()
+  }
+
+  /** Highest committed snapshot id, or None before the first commit. */
+  private[sources] def latestSnapshotId(dir: String): Option[Int] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return None
+    val stream = Files.list(mdir)
+    val snaps = try stream.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("snapshot-")).toSeq finally stream.close()
+    val ids = snaps.flatMap("snapshot-(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private[sources] def readLatest(dir: String): Seq[Entry] = readSnapshot(dir, None)
+
+  /** Entries of a pinned snapshot id (time travel) or the latest when None. */
+  private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] = {
+    val snaps = snapshotFiles(dir)
     require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
-    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    val chosen = id match {
+      case None => snaps.last
+      case Some(n) =>
+        snaps.find(_.endsWith(f"snapshot-$n%05d.json")).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed snapshot $n under $dir (have: ${snaps.map(Paths.get(_).getFileName).mkString(", ")})"))
+    }
+    val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
     val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
     // partition key optional: PartitionedTable's transcript manifests share this file
     // layout but carry no partition values (they surface as "")
@@ -137,8 +178,33 @@ object ManifestTables {
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
     require(out.nonEmpty || !txt.contains("\"path\""),
-      s"manifest ${snaps.last} lists files but none matched the entry format")
+      s"manifest $chosen lists files but none matched the entry format")
     out
+  }
+
+  /** Atomically commits an explicit entry list as snapshot `id` (temp file +
+    * ATOMIC_MOVE — a crashed writer can never leave a torn manifest). Used by the
+    * DSv2 write path; `commit(dir, partCol)` remains the directory-scan convenience.
+    */
+  private[sources] def writeSnapshot(dir: String, partCol: String,
+      entries: Seq[Entry], id: Int): Unit = {
+    val fileList = entries.map { e =>
+      s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
+    }
+    val json =
+      s"""{
+         |  "snapshot": $id,
+         |  "partition_column": "${jsonEscape(partCol)}",
+         |  "files": [
+         |${fileList.mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val tmp = Files.createTempFile(mdir, s"snapshot-$id-", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, mdir.resolve(f"snapshot-$id%05d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The partition column name recorded by the latest committed snapshot ("" if the

@@ -173,6 +173,70 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  // ------------------------------------------------------------ DSv2 WRITE path (r3)
+
+  test("DSv2 write bootstrap: first write commits snapshot 0, appends commit 1, overwrite replaces") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_write").toString
+    val t0 = Seq((1L, "alpha", "en"), (2L, "beta", "fr")).toDF("id", "txt", "lang_p")
+    t0.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(out)
+    assert(dataTable(out).count() == 2)
+    // append commits a NEW snapshot containing old + new files
+    Seq((3L, "gamma", "en")).toDF("id", "txt", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(out)
+    assert(dataTable(out).count() == 3)
+    assert(dataTable(out).filter(col("lang_p") === "en").count() == 2)
+    // overwrite REPLACES the manifest's entry list; files stay on disk
+    Seq((9L, "omega", "de")).toDF("id", "txt", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName).mode("overwrite").save(out)
+    assert(dataTable(out).select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // TIME TRAVEL: every historical snapshot stays readable
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "0").load(out).count() == 2)
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "1").load(out).count() == 3)
+    val ids1 = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "1").load(out)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == Seq(1L, 2L, 3L))
+  }
+
+  test("DSv2 write interoperates with Spark partitionBy layout and survives hostile partition values") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_write_esc").toString
+    Seq((1L, "v a:b"), (2L, "plain"), (3L, "v a:b")).toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    // raw value served back, filterable; on-disk dir is %XX-escaped like Spark's own
+    assert(dataTable(out).filter(col("p") === "v a:b").count() == 2)
+    val dirs = Files.list(java.nio.file.Paths.get(out)).iterator()
+    var sawEscaped = false
+    dirs.forEachRemaining(d => if (d.getFileName.toString.startsWith("p=v%20a%3Ab")) sawEscaped = true)
+    assert(sawEscaped, "expected Hive-escaped partition dir on disk")
+    // Spark's OWN parquet reader sees the same partition values from the layout
+    val viaSpark = spark.read.parquet(out).select("p").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(viaSpark == Set("v a:b", "plain"))
+  }
+
+  test("DSv2 write: append schema mismatch is rejected; uncommitted read fails loudly") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_write_schema").toString
+    Seq((1L, "x", "en")).toDF("id", "txt", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(out)
+    val bad = intercept[Exception] {
+      Seq((2L, 5.0, "en")).toDF("id", "other", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName).mode("append").save(out)
+    }
+    assert(bad.getMessage.contains("does not match table"))
+    val fresh = Files.createTempDirectory("manifest_unwritten").toString
+    val err = intercept[Exception] { dataTable(fresh).count() }
+    assert(err.getMessage.contains("no committed snapshot") ||
+      err.getMessage.contains("_manifests"))
+  }
+
   test("manifest escaping: quotes/backslashes in values and %XX partition dirs round-trip") {
     assert(ManifestTables.jsonUnescape(ManifestTables.jsonEscape("a\"b\\c\nd")) == "a\"b\\c\nd")
     assert(ManifestTables.hiveUnescape("a%20b%3Ac") == "a b:c")
