@@ -37,17 +37,40 @@ private[graft] object ShardCache {
   }
 
   // Identity fast path in front of the digest: per-thread memo of the last byte array
-  // REFERENCE served. Row batches that hand the same backing array per row (e.g. a
-  // future per-row usage over a repeated shard column, or repeated fm_* calls on one
-  // row) skip the O(shard bytes) MD5 (~20 ms on a 10 MB shard). eq-only — two equal
-  // but distinct arrays still go through the content hash, so aliasing stays
-  // impossible; ThreadLocal so concurrent task threads never race.
-  private final class LastRef { var bytes: Array[Byte] = _; var fm: FmIndex = _ }
+  // REFERENCE served. Row batches that hand the same backing array per row (repeated
+  // fm_* calls on one row, a future per-row usage over a repeated shard column) skip
+  // the O(shard bytes) MD5 (~20 ms on a 10 MB shard). Guards:
+  //  - the array is held through a WeakReference, so the memo never pins a multi-MB
+  //    serialized shard per pooled task thread beyond the content-keyed LRU;
+  //  - a 64-bit sample fingerprint (length + 8 spread positions) re-checks content,
+  //    so a caller REUSING the same buffer with different bytes falls through to the
+  //    full digest instead of being served the previous shard. The sample is a
+  //    defense-in-depth tripwire, not cryptographic — callers must still treat
+  //    handed-in arrays as immutable (every Spark row access path allocates fresh
+  //    arrays, so this holds in the product);
+  //  - ThreadLocal, so concurrent task threads never race.
+  private final class LastRef {
+    var bytes: java.lang.ref.WeakReference[Array[Byte]] = _
+    var sample: Long = 0L
+    var fm: FmIndex = _
+  }
   private val last = ThreadLocal.withInitial[LastRef](() => new LastRef)
 
+  private def sampleOf(bytes: Array[Byte]): Long = {
+    var h = bytes.length.toLong * 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 8) {
+      h = h * 31 + bytes((bytes.length - 1) * i / 7)
+      i += 1
+    }
+    h
+  }
+
   def get(bytes: Array[Byte]): FmIndex = {
+    if (bytes.length == 0) throw new IllegalArgumentException("empty shard bytes")
     val memo = last.get()
-    if (memo.bytes eq bytes) return memo.fm
+    if (memo.bytes != null && (memo.bytes.get eq bytes) && memo.sample == sampleOf(bytes))
+      return memo.fm
     val key = keyOf(bytes)
     val fm = cache.synchronized {
       var hit = cache.get(key)
@@ -57,7 +80,8 @@ private[graft] object ShardCache {
       }
       hit
     }
-    memo.bytes = bytes
+    memo.bytes = new java.lang.ref.WeakReference(bytes)
+    memo.sample = sampleOf(bytes)
     memo.fm = fm
     fm
   }

@@ -41,17 +41,20 @@ object CorpusQueries {
     * through one task — the scale-safe replacement for a partitionless
     * `row_number().over(Window.orderBy(...))`.
     *
-    * MEMORY_ONLY persist: the ranged frame is read by the size-count job and the final
-    * job; eviction under pressure is safe because recomputation is deterministic
-    * (RangePartitioner samples with fixed per-partition-index seeds), and MEMORY_ONLY
-    * frees rather than spills when the executor needs the room.
+    * The ranged frame is computed by TWO jobs (the size-count probe and the final
+    * ranking) with NO cache in between — deliberately: a persist here would pin a
+    * cache entry nothing ever unpersists (the returned frame is lazy), and it would
+    * not buy correctness anyway, because MEMORY_ONLY eviction recomputes too. The
+    * correctness contract is that recomputation is DETERMINISTIC: RangePartitioner
+    * samples with fixed per-partition-index seeds over deterministic upstream
+    * content, so both jobs see identical range boundaries. The cost is one extra
+    * pass over dfIn — linear map work, no skew.
     */
   def rankedIds(dfIn: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val s = dfIn.sparkSession
     val p = math.max(1, s.sparkContext.defaultParallelism)
     val ranged = dfIn.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sizes = ranged.groupBy(col("__pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

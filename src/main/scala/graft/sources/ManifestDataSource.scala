@@ -338,24 +338,34 @@ private case class ManifestWriteMessage(files: Seq[(String, Long, String)])
 private class ManifestBatchWrite(dir: String, partCol: String, schema: StructType,
     replace: Boolean) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)))
+  // per-write UID embedded in every data file name: partitionId/taskId are only
+  // unique within one application, and a cross-application collision would let a
+  // failed task's abort() delete another write's COMMITTED file
+  private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
 
-  /** The commit point: ONE atomic manifest move publishes every task's files. Until it
-    * lands, nothing the tasks wrote is visible to any reader (the same stray-file
-    * isolation the read path enforces); after a crash the orphans are dead weight, not
-    * corruption.
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)), writeUid)
+
+  /** The commit point: ONE atomic snapshot publication makes every task's files
+    * visible. Until it lands, nothing the tasks wrote is visible to any reader (the
+    * same stray-file isolation the read path enforces); after a crash the orphans are
+    * dead weight, not corruption. Optimistic-concurrency loop: if another committer
+    * claims the id first, re-read the (new) latest entries and retry on the next id —
+    * concurrent appends serialize, neither is lost.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.flatMap {
       case ManifestWriteMessage(files) => files
       case _ => Nil
     }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
-    val previous =
-      if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
-      else ManifestTables.readLatest(dir)
-    val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
-    ManifestTables.writeSnapshot(dir, partCol, previous ++ fresh, next)
+    var done = false
+    while (!done) {
+      val previous =
+        if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
+        else ManifestTables.readLatest(dir)
+      val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+      done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -371,16 +381,16 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
 }
 
 private class ManifestWriterFactory(dir: String, partCol: String,
-    fields: Array[(String, DataType)]) extends DataWriterFactory {
+    fields: Array[(String, DataType)], writeUid: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId)
+    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId, writeUid)
 }
 
 /** Per-task writer: one open parquet-mr writer per partition value seen (Hive-style
   * `partCol=value/` layout, values %XX-escaped on disk but RAW in the manifest).
   */
 private class ManifestDataWriter(dir: String, partCol: String,
-    fields: Array[(String, DataType)], partitionId: Int, taskId: Long)
+    fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String)
     extends DataWriter[InternalRow] {
 
   private val partIdx = fields.indexWhere(_._1 == partCol)
@@ -396,20 +406,30 @@ private class ManifestDataWriter(dir: String, partCol: String,
 
   private def writerFor(partValue: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
     writers.getOrElseUpdate(partValue, {
+      // writeUid makes names globally unique — and the path is recorded only AFTER
+      // the writer opened successfully, so abort() can never delete a pre-existing
+      // file it merely collided with
       val rel = (if (partCol.isEmpty) ""
         else s"$partCol=${ManifestTables.hiveEscape(partValue)}/") +
-        f"part-$partitionId%05d-$taskId-${writers.size}.parquet"
-      paths(partValue) = rel
+        f"part-$partitionId%05d-$taskId-$writeUid-${writers.size}.parquet"
       val p = new Path(s"$dir/$rel")
-      org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
           .fromPath(p, ManifestDataSource.hadoopConf()))
         .withType(messageType)
         .build()
+      paths(partValue) = rel
+      w
     })
 
   override def write(row: InternalRow): Unit = {
-    val partValue = if (partIdx < 0) "" else row.getUTF8String(partIdx).toString
+    val partValue =
+      if (partIdx < 0) ""
+      else {
+        require(!row.isNullAt(partIdx),
+          s"partition column '$partCol' may not be null (the table schema declares it non-null)")
+        row.getUTF8String(partIdx).toString
+      }
     val g = factory.newGroup()
     dataFields.foreach { case ((name, dt), ord) =>
       if (!row.isNullAt(ord)) dt match {

@@ -131,13 +131,20 @@ object ManifestTables {
   // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
   private val JStr = "((?:[^\"\\\\]|\\\\.)*)"
 
+  // Only a COMPLETE name counts as committed: in-flight temp files (".tmp-...") and
+  // anything torn must never be read as a snapshot, or a crashed writer would make
+  // the table silently read as empty.
+  private val SnapshotName = "snapshot-(\\d+)\\.json".r
+
   /** All committed snapshot files, ascending by id (zero-padded names sort right). */
   private def snapshotFiles(dir: String): Seq[String] = {
     val mdir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
     val stream = Files.list(mdir)
-    try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
-      .toSeq.sorted finally stream.close()
+    try stream.iterator().asScala
+      .filter(p => SnapshotName.pattern.matcher(p.getFileName.toString).matches())
+      .map(_.toString).toSeq.sorted
+    finally stream.close()
   }
 
   /** Highest committed snapshot id, or None before the first commit. */
@@ -145,9 +152,9 @@ object ManifestTables {
     val mdir = Paths.get(dir, "_manifests")
     if (!Files.isDirectory(mdir)) return None
     val stream = Files.list(mdir)
-    val snaps = try stream.iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("snapshot-")).toSeq finally stream.close()
-    val ids = snaps.flatMap("snapshot-(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+    val ids = try stream.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(n => SnapshotName.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1).toInt))
+      .toSeq finally stream.close()
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -182,12 +189,17 @@ object ManifestTables {
     out
   }
 
-  /** Atomically commits an explicit entry list as snapshot `id` (temp file +
-    * ATOMIC_MOVE — a crashed writer can never leave a torn manifest). Used by the
-    * DSv2 write path; `commit(dir, partCol)` remains the directory-scan convenience.
+  /** Atomically PUBLISHES an explicit entry list as snapshot `id` iff that id is
+    * still unclaimed: the content lands in a temp file (whose ".tmp-" name can never
+    * be read as a snapshot), then `Files.createLink(target, tmp)` claims the final
+    * name — hard-link creation is atomic AND fails if the target exists, unlike
+    * rename(), which silently replaces and would let two concurrent committers
+    * overwrite each other (lost update). Returns false when the id was taken; the
+    * caller re-reads the latest state and retries with the next id — optimistic
+    * concurrency, the Iceberg commit protocol in miniature.
     */
-  private[sources] def writeSnapshot(dir: String, partCol: String,
-      entries: Seq[Entry], id: Int): Unit = {
+  private[sources] def tryWriteSnapshot(dir: String, partCol: String,
+      entries: Seq[Entry], id: Int): Boolean = {
     val fileList = entries.map { e =>
       s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
     }
@@ -201,10 +213,16 @@ object ManifestTables {
          |}""".stripMargin
     val mdir = Paths.get(dir, "_manifests")
     Files.createDirectories(mdir)
-    val tmp = Files.createTempFile(mdir, s"snapshot-$id-", ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, mdir.resolve(f"snapshot-$id%05d.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val tmp = Files.createTempFile(mdir, ".tmp-snapshot-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(mdir.resolve(f"snapshot-$id%05d.json"), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** The partition column name recorded by the latest committed snapshot ("" if the

@@ -56,9 +56,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  // AQE wraps the physical plan in AdaptiveSparkPlanExec, a LEAF node — a plain
+  // plan.collect sees nothing below it (and WindowExec checks would be vacuously
+  // green). Recurse through adaptive wrappers and materialized query stages.
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(s.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => allNodes(r.child)
+      case _ => Nil
+    }
+    p +: (p.children.flatMap(allNodes) ++ inner)
+  }
+
   test("catalog-wide: no unlabeled nested-loop joins, no partitionless Window") {
     val nlOffenders = scala.collection.mutable.ListBuffer[(String, Int)]()
     val winOffenders = scala.collection.mutable.ListBuffer[String]()
+    var windowsSeen = 0
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val p = exec.toString
@@ -67,12 +83,18 @@ class PlanShapeSpec extends AnyFunSuite {
       if (nl > 0) nlOffenders += (q -> nl)
       // a Window with no partition keys funnels its ENTIRE input through one task —
       // the q28 round-2 hazard; banned everywhere in the catalog
-      val bare = exec.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      val bare = allNodes(exec).filter {
+        case w: org.apache.spark.sql.execution.window.WindowExec => windowsSeen += 1
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => windowsSeen += 1
+          w.partitionSpec.isEmpty
+        case _ => false
       }
       if (bare.nonEmpty) winOffenders += q
     }
+    // self-check that the traversal actually reaches Window nodes (q06/q07/q45/...)
+    // — if AQE wrapping changes again, this fails instead of the ban going vacuous
+    assert(windowsSeen > 5, s"plan traversal found only $windowsSeen Window nodes — AQE recursion broken?")
     // q50 IS the brute-force baseline; q51b carries one bounded brute side for its
     // recall hit column. Nothing else may nest-loop.
     val allowed = Set("q50_knn_brute", "q51b_ivf_kmeans")

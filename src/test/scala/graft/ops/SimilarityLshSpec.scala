@@ -144,4 +144,22 @@ class SimilarityLshSpec extends AnyFunSuite {
     ShardCache.get(ba.clone())
     assert(ShardCache.entryCount == 2)
   }
+
+  test("ShardCache identity memo: repeated reference is fast-pathed, in-place buffer reuse is not aliased") {
+    ShardCache.clear()
+    val fmA = new graft.core.FmIndexBuilder().build("abracadabra".toCharArray)
+    val fmB = new graft.core.FmIndexBuilder().build("qqqqqqqqqqz".toCharArray)
+    val ba = fmA.serialize()
+    val bb = fmB.serialize()
+    // same reference twice: served consistently (memo hit path)
+    assert(ShardCache.get(ba).count("abra".toCharArray) == 2)
+    assert(ShardCache.get(ba).count("abra".toCharArray) == 2)
+    // hostile buffer reuse: overwrite the SAME array instance with another shard's
+    // bytes (same length corpus -> plausibly same serialized length)
+    if (ba.length == bb.length) {
+      System.arraycopy(bb, 0, ba, 0, bb.length)
+      assert(ShardCache.get(ba).count("qq".toCharArray) == fmB.count("qq".toCharArray),
+        "memo served a stale index after in-place buffer mutation")
+    }
+  }
 }

@@ -237,6 +237,21 @@ class ManifestSourceSpec extends AnyFunSuite {
       err.getMessage.contains("_manifests"))
   }
 
+  test("snapshot publication is claim-once: a second committer on the same id must retry") {
+    val out = Files.createTempDirectory("manifest_claim").toString
+    val e1 = Seq(ManifestTables.Entry("a.parquet", 10L, "en", 0))
+    val e2 = Seq(ManifestTables.Entry("b.parquet", 20L, "fr", 0))
+    assert(ManifestTables.tryWriteSnapshot(out, "p", e1, 0))
+    // same id already claimed -> false, and the committed content is UNCHANGED
+    assert(!ManifestTables.tryWriteSnapshot(out, "p", e2, 0))
+    assert(ManifestTables.readSnapshot(out, Some(0)).map(_.path) == Seq("a.parquet"))
+    // the loser retries on the next id, as ManifestBatchWrite.commit does
+    assert(ManifestTables.tryWriteSnapshot(out, "p", e2, 1))
+    assert(ManifestTables.readLatest(out).map(_.path) == Seq("b.parquet"))
+    // no stray .tmp/.inprogress file may ever read as a snapshot
+    assert(ManifestTables.latestSnapshotId(out).contains(1))
+  }
+
   test("manifest escaping: quotes/backslashes in values and %XX partition dirs round-trip") {
     assert(ManifestTables.jsonUnescape(ManifestTables.jsonEscape("a\"b\\c\nd")) == "a\"b\\c\nd")
     assert(ManifestTables.hiveUnescape("a%20b%3Ac") == "a b:c")
