@@ -69,6 +69,19 @@ object CorpusQueries {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** Dedup clusters (node, cluster_id) over exact-dup + LSH near-dup edges, shared by
+    * q44 (cluster listing) and q44b (dedup apply). Edge generation is hash-grouping
+    * (exact) plus the q41 band equi-join (near); min-label propagation with pointer
+    * jumping assigns canonical ids. No all-pairs step anywhere.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents").select(col("doc_id"), md5s(col("text")).as("fp"))
+    val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
+    val exact = fp.join(keep, "fp").filter(col("doc_id") > col("keep"))
+      .select(col("doc_id").as("doc_a"), col("keep").as("doc_b"))
+    ConnectedComponents.run(minhashLshPairs(s, dir).union(exact))
+  }
+
   /** 16-bit SimHash per document (token-hash bit majorities), shared by q42/q37.
     * h = first 2 md5 bytes big-endian — matches the oracle's conv(substring) hex math.
     */
@@ -498,15 +511,24 @@ object CorpusQueries {
     // q41 band equi-join (near), then min-label propagation assigns every clustered doc
     // its canonical id ("keep doc_id = cluster_id"). No all-pairs step anywhere; the
     // iterative step is one shuffle per round and dedup components have tiny diameter.
-    "q44_dup_clusters" -> ((s, dir) => {
-      val fp = t(s, dir, "documents").select(col("doc_id"), md5s(col("text")).as("fp"))
-      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
-      val exact = fp.join(keep, "fp").filter(col("doc_id") > col("keep"))
-        .select(col("doc_id").as("doc_a"), col("keep").as("doc_b"))
-      val edges = minhashLshPairs(s, dir).union(exact)
-      ConnectedComponents.run(edges)
+    "q44_dup_clusters" -> ((s, dir) =>
+      dupClusters(s, dir)
         .select(col("node").as("doc_id"), col("cluster_id"))
-        .orderBy(col("cluster_id"), col("doc_id"))
+        .orderBy(col("cluster_id"), col("doc_id"))),
+
+    // --- dedup APPLY: the corpus AFTER canonical-doc dedup. Every clustered doc that
+    //     is not its cluster's head (min id) is dropped via a LEFT ANTI join — the
+    //     end-to-end shape of a production dedup pass: edges -> components -> one
+    //     anti-join over the full corpus, no collect, no all-pairs anywhere. ---
+    "q44b_dedup_apply" -> ((s, dir) => {
+      val drops = dupClusters(s, dir)
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      t(s, dir, "documents")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
     }),
 
     // --- TF-IDF-style distinctive terms: top-3 per doc by (tf desc, df asc) ---
@@ -694,6 +716,31 @@ object CorpusQueries {
       SimilarityLsh.rerankCosineKernel(joined, 0.35)
         .toDF("vec_a", "vec_b")
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // --- int8 symmetric embedding quantization: q = round(x * 127 / max|x|) per
+    //     vector — the storage step of a quantized vector index (4x smaller than
+    //     f32). Per-row map, embarrassingly parallel; outputs are INTEGER summaries
+    //     of the quantized codes so the gate is engine-exact (double math restricted
+    //     to the identical round(x*127/amax) both engines evaluate in the same
+    //     order). ---
+    "q53_embed_quantize" -> ((s, dir) => {
+      val e = col("embedding")
+      val amax = array_max(transform(e, x => abs(x.cast("double"))))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), e, amax.as("amax"))
+        .select(col("vec_id"),
+          size(e).cast("long").as("n_dims"),
+          transform(e, x =>
+            when(col("amax") === 0.0, lit(0L))
+              .otherwise(round(x.cast("double") * 127 / col("amax")).cast("long")))
+            .as("q"))
+        .select(col("vec_id"), col("n_dims"),
+          aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          size(filter(col("q"), _ =!= 0L)).cast("long").as("nnz"))
+        .orderBy(col("vec_id"))
     }),
 
     // --- SimHash: 16-bit signature from token-hash bit majorities. Typed kernel:
@@ -1056,6 +1103,27 @@ object CorpusQueries {
          |  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node)
          |SELECT r.node AS doc_id, min(r.lbl) AS cluster_id
          |FROM reach r GROUP BY 1 ORDER BY 2, 1""".stripMargin,
+    "q44b_dedup_apply" ->
+      s"""WITH RECURSIVE $duckLshCtes,
+         |lsh AS (SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+         |  FROM bands a JOIN bands c
+         |    ON a.band_idx = c.band_idx AND a.band = c.band AND a.doc_id < c.doc_id),
+         |exact AS (SELECT d.doc_id AS a, g.keep AS b FROM documents d
+         |  JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep FROM documents GROUP BY 1) g
+         |    ON md5(d.text) = g.fp AND d.doc_id > g.keep),
+         |edges AS (SELECT a, b FROM lsh UNION SELECT b, a FROM lsh UNION
+         |          SELECT a, b FROM exact UNION SELECT b, a FROM exact),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node),
+         |clusters AS (SELECT r.node AS node, min(r.lbl) AS cluster_id
+         |  FROM reach r GROUP BY 1),
+         |drops AS (SELECT node FROM clusters WHERE node <> cluster_id)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1157,6 +1225,22 @@ object CorpusQueries {
          |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
          |ORDER BY 1, 2""".stripMargin
     },
+    "q53_embed_quantize" ->
+      """WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+        |      ELSE CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT) END) AS qv
+        |  FROM qz)
+        |SELECT vec_id, n_dims,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q42_simhash" -> {
       val hs = s"list_transform(string_split(text,' '), t -> $duckHex4)"
       val bits = (0 until 16).map(k =>

@@ -237,6 +237,44 @@ class ManifestSourceSpec extends AnyFunSuite {
       err.getMessage.contains("_manifests"))
   }
 
+  test("DSv2 write/read round-trip property: nulls, unicode, NaN/Inf, extreme values survive") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_fuzz").toString
+    // adversarial rows: nulls in every nullable column, unicode + quotes in strings,
+    // NaN/Inf doubles, Long extremes — partition values kept hostile but non-null
+    val rows = Seq(
+      (1L, Option("plain"), Option(1.5), Option(Long.MaxValue), "p one"),
+      (2L, Option("uni 中文 \"q\" \\back"), Option(Double.NaN), Option(Long.MinValue), "p=two"),
+      (3L, None, Option(Double.PositiveInfinity), None, "p one"),
+      (4L, Option(""), None, Option(0L), "p%3"),
+      (5L, Option("line\nbreak\ttab"), Option(-0.0), Option(42L), "p one")
+    ).toDF("id", "s", "d", "l", "p")
+    rows.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    val back = dataTable(out).select("id", "s", "d", "l", "p").orderBy("id").collect()
+    val want = rows.select("id", "s", "d", "l", "p").orderBy("id").collect()
+    // Row.equals handles NaN == NaN per Spark semantics? compare field-by-field with
+    // java.lang.Double.compare so NaN round-trip is asserted exactly
+    assert(back.length == want.length)
+    back.zip(want).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(Option(a.getString(1)) == Option(b.getString(1)), s"string mismatch at id ${a.getLong(0)}")
+      val (da, db) = (a.isNullAt(2), b.isNullAt(2))
+      assert(da == db)
+      if (!da) assert(java.lang.Double.compare(a.getDouble(2), b.getDouble(2)) == 0,
+        s"double mismatch at id ${a.getLong(0)}: ${a.getDouble(2)} vs ${b.getDouble(2)}")
+      assert((a.isNullAt(3), b.isNullAt(3)) match {
+        case (true, true) => true
+        case (false, false) => a.getLong(3) == b.getLong(3)
+        case _ => false
+      })
+      assert(a.getString(4) == b.getString(4))
+    }
+    // hostile partition values are filterable by their raw form
+    assert(dataTable(out).filter(col("p") === "p=two").count() == 1)
+    assert(dataTable(out).filter(col("p") === "p%3").count() == 1)
+  }
+
   test("snapshot publication is claim-once: a second committer on the same id must retry") {
     val out = Files.createTempDirectory("manifest_claim").toString
     val e1 = Seq(ManifestTables.Entry("a.parquet", 10L, "en", 0))
