@@ -35,36 +35,35 @@ object CorpusQueries {
   // ---------------------------------------------------------------- helpers (Spark side)
 
   /** Distributed dense rank ids 1..N in `order` (which must be a TOTAL order — ids are
-    * then independent of partition boundaries): range-repartition on the sort key, rank
-    * locally per partition, add per-partition offsets. The only driver-side data is one
-    * row count per partition (cluster-bounded); nothing ever funnels the full input
-    * through one task — the scale-safe replacement for a partitionless
-    * `row_number().over(Window.orderBy(...))`.
+    * then independent of partition boundaries): range-repartition on the sort key,
+    * sort within partitions, then `zipWithIndex` — the scale-safe replacement for a
+    * partitionless `row_number().over(Window.orderBy(...))`. Nothing ever funnels the
+    * full input through one task; the only driver-side data is zipWithIndex's one row
+    * count per partition (cluster-bounded).
     *
-    * The ranged frame is computed by TWO jobs (the size-count probe and the final
-    * ranking) with NO cache in between — deliberately: a persist here would pin a
-    * cache entry nothing ever unpersists (the returned frame is lazy), and it would
-    * not buy correctness anyway, because MEMORY_ONLY eviction recomputes too. The
-    * correctness contract is that recomputation is DETERMINISTIC: RangePartitioner
-    * samples with fixed per-partition-index seeds over deterministic upstream
-    * content, so both jobs see identical range boundaries. The cost is one extra
-    * pass over dfIn — linear map work, no skew.
+    * zipWithIndex (one of the few justified RDD drops in this codebase) is load-
+    * bearing for CORRECTNESS, not just convenience: its internal count job and the
+    * downstream consumer run over the SAME RDD instance, so the range-shuffle stage
+    * is computed once and reused — per-partition counts and per-partition contents
+    * can never disagree. The tempting pure-DataFrame alternative (count per
+    * spark_partition_id in one action, rank per partition in another) is WRONG:
+    * RangePartitioner's sampling seed incorporates the RDD id, which differs between
+    * two executions of the same logical plan, so the two jobs can see different range
+    * boundaries — measured on a 5k-row input as overlapping id ranges and ~2% order
+    * violations (ModulesSpec pins the fixed behavior).
     */
   def rankedIds(dfIn: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val s = dfIn.sparkSession
     val p = math.max(1, s.sparkContext.defaultParallelism)
-    val ranged = dfIn.repartitionByRange(p, order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val sizes = ranged.groupBy(col("__pid")).count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      sizes.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    ranged
-      .withColumn(idCol,
-        row_number().over(w).cast("long") + element_at(typedLit(offsets), col("__pid")))
-      .drop("__pid")
+    val sorted = dfIn.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val withIds = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    s.createDataFrame(withIds, schema)
   }
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))

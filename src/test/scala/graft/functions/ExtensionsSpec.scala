@@ -106,6 +106,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.head().getLong(0) == n0)
   }
 
+  test("null alpha_fp rows survive the injected guard (null-safe rewrite)") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    val p = java.nio.file.Files.createTempDirectory("ext_nullfp").toString
+    // half the shards carry a NULL fingerprint (nullable parquet read) — the guard
+    // must treat unknown as "may contain", never as "drop"
+    ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+      .withColumn("alpha_fp", when(col("shard_id") % 2 === 0, col("alpha_fp")))
+      .write.mode("overwrite").parquet(p)
+    val t = spark.read.parquet(p)
+    t.createOrReplaceTempView("shards_ext_nullfp")
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM shards_ext_nullfp
+        |WHERE fm_count(shard, 'merge') > 0""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.toString.contains("alpha_may_contain"),
+      "rule should still fire on a nullable fingerprint column")
+    val direct = t.select(
+      sum(when(FmFunctions.fm_count(col("shard"), lit("merge")) > 0, 1L).otherwise(0L)))
+      .head().getLong(0)
+    assert(q.head().getLong(0) == direct,
+      "null-fingerprint rows were dropped by a null-propagating guard")
+  }
+
+  test("rule steps aside when shard and alpha_fp come from different relations") {
+    FmFunctions.register(spark)
+    GraftExtensions.installRules(spark)
+    import spark.implicits._
+    val base = ShardTableCache.docShards(spark, dir, numShards = 16).toDF()
+    val pa = java.nio.file.Files.createTempDirectory("ext_xrel_a").toString
+    val pb = java.nio.file.Files.createTempDirectory("ext_xrel_b").toString
+    base.select(col("shard_id"), col("shard")).write.mode("overwrite").parquet(pa)
+    // a SAME-NAMED fingerprint from another table, deliberately claiming 'merge'
+    // chars are absent — pairing it with A.shard would wrongly kill every row
+    val lyingFp = graft.functions.AlphaFingerprint.build("0123456789".toCharArray)
+    base.select(col("shard_id")).withColumn("alpha_fp", typedlit(lyingFp.toSeq))
+      .write.mode("overwrite").parquet(pb)
+    spark.read.parquet(pa).createOrReplaceTempView("ext_xrel_a")
+    spark.read.parquet(pb).createOrReplaceTempView("ext_xrel_b")
+    val q = spark.sql(
+      """SELECT count(*) AS n
+        |FROM ext_xrel_a a JOIN ext_xrel_b b ON a.shard_id = b.shard_id
+        |WHERE fm_count(a.shard, 'merge') > 0""".stripMargin)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("alpha_may_contain"),
+      "rule paired a shard with a different relation's fingerprint")
+    assert(q.head().getLong(0) > 0,
+      "cross-relation pairing killed rows whose fm_count predicate is true")
+  }
+
   test("idempotent: running the optimizer twice does not stack guards") {
     FmFunctions.register(spark)
     GraftExtensions.installRules(spark)

@@ -36,6 +36,22 @@ class ModulesSpec extends AnyFunSuite {
       s"approx p50 drifted: approx=$approxP exact=$exactP")
   }
 
+  test("rankedIds: distributed range-partitioned ranking equals a global sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // duplicate counts force tiebreak by term; more rows than partitions
+    val rows = (0 until 5000).map(i => (f"t$i%04d-${rnd.nextInt(50)}", rnd.nextInt(40).toLong))
+    val df = rows.toDF("term", "n").repartition(16)
+    val got = CorpusQueries.rankedIds(df, Seq(col("n").desc, col("term")), "id")
+      .select("term", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    assert(got == want, "distributed ids must equal the global (n desc, term) ranking")
+    // ids are dense 1..N
+    assert(got.values.toSeq.sorted == (1L to rows.length).toSeq)
+  }
+
   test("fm_count / fm_extract Catalyst expressions match direct shard queries") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
