@@ -326,8 +326,10 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       require(want == got,
         s"write schema ${incoming.simpleString} does not match table ${tschema.simpleString}")
     }
+    val note = Option(info.options.get("commitnote")).getOrElse("")
     new Write {
-      override def toBatch: BatchWrite = new ManifestBatchWrite(dir, partCol, incoming, replace)
+      override def toBatch: BatchWrite =
+        new ManifestBatchWrite(dir, partCol, incoming, replace, note)
     }
   }
 }
@@ -336,7 +338,7 @@ private case class ManifestWriteMessage(files: Seq[(String, Long, String)])
     extends WriterCommitMessage
 
 private class ManifestBatchWrite(dir: String, partCol: String, schema: StructType,
-    replace: Boolean) extends BatchWrite {
+    replace: Boolean, note: String = "") extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -364,7 +366,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
         if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
         else ManifestTables.readLatest(dir)
       val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
-      done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next)
+      done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next, note)
     }
   }
 

@@ -199,14 +199,18 @@ object ManifestTables {
     * concurrency, the Iceberg commit protocol in miniature.
     */
   private[sources] def tryWriteSnapshot(dir: String, partCol: String,
-      entries: Seq[Entry], id: Int): Boolean = {
+      entries: Seq[Entry], id: Int, note: String = ""): Boolean = {
     val fileList = entries.map { e =>
       s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
     }
+    // `note` rides INSIDE the atomic publication — the exactly-once hook: a streaming
+    // sink stamps its micro-batch id here, so "was batch B committed?" and "commit
+    // batch B" can never be observed apart (see ManifestStreamSink)
+    val noteLine = if (note.isEmpty) "" else s"""  "note": "${jsonEscape(note)}",\n"""
     val json =
       s"""{
          |  "snapshot": $id,
-         |  "partition_column": "${jsonEscape(partCol)}",
+         |$noteLine  "partition_column": "${jsonEscape(partCol)}",
          |  "files": [
          |${fileList.mkString(",\n")}
          |  ]
@@ -223,6 +227,17 @@ object ManifestTables {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** All commit notes across committed snapshots (exactly-once dedup set for the
+    * streaming sink; empty notes are never recorded).
+    */
+  private[sources] def committedNotes(dir: String): Set[String] = {
+    if (latestSnapshotId(dir).isEmpty) return Set.empty
+    snapshotFiles(dir).flatMap { f =>
+      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+      s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt).map(m => jsonUnescape(m.group(1)))
+    }.toSet
   }
 
   /** The partition column name recorded by the latest committed snapshot ("" if the

@@ -275,6 +275,39 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(dataTable(out).filter(col("p") === "p%3").count() == 1)
   }
 
+  test("streaming sink: exactly-once micro-batch commits into the manifest table") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("manifest_stream_src").toString
+    val out = Files.createTempDirectory("manifest_stream_out").toString
+    val ckpt = Files.createTempDirectory("manifest_stream_ckpt").toString
+    Seq((1L, "en"), (2L, "fr")).toDF("id", "p").write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("id BIGINT, p STRING").parquet(src)
+      val q = ManifestStreamSink.start(stream, out, "p", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(dataTable(out).count() == 2)
+    // new files arrive; a restarted query on the same checkpoint appends exactly them
+    Seq((3L, "en")).toDF("id", "p").write.mode("append").parquet(src)
+    runOnce()
+    assert(dataTable(out).count() == 3)
+    // idle restart: no new data, no new rows
+    runOnce()
+    assert(dataTable(out).count() == 3)
+    // at-least-once REPLAY of an already-committed batch id must be a no-op: batch 0
+    // is stamped inside a committed snapshot, so the commit is refused
+    val replay = Seq((9L, "zz")).toDF("id", "p")
+    assert(!ManifestStreamSink.commitBatch(replay, 0L, out, "p"),
+      "replayed batch id must not commit twice")
+    assert(dataTable(out).filter(col("p") === "zz").count() == 0)
+    // a genuinely new batch id commits
+    assert(ManifestStreamSink.commitBatch(replay, 999L, out, "p"))
+    assert(dataTable(out).count() == 4)
+  }
+
   test("snapshot publication is claim-once: a second committer on the same id must retry") {
     val out = Files.createTempDirectory("manifest_claim").toString
     val e1 = Seq(ManifestTables.Entry("a.parquet", 10L, "en", 0))
