@@ -54,8 +54,12 @@ object CorpusQueries {
     */
   def rankedIds(dfIn: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val s = dfIn.sparkSession
-    val p = math.max(1, s.sparkContext.defaultParallelism)
-    val sorted = dfIn.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+    // AUDIT NOTE: the .rdd below is a plan barrier — downstream plans show only
+    // `Scan ExistingRDD`, so PlanShapeSpec's catalog-wide audit cannot see the
+    // ranking subplan. rankedInput is therefore exposed separately and its plan
+    // shape (range exchange + in-partition sort, no Window, no extra exchange) is
+    // asserted directly in ModulesSpec.
+    val sorted = rankedInput(dfIn, order)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType,
@@ -64,6 +68,14 @@ object CorpusQueries {
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     s.createDataFrame(withIds, schema)
+  }
+
+  /** The pre-barrier ranking input (range-partitioned + in-partition sorted); public
+    * to the test layer so its plan shape stays auditable past rankedIds' RDD barrier.
+    */
+  private[graft] def rankedInput(dfIn: DataFrame, order: Seq[Column]): DataFrame = {
+    val p = math.max(1, dfIn.sparkSession.sparkContext.defaultParallelism)
+    dfIn.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
   }
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
@@ -735,7 +747,10 @@ object CorpusQueries {
               .otherwise(round(x.cast("double") * 127 / col("amax")).cast("long")))
             .as("q"))
         .select(col("vec_id"), col("n_dims"),
-          aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+          // coalesce(v, 0): a null element contributes 0 exactly like DuckDB's
+          // list_sum null-skipping; the oracle coalesces its empty-list NULL to 0 to
+          // match the fold's seed — null-consistent at any future data shape
+          aggregate(col("q"), lit(0L), (a, b) => a + coalesce(b, lit(0L))).as("q_sum"),
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"),
           size(filter(col("q"), _ =!= 0L)).cast("long").as("nnz"))
@@ -1235,7 +1250,7 @@ object CorpusQueries {
         |      ELSE CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT) END) AS qv
         |  FROM qz)
         |SELECT vec_id, n_dims,
-        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz

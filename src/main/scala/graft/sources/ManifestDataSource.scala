@@ -362,11 +362,20 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
     }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
     var done = false
     while (!done) {
-      val previous =
-        if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
-        else ManifestTables.readLatest(dir)
-      val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
-      done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next, note)
+      // noted commits are idempotent: if a concurrent committer (zombie driver vs its
+      // replacement replaying the same micro-batch) already published this note, this
+      // attempt must become a no-op — a bare check-then-act BEFORE the write would
+      // race; re-checking on every claim attempt cannot (the CAS failure forces the
+      // loser back through this check after the winner's note is visible)
+      if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
+        done = true
+      } else {
+        val previous =
+          if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
+          else ManifestTables.readLatest(dir)
+        val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+        done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next, note)
+      }
     }
   }
 

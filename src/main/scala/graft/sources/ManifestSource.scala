@@ -229,16 +229,31 @@ object ManifestTables {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** All commit notes across committed snapshots (exactly-once dedup set for the
-    * streaming sink; empty notes are never recorded).
+  /** The commit note of one snapshot file, reading only the HEAD of the file — the
+    * note line precedes the (cumulative, growing) file list, so the probe stays O(1)
+    * bytes per snapshot no matter how large the table gets.
     */
-  private[sources] def committedNotes(dir: String): Set[String] = {
-    if (latestSnapshotId(dir).isEmpty) return Set.empty
-    snapshotFiles(dir).flatMap { f =>
-      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
-      s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt).map(m => jsonUnescape(m.group(1)))
-    }.toSet
+  private def noteOf(snapshotFile: String): Option[String] = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(snapshotFile))
+    val head = try {
+      val buf = java.nio.ByteBuffer.allocate(512)
+      val n = ch.read(buf)
+      new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
+    } finally ch.close()
+    s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
   }
+
+  /** Was `note` recorded by any committed snapshot? Scans newest-first (a streaming
+    * replay probes a recent batch) reading only file heads.
+    */
+  private[sources] def hasCommittedNote(dir: String, note: String): Boolean =
+    latestSnapshotId(dir).isDefined &&
+      snapshotFiles(dir).reverseIterator.exists(f => noteOf(f).contains(note))
+
+  /** All commit notes across committed snapshots (spec hook). */
+  private[sources] def committedNotes(dir: String): Set[String] =
+    if (latestSnapshotId(dir).isEmpty) Set.empty
+    else snapshotFiles(dir).flatMap(noteOf(_)).toSet
 
   /** The partition column name recorded by the latest committed snapshot ("" if the
     * manifest predates partition recording, e.g. PartitionedTable transcript tables).

@@ -8,12 +8,18 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `foreachBatch` alone is at-least-once: after a crash between the batch's side
   * effect and the checkpoint advance, the restarted query re-runs the same batch id.
   * The manifest's atomic snapshot publication closes that gap: each micro-batch
-  * commit stamps `stream-batch-<id>` INSIDE the snapshot JSON (one atomic hard-link
-  * publication, see ManifestTables.tryWriteSnapshot), so "was this batch committed?"
-  * and "commit this batch" are the same event. A replayed batch finds its note among
-  * the committed snapshots and becomes a no-op; a crash BEFORE publication leaves
-  * only orphan data files no snapshot references. Iceberg's streaming
-  * commit-dedup property on the same plain-filesystem manifest layout.
+  * commit stamps `stream-<sinkId>-batch-<id>` INSIDE the snapshot JSON, and the
+  * publication loop itself re-checks the note before every claim attempt (see
+  * ManifestBatchWrite.commit), so even a zombie driver racing its replacement on the
+  * same batch publishes it exactly once — the loser's snapshot-id CAS fails, its
+  * retry re-reads the state, sees the winner's note, and no-ops. A crash BEFORE
+  * publication leaves only orphan data files no snapshot references. Iceberg's
+  * streaming commit-dedup property on the same plain-filesystem manifest layout.
+  *
+  * `sinkId` scopes the dedup to ONE logical stream: batch ids restart from 0 for
+  * every new checkpoint, so deduping on the bare id would silently drop a second
+  * stream's early batches. `start` derives it from the checkpoint path (stable
+  * across restarts of the same query, distinct for distinct queries).
   *
   * Usage:
   * {{{
@@ -23,13 +29,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object ManifestStreamSink {
 
-  /** Commits one micro-batch exactly once. Returns false when the batch id was
-    * already committed (restart replay) — the call is then a pure no-op.
+  /** Stable identity for a logical stream: content hash of its checkpoint path. */
+  def sinkIdFor(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Commits one micro-batch of one logical stream exactly once. Returns false when
+    * (sinkId, batchId) was already committed (restart replay) — a pure no-op then.
     */
-  def commitBatch(batch: Dataset[Row], batchId: Long, dir: String, partCol: String): Boolean = {
-    val note = s"stream-batch-$batchId"
-    if (ManifestTables.committedNotes(dir).contains(note)) false
+  def commitBatch(batch: Dataset[Row], batchId: Long, dir: String, partCol: String,
+      sinkId: String): Boolean = {
+    val note = s"stream-$sinkId-batch-$batchId"
+    if (ManifestTables.hasCommittedNote(dir, note)) false
     else {
+      // the note travels into the atomic publication; the commit loop re-checks it
+      // under contention, so a concurrent duplicate of this call publishes once
       batch.write.format(classOf[ManifestDataSource].getName)
         .option("partcol", partCol)
         .option("commitnote", note)
@@ -41,8 +57,10 @@ object ManifestStreamSink {
 
   /** foreachBatch writer wiring; caller picks the trigger and starts the query. */
   def start(stream: DataFrame, dir: String, partCol: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String): DataStreamWriter[Row] = {
+    val sinkId = sinkIdFor(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: Dataset[Row], id: Long) => { commitBatch(b, id, dir, partCol); () })
+      .foreachBatch((b: Dataset[Row], id: Long) => { commitBatch(b, id, dir, partCol, sinkId); () })
+  }
 }

@@ -50,6 +50,14 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == want, "distributed ids must equal the global (n desc, term) ranking")
     // ids are dense 1..N
     assert(got.values.toSeq.sorted == (1L to rows.length).toSeq)
+    // plan-shape audit of the pre-barrier subplan (rankedIds' .rdd hides it from
+    // PlanShapeSpec's catalog-wide traversal): a range exchange + in-partition sort,
+    // never a Window, never a single-partition funnel
+    val p = CorpusQueries.rankedInput(df, Seq(col("n").desc, col("term")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"ranking input must range-partition:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"ranking input must not plan a Window:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"), s"ranking input must not funnel to one partition")
   }
 
   test("fm_count / fm_extract Catalyst expressions match direct shard queries") {

@@ -297,15 +297,23 @@ class ManifestSourceSpec extends AnyFunSuite {
     // idle restart: no new data, no new rows
     runOnce()
     assert(dataTable(out).count() == 3)
-    // at-least-once REPLAY of an already-committed batch id must be a no-op: batch 0
-    // is stamped inside a committed snapshot, so the commit is refused
+    // at-least-once REPLAY of an already-committed (sink, batch) must be a no-op:
+    // the note is stamped inside a committed snapshot, so the commit is refused
+    val sinkId = ManifestStreamSink.sinkIdFor(ckpt)
     val replay = Seq((9L, "zz")).toDF("id", "p")
-    assert(!ManifestStreamSink.commitBatch(replay, 0L, out, "p"),
+    assert(!ManifestStreamSink.commitBatch(replay, 0L, out, "p", sinkId),
       "replayed batch id must not commit twice")
     assert(dataTable(out).filter(col("p") === "zz").count() == 0)
-    // a genuinely new batch id commits
-    assert(ManifestStreamSink.commitBatch(replay, 999L, out, "p"))
+    // a genuinely new batch id of the same sink commits
+    assert(ManifestStreamSink.commitBatch(replay, 999L, out, "p", sinkId))
     assert(dataTable(out).count() == 4)
+    // a DIFFERENT logical stream (new checkpoint -> new sinkId) reuses batch id 0
+    // without being deduped against the first stream's batch 0
+    val other = Seq((20L, "de")).toDF("id", "p")
+    val sinkId2 = ManifestStreamSink.sinkIdFor(ckpt + "-other")
+    assert(ManifestStreamSink.commitBatch(other, 0L, out, "p", sinkId2),
+      "a second stream's batch 0 must not collide with the first stream's")
+    assert(dataTable(out).count() == 5)
   }
 
   test("snapshot publication is claim-once: a second committer on the same id must retry") {
