@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** TableCatalog plugin over a warehouse of manifest-committed tables — manifest tables
+  * become addressable by NAME in plain SQL, the last mile of the DSv2 surface:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.ManifestCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("SELECT lang_p, count(*) FROM graft.corpus.docs GROUP BY 1")
+  *   spark.sql("INSERT INTO graft.corpus.docs SELECT ...")       // snapshot commit
+  *   spark.sql("SELECT * FROM graft.corpus.docs VERSION AS OF 0") // time travel
+  * }}}
+  *
+  * A table named `ns1.ns2.t` lives at `<warehouse>/ns1/ns2/t` — any directory holding
+  * a committed `_manifests` snapshot IS a table (the catalog holds no state of its
+  * own, exactly like the path-based API; both views of the same directory stay
+  * consistent because the manifest is the single source of truth). SQL `VERSION AS
+  * OF n` maps to the pinned-snapshot read. DDL is intentionally thin: tables are
+  * CREATED by writing data (the DSv2 write bootstrap defines the schema), so
+  * createTable/alterTable/drop are unsupported rather than half-implemented.
+  */
+class ManifestCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must point at the table root directory")
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTable(dir: String): Boolean =
+    ManifestTables.latestSnapshotId(dir).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(nsDir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir))
+  }
+
+  /** SQL `VERSION AS OF <n>` — serves the pinned committed snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val snap = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"snapshot version must be an integer, got '$version'")
+    }
+    // schema from the pinned snapshot's own first file (schemas may evolve per snapshot)
+    val entries = ManifestTables.readSnapshot(dir, Some(snap))
+    require(entries.nonEmpty, s"snapshot $snap of $dir lists no data files")
+    new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir), Some(snap))
+  }
+
+  override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "manifest tables are created by writing data (DSv2 write bootstrap); CREATE TABLE is not supported")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported on manifest tables")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE is not supported — delete the table directory to drop a manifest table")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported on manifest tables")
+}

@@ -127,22 +127,29 @@ object ManifestDataSource {
     }
 }
 
-private class ManifestDataTable(dir: String, tschema: StructType)
+private[sources] class ManifestDataTable(dir: String, tschema: StructType,
+    pinnedSnapshot: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
   override def name(): String = s"manifest_data($dir)"
   override def schema(): StructType = tschema
-  // ACCEPT_ANY_SCHEMA: Spark's built-in check would reject the first write into an
-  // empty (schema-less) table; newWriteBuilder re-checks appends against the real
-  // table schema itself
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  // ACCEPT_ANY_SCHEMA only while BOOTSTRAPPING (no schema yet): Spark's built-in
+  // check would reject the first write into an empty table. Once a schema exists the
+  // capability is withheld so Spark resolves/coerces writes against it — which is
+  // what makes `INSERT INTO catalog.ns.t VALUES (...)` rename positional columns to
+  // the table's names; newWriteBuilder still re-checks as defense in depth.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    if (tschema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(ManifestTables.latestSnapshotId(dir).isDefined,
       s"no committed snapshot under $dir — write or commit first")
-    // time travel: .option("snapshot", N) pins the scan to a historical snapshot
-    val snapshot = Option(options.get("snapshot")).map(_.toInt)
+    // time travel: .option("snapshot", N) — or a catalog-level pin from SQL's
+    // `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
+    val snapshot = Option(options.get("snapshot")).map(_.toInt).orElse(pinnedSnapshot)
     new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionColumn(dir), snapshot)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
