@@ -952,6 +952,27 @@ object CorpusQueries {
         .orderBy(col("source"))
     }),
 
+    // --- TableCatalog end-to-end under the oracle gate: documents land in a
+    //     warehouse through the DSv2 WRITE path (snapshot bootstrap), then the
+    //     aggregation runs as PLAIN SQL BY NAME through graft.sources.ManifestCatalog
+    //     — write path, catalog resolution, manifest-pinned scan and SQL surface all
+    //     inside one DuckDB-gated query. Catalog name is per-dir: Spark caches plugin
+    //     instances per session, so one name must never point at two warehouses. ---
+    "q63c_catalog_sql" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = s"/tmp/graft_q63c_${s.sparkContext.applicationId}_$tag"
+      t(s, dir, "documents").withColumn("lang_p", col("lang"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63c_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- multimodal frame sampling through the REAL batched mapPartitions path:
     //     documents become binary assets with a deterministic kind; extractFeatures
     //     gathers fixed-size batches per partition and emits byte/frame counts (the
@@ -1356,6 +1377,9 @@ object CorpusQueries {
     "q63b_manifest_data" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63c_catalog_sql" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
