@@ -60,7 +60,9 @@ private[graft] object ShardCache {
     var h = bytes.length.toLong * 0x9e3779b97f4a7c15L
     var i = 0
     while (i < 8) {
-      h = h * 31 + bytes((bytes.length - 1) * i / 7)
+      // Long math: (len-1)*i overflows Int past ~306 MB (Int.MaxValue/7) — a dense
+      // 128M-char shard's serialized form can approach that
+      h = h * 31 + bytes((((bytes.length - 1).toLong * i) / 7).toInt)
       i += 1
     }
     h

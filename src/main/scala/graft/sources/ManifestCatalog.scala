@@ -72,9 +72,12 @@ class ManifestCatalog extends TableCatalog {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(s"snapshot version must be an integer, got '$version'")
     }
-    // schema from the pinned snapshot's own first file (schemas may evolve per snapshot)
-    val entries = ManifestTables.readSnapshot(dir, Some(snap))
-    require(entries.nonEmpty, s"snapshot $snap of $dir lists no data files")
+    // Fail at resolution time if the pinned snapshot does not exist (readSnapshot
+    // throws for an unknown id); a legitimately EMPTY snapshot (e.g. an empty
+    // overwrite) is fine and serves zero rows. The schema comes from the LATEST
+    // snapshot — appends/overwrites enforce schema equality, so per-snapshot schemas
+    // cannot diverge.
+    ManifestTables.readSnapshot(dir, Some(snap))
     new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir), Some(snap))
   }
 

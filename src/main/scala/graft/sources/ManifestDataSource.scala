@@ -81,8 +81,14 @@ object ManifestDataSource {
     */
   private[sources] def tableSchema(dir: String): StructType = {
     require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
-    if (ManifestTables.latestSnapshotId(dir).isEmpty) return new StructType()
-    val entries = ManifestTables.readLatest(dir)
+    val latest = ManifestTables.latestSnapshotId(dir)
+    if (latest.isEmpty) return new StructType()
+    // the latest snapshot may be legitimately EMPTY (empty overwrite); schemas cannot
+    // diverge across snapshots (appends/overwrites enforce equality), so fall back to
+    // the newest snapshot that still lists a file
+    val entries = (latest.get to 0 by -1).iterator
+      .map(id => scala.util.Try(ManifestTables.readSnapshot(dir, Some(id))).getOrElse(Nil))
+      .find(_.nonEmpty).getOrElse(Nil)
     if (entries.isEmpty) return new StructType()
     val conf = hadoopConf()
     val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
@@ -344,6 +350,14 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 private case class ManifestWriteMessage(files: Seq[(String, Long, String)])
     extends WriterCommitMessage
 
+private object ManifestBatchWrite {
+  /** Commit-race retry bound: with jittered backoff this tolerates minutes of
+    * contention before failing loudly (a hung commit loop is worse than a retryable
+    * job failure).
+    */
+  val MaxCommitAttempts = 64
+}
+
 private class ManifestBatchWrite(dir: String, partCol: String, schema: StructType,
     replace: Boolean, note: String = "") extends BatchWrite {
 
@@ -368,20 +382,33 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
       case _ => Nil
     }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
     var done = false
+    var attempt = 0
     while (!done) {
-      // noted commits are idempotent: if a concurrent committer (zombie driver vs its
-      // replacement replaying the same micro-batch) already published this note, this
-      // attempt must become a no-op — a bare check-then-act BEFORE the write would
-      // race; re-checking on every claim attempt cannot (the CAS failure forces the
-      // loser back through this check after the winner's note is visible)
+      // ORDER MATTERS (exactly-once): pin the target id FIRST, then check the note.
+      // Every committer targets latest+1, so a competing publication that lands after
+      // this read must claim the same id — our CAS then fails and we re-enter this
+      // loop, at which point the winner's note IS visible. Checking the note before
+      // reading the id would leave a window where a noted snapshot lands in between
+      // and we'd still claim the NEXT id, publishing the batch twice (duplicate rows).
+      val latest = ManifestTables.latestSnapshotId(dir)
+      val next = latest.map(_ + 1).getOrElse(0)
       if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
         done = true
       } else {
-        val previous =
-          if (replace || ManifestTables.latestSnapshotId(dir).isEmpty) Nil
-          else ManifestTables.readLatest(dir)
-        val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+        val previous = if (replace || latest.isEmpty) Nil else ManifestTables.readLatest(dir)
         done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next, note)
+      }
+      if (!done) {
+        // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
+        // re-reads; sustained contention past the cap fails the job loudly rather
+        // than hanging a 512-task streaming fan-in forever
+        attempt += 1
+        require(attempt < ManifestBatchWrite.MaxCommitAttempts,
+          s"manifest commit to $dir lost the snapshot race $attempt times — " +
+            "sustained contention; rerun or reduce concurrent committers")
+        val sleepMs = math.min(1000L, 10L << math.min(attempt, 7)) / 2 +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 16)
+        Thread.sleep(sleepMs)
       }
     }
   }

@@ -198,8 +198,19 @@ object ManifestTables {
     * caller re-reads the latest state and retries with the next id — optimistic
     * concurrency, the Iceberg commit protocol in miniature.
     */
+  /** Max ESCAPED commit-note length. noteOf reads only the first NoteHeadBytes of a
+    * snapshot file; a note whose closing quote fell outside that head would silently
+    * never match — voiding exactly-once dedup — so over-long notes are rejected at
+    * write time instead.
+    */
+  private[sources] val MaxNoteLength = 256
+  private val NoteHeadBytes = 512
+
   private[sources] def tryWriteSnapshot(dir: String, partCol: String,
       entries: Seq[Entry], id: Int, note: String = ""): Boolean = {
+    require(jsonEscape(note).length <= MaxNoteLength,
+      s"commit note too long (${note.length} chars; escaped max $MaxNoteLength) — " +
+        "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
     val fileList = entries.map { e =>
       s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
     }
@@ -236,7 +247,7 @@ object ManifestTables {
   private def noteOf(snapshotFile: String): Option[String] = {
     val ch = java.nio.channels.FileChannel.open(Paths.get(snapshotFile))
     val head = try {
-      val buf = java.nio.ByteBuffer.allocate(512)
+      val buf = java.nio.ByteBuffer.allocate(NoteHeadBytes)
       val n = ch.read(buf)
       new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
     } finally ch.close()
@@ -259,11 +270,9 @@ object ManifestTables {
     * manifest predates partition recording, e.g. PartitionedTable transcript tables).
     */
   private[sources] def readPartitionColumn(dir: String): String = {
-    val mdir = Paths.get(dir, "_manifests")
-    require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
-    val stream = Files.list(mdir)
-    val snaps = try stream.iterator().asScala.map(_.toString).filter(_.contains("snapshot-"))
-      .toSeq.sorted finally stream.close()
+    // snapshotFiles applies the strict SnapshotName filter — a `.tmp-snapshot-*`
+    // in-flight temp must never be selected as the latest snapshot here either
+    val snaps = snapshotFiles(dir)
     require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
     val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
     s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)

@@ -337,6 +337,75 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ManifestTables.latestSnapshotId(out).contains(1))
   }
 
+  test("noted commits are exactly-once under concurrency (TOCTOU regression)") {
+    import spark.implicits._
+    // N racing committers carrying the SAME (sinkId, batchId) note: exactly one may
+    // publish. The round-3 code checked the note BEFORE reading the latest snapshot
+    // id — a competing noted publication landing between the two reads would be
+    // missed and the batch published twice. The fixed order (pin id, then check note)
+    // makes the CAS failure route every loser back through the note check.
+    val out = Files.createTempDirectory("manifest_race").toString
+    Seq((0L, "seed")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    val batch = Seq((1L, "en"), (2L, "fr")).toDF("id", "p")
+    val sinkId = "race-sink"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = (0 until 6).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            gate.await()
+            ManifestStreamSink.commitBatch(batch, 7L, out, "p", sinkId)
+          }
+        })
+      }
+      gate.countDown()
+      results.foreach(_.get()) // surface any exception; return value only reflects
+                               // the fast-path pre-check, not who won the race
+    } finally pool.shutdown()
+    // the batch's rows appear exactly once, and exactly ONE snapshot landed beyond
+    // the seed (id 0): every losing racer must have deduped inside the commit loop
+    assert(dataTable(out).filter(col("id") === 1L).count() == 1)
+    assert(dataTable(out).count() == 3)
+    assert(ManifestTables.latestSnapshotId(out).contains(1),
+      "racing noted commits published more than one snapshot")
+  }
+
+  test("over-long commit notes are rejected at write time (head-probe contract)") {
+    val out = Files.createTempDirectory("manifest_note_len").toString
+    val e = Seq(ManifestTables.Entry("a.parquet", 1L, "", 0))
+    val longNote = "n" * 300
+    val err = intercept[IllegalArgumentException] {
+      ManifestTables.tryWriteSnapshot(out, "", e, 0, longNote)
+    }
+    assert(err.getMessage.contains("note too long"))
+    // at the boundary it still works and is findable by the head probe
+    val okNote = "n" * ManifestTables.MaxNoteLength
+    assert(ManifestTables.tryWriteSnapshot(out, "", e, 0, okNote))
+    assert(ManifestTables.hasCommittedNote(out, okNote))
+  }
+
+  test("VERSION AS OF serves a legitimately EMPTY snapshot (empty overwrite)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_wh_empty").toString
+    val tblDir = s"$wh/ns/t"
+    Seq((1L, "en")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(tblDir)
+    // empty overwrite -> snapshot 1 lists no files
+    spark.emptyDataset[(Long, String)].toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName).mode("overwrite").save(tblDir)
+    spark.conf.set("spark.sql.catalog.graft_empt", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_empt.warehouse", wh)
+    assert(spark.sql("SELECT count(*) FROM graft_empt.ns.t VERSION AS OF 1").head().getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft_empt.ns.t VERSION AS OF 0").head().getLong(0) == 1)
+    // unknown snapshot still fails at resolution
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_empt.ns.t VERSION AS OF 42").collect()
+    }
+    assert(bad.getMessage.contains("42"))
+  }
+
   test("TableCatalog plugin: SQL by name, INSERT INTO commits a snapshot, VERSION AS OF time-travels") {
     import spark.implicits._
     val wh = Files.createTempDirectory("manifest_wh").toString
