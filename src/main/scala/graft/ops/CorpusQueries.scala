@@ -93,8 +93,13 @@ object CorpusQueries {
     ConnectedComponents.run(minhashLshPairs(s, dir).union(exact))
   }
 
-  /** 16-bit SimHash per document (token-hash bit majorities), shared by q42/q37.
-    * h = first 2 md5 bytes big-endian — matches the oracle's conv(substring) hex math.
+  /** 64-bit SimHash per document (token-hash bit majorities), shared by q42/q37.
+    * h = first 8 md5 bytes big-endian — matches the oracle's hex-digit HUGEINT math.
+    * 64 bits is the production width (Manku et al., WWW'07): banding it into 4
+    * 16-bit quarters gives pigeonhole-exact recall at hamming <= 3 with 2^16 values
+    * per band, so bucket sizes stay ~n/65536 instead of the n/256 a 16-bit signature
+    * forces — the difference between linear and quadratic candidate growth at corpus
+    * scale.
     */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -104,24 +109,35 @@ object CorpusQueries {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (docId, text) =>
           val w = text.split(" ", -1)
-          val ones = new Array[Int](16)
+          val ones = new Array[Int](64)
           var i = 0
           while (i < w.length) {
             md.reset()
             val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
             var k = 0
-            while (k < 16) { ones(k) += (h >>> k) & 1; k += 1 }
+            while (k < 64) { ones(k) += ((h >>> k) & 1L).toInt; k += 1 }
             i += 1
           }
           var sim = 0L
           var k = 0
-          while (k < 16) { if (2 * ones(k) >= w.length) sim |= 1L << k; k += 1 }
+          while (k < 64) { if (2 * ones(k) >= w.length) sim |= 1L << k; k += 1 }
           (docId, sim)
         }
       }
       .toDF("doc_id", "simhash")
   }
+
+  /** The four 16-bit quarters of a 64-bit simhash — the band keys of the q37 join.
+    * shiftright is arithmetic, so every quarter (the top one included) is masked.
+    */
+  private[ops] def simhashBands(sim: Column): Column = array(
+    sim.bitwiseAND(lit(0xffffL)),
+    shiftright(sim, 16).bitwiseAND(lit(0xffffL)),
+    shiftright(sim, 32).bitwiseAND(lit(0xffffL)),
+    shiftright(sim, 48).bitwiseAND(lit(0xffffL)))
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -195,11 +211,17 @@ object CorpusQueries {
     s"len(list_filter(range(1, length(text) + 2 - length($patternSql)), " +
       s"i -> substr(text, i, length($patternSql)) = $patternSql))"
 
-  private val duckHex4 =
-    "((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
-      "(strpos('0123456789abcdef', substr(md5(t),4,1))-1))"
+  /** First 16 md5 hex digits as an UNSIGNED 64-bit value in HUGEINT math (big-endian,
+    * same bytes the Spark kernel packs into its Long). Each term is cast to HUGEINT
+    * before the multiply — the full value reaches 2^64-1, past signed BIGINT.
+    */
+  private val duckHex16 = "(" + (0 until 16).map { i =>
+    s"CAST(strpos('0123456789abcdef', substr(md5(t),${i + 1},1))-1 AS HUGEINT)*${BigInt(16).pow(15 - i)}"
+  }.mkString(" + ") + ")"
+
+  /** Unsigned-HUGEINT -> signed-BIGINT two's-complement wrap (the Spark Long view). */
+  private def duckWrapSigned(h: String): String =
+    s"CAST(CASE WHEN ($h) >= ${BigInt(2).pow(63)} THEN ($h) - ${BigInt(2).pow(64)} ELSE ($h) END AS BIGINT)"
 
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -757,24 +779,24 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // --- SimHash: 16-bit signature from token-hash bit majorities. Typed kernel:
-    //     the interpreted-HOF form (transform + 16 filters re-hashing every token)
+    // --- SimHash: 64-bit signature from token-hash bit majorities. Typed kernel:
+    //     the interpreted-HOF form (transform + 64 filters re-hashing every token)
     //     costs ~4x; integer majority votes are engine-exact vs the oracle ---
     "q42_simhash" -> ((s, dir) =>
       simhashSignatures(s, dir).orderBy(col("doc_id"))),
 
-    // --- SimHash near-dup PAIRING: pairs within hamming distance 1, candidates from
-    //     a band equi-join on the two 8-bit signature halves (pigeonhole: one
-    //     differing bit leaves at least one half intact, so recall is EXACT for
-    //     h <= 1), then an exact bit_count(xor) filter — the hamming-space twin of the
-    //     q41/q52 Jaccard/cosine LSH shapes, never an all-pairs join. The brute-force
-    //     DuckDB oracle proves the banding loses nothing. ---
+    // --- SimHash near-dup PAIRING: pairs within hamming distance 3, candidates from
+    //     a band equi-join on the four 16-bit signature quarters (pigeonhole: three
+    //     differing bits leave at least one quarter intact, so recall is EXACT for
+    //     h <= 3), then an exact bit_count(xor) filter — the hamming-space twin of the
+    //     q41/q52 Jaccard/cosine LSH shapes, never an all-pairs join. 2^16 values per
+    //     band keeps bucket sizes ~n/65536 (SimhashScalingSpec pins the near-linear
+    //     candidate growth); the brute-force DuckDB oracle proves the banding loses
+    //     nothing. ---
     "q37_simhash_neardup" -> ((s, dir) => {
       val sim = simhashSignatures(s, dir)
       val bands = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array(
-          col("simhash").bitwiseAND(lit(255L)),
-          shiftright(col("simhash"), 8))).as(Seq("band_idx", "band_val")))
+        posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
       val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
         col("band_idx"), col("band_val"))
       val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
@@ -783,7 +805,7 @@ object CorpusQueries {
           col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 1)
+        .filter(col("hamming") <= 3)
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -1277,25 +1299,27 @@ object CorpusQueries {
         |  CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz
         |FROM q ORDER BY vec_id""".stripMargin,
     "q42_simhash" -> {
-      val hs = s"list_transform(string_split(text,' '), t -> $duckHex4)"
-      val bits = (0 until 16).map(k =>
-        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1)) >= len(hs) " +
-          s"THEN ${1L << k} ELSE 0 END)").mkString(" + ")
-      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      // bit k of the HUGEINT hash via integer division (>> / & are not defined on
+      // HUGEINT): (h // 2^k) % 2; signature assembled in HUGEINT then wrapped signed
+      val hs = s"list_transform(string_split(text,' '), t -> $duckHex16)"
+      val bits = (0 until 64).map(k =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h // ${BigInt(2).pow(k)}) % 2) = 1)) >= len(hs) " +
+          s"THEN CAST(${BigInt(2).pow(k)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)").mkString(" + ")
+      s"""SELECT doc_id, ${duckWrapSigned(bits)} AS simhash
          |FROM (SELECT doc_id, $hs AS hs FROM documents) ORDER BY doc_id""".stripMargin
     },
-    // brute-force all-pairs oracle: proves the 2x8-bit band join loses no h<=1 pair
+    // brute-force all-pairs oracle: proves the 4x16-bit band join loses no h<=3 pair
     "q37_simhash_neardup" -> {
-      val hs = s"list_transform(string_split(text,' '), t -> $duckHex4)"
-      val bits = (0 until 16).map(k =>
-        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $k) & 1) = 1)) >= len(hs) " +
-          s"THEN ${1L << k} ELSE 0 END)").mkString(" + ")
-      s"""WITH sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      val hs = s"list_transform(string_split(text,' '), t -> $duckHex16)"
+      val bits = (0 until 64).map(k =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h // ${BigInt(2).pow(k)}) % 2) = 1)) >= len(hs) " +
+          s"THEN CAST(${BigInt(2).pow(k)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)").mkString(" + ")
+      s"""WITH sim AS (SELECT doc_id, ${duckWrapSigned(bits)} AS simhash
          |  FROM (SELECT doc_id, $hs AS hs FROM documents))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q50_knn_brute" -> {
