@@ -296,6 +296,40 @@ object RelationalQueries {
       s.table(qn).orderBy(col("hour"), col("event_type"))
     }),
 
+    // --- PRODUCTION-SHAPE STREAMING under the gate: the same watermarked hourly
+    //     rollup in APPEND mode — only watermark-FINALIZED windows are ever emitted
+    //     (window.end < max(ts) - 2h, Spark's strict ms-truncated eviction predicate),
+    //     each micro-batch committed EXACTLY-ONCE through ManifestStreamSink's noted
+    //     snapshot publication, and the answer read back through the manifest table
+    //     itself. This is the unbounded-production composition q67's complete-mode
+    //     memory sink deliberately is not: bounded state (closed windows leave the
+    //     store), durable output, replay-idempotent restarts — the second AvailableNow
+    //     run on the same checkpoint commits nothing new, which the gate observes
+    //     because the read happens AFTER the replay. ---
+    "q68_stream_append_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft_q68_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q68_ckpt").toString
+      def runOnce(): Unit = {
+        val agg = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .select(col("window").getField("start").cast("timestamp_ntz").as("hour"),
+            col("event_type"), col("n"), col("value_sum"))
+        val sq = graft.sources.ManifestStreamSink.start(agg, out, "event_type", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
+      runOnce()
+      runOnce() // restart replay: must be a pure no-op on the manifest
+      s.read.format("graft.sources.ManifestDataSource").load(out)
+        .select(col("hour"), col("event_type"), col("n"), col("value_sum"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // --- exact percentiles (sort-based, interpolated) per group ---
     // Anchored in integer cents: interpolation endpoints are then exactly-representable
     // BIGINTs and the only float op is the interpolation itself plus ONE final /100 —
@@ -614,6 +648,16 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q68: the batch rollup RESTRICTED TO CLOSED WINDOWS — Spark's exact eviction
+    // math: watermark = ms-truncated max event time minus the 2h delay; a window is
+    // final iff its end is STRICTLY before that (LessThanOrEqual(end, wm - 1ms))
+    "q68_stream_append_manifest" ->
+      """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wms FROM events)
+        |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events, wm
+        |WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000 < wms
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13b_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100 AS p50,

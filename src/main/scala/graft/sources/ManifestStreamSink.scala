@@ -43,6 +43,10 @@ object ManifestStreamSink {
       sinkId: String): Boolean = {
     val note = s"stream-$sinkId-batch-$batchId"
     if (ManifestTables.hasCommittedNote(dir, note)) false
+    // empty micro-batches (idle restarts, no-data watermark flush rounds that emit
+    // nothing) publish no snapshot: replay safety needs no note for a no-op, and an
+    // empty snapshot per idle batch would grow table metadata forever
+    else if (batch.isEmpty) false
     else {
       // the note travels into the atomic publication; the commit loop re-checks it
       // under contention, so a concurrent duplicate of this call publishes once

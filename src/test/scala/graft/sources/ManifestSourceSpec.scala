@@ -300,9 +300,13 @@ class ManifestSourceSpec extends AnyFunSuite {
     Seq((3L, "en")).toDF("id", "p").write.mode("append").parquet(src)
     runOnce()
     assert(dataTable(out).count() == 3)
-    // idle restart: no new data, no new rows
+    // idle restart: no new data, no new rows, AND no new snapshots — empty
+    // micro-batches publish nothing, so table metadata cannot grow on idle restarts
+    val snapBefore = ManifestTables.latestSnapshotId(out)
     runOnce()
     assert(dataTable(out).count() == 3)
+    assert(ManifestTables.latestSnapshotId(out) == snapBefore,
+      "an idle restart published a snapshot")
     // at-least-once REPLAY of an already-committed (sink, batch) must be a no-op:
     // the note is stamped inside a committed snapshot, so the commit is refused
     val sinkId = ManifestStreamSink.sinkIdFor(ckpt)
