@@ -995,6 +995,26 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- NESTED TYPES through the DSv2 manifest table: the embeddings table
+    //     (array<float>) lands via the DSv2 WRITE path (3-level parquet lists) and is
+    //     served back by the VECTORIZED columnar reader — round 3's reader was
+    //     flat-primitive row-at-a-time and could not hold this table at all. The
+    //     aggregate touches the array CONTENTS (per-element math, not just lengths),
+    //     so a decode drift anywhere in the list path breaks the gate. ---
+    "q63d_manifest_embeddings" -> ((s, dir) => {
+      val out = s"/tmp/graft_q63d_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+      t(s, dir, "embeddings").withColumn("label_p", col("label").cast("string"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "label_p").mode("overwrite").save(out)
+      s.read.format("graft.sources.ManifestDataSource").load(out)
+        .groupBy(col("label_p"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(size(col("embedding"))).cast("long").as("total_dims"),
+          sum(round(get(col("embedding"), lit(0)).cast("double") * 10000).cast("long"))
+            .as("dim0_scaled"))
+        .orderBy(col("label_p"))
+    }),
+
     // --- multimodal frame sampling through the REAL batched mapPartitions path:
     //     documents become binary assets with a deterministic kind; extractFeatures
     //     gathers fixed-size batches per partition and emits byte/frame counts (the
@@ -1404,6 +1424,11 @@ object CorpusQueries {
     "q63c_catalog_sql" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63d_manifest_embeddings" ->
+      """SELECT CAST(label AS VARCHAR) AS label_p, count(*) AS n_vecs,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dim0_scaled
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

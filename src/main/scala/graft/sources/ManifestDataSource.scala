@@ -100,36 +100,52 @@ object ManifestDataSource {
     else StructType(base :+ StructField(partCol, StringType, nullable = false))
   }
 
-  /** parquet MessageType -> Spark fields for the flat primitive schemas graft tables
-    * use (long/int/double/float/boolean/string/binary/date/timestamp). Anything else
-    * fails loudly rather than mis-reading.
+  /** parquet MessageType -> Spark fields: primitives (long/int/double/float/boolean/
+    * string/binary/date/timestamp) plus LIST-of-primitive (the embeddings table's
+    * array<float>, standard 3-level layout). Anything else fails loudly rather than
+    * mis-reading.
     */
   private def sparkFields(mt: MessageType): Seq[StructField] =
     mt.getFields.asScala.toSeq.map { f =>
-      require(f.isPrimitive, s"ManifestDataSource supports flat primitive schemas; got $f")
-      val p = f.asPrimitiveType()
-      val dt = p.getPrimitiveTypeName match {
-        case INT64 => p.getLogicalTypeAnnotation match {
-          case ts: TimestampLogicalTypeAnnotation if ts.getUnit == TimeUnit.MICROS =>
-            if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
-          case _ => LongType
+      val dt =
+        if (f.isPrimitive) primitiveSparkType(f.asPrimitiveType())
+        else f.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+            // standard 3-level list: group (LIST) { repeated group list { <element> } }
+            val repeated = f.asGroupType().getType(0).asGroupType()
+            val element = repeated.getType(0)
+            require(element.isPrimitive,
+              s"ManifestDataSource supports arrays of primitives; got $f")
+            ArrayType(primitiveSparkType(element.asPrimitiveType()),
+              containsNull = element.getRepetition != Type.Repetition.REQUIRED)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"ManifestDataSource supports primitive and array-of-primitive schemas; got $f")
         }
-        case INT32 => p.getLogicalTypeAnnotation match {
-          case _: DateLogicalTypeAnnotation => DateType
-          case _ => IntegerType
-        }
-        case DOUBLE => DoubleType
-        case FLOAT => FloatType
-        case BOOLEAN => BooleanType
-        case BINARY => p.getLogicalTypeAnnotation match {
-          case _: StringLogicalTypeAnnotation => StringType
-          case _ => BinaryType
-        }
-        case other =>
-          throw new IllegalArgumentException(
-            s"ManifestDataSource: unsupported parquet type $other for field ${f.getName}")
-      }
       StructField(f.getName, dt, nullable = f.getRepetition != Type.Repetition.REQUIRED)
+    }
+
+  private def primitiveSparkType(p: PrimitiveType): DataType =
+    p.getPrimitiveTypeName match {
+      case INT64 => p.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation if ts.getUnit == TimeUnit.MICROS =>
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case _ => LongType
+      }
+      case INT32 => p.getLogicalTypeAnnotation match {
+        case _: DateLogicalTypeAnnotation => DateType
+        case _ => IntegerType
+      }
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY => p.getLogicalTypeAnnotation match {
+        case _: StringLogicalTypeAnnotation => StringType
+        case _ => BinaryType
+      }
+      case other =>
+        throw new IllegalArgumentException(
+          s"ManifestDataSource: unsupported parquet type $other for field ${p.getName}")
     }
 }
 
@@ -224,13 +240,81 @@ private case class ManifestDataInputPartition(file: String, partition: String)
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partCol: String)
     extends PartitionReaderFactory {
 
+  private def dataFields = fields.filter(_._1 != partCol)
+
+  /** COLUMNAR reads whenever any data column is projected: each file is decoded by
+    * Spark's own VectorizedParquetRecordReader into ColumnarBatches (dictionary-aware,
+    * page-at-a-time, nested-list capable), so the manifest scan pays the same
+    * per-byte decode cost as a native parquet scan instead of the several-fold
+    * row-at-a-time Group-API tax; Spark's ColumnarToRow then runs inside whole-stage
+    * codegen. Zero-data-column scans (count(*), partition-only) stay row-based on
+    * footer counts — no page is read at all, which beats any columnar decode.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    dataFields.nonEmpty
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ManifestDataInputPartition]
+    val df = dataFields
+    // the vectorized reader produces columns in FILE-schema order (filtered to the
+    // requested names) with partition columns appended last; the scan contract is
+    // `fields` order — read the footer to learn file order, then permute vectors
+    val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+    val footerReader = ParquetFileReader.open(in)
+    val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
+    val wanted = df.map(_._1).toSet
+    val readCols = fileSchema.getFields.asScala.map(_.getName).filter(wanted).toArray
+    require(readCols.length == df.length,
+      s"columns ${df.map(_._1).mkString(",")} not all present in ${p.file}")
+    val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false, /*capacity=*/ 4096)
+    var ok = false
+    try {
+      reader.initialize(p.file, java.util.Arrays.asList(readCols: _*))
+      val hasPart = fields.exists(_._1 == partCol)
+      val partSchema =
+        if (hasPart) new StructType().add(partCol, StringType, nullable = false)
+        else new StructType()
+      val partRow: InternalRow =
+        if (hasPart) new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(p.partition)))
+        else InternalRow.empty
+      reader.initBatch(partSchema, partRow)
+      val colIdx = readCols.zipWithIndex.toMap
+      val perm: Array[Int] =
+        fields.map { case (n, _) => if (n == partCol) readCols.length else colIdx(n) }
+      val identity = perm.sameElements(perm.indices)
+      ok = true
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var permuted: org.apache.spark.sql.vectorized.ColumnarBatch = _
+        override def next(): Boolean = reader.nextBatch()
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val rb = reader.resultBatch()
+          if (identity) rb
+          else {
+            // the reader reuses its vectors across batches — build the permuted view
+            // once, only the row count changes per batch
+            if (permuted == null)
+              permuted = new org.apache.spark.sql.vectorized.ColumnarBatch(
+                perm.map(i => rb.column(i)), rb.numRows())
+            permuted.setNumRows(rb.numRows())
+            permuted
+          }
+        }
+        override def close(): Unit = reader.close()
+      }
+    } finally if (!ok) reader.close()
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
-    val dataFields = fields.filter(_._1 != partCol)
     val partOrdinals = fields.zipWithIndex.collect { case ((n, _), i) if n == partCol => i }
     val partValue = UTF8String.fromString(p.partition)
-    if (dataFields.isEmpty) emptyProjectionReader(p, partOrdinals, partValue)
-    else groupReader(p, dataFields, partOrdinals, partValue)
+    require(dataFields.isEmpty,
+      "row-based reads serve only zero-data-column projections; Spark routes " +
+        "data-column scans through createColumnarReader (supportColumnarReads)")
+    emptyProjectionReader(p, partOrdinals, partValue)
   }
 
   /** Zero data columns requested (count(*) / partition-column-only reads): row count
@@ -258,55 +342,6 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partC
       override def close(): Unit = ()
     }
 
-  /** Projected parquet example-Group reader; field extraction is pre-resolved to an
-    * array of (group field index -> row ordinal, converter) closures.
-    */
-  private def groupReader(p: ManifestDataInputPartition, dataFields: Array[(String, DataType)],
-      partOrdinals: Array[Int], partValue: UTF8String): PartitionReader[InternalRow] = {
-    val conf = ManifestDataSource.hadoopConf()
-    // projection pushdown: hand parquet-mr only the required fields, typed from the
-    // footer schema so dictionary/encoding handling stays the writer's
-    val in = HadoopInputFile.fromPath(new Path(p.file), conf)
-    val footerReader = ParquetFileReader.open(in)
-    val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
-    val projected = new MessageType("graft_projection",
-      dataFields.map(f => fileSchema.getType(fileSchema.getFieldIndex(f._1))): _*)
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    val reader: ParquetReader[Group] =
-      ParquetReader.builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
-
-    val ordinalOf: Map[String, Int] =
-      fields.zipWithIndex.map { case ((n, _), i) => (n, i) }.toMap
-
-    new PartitionReader[InternalRow] {
-      private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
-      override def get(): InternalRow = {
-        val out = new Array[Any](fields.length)
-        partOrdinals.foreach(i => out(i) = partValue)
-        var gi = 0
-        while (gi < dataFields.length) {
-          val (name, dt) = dataFields(gi)
-          val v: Any =
-            if (cur.getFieldRepetitionCount(gi) == 0) null
-            else dt match {
-              case LongType | TimestampType | TimestampNTZType => cur.getLong(gi, 0)
-              case IntegerType | DateType => cur.getInteger(gi, 0)
-              case DoubleType => cur.getDouble(gi, 0)
-              case FloatType => cur.getFloat(gi, 0)
-              case BooleanType => cur.getBoolean(gi, 0)
-              case StringType => UTF8String.fromBytes(cur.getBinary(gi, 0).getBytes)
-              case BinaryType => cur.getBinary(gi, 0).getBytes
-              case other => throw new IllegalStateException(s"unreachable type $other for $name")
-            }
-          out(ordinalOf(name)) = v
-          gi += 1
-        }
-        InternalRow.fromSeq(out.toSeq)
-      }
-      override def close(): Unit = reader.close()
-    }
-  }
 }
 
 // ------------------------------------------------------------------------- write path
@@ -487,6 +522,26 @@ private class ManifestDataWriter(dir: String, partCol: String,
           org.apache.parquet.io.api.Binary.fromString(row.getUTF8String(ord).toString))
         case BinaryType => g.append(name,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(ord)))
+        case ArrayType(et, _) =>
+          // standard 3-level list: LIST group -> one "list" group per element
+          val arr = row.getArray(ord)
+          val listGroup = g.addGroup(name)
+          var i = 0
+          while (i < arr.numElements()) {
+            val el = listGroup.addGroup("list")
+            if (!arr.isNullAt(i)) et match {
+              case FloatType => el.append("element", arr.getFloat(i))
+              case DoubleType => el.append("element", arr.getDouble(i))
+              case LongType => el.append("element", arr.getLong(i))
+              case IntegerType => el.append("element", arr.getInt(i))
+              case BooleanType => el.append("element", arr.getBoolean(i))
+              case StringType => el.append("element",
+                org.apache.parquet.io.api.Binary.fromString(arr.getUTF8String(i).toString))
+              case other =>
+                throw new IllegalArgumentException(s"unsupported array element $other for $name")
+            }
+            i += 1
+          }
         case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
       }
     }
@@ -531,6 +586,26 @@ private object ManifestDataWriter {
     case StringType => Types.optional(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named(name)
     case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
+    case ArrayType(et, containsNull) =>
+      // standard 3-level list layout — byte-compatible with Spark's own parquet writes
+      val lb = Types.optionalList()
+      val built = et match {
+        case FloatType => if (containsNull) lb.optionalElement(PrimitiveTypeName.FLOAT)
+          else lb.requiredElement(PrimitiveTypeName.FLOAT)
+        case DoubleType => if (containsNull) lb.optionalElement(PrimitiveTypeName.DOUBLE)
+          else lb.requiredElement(PrimitiveTypeName.DOUBLE)
+        case LongType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT64)
+          else lb.requiredElement(PrimitiveTypeName.INT64)
+        case IntegerType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT32)
+          else lb.requiredElement(PrimitiveTypeName.INT32)
+        case BooleanType => if (containsNull) lb.optionalElement(PrimitiveTypeName.BOOLEAN)
+          else lb.requiredElement(PrimitiveTypeName.BOOLEAN)
+        case StringType => (if (containsNull) lb.optionalElement(PrimitiveTypeName.BINARY)
+          else lb.requiredElement(PrimitiveTypeName.BINARY))
+          .as(LogicalTypeAnnotation.stringType())
+        case other => throw new IllegalArgumentException(s"unsupported array element $other for $name")
+      }
+      built.named(name)
     case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
   }
 }

@@ -173,6 +173,60 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("data table: array<float> (embeddings) round-trips through write + vectorized read") {
+    val out = Files.createTempDirectory("manifest_embed").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label_p", col("label").cast("string"))
+    emb.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "label_p").mode("append").save(out)
+    val back = dataTable(out)
+    // the read is COLUMNAR: Spark inserts ColumnarToRow over the batch scan
+    back.select("vec_id", "embedding").collect()
+    val plan = back.select("vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected a columnar scan:\n${plan.take(800)}")
+    // full fidelity vs the native parquet read
+    val got = back.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    val want = emb.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getSeq[Float](1) == b.getSeq[Float](1), s"embedding mismatch at vec ${a.getLong(0)}")
+      assert(a.getInt(2) == b.getInt(2))
+    }
+    // manifest-level partition pruning still applies over the array table
+    val one = dataTable(out).filter(col("label_p") === "3")
+    assert(one.count() == emb.filter(col("label") === 3).count())
+  }
+
+  test("data table: arrays with nulls and empties survive the round-trip") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_arr_edge").toString
+    val rows = Seq(
+      (1L, Some(Seq(1.0f, -2.5f, Float.NaN)), "a"),
+      (2L, Some(Seq.empty[Float]), "a"),
+      (3L, None, "b"),
+      (4L, Some(Seq(Float.PositiveInfinity, 0.0f)), "b")
+    ).toDF("id", "xs", "p")
+    rows.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    val back = dataTable(out).select("id", "xs").orderBy("id").collect()
+    assert(back(0).getSeq[Float](1).map(f => if (f.isNaN) "nan" else f.toString) ==
+      Seq("1.0", "-2.5", "nan"))
+    assert(back(1).getSeq[Float](1).isEmpty, "empty array must stay empty, not become null")
+    assert(back(2).isNullAt(1), "null array must stay null")
+    assert(back(3).getSeq[Float](1) == Seq(Float.PositiveInfinity, 0.0f))
+  }
+
+  test("data table: out-of-file-order projection returns columns in the requested order") {
+    val out = freshTable()
+    // file order is (doc_id, text, lang, source, n_chars); request reversed + partition
+    // in the middle — exercises the vector permutation
+    val got = dataTable(out).select("n_chars", "lang_p", "doc_id").orderBy("doc_id").collect()
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("n_chars"), col("lang").as("lang_p"), col("doc_id")).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   // ------------------------------------------------------------ DSv2 WRITE path (r3)
 
   test("DSv2 write bootstrap: first write commits snapshot 0, appends commit 1, overwrite replaces") {
