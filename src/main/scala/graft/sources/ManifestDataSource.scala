@@ -416,6 +416,11 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
       case ManifestWriteMessage(files) => files
       case _ => Nil
     }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
+    // this write's entries become ONE immutable segment, written once OUTSIDE the
+    // retry loop (its content never changes across attempts); the snapshot then
+    // carries `previous segment names + this name` — commit cost is O(fresh files +
+    // segment count), never O(every file the table has ever absorbed
+    val freshSeg = if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
     var done = false
     var attempt = 0
     while (!done) {
@@ -430,8 +435,17 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
       if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
         done = true
       } else {
-        val previous = if (replace || latest.isEmpty) Nil else ManifestTables.readLatest(dir)
-        done = ManifestTables.tryWriteSnapshot(dir, partCol, previous ++ fresh, next, note)
+        val prev =
+          if (replace || latest.isEmpty) ManifestTables.SnapshotRefs(0, Nil, Nil)
+          else ManifestTables.readSnapshotRefs(dir, None)
+        // legacy inline entries (full-list ManifestTables.commit bootstraps) are
+        // folded into their own segment on the first layered append, so no snapshot
+        // ever re-copies them again
+        val inlineSeg =
+          if (prev.inline.isEmpty) None
+          else Some(ManifestTables.writeSegment(dir, prev.inline))
+        done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
+          prev.segments ++ inlineSeg ++ freshSeg, next, note)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)

@@ -128,6 +128,13 @@ object ManifestTables {
 
   private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int)
 
+  /** What a snapshot file REFERENCES, without expanding segments: inline entries
+    * (legacy full-list commits) plus immutable segment-file names. The layered form
+    * is what keeps DSv2 append commits O(fresh files + segment count) instead of
+    * O(every file ever appended) — Iceberg's manifest-list discipline on this layout.
+    */
+  private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String])
+
   // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
   private val JStr = "((?:[^\"\\\\]|\\\\.)*)"
 
@@ -160,19 +167,19 @@ object ManifestTables {
 
   private[sources] def readLatest(dir: String): Seq[Entry] = readSnapshot(dir, None)
 
-  /** Entries of a pinned snapshot id (time travel) or the latest when None. */
-  private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] = {
+  private def snapshotFileFor(dir: String, id: Option[Int]): String = {
     val snaps = snapshotFiles(dir)
     require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
-    val chosen = id match {
+    id match {
       case None => snaps.last
       case Some(n) =>
         snaps.find(_.endsWith(f"snapshot-$n%05d.json")).getOrElse(
           throw new IllegalArgumentException(
             s"no committed snapshot $n under $dir (have: ${snaps.map(Paths.get(_).getFileName).mkString(", ")})"))
     }
-    val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
-    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+  }
+
+  private def parseEntries(txt: String, sourceFile: String, snap: Int): Seq[Entry] = {
     // partition key optional: PartitionedTable's transcript manifests share this file
     // layout but carry no partition values (they surface as "")
     val entry =
@@ -185,8 +192,57 @@ object ManifestTables {
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
     require(out.nonEmpty || !txt.contains("\"path\""),
-      s"manifest $chosen lists files but none matched the entry format")
+      s"manifest $sourceFile lists files but none matched the entry format")
     out
+  }
+
+  /** Inline entries + segment references of a snapshot, WITHOUT expanding segments —
+    * the O(metadata) read the append path uses.
+    */
+  private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs = {
+    val chosen = snapshotFileFor(dir, id)
+    val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
+    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+    val segments = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+      case None => Nil
+      case Some(m) =>
+        s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+    }
+    SnapshotRefs(snap, parseEntries(txt, chosen, snap), segments)
+  }
+
+  /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
+    * entries plus every referenced immutable segment, in reference order.
+    */
+  private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] = {
+    val refs = readSnapshotRefs(dir, id)
+    refs.inline ++ refs.segments.flatMap { seg =>
+      val segPath = Paths.get(dir, "_manifests", seg)
+      require(Files.exists(segPath),
+        s"snapshot ${refs.snapshot} references missing segment $seg")
+      parseEntries(new String(Files.readAllBytes(segPath), StandardCharsets.UTF_8),
+        segPath.toString, refs.snapshot)
+    }
+  }
+
+  /** Writes an immutable manifest segment; returns its name for snapshot reference.
+    * Unique (UUID) name + temp-then-link publication: a crash leaves only an
+    * unreferenced temp or an orphaned complete segment, never a torn referenced one.
+    */
+  private[sources] def writeSegment(dir: String, entries: Seq[Entry]): String = {
+    val fileList = entries.map { e =>
+      s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
+    }
+    val json = s"""{\n  "files": [\n${fileList.mkString(",\n")}\n  ]\n}"""
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val name = s"seg-${java.util.UUID.randomUUID().toString}.json"
+    val tmp = Files.createTempFile(mdir, ".tmp-seg-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.createLink(mdir.resolve(name), tmp)
+    } finally Files.deleteIfExists(tmp)
+    name
   }
 
   /** Atomically PUBLISHES an explicit entry list as snapshot `id` iff that id is
@@ -207,22 +263,36 @@ object ManifestTables {
   private val NoteHeadBytes = 512
 
   private[sources] def tryWriteSnapshot(dir: String, partCol: String,
-      entries: Seq[Entry], id: Int, note: String = ""): Boolean = {
+      entries: Seq[Entry], id: Int, note: String = ""): Boolean =
+    tryWriteSnapshotRefs(dir, partCol, entries, Nil, id, note)
+
+  /** The layered form: a snapshot may carry inline entries AND references to
+    * immutable segment files. Appends publish one fresh segment + the previous
+    * reference list, so commit cost scales with metadata (segment count), never with
+    * the table's total file count.
+    */
+  private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
+      inline: Seq[Entry], segments: Seq[String], id: Int, note: String = ""): Boolean = {
     require(jsonEscape(note).length <= MaxNoteLength,
       s"commit note too long (${note.length} chars; escaped max $MaxNoteLength) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
-    val fileList = entries.map { e =>
+    val fileList = inline.map { e =>
       s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
     }
     // `note` rides INSIDE the atomic publication — the exactly-once hook: a streaming
     // sink stamps its micro-batch id here, so "was batch B committed?" and "commit
-    // batch B" can never be observed apart (see ManifestStreamSink)
+    // batch B" can never be observed apart (see ManifestStreamSink). It stays in the
+    // fixed-size HEAD, before the growing segments/files lists, so noteOf's probe
+    // holds no matter how large the table gets.
     val noteLine = if (note.isEmpty) "" else s"""  "note": "${jsonEscape(note)}",\n"""
+    val segLine =
+      if (segments.isEmpty) ""
+      else s"""  "segments": [${segments.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
     val json =
       s"""{
          |  "snapshot": $id,
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
-         |  "files": [
+         |$segLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -238,6 +308,34 @@ object ManifestTables {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Maintenance: fold the latest snapshot's inline entries + every segment into ONE
+    * fresh segment and publish it as a new snapshot (Iceberg's rewrite_manifests
+    * analog). Appends stay O(metadata) forever; compaction is the explicitly-paid
+    * O(total files) pass, run when the segment list has grown long. Old snapshots
+    * keep referencing their original (immutable, never-deleted) segments, so time
+    * travel is unaffected. Returns the new snapshot id, or None when the table is
+    * already a single segment with no inline entries (nothing to fold).
+    */
+  def compact(dir: String): Option[Int] = {
+    var result: Option[Int] = None
+    var done = false
+    while (!done) {
+      val latest = latestSnapshotId(dir)
+      require(latest.isDefined, s"no committed snapshot under $dir — nothing to compact")
+      val refs = readSnapshotRefs(dir, None)
+      if (refs.inline.isEmpty && refs.segments.length <= 1) { done = true }
+      else {
+        val folded = writeSegment(dir, readSnapshot(dir, None))
+        val next = latest.get + 1
+        if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next)) {
+          result = Some(next); done = true
+        }
+        // CAS loss: a concurrent commit advanced the table — re-read and re-fold
+      }
+    }
+    result
   }
 
   /** The commit note of one snapshot file, reading only the HEAD of the file — the

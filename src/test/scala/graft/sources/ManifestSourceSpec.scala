@@ -395,6 +395,73 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ManifestTables.latestSnapshotId(out).contains(1))
   }
 
+  test("segment layering: 100 appends x 100 files commit in flat per-commit metadata cost") {
+    // the exact sequence ManifestBatchWrite.commit performs, at the metadata layer
+    // (no Spark jobs, so the measurement isolates commit cost): one segment per
+    // append + a snapshot referencing previous segment names. Cost must NOT grow with
+    // total file count — the round-3 path rewrote all previous entries every time.
+    val out = Files.createTempDirectory("manifest_layered").toString
+    def appendOnce(i: Int): Double = {
+      val entries = (0 until 100).map(j =>
+        ManifestTables.Entry(f"p=a/part-$i%03d-$j%03d.parquet", 1000L + j, "a", 0))
+      val t0 = System.nanoTime()
+      val seg = ManifestTables.writeSegment(out, entries)
+      val latest = ManifestTables.latestSnapshotId(out)
+      val prev = latest.map(_ => ManifestTables.readSnapshotRefs(out, None))
+        .getOrElse(ManifestTables.SnapshotRefs(0, Nil, Nil))
+      assert(ManifestTables.tryWriteSnapshotRefs(out, "p", Nil,
+        prev.segments :+ seg, latest.map(_ + 1).getOrElse(0)))
+      (System.nanoTime() - t0) / 1e6
+    }
+    val times = (0 until 100).map(appendOnce)
+    assert(ManifestTables.readLatest(out).size == 10000)
+    // snapshot 99 references 100 segments by NAME; its size is O(segments), far below
+    // the ~1 MB an inline 10k-entry list costs
+    val snapBytes = Files.size(Paths.get(out, "_manifests", "snapshot-00099.json"))
+    assert(snapBytes < 8000, s"snapshot file grew to $snapBytes bytes — inline entries leaking?")
+    // wall-time flatness: the last 10 commits may not cost more than 5x the first 10
+    // (generous bound — the lists being compared differ 10x in committed files, the
+    // old design differed ~90x in bytes written)
+    val first = times.slice(2, 12).sum / 10
+    val last = times.takeRight(10).sum / 10
+    assert(last < first * 5 + 2.0, s"per-commit cost grew: first10=${first}ms last10=${last}ms")
+    // time travel into the middle of the append history
+    assert(ManifestTables.readSnapshot(out, Some(49)).size == 5000)
+    // compaction folds everything into one segment, preserving entries and history
+    val cid = ManifestTables.compact(out)
+    assert(cid.contains(100))
+    val refs = ManifestTables.readSnapshotRefs(out, None)
+    assert(refs.inline.isEmpty && refs.segments.size == 1)
+    assert(ManifestTables.readLatest(out).size == 10000)
+    assert(ManifestTables.readSnapshot(out, Some(49)).size == 5000, "compaction broke time travel")
+    assert(ManifestTables.compact(out).isEmpty, "re-compacting a compacted table must no-op")
+  }
+
+  test("DSv2 appends publish segments; legacy inline bootstraps fold on first append") {
+    import spark.implicits._
+    val out = freshTable() // legacy ManifestTables.commit -> INLINE entries
+    val inlineRefs = ManifestTables.readSnapshotRefs(out, None)
+    assert(inlineRefs.inline.nonEmpty && inlineRefs.segments.isEmpty)
+    val before = dataTable(out).count()
+    // first DSv2 append: previous inline entries fold into their own segment
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+      .withColumn("lang_p", lit("xx"))
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(out)
+    val refs = ManifestTables.readSnapshotRefs(out, None)
+    assert(refs.inline.isEmpty, "inline entries must fold into a segment on layered append")
+    assert(refs.segments.size == 2, s"expected folded+fresh segments, got ${refs.segments}")
+    assert(dataTable(out).count() == before + 5)
+    // second append adds exactly ONE more segment reference (no re-folding)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+      .withColumn("lang_p", lit("yy"))
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(out)
+    val refs2 = ManifestTables.readSnapshotRefs(out, None)
+    assert(refs2.inline.isEmpty && refs2.segments.size == 3,
+      s"expected 3 segments after second append, got ${refs2.segments.size}")
+    assert(dataTable(out).count() == before + 8)
+    assert(dataTable(out).filter(col("lang_p") === "yy").count() == 3)
+  }
+
   test("noted commits are exactly-once under concurrency (TOCTOU regression)") {
     import spark.implicits._
     // N racing committers carrying the SAME (sinkId, batchId) note: exactly one may
