@@ -95,10 +95,44 @@ object ManifestDataSource {
     val reader = ParquetFileReader.open(in)
     val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
     val base = sparkFields(fileSchema)
-    val partCol = ManifestTables.readPartitionColumn(dir)
-    if (partCol.isEmpty) StructType(base)
-    else StructType(base :+ StructField(partCol, StringType, nullable = false))
+    val spec = ManifestTables.readPartitionSpec(dir)
+    StructType(base ++ spec.map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
   }
+
+  /** Narrow partition-value types (the production partition-key set). */
+  private[sources] def sparkTypeOf(pc: ManifestTables.PartCol): DataType = pc.tpe match {
+    case "string" => StringType
+    case "int" => IntegerType
+    case "date" => DateType
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  private[sources] def partTypeNameOf(name: String, dt: DataType): String = dt match {
+    case StringType => "string"
+    case IntegerType => "int"
+    case DateType => "date"
+    case other => throw new IllegalArgumentException(
+      s"partition column '$name' has unsupported type $other (string|int|date)")
+  }
+
+  /** Canonical manifest string -> the internal datum InternalRow/ColumnVector carry. */
+  private[sources] def internalPartValue(tpe: String, v: String): Any = tpe match {
+    case "string" => UTF8String.fromString(v)
+    case "int" => v.toInt
+    case "date" => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  /** The per-entry joined partition value -> per-column canonical strings (empty
+    * trailing values preserved; single-column tables carry the raw value unjoined).
+    */
+  private[sources] def splitPartValues(joined: String, n: Int): Seq[String] =
+    if (n <= 1) Seq(joined)
+    else {
+      val parts = joined.split(ManifestTables.PartSep.toString, -1).toSeq
+      require(parts.length == n, s"entry partition value has ${parts.length} parts, expected $n")
+      parts
+    }
 
   /** parquet MessageType -> Spark fields: primitives (long/int/double/float/boolean/
     * string/binary/date/timestamp) plus LIST-of-primitive (the embeddings table's
@@ -172,75 +206,119 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // time travel: .option("snapshot", N) — or a catalog-level pin from SQL's
     // `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
     val snapshot = Option(options.get("snapshot")).map(_.toInt).orElse(pinnedSnapshot)
-    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionColumn(dir), snapshot)
+    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir), snapshot)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, tschema, info)
 }
 
-private class ManifestDataScanBuilder(dir: String, tschema: StructType, partCol: String,
-    snapshot: Option[Int])
+private class ManifestDataScanBuilder(dir: String, tschema: StructType,
+    partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tschema
-  private var partitionValues: Option[Set[String]] = None
+  // per-partition-column allowed canonical values (intersection of accepted filters)
+  private var partitionValues: Map[String, Set[String]] = Map.empty
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
-  /** Partition-column equality/IN prunes files at the manifest; everything else stays
-    * residual (returned to Spark for post-scan evaluation).
+  /** Canonical manifest string of a pushed literal, when its runtime type matches the
+    * column's declared partition type; None -> the filter stays residual.
+    */
+  private def canon(colName: String, v: Any): Option[String] =
+    partCols.find(_.name == colName).flatMap { pc =>
+      (pc.tpe, v) match {
+        case ("string", s: String) => Some(s)
+        case ("int", i: java.lang.Integer) => Some(i.toString)
+        case ("date", d: java.sql.Date) => Some(d.toLocalDate.toString)
+        case ("date", d: java.time.LocalDate) => Some(d.toString)
+        case _ => None
+      }
+    }
+
+  /** Partition-column equality/IN (on ANY partition column, typed) prunes files at
+    * the manifest; everything else stays residual (returned to Spark for post-scan
+    * evaluation).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pushed, residual) = filters.partition {
-      case EqualTo(c, _: String) if c == partCol && partCol.nonEmpty => true
-      case In(c, vs) if c == partCol && partCol.nonEmpty => vs.forall(_.isInstanceOf[String])
+      case EqualTo(c, v) => canon(c, v).isDefined
+      case In(c, vs) => vs.nonEmpty && vs.forall(v => canon(c, v).isDefined)
       case _ => false
     }
-    val accepted = pushed.flatMap {
-      case EqualTo(_, v: String) => Seq(Set(v))
-      case In(_, vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
-      case _ => Nil
+    pushed.foreach {
+      case EqualTo(c, v) =>
+        val s = Set(canon(c, v).get)
+        partitionValues = partitionValues.updated(c,
+          partitionValues.get(c).map(_ intersect s).getOrElse(s))
+      case In(c, vs) =>
+        val s = vs.map(v => canon(c, v).get).toSet
+        partitionValues = partitionValues.updated(c,
+          partitionValues.get(c).map(_ intersect s).getOrElse(s))
+      case _ =>
     }
-    if (accepted.nonEmpty) partitionValues = Some(accepted.reduce(_ intersect _))
+    accepted = pushed
     residual
   }
-  override def pushedFilters(): Array[Filter] =
-    partitionValues.map(vs => Array[Filter](In(partCol, vs.toArray))).getOrElse(Array.empty)
+  override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new ManifestDataScan(dir, tschema, required, partCol, partitionValues, snapshot)
+    new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot)
 }
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
-    partCol: String, partitionValues: Option[Set[String]], snapshot: Option[Int])
+    partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
+    snapshot: Option[Int])
     extends Scan with Batch {
-  // snapshot pinned at plan time (see class doc) + manifest-level partition pruning;
-  // an explicit snapshot option = time travel to that committed manifest
+  // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
+  // on EVERY filtered partition column; an explicit snapshot option = time travel
   private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readSnapshot(dir, snapshot)
-      .filter(e => partitionValues.forall(_.contains(e.partition)))
+    ManifestTables.readSnapshot(dir, snapshot).filter { e =>
+      partitionValues.isEmpty || {
+        val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
+        partCols.zipWithIndex.forall { case (pc, i) =>
+          partitionValues.get(pc.name).forall(_.contains(vals(i)))
+        }
+      }
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     pinned.map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = {
-    // serializable projection spec: (name, dataType) of required fields, partition
-    // fields marked by index
+    // serializable projection spec: (name, dataType) of required fields + the
+    // partition-column spec for typed constant columns
     val fields = required.fields.map(f => (f.name, f.dataType))
-    new ManifestDataReaderFactory(fields, partCol)
+    new ManifestDataReaderFactory(fields, partCols)
   }
-  override def description(): String =
-    s"manifest_data($dir, partitions=${partitionValues.map(_.toSeq.sorted.mkString(",")).getOrElse("*")}, " +
+  override def description(): String = {
+    val parts =
+      if (partitionValues.isEmpty) "*"
+      else partCols.filter(pc => partitionValues.contains(pc.name))
+        .map(pc => s"${pc.name}=${partitionValues(pc.name).toSeq.sorted.mkString("|")}")
+        .mkString(",")
+    s"manifest_data($dir, partitions=$parts, " +
       s"files=${pinned.size}, snapshot=${snapshot.map(_.toString).getOrElse("latest")})"
+  }
 }
 
 private case class ManifestDataInputPartition(file: String, partition: String)
     extends InputPartition
 
-private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partCol: String)
+private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
+    partCols: Seq[ManifestTables.PartCol])
     extends PartitionReaderFactory {
 
-  private def dataFields = fields.filter(_._1 != partCol)
+  private def partNames = partCols.map(_.name).toSet
+  private def dataFields = fields.filter(f => !partNames.contains(f._1))
+  private def tpeOf(name: String): String = partCols.find(_.name == name).get.tpe
+
+  /** Typed internal value of partition column `name` for one input partition. */
+  private def partDatum(p: ManifestDataInputPartition, name: String): Any = {
+    val vals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
+    ManifestDataSource.internalPartValue(tpeOf(name), vals(partCols.indexWhere(_.name == name)))
+  }
 
   /** COLUMNAR reads whenever any data column is projected: each file is decoded by
     * Spark's own VectorizedParquetRecordReader into ColumnarBatches (dictionary-aware,
@@ -272,18 +350,20 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partC
     var ok = false
     try {
       reader.initialize(p.file, java.util.Arrays.asList(readCols: _*))
-      val hasPart = fields.exists(_._1 == partCol)
-      val partSchema =
-        if (hasPart) new StructType().add(partCol, StringType, nullable = false)
-        else new StructType()
+      // projected partition columns, in their `fields` order (initBatch appends them
+      // after the data columns in exactly the order given here)
+      val presentParts = fields.collect { case (n, dt) if partNames.contains(n) => (n, dt) }
+      val partSchema = StructType(presentParts.map { case (n, dt) =>
+        StructField(n, dt, nullable = false) })
       val partRow: InternalRow =
-        if (hasPart) new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(p.partition)))
-        else InternalRow.empty
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          presentParts.map { case (n, _) => partDatum(p, n) })
       reader.initBatch(partSchema, partRow)
       val colIdx = readCols.zipWithIndex.toMap
+      val partPos = presentParts.map(_._1).zipWithIndex.toMap
       val perm: Array[Int] =
-        fields.map { case (n, _) => if (n == partCol) readCols.length else colIdx(n) }
+        fields.map { case (n, _) =>
+          if (partNames.contains(n)) readCols.length + partPos(n) else colIdx(n) }
       val identity = perm.sameElements(perm.indices)
       ok = true
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -309,26 +389,21 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)], partC
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
-    val partOrdinals = fields.zipWithIndex.collect { case ((n, _), i) if n == partCol => i }
-    val partValue = UTF8String.fromString(p.partition)
     require(dataFields.isEmpty,
       "row-based reads serve only zero-data-column projections; Spark routes " +
         "data-column scans through createColumnarReader (supportColumnarReads)")
-    emptyProjectionReader(p, partOrdinals, partValue)
+    emptyProjectionReader(p)
   }
 
   /** Zero data columns requested (count(*) / partition-column-only reads): row count
-    * comes from the footer; no page is decoded.
+    * comes from the footer; no page is decoded. Every projected field is a (typed)
+    * partition constant.
     */
-  private def emptyProjectionReader(p: ManifestDataInputPartition,
-      partOrdinals: Array[Int], partValue: UTF8String): PartitionReader[InternalRow] =
+  private def emptyProjectionReader(p: ManifestDataInputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var remaining: Long = -1
-      private val row = {
-        val r = new Array[Any](fields.length)
-        partOrdinals.foreach(i => r(i) = partValue)
-        InternalRow.fromSeq(r.toSeq)
-      }
+      private val row =
+        InternalRow.fromSeq(fields.toSeq.map { case (n, _) => partDatum(p, n) })
       override def next(): Boolean = {
         if (remaining < 0) {
           val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
@@ -355,18 +430,23 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 
   override def build(): Write = {
     val incoming = info.schema()
+    // comma-joined partition column NAMES (multi-column layouts nest Hive dirs in
+    // this order); types are derived from the written schema and recorded alongside
     val partCol = {
       val opt = Option(info.options.get("partcol")).getOrElse("")
       val recorded =
         if (ManifestTables.latestSnapshotId(dir).isDefined) ManifestTables.readPartitionColumn(dir)
         else ""
       if (opt.nonEmpty && recorded.nonEmpty)
-        require(opt == recorded, s"table records partition column '$recorded', write asked '$opt'")
+        require(opt == recorded, s"table records partition columns '$recorded', write asked '$opt'")
       if (opt.nonEmpty) opt else recorded
     }
-    if (partCol.nonEmpty)
-      require(incoming.fieldNames.contains(partCol),
-        s"write is missing the partition column '$partCol'")
+    val partColNames = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
+    partColNames.foreach { n =>
+      require(incoming.fieldNames.contains(n), s"write is missing the partition column '$n'")
+    }
+    val partTypes = partColNames.map(n =>
+      ManifestDataSource.partTypeNameOf(n, incoming(incoming.fieldIndex(n)).dataType))
     // ACCEPT_ANY_SCHEMA skips Spark's check; enforce append compatibility here
     if (tschema.nonEmpty) {
       val want = tschema.fields.map(f => (f.name, f.dataType)).toSet
@@ -377,7 +457,7 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     val note = Option(info.options.get("commitnote")).getOrElse("")
     new Write {
       override def toBatch: BatchWrite =
-        new ManifestBatchWrite(dir, partCol, incoming, replace, note)
+        new ManifestBatchWrite(dir, partCol, partTypes.mkString(","), incoming, replace, note)
     }
   }
 }
@@ -393,8 +473,8 @@ private object ManifestBatchWrite {
   val MaxCommitAttempts = 64
 }
 
-private class ManifestBatchWrite(dir: String, partCol: String, schema: StructType,
-    replace: Boolean, note: String = "") extends BatchWrite {
+private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String,
+    schema: StructType, replace: Boolean, note: String = "") extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -445,7 +525,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, schema: StructTyp
           if (prev.inline.isEmpty) None
           else Some(ManifestTables.writeSegment(dir, prev.inline))
         done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
-          prev.segments ++ inlineSeg ++ freshSeg, next, note)
+          prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
@@ -480,15 +560,32 @@ private class ManifestWriterFactory(dir: String, partCol: String,
     new ManifestDataWriter(dir, partCol, fields, partitionId, taskId, writeUid)
 }
 
-/** Per-task writer: one open parquet-mr writer per partition value seen (Hive-style
-  * `partCol=value/` layout, values %XX-escaped on disk but RAW in the manifest).
+/** Per-task writer: one open parquet-mr writer per partition-value TUPLE seen
+  * (nested Hive-style `a=x/b=y/` layout in spec order, values %XX-escaped on disk
+  * but RAW — canonical-string, PartSep-joined — in the manifest).
   */
 private class ManifestDataWriter(dir: String, partCol: String,
     fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String)
     extends DataWriter[InternalRow] {
 
-  private val partIdx = fields.indexWhere(_._1 == partCol)
-  private val dataFields = fields.zipWithIndex.filter { case ((n, _), _) => n != partCol }
+  private val partColNames: Seq[String] = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
+  // (name, type, row ordinal) per partition column, in layout order
+  private val partFields: Seq[(String, DataType, Int)] = partColNames.map { n =>
+    val i = fields.indexWhere(_._1 == n)
+    require(i >= 0, s"partition column '$n' missing from write schema")
+    (n, fields(i)._2, i)
+  }
+  private val dataFields = fields.zipWithIndex.filter { case ((n, _), _) => !partColNames.contains(n) }
+
+  /** Canonical manifest string of one partition value (the inverse of
+    * ManifestDataSource.internalPartValue).
+    */
+  private def canonical(row: InternalRow, dt: DataType, ord: Int): String = dt match {
+    case StringType => row.getUTF8String(ord).toString
+    case IntegerType => row.getInt(ord).toString
+    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong).toString
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
   private val messageType: MessageType = {
     val b = org.apache.parquet.schema.Types.buildMessage()
     dataFields.foreach { case ((name, dt), _) => b.addField(ManifestDataWriter.parquetField(name, dt)) }
@@ -498,13 +595,13 @@ private class ManifestDataWriter(dir: String, partCol: String,
   private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[Group]]()
   private val paths = scala.collection.mutable.LinkedHashMap[String, String]()
 
-  private def writerFor(partValue: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
-    writers.getOrElseUpdate(partValue, {
+  private def writerFor(joined: String, vals: Seq[String]): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    writers.getOrElseUpdate(joined, {
       // writeUid makes names globally unique — and the path is recorded only AFTER
       // the writer opened successfully, so abort() can never delete a pre-existing
       // file it merely collided with
-      val rel = (if (partCol.isEmpty) ""
-        else s"$partCol=${ManifestTables.hiveEscape(partValue)}/") +
+      val rel = partFields.zip(vals).map { case ((n, _, _), v) =>
+        s"$n=${ManifestTables.hiveEscape(v)}/" }.mkString +
         f"part-$partitionId%05d-$taskId-$writeUid-${writers.size}.parquet"
       val p = new Path(s"$dir/$rel")
       val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -512,18 +609,17 @@ private class ManifestDataWriter(dir: String, partCol: String,
           .fromPath(p, ManifestDataSource.hadoopConf()))
         .withType(messageType)
         .build()
-      paths(partValue) = rel
+      paths(joined) = rel
       w
     })
 
   override def write(row: InternalRow): Unit = {
-    val partValue =
-      if (partIdx < 0) ""
-      else {
-        require(!row.isNullAt(partIdx),
-          s"partition column '$partCol' may not be null (the table schema declares it non-null)")
-        row.getUTF8String(partIdx).toString
-      }
+    val vals = partFields.map { case (n, dt, ord) =>
+      require(!row.isNullAt(ord),
+        s"partition column '$n' may not be null (the table schema declares it non-null)")
+      canonical(row, dt, ord)
+    }
+    val joined = vals.mkString(ManifestTables.PartSep.toString)
     val g = factory.newGroup()
     dataFields.foreach { case ((name, dt), ord) =>
       if (!row.isNullAt(ord)) dt match {
@@ -559,7 +655,7 @@ private class ManifestDataWriter(dir: String, partCol: String,
         case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
       }
     }
-    writerFor(partValue).write(g)
+    writerFor(joined, vals).write(g)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -135,6 +135,20 @@ object ManifestTables {
     */
   private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String])
 
+  /** Multi-column partition values ride in ONE entry field, joined by the unit
+    * separator (a control char: always \\u-escaped in the manifest JSON, never legal
+    * in a raw value's Hive directory name, so the join is unambiguous).
+    */
+  private[sources] val PartSep = '\u001f'
+
+  /** Partition COLUMN spec: names + narrow value types (string | int | date — the
+    * production partition-key types; everything else stays a data column).
+    */
+  private[sources] case class PartCol(name: String, tpe: String) {
+    require(tpe == "string" || tpe == "int" || tpe == "date",
+      s"unsupported partition type '$tpe' for column '$name' (string|int|date)")
+  }
+
   // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
   private val JStr = "((?:[^\"\\\\]|\\\\.)*)"
 
@@ -272,7 +286,8 @@ object ManifestTables {
     * the table's total file count.
     */
   private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
-      inline: Seq[Entry], segments: Seq[String], id: Int, note: String = ""): Boolean = {
+      inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
+      partTypes: String = ""): Boolean = {
     require(jsonEscape(note).length <= MaxNoteLength,
       s"commit note too long (${note.length} chars; escaped max $MaxNoteLength) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
@@ -288,11 +303,16 @@ object ManifestTables {
     val segLine =
       if (segments.isEmpty) ""
       else s"""  "segments": [${segments.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
+    // multi-column/typed partitions: names stay comma-joined in partition_column
+    // (back-compat: a single untyped name reads as one string column), value types
+    // ride in partition_types
+    val typesLine =
+      if (partTypes.isEmpty) "" else s"""  "partition_types": "${jsonEscape(partTypes)}",\n"""
     val json =
       s"""{
          |  "snapshot": $id,
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
-         |$segLine  "files": [
+         |$typesLine$segLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -329,7 +349,8 @@ object ManifestTables {
       else {
         val folded = writeSegment(dir, readSnapshot(dir, None))
         val next = latest.get + 1
-        if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next)) {
+        if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
+            partTypes = readPartitionTypes(dir))) {
           result = Some(next); done = true
         }
         // CAS loss: a concurrent commit advanced the table — re-read and re-fold
@@ -367,6 +388,31 @@ object ManifestTables {
   /** The partition column name recorded by the latest committed snapshot ("" if the
     * manifest predates partition recording, e.g. PartitionedTable transcript tables).
     */
+  /** Partition column spec of the latest snapshot: comma-joined names from
+    * partition_column, value types from partition_types (absent = all string, the
+    * pre-typed-partition format). Empty when the table is unpartitioned.
+    */
+  private[sources] def readPartitionSpec(dir: String): Seq[PartCol] = {
+    val names = readPartitionColumn(dir)
+    if (names.isEmpty) return Nil
+    val snaps = snapshotFiles(dir)
+    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    val types = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    val nameSeq = names.split(',').toSeq
+    val typeSeq =
+      if (types.isEmpty) nameSeq.map(_ => "string")
+      else types.split(',').toSeq
+    require(typeSeq.length == nameSeq.length,
+      s"manifest under $dir records ${nameSeq.length} partition columns but ${typeSeq.length} types")
+    nameSeq.zip(typeSeq).map { case (n, t) => PartCol(n, t) }
+  }
+
+  private[sources] def readPartitionTypes(dir: String): String = {
+    val spec = readPartitionSpec(dir)
+    if (spec.isEmpty) "" else spec.map(_.tpe).mkString(",")
+  }
+
   private[sources] def readPartitionColumn(dir: String): String = {
     // snapshotFiles applies the strict SnapshotName filter — a `.tmp-snapshot-*`
     // in-flight temp must never be selected as the latest snapshot here either

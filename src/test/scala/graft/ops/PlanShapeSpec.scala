@@ -172,7 +172,7 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val scan = p.linesIterator.find(_.contains("manifest_data")).getOrElse("")
-    assert(scan.contains("partitions=en"), s"partition filter not pushed: $scan")
+    assert(scan.contains("partitions=lang_p=en"), s"partition filter not pushed: $scan")
     val files = "files=(\\d+)".r.findFirstMatchIn(scan).map(_.group(1).toInt)
     assert(files.exists(n => n > 0 && n <= 8),
       s"expected a small pruned file count (one partition's files), got $files in: $scan")

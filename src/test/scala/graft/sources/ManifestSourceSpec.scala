@@ -119,7 +119,7 @@ class ManifestSourceSpec extends AnyFunSuite {
       s"expected manifest-level file pruning: total=$totalFiles en=$enFiles")
     val scanLine = en.queryExecution.executedPlan.toString.linesIterator
       .find(_.contains("BatchScan")).getOrElse("")
-    assert(scanLine.contains("partitions=en"), s"filter not pushed: $scanLine")
+    assert(scanLine.contains("partitions=lang_p=en"), s"filter not pushed: $scanLine")
     // values match a plain pre-stray read
     val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en").count()
@@ -460,6 +460,49 @@ class ManifestSourceSpec extends AnyFunSuite {
       s"expected 3 segments after second append, got ${refs2.segments.size}")
     assert(dataTable(out).count() == before + 8)
     assert(dataTable(out).filter(col("lang_p") === "yy").count() == 3)
+  }
+
+  test("multi-column TYPED partitions: write, typed read-back, manifest pruning on both columns") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_multipart").toString
+    val rows = Seq(
+      (1L, "a", "en", 2023, java.sql.Date.valueOf("2023-05-01")),
+      (2L, "b", "en", 2024, java.sql.Date.valueOf("2024-06-02")),
+      (3L, "c", "fr", 2023, java.sql.Date.valueOf("2023-05-01")),
+      (4L, "d", "fr", 2024, java.sql.Date.valueOf("2024-06-02")),
+      (5L, "e", "en", 2024, java.sql.Date.valueOf("2024-07-03"))
+    ).toDF("id", "txt", "lang_p", "year_p", "day_p")
+    rows.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p,year_p,day_p").mode("append").save(out)
+    // nested Hive layout in spec order on disk
+    assert(Files.isDirectory(Paths.get(out, "lang_p=en", "year_p=2024", "day_p=2024-06-02")))
+    // typed schema: int and date partition columns come back TYPED, not as strings
+    val back = dataTable(out)
+    assert(back.schema("year_p").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.schema("day_p").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.schema("lang_p").dataType == org.apache.spark.sql.types.StringType)
+    // full fidelity including the typed constants
+    val got = back.select("id", "txt", "lang_p", "year_p", "day_p").orderBy("id").collect()
+    val want = rows.select("id", "txt", "lang_p", "year_p", "day_p").orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+    // manifest-level pruning on BOTH a string and an int partition column: 5 files
+    // (one per tuple), the conjunctive filter must plan exactly 2
+    val filtered = back.filter(col("lang_p") === "en" && col("year_p") === 2024)
+    assert(inputPartitionCount(filtered.select("id")) == 2,
+      "expected manifest-level pruning to 2 files on (lang_p, year_p)")
+    assert(filtered.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+    // date-typed equality prunes too
+    val d = back.filter(col("day_p") === java.sql.Date.valueOf("2023-05-01"))
+    assert(inputPartitionCount(d.select("id")) == 2)
+    assert(d.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // append preserves the spec; a conflicting partcol is rejected
+    val err = intercept[Exception] {
+      rows.write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(out)
+    }
+    assert(err.getMessage.contains("partition columns"))
+    // count(*) via the footer path with typed partition constants
+    assert(back.filter(col("year_p") === 2023).count() == 2)
   }
 
   test("noted commits are exactly-once under concurrency (TOCTOU regression)") {
