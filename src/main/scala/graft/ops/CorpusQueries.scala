@@ -409,14 +409,24 @@ object CorpusQueries {
     //     exploded pattern join would bury the predicate in a join condition and let
     //     column pruning strip alpha_fp first). Patterns not containing the document
     //     separator cannot span documents, so the sum equals the per-document oracle. ---
+    //     Round 4: the scan itself prunes too — the shard table is PUBLISHED as a
+    //     manifest DSv2 table partitioned by (shard_id, alpha_hex) and each pattern
+    //     branch reads ShardIndexTable.readPruned, which drops whole shard FILES
+    //     whose fingerprint rules the pattern out before any footer is opened. The
+    //     rule remains as the row-level guard on whatever survives; the source-level
+    //     prune holds under every plan shape (the rule's documented fragility).
     "q26_fm_prune_sql" -> ((s, dir) => {
       graft.functions.FmFunctions.register(s)
       graft.functions.GraftExtensions.installRules(s)
-      ShardTableCache.docShards(s, dir, numShards = 16).toDF()
-        .createOrReplaceTempView("doc_shards_q26")
-      val branches = Seq("merge", "the ", "zz-absent").map { p =>
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val tbl = s"/tmp/graft_q26_${s.sparkContext.applicationId}_$tag"
+      graft.sources.ShardIndexTable.publish(
+        ShardTableCache.docShards(s, dir, numShards = 16).toDF(), tbl)
+      val branches = Seq("merge", "the ", "zz-absent").zipWithIndex.map { case (p, i) =>
+        val view = s"doc_shards_q26_$i"
+        graft.sources.ShardIndexTable.readPruned(s, tbl, p).createOrReplaceTempView(view)
         s"""SELECT '$p' AS pattern, fm_count(shard, '$p') AS c
-           |FROM doc_shards_q26 WHERE fm_count(shard, '$p') > 0""".stripMargin
+           |FROM $view WHERE fm_count(shard, '$p') > 0""".stripMargin
       }
       s.sql(
         s"""SELECT pattern, CAST(sum(c) AS BIGINT) AS n_matches

@@ -178,11 +178,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a small pruned file count (one partition's files), got $files in: $scan")
   }
 
-  test("q26: fingerprint-pruning rule fires on every fm_count filter branch") {
+  test("q26: fingerprint pruning is sealed into the SOURCE on every pattern branch") {
+    // Round 4 moved q26 from the optimizer-rule guard (which needs alpha_fp to
+    // survive column pruning — it does not over a DSv2 relation) to
+    // ShardIndexTable.readPruned: each branch's scan carries pushed partition
+    // filters on the fingerprint columns, so pruning is part of the scan's file
+    // list and holds under every plan shape. The rule itself stays covered by
+    // ExtensionsSpec on in-memory shapes; the 0-file prune of a provably-absent
+    // pattern is pinned in ManifestSourceSpec's ShardIndexTable test.
     val df = SparkEntry.queries("q26_fm_prune_sql")(spark, dir)
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert("alpha_may_contain".r.findAllIn(opt).size == 3,
-      s"FmFingerprintPruning must guard all 3 pattern branches:\n${opt.take(2000)}")
+    val p = df.queryExecution.executedPlan.toString
+    // 'zz-absent' contains '-', absent from the sf0.001 corpus: that branch's scan
+    // is pruned to NOTHING at plan time (an empty relation — no files, no footers);
+    // the two live branches carry pushed fingerprint partition filters
+    assert("BatchScan manifest_data".r.findAllIn(p).size == 2,
+      s"expected 2 live manifest scans (third branch fully pruned):\n${p.take(2000)}")
+    assert("alpha_hex0=".r.findAllIn(p).size == 2,
+      s"each live scan must carry pushed fingerprint partition filters:\n${p.take(2000)}")
+    // the absent branch leaves no node at all: PropagateEmptyRelation erases it from
+    // the Union, which is exactly the zero-I/O outcome the pruning promises
   }
 
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {

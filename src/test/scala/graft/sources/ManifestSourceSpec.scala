@@ -505,6 +505,41 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(back.filter(col("year_p") === 2023).count() == 2)
   }
 
+  test("ShardIndexTable: fingerprint pruning drops whole shard FILES at the manifest") {
+    val dir = "/root/testdata/sf0.001"
+    val tbl = Files.createTempDirectory("shard_index_tbl").toString
+    val shards = graft.ops.ShardTableCache.docShards(spark, dir, numShards = 16)
+    graft.sources.ShardIndexTable.publish(shards.toDF(), tbl)
+    val totalFiles = graft.sources.ManifestTables.readLatest(tbl).size
+    assert(totalFiles == 16, s"expected one file per shard, got $totalFiles")
+    def planned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+    }
+    // a pattern built from a char NO shard's corpus contains (pick an unset
+    // fingerprint bit across all shards) must plan ZERO files — the scan never opens
+    // a footer, the multi-MB shard column is never deserialized
+    val fps = shards.collect().map(_.alpha_fp)
+    val absentBit = (0 until 1024).find(b =>
+      fps.forall(fp => (fp(b >>> 6) & (1L << (b & 63))) == 0L))
+    assert(absentBit.isDefined, "corpus saturated the 1024-bit fingerprint — pick a bigger space")
+    val absentPattern = s"x${(absentBit.get + 1024).toChar}y" // char & 1023 == absentBit
+    val pruned = graft.sources.ShardIndexTable.readPruned(spark, tbl, absentPattern)
+    assert(planned(pruned.select("shard_id")) == 0,
+      "provably-absent pattern must prune every shard file at the manifest")
+    assert(pruned.count() == 0)
+    // a common pattern keeps candidate shards, and the rows served match the cached
+    // in-memory shard table exactly
+    val kept = graft.sources.ShardIndexTable.readPruned(spark, tbl, "the ")
+    val keptFiles = planned(kept.select("shard_id"))
+    assert(keptFiles > 0 && keptFiles <= totalFiles)
+    assert(kept.select("shard_id").distinct().count() == shards.toDF()
+      .select("shard_id").distinct().count())
+  }
+
   test("noted commits are exactly-once under concurrency (TOCTOU regression)") {
     import spark.implicits._
     // N racing committers carrying the SAME (sinkId, batchId) note: exactly one may
