@@ -44,21 +44,38 @@ object Bench {
   private val scaleCfg = TranscriptPipeline.Config(numShards = 512, saltBlock = 2048,
     sampleRate = 16, numPartitionsOpt = Some(128)) // constant work units at every core count
 
-  /** One full pipeline wall-time measurement at a given core count (fresh session). */
+  private def deleteRecursively(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** One full pipeline wall-time measurement at a given core count (fresh session).
+    * The sink output (~780 MB per run at the default corpus) is deleted AFTER the
+    * timing stops — up to 16 interleaved runs per bench would otherwise leak ~12 GB
+    * of /tmp per invocation and eventually fill the disk mid-measurement.
+    */
   private def pipelineOnce(cores: Int, rawDir: String): (Long, Double) = {
     val spark = newSession(cores)
     // JIT warm-up on a small corpus before measuring
+    val warmDir = Files.createTempDirectory("graft_warm").toString
     val w = Transcripts.generate(spark, 8, 40)
-    TranscriptPipeline.runToSinks(spark, w, scaleCfg.copy(numShards = cores),
-      Files.createTempDirectory("graft_warm").toString)
+    TranscriptPipeline.runToSinks(spark, w, scaleCfg.copy(numShards = cores), warmDir)
     val raw = spark.read.parquet(rawDir)
     val outDir = Files.createTempDirectory(s"graft_bench_$cores").toString
     val t0 = System.nanoTime()
     val turns = Transcripts.parseRawLines(spark, raw)
     val report = TranscriptPipeline.runToSinks(spark, turns, scaleCfg, outDir)
-    ((System.nanoTime() - t0) / 1e9, report.turnsIndexed) match {
+    val result = ((System.nanoTime() - t0) / 1e9, report.turnsIndexed) match {
       case (sec, n) => (n, sec)
     }
+    deleteRecursively(outDir)
+    deleteRecursively(warmDir)
+    result
   }
 
   def main(args: Array[String]): Unit = {
