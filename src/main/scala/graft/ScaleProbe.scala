@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Corpus-growth probe for the content-quadratic-risk operators (the round-4 "sf1
+  * stretch": no sf1 testdata exists, so the growth evidence comes from a
+  * deterministic generator that mirrors the documents/embeddings shape at 1x/10x/100x
+  * the sf0.1 row counts — same schema, same ~300-char docs, ~4% planted exact + near
+  * duplicates so dedup/similarity operators stay non-trivial).
+  *
+  * For each scale it times the operators whose cost could grow super-linearly with
+  * corpus size (band joins, inverted indexes, connected components, IVF) and prints
+  * one JSON line of seconds per (query, scale). A healthy engine shows ~linear
+  * growth; a quadratic candidate blowup shows as ~100x time at 10x rows — exactly
+  * the failure q37's 16-bit signature had before round 4.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ScaleProbe 1 10 100"
+  */
+object ScaleProbe {
+
+  private val ProbeQueries = Seq(
+    "q30_token_count", "q37_simhash_neardup", "q40_dedup_exact", "q41_minhash_lsh",
+    "q42_simhash", "q43_jaccard_ngram", "q44_dup_clusters", "q45_top_terms",
+    "q50_knn_brute", "q51b_ivf_kmeans", "q52_embed_neardup", "q52_capped64")
+
+  /** Uncapped q52 measured ~31 s at 10x and >14 min at 100x on this generator:
+    * RANDOM (non-clustered) embeddings give 4-bit hyperplane bands ~no selectivity,
+    * so candidates grow ~n^2/32 — the structural case for the hot-bucket cap
+    * (SPARK_GRAFT_LSH_MAXBUCKET). Skip the known-quadratic point; q52_capped64 runs
+    * the same pipeline with maxBucket=64 at every scale to demonstrate the lever.
+    */
+  private def skip(q: String, scale: Int): Boolean =
+    q == "q52_embed_neardup" && scale >= 100
+
+  private def q52Capped(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val bands = graft.ops.SimilarityLsh.bandsKernel(
+      emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
+      graft.ops.CorpusQueries.EmbedPlanes, bandBits = 4)
+    val cand = graft.ops.SimilarityLsh.candidatePairs(bands, "__id", maxBucket = Some(64))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    val joined = cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    graft.ops.SimilarityLsh.rerankCosineKernel(joined, 0.35).toDF("vec_a", "vec_b")
+  }
+
+  /** Deterministic synthetic corpus in the testdata shape. */
+  private def ensureCorpus(spark: SparkSession, dir: String, scale: Int): Unit = {
+    if (Files.exists(Paths.get(s"$dir/documents.parquet"))) return
+    import spark.implicits._
+    val nDocs = 5000 * scale
+    val nEmb = 2000 * scale
+    val langs = Array("en", "fr", "es", "de", "zh")
+    val sources = Array("web", "chat", "code", "paper")
+    val vocab = Array.tabulate(20000)(i => s"w$i")
+    val docs = spark.range(nDocs.toLong).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val r = new scala.util.Random(0xC0FFEE + i)
+        val base = if (i % 50 == 1) i - 1 else i // ~2% exact duplicates of predecessor
+        val rb = new scala.util.Random(0xC0FFEE + base)
+        val len = 35 + rb.nextInt(20)
+        val toks = Array.fill(len)(vocab(rb.nextInt(vocab.length)))
+        if (i % 50 == 2 && len > 3) { // ~2% near-duplicates: 2 tokens changed
+          toks(1) = vocab(r.nextInt(vocab.length)); toks(len - 2) = vocab(r.nextInt(vocab.length))
+        }
+        val text = toks.mkString(" ")
+        (i, text, langs((i % langs.length).toInt), sources((i % sources.length).toInt),
+          text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.range(nEmb.toLong).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val r = new scala.util.Random(0xBEEF + i)
+        (i, Array.fill(64)((r.nextGaussian() / 8).toFloat), (i % 10).toInt)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = (if (args.nonEmpty) args.toSeq else Seq("1", "10")).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm codegen + noop sink once
+    spark.range(1 << 20).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
+
+    val out = scales.map { scale =>
+      val dir = s"/tmp/graft_scaleprobe_$scale"
+      ensureCorpus(spark, dir, scale)
+      val times = ProbeQueries.filterNot(skip(_, scale)).map { q =>
+        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+          if (q == "q52_capped64") q52Capped else SparkEntry.queries(q)
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] scale=$scale $q%-22s $sec%.2f s")
+        q -> sec
+      }
+      scale -> times
+    }
+    val json = out.map { case (scale, times) =>
+      s""""$scale": {${times.map { case (q, s) => f""""$q": $s%.2f""" }.mkString(", ")}}"""
+    }.mkString(", ")
+    println(s"""{"metric":"scale_probe","unit":"sec","scales":{$json}}""")
+    spark.stop()
+  }
+}

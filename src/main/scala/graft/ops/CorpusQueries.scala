@@ -274,8 +274,17 @@ object CorpusQueries {
     * candidate rows in one shuffle partition; buckets above the cap are dropped before
     * the self-join via a partial+final count. Default None = oracle-exact.
     */
+  /** Catalog-wide LSH hot-bucket cap: `SPARK_GRAFT_LSH_MAXBUCKET=<k>` flips every
+    * band join (q41/q44/q52) to the capped web-scale shape without touching query
+    * code — the ScaleProbe 100x run is why: non-clustered embeddings degrade 4-bit
+    * hyperplane bands toward n^2/32 candidates, and the cap bounds any bucket's
+    * fan-out at k^2/2. Unset (the driver's CORRECTNESS runs) = None = oracle-exact.
+    */
+  private[graft] def lshMaxBucket: Option[Int] =
+    sys.env.get("SPARK_GRAFT_LSH_MAXBUCKET").map(_.toInt)
+
   def minhashLshPairs(s: SparkSession, dir: String,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = lshMaxBucket): DataFrame = {
     import s.implicits._
     val bands = tWide(s, dir, "documents")
       .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -749,7 +758,7 @@ object CorpusQueries {
         tWide(s, dir, "embeddings")
           .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
         EmbedPlanes, bandBits = 4)
-      val cand = SimilarityLsh.candidatePairs(bands, "__id")
+      val cand = SimilarityLsh.candidatePairs(bands, "__id", maxBucket = lshMaxBucket)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       val joined = cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

@@ -373,12 +373,28 @@ object ManifestTables {
     s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
   }
 
-  /** Was `note` recorded by any committed snapshot? Scans newest-first (a streaming
-    * replay probes a recent batch) reading only file heads.
+  private val StreamNote = "stream-(.+)-batch-(\\d+)".r
+
+  /** Was `note` recorded by any committed snapshot? Scans newest-first reading only
+    * file heads. STREAM notes (`stream-<sinkId>-batch-<id>`) use the monotone rule:
+    * a sink's micro-batch ids are sequential per checkpoint, so the FIRST same-sink
+    * note found newest-first decides — its id >= the probed id means the batch (or a
+    * successor, which implies it) committed. For an active sink that note is in the
+    * newest snapshot, making the steady-state probe O(1) file heads instead of a
+    * full-history scan per batch on a long-lived table. Non-stream notes keep the
+    * exhaustive scan (no ordering assumption to exploit).
     */
-  private[sources] def hasCommittedNote(dir: String, note: String): Boolean =
-    latestSnapshotId(dir).isDefined &&
-      snapshotFiles(dir).reverseIterator.exists(f => noteOf(f).contains(note))
+  private[sources] def hasCommittedNote(dir: String, note: String): Boolean = {
+    if (latestSnapshotId(dir).isEmpty) return false
+    note match {
+      case StreamNote(sink, b) =>
+        snapshotFiles(dir).reverseIterator.flatMap(noteOf).collectFirst {
+          case StreamNote(`sink`, b2) => b2.toLong >= b.toLong
+        }.getOrElse(false)
+      case _ =>
+        snapshotFiles(dir).reverseIterator.exists(f => noteOf(f).contains(note))
+    }
+  }
 
   /** All commit notes across committed snapshots (spec hook). */
   private[sources] def committedNotes(dir: String): Set[String] =
