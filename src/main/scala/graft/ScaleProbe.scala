@@ -52,9 +52,12 @@ object ScaleProbe {
     graft.ops.SimilarityLsh.rerankCosineKernel(joined, 0.35).toDF("vec_a", "vec_b")
   }
 
-  /** Deterministic synthetic corpus in the testdata shape. */
+  /** Deterministic synthetic corpus in the testdata shape. Both outputs are checked:
+    * a run killed between the two writes must regenerate, not half-serve.
+    */
   private def ensureCorpus(spark: SparkSession, dir: String, scale: Int): Unit = {
-    if (Files.exists(Paths.get(s"$dir/documents.parquet"))) return
+    if (Files.exists(Paths.get(s"$dir/documents.parquet", "_SUCCESS")) &&
+      Files.exists(Paths.get(s"$dir/embeddings.parquet", "_SUCCESS"))) return
     import spark.implicits._
     val nDocs = 5000 * scale
     val nEmb = 2000 * scale
@@ -64,11 +67,14 @@ object ScaleProbe {
     val docs = spark.range(nDocs.toLong).as[Long].mapPartitions { it =>
       it.map { i =>
         val r = new scala.util.Random(0xC0FFEE + i)
-        val base = if (i % 50 == 1) i - 1 else i // ~2% exact duplicates of predecessor
+        // ~2% exact duplicates of doc i-1, ~2% near-duplicates of doc i-2 (the base
+        // doc EXISTS in the corpus — an edit of the doc's own fresh tokens would just
+        // be another unique document, and the probe would measure a dup-free corpus)
+        val base = if (i % 50 == 1) i - 1 else if (i % 50 == 2) i - 2 else i
         val rb = new scala.util.Random(0xC0FFEE + base)
         val len = 35 + rb.nextInt(20)
         val toks = Array.fill(len)(vocab(rb.nextInt(vocab.length)))
-        if (i % 50 == 2 && len > 3) { // ~2% near-duplicates: 2 tokens changed
+        if (i % 50 == 2 && len > 3) { // 2-token edit of doc i-2
           toks(1) = vocab(r.nextInt(vocab.length)); toks(len - 2) = vocab(r.nextInt(vocab.length))
         }
         val text = toks.mkString(" ")

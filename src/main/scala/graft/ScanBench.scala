@@ -77,5 +77,12 @@ object ScanBench {
         f""""documents":{"native":$docNative%.3f,"manifest":$docManifest%.3f,"ratio":${docManifest / docNative}%.2f},""" +
         f""""embeddings":{"native":$embNative%.3f,"manifest":$embManifest%.3f,"ratio":${embManifest / embNative}%.2f}}""")
     spark.stop()
+    // full table copies — delete, or repeated runs fill /tmp (the Bench ENOSPC class)
+    Seq(docsDir, embDir).foreach { d =>
+      val walk = Files.walk(java.nio.file.Paths.get(d))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

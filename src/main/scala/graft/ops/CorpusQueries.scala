@@ -22,6 +22,24 @@ object CorpusQueries {
   private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Stable per-(query, SF-dir) scratch path, physically CLEANED on entry: queries
+    * that materialize tables under /tmp (q63 family, q68) stay bounded at one copy
+    * per SF instead of leaking one per application (the Bench ENOSPC class), while
+    * still exercising their full write path every run.
+    */
+  private[graft] def freshTmpTable(name: String, dir: String): String = {
+    val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val out = s"/tmp/graft_${name}_$tag"
+    val root = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    out
+  }
+
   val FmPatterns: Seq[String] = Seq("merge", "spark", "the ", "window", "zz-absent")
 
   /** 32 deterministic hyperplanes over the 64-dim embeddings: 8 bands x 4 sign bits. */
@@ -427,8 +445,11 @@ object CorpusQueries {
     "q26_fm_prune_sql" -> ((s, dir) => {
       graft.functions.FmFunctions.register(s)
       graft.functions.GraftExtensions.installRules(s)
+      // stable per-(dir, compression) path, NOT per-application: publish() is
+      // idempotent (claim-once snapshot; shard builds are deterministic), so repeated
+      // sessions reuse one copy instead of accumulating a shard table per run
       val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-      val tbl = s"/tmp/graft_q26_${s.sparkContext.applicationId}_$tag"
+      val tbl = s"/tmp/graft_q26_${tag}_${ShardTableCache.compressionMode}"
       graft.sources.ShardIndexTable.publish(
         ShardTableCache.docShards(s, dir, numShards = 16).toDF(), tbl)
       val branches = Seq("merge", "the ", "zz-absent").zipWithIndex.map { case (p, i) =>
@@ -956,7 +977,7 @@ object CorpusQueries {
     //     into the output and the DuckDB gate would fail, so the gate itself enforces
     //     the isolation property. ---
     "q63_manifest_source" -> ((s, dir) => {
-      val out = s"/tmp/graft_q63_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+      val out = freshTmpTable("q63", dir)
       t(s, dir, "documents").withColumn("lang_p", col("lang"))
         .write.mode("overwrite").partitionBy("lang_p").parquet(out)
       graft.sources.ManifestTables.commit(out, "lang_p")
@@ -978,7 +999,7 @@ object CorpusQueries {
     //     oracle gate enforcing snapshot isolation on the data path. PlanShapeSpec pins
     //     the pruned file count + pushed filter. ---
     "q63b_manifest_data" -> ((s, dir) => {
-      val out = s"/tmp/graft_q63b_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+      val out = freshTmpTable("q63b", dir)
       t(s, dir, "documents").withColumn("lang_p", col("lang"))
         .write.mode("overwrite").partitionBy("lang_p").parquet(out)
       graft.sources.ManifestTables.commit(out, "lang_p")
@@ -1001,7 +1022,7 @@ object CorpusQueries {
     //     instances per session, so one name must never point at two warehouses. ---
     "q63c_catalog_sql" -> ((s, dir) => {
       val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-      val wh = s"/tmp/graft_q63c_${s.sparkContext.applicationId}_$tag"
+      val wh = freshTmpTable("q63c", dir)
       t(s, dir, "documents").withColumn("lang_p", col("lang"))
         .write.format("graft.sources.ManifestDataSource")
         .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
@@ -1021,7 +1042,11 @@ object CorpusQueries {
     //     aggregate touches the array CONTENTS (per-element math, not just lengths),
     //     so a decode drift anywhere in the list path breaks the gate. ---
     "q63d_manifest_embeddings" -> ((s, dir) => {
-      val out = s"/tmp/graft_q63d_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+      // per-dir (not per-application) path, physically cleaned first: overwrites are
+      // LOGICAL (old files stay for time travel), so a reused dir would otherwise
+      // accumulate one table copy per session; the fresh write still exercises the
+      // full DSv2 write path every run
+      val out = freshTmpTable("q63d", dir)
       t(s, dir, "embeddings").withColumn("label_p", col("label").cast("string"))
         .write.format("graft.sources.ManifestDataSource")
         .option("partcol", "label_p").mode("overwrite").save(out)

@@ -309,8 +309,11 @@ object RelationalQueries {
     "q68_stream_append_manifest" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val out = java.nio.file.Files.createTempDirectory("graft_q68_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q68_ckpt").toString
+      // stable per-SF paths, physically cleaned on entry (bounded /tmp footprint);
+      // a fresh checkpoint per run keeps the gated query exercising the FULL
+      // stream + replay sequence rather than resuming a previous session's offsets
+      val out = CorpusQueries.freshTmpTable("q68_out", dir)
+      val ckpt = CorpusQueries.freshTmpTable("q68_ckpt", dir)
       def runOnce(): Unit = {
         val agg = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
           .withColumn("ts", col("ts").cast("timestamp"))

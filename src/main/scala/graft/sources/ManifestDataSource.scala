@@ -85,9 +85,16 @@ object ManifestDataSource {
     if (latest.isEmpty) return new StructType()
     // the latest snapshot may be legitimately EMPTY (empty overwrite); schemas cannot
     // diverge across snapshots (appends/overwrites enforce equality), so fall back to
-    // the newest snapshot that still lists a file
+    // the newest snapshot that still lists a file. Only the VERIFIABLY-empty case
+    // falls through (refs with no inline entries and no segments) — a snapshot whose
+    // referenced segment is missing is corruption and must fail loudly here, not be
+    // silently served from older data
     val entries = (latest.get to 0 by -1).iterator
-      .map(id => scala.util.Try(ManifestTables.readSnapshot(dir, Some(id))).getOrElse(Nil))
+      .map { id =>
+        val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
+        if (refs.inline.isEmpty && refs.segments.isEmpty) Nil
+        else ManifestTables.readSnapshot(dir, Some(id))
+      }
       .find(_.nonEmpty).getOrElse(Nil)
     if (entries.isEmpty) return new StructType()
     val conf = hadoopConf()
@@ -581,7 +588,14 @@ private class ManifestDataWriter(dir: String, partCol: String,
     * ManifestDataSource.internalPartValue).
     */
   private def canonical(row: InternalRow, dt: DataType, ord: Int): String = dt match {
-    case StringType => row.getUTF8String(ord).toString
+    case StringType =>
+      val v = row.getUTF8String(ord).toString
+      // the unit separator joins multi-column values in the manifest; a value
+      // containing it would commit fine and then make EVERY subsequent scan fail on
+      // the value-count check — reject the row loudly instead of poisoning the table
+      require(v.indexOf(ManifestTables.PartSep) < 0,
+        s"partition value contains the reserved \\u001f separator: '$v'")
+      v
     case IntegerType => row.getInt(ord).toString
     case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong).toString
     case other => throw new IllegalArgumentException(s"unsupported partition type $other")

@@ -157,14 +157,23 @@ object ManifestTables {
   // the table silently read as empty.
   private val SnapshotName = "snapshot-(\\d+)\\.json".r
 
-  /** All committed snapshot files, ascending by id (zero-padded names sort right). */
+  /** All committed snapshot files, ascending by NUMERIC id. Sorting the names
+    * lexicographically would diverge from latestSnapshotId at id 100000 (the %05d
+    * pad overflows: "snapshot-100000" < "snapshot-99999" as strings), making the
+    * append path read a stale 'latest' and silently drop the 100000th commit —
+    * reachable by design once per-micro-batch streaming snapshots accumulate.
+    */
   private def snapshotFiles(dir: String): Seq[String] = {
     val mdir = Paths.get(dir, "_manifests")
     require(Files.isDirectory(mdir), s"no _manifests under $dir — commit a snapshot first")
     val stream = Files.list(mdir)
     try stream.iterator().asScala
-      .filter(p => SnapshotName.pattern.matcher(p.getFileName.toString).matches())
-      .map(_.toString).toSeq.sorted
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        SnapshotName.findFirstMatchIn(name).filter(_.matched == name)
+          .map(m => (m.group(1).toInt, p.toString))
+      }
+      .toSeq.sortBy(_._1).map(_._2)
     finally stream.close()
   }
 
@@ -268,10 +277,12 @@ object ManifestTables {
     * caller re-reads the latest state and retries with the next id — optimistic
     * concurrency, the Iceberg commit protocol in miniature.
     */
-  /** Max ESCAPED commit-note length. noteOf reads only the first NoteHeadBytes of a
-    * snapshot file; a note whose closing quote fell outside that head would silently
-    * never match — voiding exactly-once dedup — so over-long notes are rejected at
-    * write time instead.
+  /** Max escaped commit-note size in UTF-8 BYTES (not chars: jsonEscape passes
+    * non-ASCII through, so 200 CJK chars are 600 bytes). noteOf reads only the first
+    * NoteHeadBytes of a snapshot file; a note whose closing quote fell outside that
+    * head would silently never match — voiding exactly-once dedup — so over-long
+    * notes are rejected at write time instead. 256 + the ~40-byte JSON preamble
+    * stays safely inside the 512-byte probe.
     */
   private[sources] val MaxNoteLength = 256
   private val NoteHeadBytes = 512
@@ -288,8 +299,8 @@ object ManifestTables {
   private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
       partTypes: String = ""): Boolean = {
-    require(jsonEscape(note).length <= MaxNoteLength,
-      s"commit note too long (${note.length} chars; escaped max $MaxNoteLength) — " +
+    require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
+      s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
     val fileList = inline.map { e =>
       s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
@@ -341,6 +352,7 @@ object ManifestTables {
   def compact(dir: String): Option[Int] = {
     var result: Option[Int] = None
     var done = false
+    var attempt = 0
     while (!done) {
       val latest = latestSnapshotId(dir)
       require(latest.isDefined, s"no committed snapshot under $dir — nothing to compact")
@@ -352,8 +364,18 @@ object ManifestTables {
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
             partTypes = readPartitionTypes(dir))) {
           result = Some(next); done = true
+        } else {
+          // CAS loss: a concurrent commit advanced the table — back off, re-read and
+          // re-fold. Each lost attempt orphans one folded segment and costs an
+          // O(total files) re-read, so unlike the O(metadata) append loop this one
+          // gives up early: compaction is maintenance, losing to live traffic is fine.
+          attempt += 1
+          require(attempt < 8,
+            s"compact($dir) lost the snapshot race $attempt times — " +
+              "table under sustained write traffic; re-run compaction later")
+          Thread.sleep(50L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 50))
         }
-        // CAS loss: a concurrent commit advanced the table — re-read and re-fold
       }
     }
     result

@@ -575,6 +575,36 @@ class ManifestSourceSpec extends AnyFunSuite {
       "racing noted commits published more than one snapshot")
   }
 
+  test("snapshot ordering is NUMERIC: id 100000 supersedes 99999 (pad-overflow regression)") {
+    // lexicographically "snapshot-100000.json" < "snapshot-99999.json": a
+    // name-sorted 'latest' would serve stale data and the append path would
+    // silently drop the 100000th commit
+    val out = Files.createTempDirectory("manifest_bignum").toString
+    assert(ManifestTables.tryWriteSnapshot(out, "p",
+      Seq(ManifestTables.Entry("old.parquet", 1L, "", 0)), 99999))
+    assert(ManifestTables.tryWriteSnapshot(out, "p",
+      Seq(ManifestTables.Entry("new.parquet", 1L, "", 0)), 100000, note = "bignote"))
+    assert(ManifestTables.latestSnapshotId(out).contains(100000))
+    assert(ManifestTables.readLatest(out).map(_.path) == Seq("new.parquet"),
+      "latest must resolve by numeric id, not name sort")
+    assert(ManifestTables.readSnapshotRefs(out, None).snapshot == 100000)
+    assert(ManifestTables.hasCommittedNote(out, "bignote"))
+  }
+
+  test("writer rejects partition values containing the reserved separator") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_sep").toString
+    val bad = Seq((1L, "a\u001fb", "x")).toDF("id", "p1", "p2")
+    val err = intercept[Exception] {
+      bad.write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p1,p2").mode("append").save(out)
+    }
+    assert(err.getMessage.contains("reserved") || err.getMessage.contains("u001f"),
+      s"unexpected: ${err.getMessage.take(300)}")
+    // nothing was committed — the table stays absent rather than poisoned
+    assert(ManifestTables.latestSnapshotId(out).isEmpty)
+  }
+
   test("over-long commit notes are rejected at write time (head-probe contract)") {
     val out = Files.createTempDirectory("manifest_note_len").toString
     val e = Seq(ManifestTables.Entry("a.parquet", 1L, "", 0))
