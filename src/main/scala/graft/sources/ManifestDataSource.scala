@@ -276,7 +276,24 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
     snapshot: Option[Int])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // DPP: equality/IN filters on partition columns arriving AT EXECUTION TIME (from a
+  // join's build side) further restrict the file list before planInputPartitions
+  private var runtimeValues: Map[String, Set[String]] = Map.empty
+
+  private def allowed(e: ManifestTables.Entry): Boolean = {
+    val bounds = Seq(partitionValues, runtimeValues)
+    bounds.forall(_.isEmpty) || {
+      val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
+      partCols.zipWithIndex.forall { case (pc, i) =>
+        bounds.forall(_.get(pc.name).forall(_.contains(vals(i))))
+      }
+    }
+  }
+
   // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
   // on EVERY filtered partition column; an explicit snapshot option = time travel
   private lazy val pinned: Seq[ManifestTables.Entry] =
@@ -290,8 +307,57 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pruning byte size from the manifest's recorded file sizes — this is what
+    * lets Catalyst AUTO-BROADCAST a small (or well-pruned) manifest table in a join:
+    * without reported statistics a DSv2 relation defaults to "huge" and every join
+    * shuffles both sides.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, pinned.map(_.bytes).sum))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partCols.map(pc =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(pc.name)).toArray
+
+  /** Runtime (dynamic partition pruning) filters: same canonicalization as the
+    * planning-time path; unparseable predicates are ignored (they only ever REDUCE
+    * the file list — correctness never depends on them).
+    */
+  override def filter(filters: Array[Filter]): Unit = {
+    def canon(colName: String, v: Any): Option[String] =
+      partCols.find(_.name == colName).flatMap { pc =>
+        (pc.tpe, v) match {
+          case ("string", s: String) => Some(s)
+          case ("int", i: java.lang.Integer) => Some(i.toString)
+          case ("date", d: java.sql.Date) => Some(d.toLocalDate.toString)
+          case ("date", d: java.time.LocalDate) => Some(d.toString)
+          case _ => None
+        }
+      }
+    filters.foreach {
+      case EqualTo(c, v) => canon(c, v).foreach { s =>
+        runtimeValues = runtimeValues.updated(c,
+          runtimeValues.get(c).map(_ intersect Set(s)).getOrElse(Set(s)))
+      }
+      case In(c, vs) =>
+        val canoned = vs.flatMap(v => canon(c, v))
+        if (canoned.length == vs.length && vs.nonEmpty) {
+          val s = canoned.toSet
+          runtimeValues = runtimeValues.updated(c,
+            runtimeValues.get(c).map(_ intersect s).getOrElse(s))
+        }
+      case _ =>
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    pinned.map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
+    pinned.filter(allowed)
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     // serializable projection spec: (name, dataType) of required fields + the

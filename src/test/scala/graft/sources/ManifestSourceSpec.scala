@@ -575,6 +575,72 @@ class ManifestSourceSpec extends AnyFunSuite {
       "racing noted commits published more than one snapshot")
   }
 
+  test("reported statistics: a small manifest table AUTO-BROADCASTS in a join") {
+    val out = freshTable()
+    // the manifest side is tiny (sf0.001 documents); its reported sizeInBytes must
+    // reach Catalyst so the join plans a broadcast instead of shuffling both sides
+    val stats = dataTable(out).queryExecution.optimizedPlan.stats
+    val onDisk = ManifestTables.readLatest(out).map(_.bytes).sum
+    assert(stats.sizeInBytes.toLong == onDisk,
+      s"reported ${stats.sizeInBytes} != manifest bytes $onDisk")
+    val big = spark.range(1000000).withColumnRenamed("id", "doc_id")
+    val joined = big.join(dataTable(out).select("doc_id", "lang_p"), "doc_id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small manifest side must broadcast:\n${p.take(1200)}")
+    // pruned scans report PRUNED bytes: filtering one lang shrinks the estimate
+    val en = dataTable(out).filter(col("lang_p") === "en")
+    assert(en.queryExecution.optimizedPlan.stats.sizeInBytes.toLong < onDisk)
+  }
+
+  test("runtime filtering (DPP): a join's build side prunes manifest FILES at execution") {
+    import spark.implicits._
+    val out = freshTable()
+    val total = ManifestTables.readLatest(out).size
+    // dim stays broadcastable but the manifest fact side must NOT broadcast (a
+    // broadcast fact has no scan exchange to prune) — shrink the threshold under the
+    // fact's reported size so Spark plans BHJ(dim) + DPP on the partition column
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+    // dim must be a SOURCE-backed relation: a filter over a LocalRelation is
+    // constant-folded away before PartitionPruning looks for a selective predicate
+    val dimDir = Files.createTempDirectory("manifest_dpp_dim").toString
+    Seq(("en", 1), ("zz", 2)).toDF("lang_key", "grp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = dataTable(out)
+    val joined = fact.join(dim.filter(col("grp") === 1),
+      fact("lang_p") === dim("lang_key"))
+    val n = joined.count()
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(n == want)
+    joined.collect()
+    val scans = {
+      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => all(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => all(r.child)
+          case _ => Nil
+        }
+        p +: (p.children.flatMap(all) ++ inner)
+      }
+      all(joined.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains("manifest_data") => b
+      }
+    }
+    assert(scans.nonEmpty)
+    // the runtime filter reached the scan: fewer input partitions than committed files
+    val planned = scans.map(_.inputRDD.getNumPartitions).sum
+    assert(planned < total && planned > 0,
+      s"expected runtime file pruning: planned=$planned of $total files " +
+        s"(runtime filters: ${scans.map(_.runtimeFilters).mkString(";")})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("snapshot ordering is NUMERIC: id 100000 supersedes 99999 (pad-overflow regression)") {
     // lexicographically "snapshot-100000.json" < "snapshot-99999.json": a
     // name-sorted 'latest' would serve stale data and the append path would
