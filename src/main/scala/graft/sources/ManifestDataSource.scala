@@ -221,11 +221,13 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = tschema
   // per-partition-column allowed canonical values (intersection of accepted filters)
   private var partitionValues: Map[String, Set[String]] = Map.empty
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[String], Seq[ManifestAggScan.AggSpec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
@@ -269,8 +271,56 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot)
+  /** COUNT(*) / MIN / MAX answered from parquet FOOTER STATISTICS — one output row
+    * per file, no data page ever decoded; Spark merges the partials
+    * (supportCompletePushDown stays false, so the final aggregate is Spark's).
+    * GROUP BY is accepted on partition columns only (each file is
+    * partition-homogeneous, so per-file partials are per-group partials). MIN/MAX
+    * accepted on primitive numeric/date/timestamp data columns — binary/string
+    * footer stats can be truncated by writers, so they stay unpushed.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def partColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          partCols.exists(_.name == f.fieldNames.head) => Some(f.fieldNames.head)
+        case _ => None
+      }
+    def statColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            !partCols.exists(_.name == f.fieldNames.head) =>
+          tschema.fields.find(_.name == f.fieldNames.head).collect {
+            case sf if Seq(IntegerType, LongType, DoubleType, FloatType, BooleanType,
+              DateType, TimestampType, TimestampNTZType).contains(sf.dataType) =>
+              (sf.name, sf.dataType)
+          }
+        case _ => None
+      }
+    val groupCols = agg.groupByExpressions.toSeq.map { e =>
+      partColOf(e).getOrElse(return false)
+    }
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ManifestAggScan.AggCountStar
+      case m: Min => statColOf(m.column).map { case (n, dt) =>
+        ManifestAggScan.AggMin(n, dt) }.getOrElse(return false)
+      case m: Max => statColOf(m.column).map { case (n, dt) =>
+        ManifestAggScan.AggMax(n, dt) }.getOrElse(return false)
+      case _ => return false
+    }
+    pushedAgg = Some((groupCols, aggs))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((groupCols, aggs)) =>
+      new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
+    case None =>
+      new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot)
+  }
 }
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
@@ -378,6 +428,152 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
 
 private case class ManifestDataInputPartition(file: String, partition: String)
     extends InputPartition
+
+private[sources] object ManifestAggScan {
+  sealed trait AggSpec extends Serializable
+  case object AggCountStar extends AggSpec
+  case class AggMin(col: String, dt: DataType) extends AggSpec
+  case class AggMax(col: String, dt: DataType) extends AggSpec
+}
+
+/** Pushed-aggregate scan: ONE row per committed file, computed from the parquet
+  * footer only (row counts + per-column-chunk min/max statistics) — a full-table
+  * COUNT(*)/MIN/MAX costs O(files) footer reads and zero page decodes, the same
+  * answer path Iceberg/parquet metadata-only queries take. Spark performs the final
+  * merge of the per-file partials (partial pushdown).
+  */
+private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol],
+    partitionValues: Map[String, Set[String]], snapshot: Option[Int],
+    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec])
+    extends Scan with Batch {
+  import ManifestAggScan._
+
+  private lazy val pinned: Seq[ManifestTables.Entry] =
+    ManifestTables.readSnapshot(dir, snapshot).filter { e =>
+      partitionValues.isEmpty || {
+        val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
+        partCols.zipWithIndex.forall { case (pc, i) =>
+          partitionValues.get(pc.name).forall(_.contains(vals(i)))
+        }
+      }
+    }
+
+  // scan output contract (positional): groupBy columns first, then one column per
+  // aggregate — count as long, min/max in the column's own type
+  override def readSchema(): StructType = {
+    val g = groupCols.map { n =>
+      val pc = partCols.find(_.name == n).get
+      StructField(n, ManifestDataSource.sparkTypeOf(pc), nullable = false)
+    }
+    val a = aggs.map {
+      case AggCountStar => StructField("count(*)", LongType, nullable = false)
+      case AggMin(c, dt) => StructField(s"min($c)", dt)
+      case AggMax(c, dt) => StructField(s"max($c)", dt)
+    }
+    StructType(g ++ a)
+  }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = pinned
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
+      .toArray
+    // GLOBAL aggregation over zero files must still yield count 0 (Spark's final agg
+    // over an empty partial set would report null); one synthetic all-null/zero
+    // partial row keeps the semantics exact. Grouped aggregation over zero files is
+    // correctly empty.
+    if (files.isEmpty && groupCols.isEmpty)
+      Array(ManifestDataInputPartition("", ""))
+    else files
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestAggReaderFactory(partCols, groupCols, aggs)
+  override def description(): String = {
+    val a = aggs.map {
+      case AggCountStar => "count(*)"
+      case AggMin(c, _) => s"min($c)"
+      case AggMax(c, _) => s"max($c)"
+    }
+    s"manifest_data_agg($dir, pushed=[${a.mkString(",")}], " +
+      s"group=[${groupCols.mkString(",")}], files=${pinned.size})"
+  }
+}
+
+private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
+    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec])
+    extends PartitionReaderFactory {
+  import ManifestAggScan._
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestDataInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        if (p.file.isEmpty) {
+          // synthetic empty-table partial: count 0, min/max null (see planInputPartitions)
+          return InternalRow.fromSeq(aggs.map {
+            case AggCountStar => 0L
+            case _ => null
+          })
+        }
+        val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+        val reader = ParquetFileReader.open(in)
+        val (rowCount, stats) = try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rc = blocks.map(_.getRowCount).sum
+          // per-column merged (min, max) across row groups; None when any chunk
+          // lacks usable stats (then the answer cannot come from the footer — fail
+          // loudly rather than silently mis-aggregate)
+          val wanted = aggs.collect { case AggMin(c, _) => c; case AggMax(c, _) => c }.distinct
+          val merged = wanted.map { c =>
+            val chunks = blocks.map { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(
+                throw new IllegalStateException(s"column $c missing from ${p.file}"))
+            }
+            val sts = chunks.map(_.getStatistics)
+            require(sts.forall(s => s != null && !s.isEmpty),
+              s"parquet footer statistics unavailable for column $c in ${p.file} — " +
+                "cannot serve the pushed aggregate from metadata")
+            val nonNull = sts.filter(_.hasNonNullValue)
+            lazy val ord: Ordering[Any] = scala.math.Ordering.comparatorToOrdering(
+              nonNull.head.comparator.asInstanceOf[java.util.Comparator[Any]])
+            val mn = if (nonNull.isEmpty) null
+              else nonNull.map(_.genericGetMin.asInstanceOf[Any]).min(ord)
+            val mx = if (nonNull.isEmpty) null
+              else nonNull.map(_.genericGetMax.asInstanceOf[Any]).max(ord)
+            c -> (mn, mx)
+          }.toMap
+          (rc, merged)
+        } finally reader.close()
+
+        val partVals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
+        def datum(v: Any, dt: DataType): Any = v match {
+          case null => null
+          case other => dt match {
+            case LongType | TimestampType | TimestampNTZType => other.asInstanceOf[java.lang.Long].longValue()
+            case IntegerType | DateType => other.asInstanceOf[java.lang.Integer].intValue()
+            case DoubleType => other.asInstanceOf[java.lang.Double].doubleValue()
+            case FloatType => other.asInstanceOf[java.lang.Float].floatValue()
+            case BooleanType => other.asInstanceOf[java.lang.Boolean].booleanValue()
+            case o => throw new IllegalStateException(s"unreachable stat type $o")
+          }
+        }
+        val g = groupCols.map { n =>
+          val i = partCols.indexWhere(_.name == n)
+          ManifestDataSource.internalPartValue(partCols(i).tpe, partVals(i))
+        }
+        val a = aggs.map {
+          case AggCountStar => rowCount
+          case AggMin(c, dt) => datum(stats(c)._1, dt)
+          case AggMax(c, dt) => datum(stats(c)._2, dt)
+        }
+        InternalRow.fromSeq(g ++ a)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     partCols: Seq[ManifestTables.PartCol])

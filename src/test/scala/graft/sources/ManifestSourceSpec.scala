@@ -575,6 +575,40 @@ class ManifestSourceSpec extends AnyFunSuite {
       "racing noted commits published more than one snapshot")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX served from parquet footers, zero page decodes") {
+    val out = freshTable()
+    val native = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // global: one partial row per file, merged by Spark's final aggregate
+    val g = dataTable(out).agg(count(lit(1)).as("n"),
+      min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest_data_agg") && plan.contains("pushed=["),
+      s"aggregate did not push to the source:\n${plan.take(1200)}")
+    val got = g.head()
+    val want = native.agg(count(lit(1)), min("n_chars"), max("n_chars")).head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1) && got.getLong(2) == want.getLong(2))
+    // grouped by the partition column: files are partition-homogeneous partials
+    val grouped = dataTable(out).groupBy("lang_p")
+      .agg(count(lit(1)).as("n"), max("n_chars").as("mx"))
+      .orderBy("lang_p")
+    assert(grouped.queryExecution.executedPlan.toString.contains("manifest_data_agg"))
+    val gotG = grouped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantG = native.groupBy("lang").agg(count(lit(1)), max("n_chars")).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotG == wantG)
+    // partition pruning composes with the pushed aggregate
+    val en = dataTable(out).filter(col("lang_p") === "en").agg(count(lit(1))).head().getLong(0)
+    assert(en == native.filter(col("lang") === "en").count())
+    // GLOBAL count over a zero-file match must be 0, not null/empty
+    val none = dataTable(out).filter(col("lang_p") === "nope").agg(count(lit(1))).head()
+    assert(!none.isNullAt(0) && none.getLong(0) == 0L)
+    // non-pushable aggregates (sum, string min) fall back to the row path and agree
+    val sumDf = dataTable(out).agg(sum("n_chars"))
+    assert(!sumDf.queryExecution.executedPlan.toString.contains("manifest_data_agg"))
+    assert(sumDf.head().getLong(0) == native.agg(sum("n_chars")).head().getLong(0))
+  }
+
   test("reported statistics: a small manifest table AUTO-BROADCASTS in a join") {
     val out = freshTable()
     // the manifest side is tiny (sf0.001 documents); its reported sizeInBytes must
