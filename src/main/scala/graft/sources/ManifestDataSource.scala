@@ -222,8 +222,12 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = tschema
+  // per-PARTITION early-stop bound; Spark keeps the global limit (partial pushdown),
+  // the scan just stops decoding each file once `limit` rows are out
+  private var limit: Option[Int] = None
   // per-partition-column allowed canonical values (intersection of accepted filters)
   private var partitionValues: Map[String, Set[String]] = Map.empty
   private var accepted: Array[Filter] = Array.empty
@@ -270,6 +274,9 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     residual
   }
   override def pushedFilters(): Array[Filter] = accepted
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*) / MIN / MAX answered from parquet FOOTER STATISTICS — one output row
     * per file, no data page ever decoded; Spark merges the partials
@@ -319,13 +326,13 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     case Some((groupCols, aggs)) =>
       new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
     case None =>
-      new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot)
+      new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot, limit)
   }
 }
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
-    snapshot: Option[Int])
+    snapshot: Option[Int], limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -413,7 +420,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     // serializable projection spec: (name, dataType) of required fields + the
     // partition-column spec for typed constant columns
     val fields = required.fields.map(f => (f.name, f.dataType))
-    new ManifestDataReaderFactory(fields, partCols)
+    new ManifestDataReaderFactory(fields, partCols, limit)
   }
   override def description(): String = {
     val parts =
@@ -576,7 +583,7 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
 }
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
-    partCols: Seq[ManifestTables.PartCol])
+    partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   private def partNames = partCols.map(_.name).toSet
@@ -637,9 +644,14 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       ok = true
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var permuted: org.apache.spark.sql.vectorized.ColumnarBatch = _
-        override def next(): Boolean = reader.nextBatch()
+        private var served = 0L
+        // pushed limit: stop decoding this file once enough rows are out (batch
+        // granularity — Spark's global limit trims the overshoot)
+        override def next(): Boolean =
+          limit.forall(served < _) && reader.nextBatch()
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
           val rb = reader.resultBatch()
+          served += rb.numRows()
           if (identity) rb
           else {
             // the reader reuses its vectors across batches — build the permuted view
@@ -678,6 +690,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
           val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
           val r = ParquetFileReader.open(in)
           remaining = try r.getRecordCount finally r.close()
+          limit.foreach(l => remaining = math.min(remaining, l.toLong))
         }
         remaining -= 1
         remaining >= 0

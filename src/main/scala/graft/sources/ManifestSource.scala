@@ -381,6 +381,94 @@ object ManifestTables {
     result
   }
 
+  /** Expire every committed snapshot except the newest `keepLast`, then physically
+    * delete segments and data files referenced by NO retained snapshot — the
+    * expire_snapshots half of the table lifecycle (overwrites are logical, and a
+    * per-micro-batch streaming sink accumulates snapshots without bound; this is
+    * where the disk is reclaimed). Order matters for crash safety:
+    *
+    *  1. expired snapshot JSONs are removed FIRST — after this no reader can pin
+    *     them, so the files they exclusively referenced are provably dead;
+    *  2. then dead segments, then dead data files. A crash between steps leaves only
+    *     harmless orphans (cleaned by the next run), never a referenced-but-deleted
+    *     file, because retained snapshots' references were never touched.
+    *
+    * Safe next to concurrent committers: a new snapshot only references the CURRENT
+    * latest's segments (all retained) plus brand-new files, so the retained set
+    * computed from one listing can only under-delete, never over-delete.
+    *
+    * Returns (snapshots, segments, data files) removed.
+    */
+  def expireSnapshots(dir: String, keepLast: Int = 1): (Int, Int, Int) = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val snaps = snapshotFiles(dir)
+    if (snaps.length <= keepLast) return (0, 0, 0)
+    val (expired, retained) = snaps.splitAt(snaps.length - keepLast)
+    def refsOf(files: Seq[String]): (Set[String], Set[String]) = {
+      val all = files.map { f =>
+        val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+        val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+          case None => Seq.empty[String]
+          case Some(m) => s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+        }
+        val inline = parseEntries(txt, f, 0).map(_.path)
+        (segs.toSet, inline.toSet)
+      }
+      (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet)
+    }
+    val (retainedSegs, retainedInline) = refsOf(retained)
+    val (expiredSegs, expiredInline) = refsOf(expired)
+    // data files referenced by retained snapshots = their inline entries + every
+    // entry of every retained segment
+    val retainedData = retainedInline ++ retainedSegs.flatMap { seg =>
+      parseEntries(new String(Files.readAllBytes(Paths.get(dir, "_manifests", seg)),
+        StandardCharsets.UTF_8), seg, 0).map(_.path)
+    }
+    val deadSegs = expiredSegs -- retainedSegs
+    val deadData = (expiredInline ++ deadSegs.flatMap { seg =>
+      val p = Paths.get(dir, "_manifests", seg)
+      if (Files.exists(p))
+        parseEntries(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), seg, 0).map(_.path)
+      else Nil
+    }) -- retainedData
+    // 1: snapshots, 2: segments, 3: data files
+    expired.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    deadSegs.foreach(s => Files.deleteIfExists(Paths.get(dir, "_manifests", s)))
+    deadData.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+    (expired.length, deadSegs.size, deadData.size)
+  }
+
+  /** Delete data files under `dir` referenced by NO committed snapshot and older
+    * than `olderThanMillis` — crashed/speculative task leftovers and aborted writes
+    * (remove_orphan_files). The age guard keeps in-flight writers' files safe: a
+    * file younger than the threshold may belong to a commit that has not published
+    * yet. Returns the number of files removed.
+    */
+  def removeOrphans(dir: String, olderThanMillis: Long): Int = {
+    val referenced = snapshotFiles(dir).flatMap { f =>
+      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+      val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+        case None => Seq.empty[String]
+        case Some(m) => s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+      }
+      parseEntries(txt, f, 0).map(_.path) ++ segs.flatMap { seg =>
+        parseEntries(new String(Files.readAllBytes(Paths.get(dir, "_manifests", seg)),
+          StandardCharsets.UTF_8), seg, 0).map(_.path)
+      }
+    }.toSet
+    val root = Paths.get(dir)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val walk = Files.walk(root)
+    val orphans = try walk.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_manifests"))
+      .filter(p => !referenced.contains(root.relativize(p).toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toSeq
+    finally walk.close()
+    orphans.foreach(Files.deleteIfExists)
+    orphans.length
+  }
+
   /** The commit note of one snapshot file, reading only the HEAD of the file — the
     * note line precedes the (cumulative, growing) file list, so the probe stays O(1)
     * bytes per snapshot no matter how large the table gets.

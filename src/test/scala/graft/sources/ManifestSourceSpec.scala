@@ -540,6 +540,87 @@ class ManifestSourceSpec extends AnyFunSuite {
       .select("shard_id").distinct().count())
   }
 
+  test("limit pushdown: readers stop early, results stay correct") {
+    val out = freshTable()
+    val native = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // correctness: limited reads agree with the native reader on count, and rows are
+    // a subset of the table
+    assert(dataTable(out).limit(7).count() == 7)
+    val some = dataTable(out).select("doc_id").limit(3).collect().map(_.getLong(0)).toSet
+    val all = native.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(some.size == 3 && some.subsetOf(all))
+    // a limit larger than the table is the identity
+    assert(dataTable(out).limit(1000000).count() == native.count())
+    // zero-data-column footer path honors the cap too
+    assert(dataTable(out).select("lang_p").limit(2).count() == 2)
+  }
+
+  test("expireSnapshots reclaims overwritten files; retained history and reads survive") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_expire").toString
+    def write(mode: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode).save(out)
+    write("append", Seq((1L, "a")))            // snapshot 0
+    write("append", Seq((2L, "a")))            // snapshot 1
+    write("overwrite", Seq((10L, "b")))        // snapshot 2: drops snapshots 0-1's files logically
+    write("append", Seq((11L, "b")))           // snapshot 3
+    def dataFiles(): Set[String] = {
+      val w = Files.walk(Paths.get(out))
+      try {
+        val it = w.iterator()
+        var s = Set.empty[String]
+        while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_manifests")) s += p.toString }
+        s
+      } finally w.close()
+    }
+    val before = dataFiles()
+    assert(before.size == 4)
+    // keep the last 2 snapshots: 0 and 1 expire; their files are referenced by NO
+    // retained snapshot (the overwrite dropped them) -> physically reclaimed
+    val (nSnap, nSeg, nData) = ManifestTables.expireSnapshots(out, keepLast = 2)
+    assert(nSnap == 2 && nData == 2, s"expected 2 snapshots + 2 data files removed, got ($nSnap, $nSeg, $nData)")
+    assert(dataFiles().size == 2)
+    // live reads + retained time travel unaffected
+    assert(dataTable(out).select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "2").load(out).count() == 1)
+    // expired ids are gone
+    val err = intercept[Exception] {
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("snapshot", "0").load(out).collect()
+    }
+    assert(err.getMessage.contains("no committed snapshot 0"))
+    // shared segments survive: snapshot 3 references snapshot 2's segment — a second
+    // expiry keeping only the latest must NOT delete files snapshot 3 still lists
+    val (n2, _, d2) = ManifestTables.expireSnapshots(out, keepLast = 1)
+    assert(n2 == 1 && d2 == 0, s"expiring snapshot 2 must reclaim no files (all shared), got d2=$d2")
+    assert(dataTable(out).count() == 2)
+    // idempotent
+    assert(ManifestTables.expireSnapshots(out, keepLast = 1) == ((0, 0, 0)))
+  }
+
+  test("removeOrphans deletes only old unreferenced files") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_orphans").toString
+    Seq((1L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    // an old orphan (aborted/crashed write): unreferenced + old mtime -> deleted
+    val oldOrphan = Paths.get(out, "p=a", "orphan-old.parquet")
+    Files.write(oldOrphan, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(oldOrphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    // a fresh orphan (possibly an in-flight writer) -> kept
+    val newOrphan = Paths.get(out, "p=a", "orphan-new.parquet")
+    Files.write(newOrphan, Array[Byte](4, 5, 6))
+    val removed = ManifestTables.removeOrphans(out, olderThanMillis = 3600000L)
+    assert(removed == 1)
+    assert(!Files.exists(oldOrphan) && Files.exists(newOrphan))
+    // committed data untouched
+    assert(dataTable(out).count() == 1)
+  }
+
   test("noted commits are exactly-once under concurrency (TOCTOU regression)") {
     import spark.implicits._
     // N racing committers carrying the SAME (sinkId, batchId) note: exactly one may
