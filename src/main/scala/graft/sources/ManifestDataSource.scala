@@ -335,7 +335,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     snapshot: Option[Int], limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // DPP: equality/IN filters on partition columns arriving AT EXECUTION TIME (from a
   // join's build side) further restrict the file list before planInputPartitions
@@ -412,10 +413,33 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     }
   }
 
+  private def keyDatumsOf(e: ManifestTables.Entry): Array[Any] = {
+    val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
+    partCols.zipWithIndex.map { case (pc, i) =>
+      ManifestDataSource.internalPartValue(pc.tpe, vals(i)) }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     pinned.filter(allowed)
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition,
+        if (partCols.isEmpty) Array.empty else keyDatumsOf(e)): InputPartition)
       .toArray
+
+  /** STORAGE-PARTITIONED JOINS: the scan reports KeyGroupedPartitioning over the
+    * partition columns (each InputPartition carries its typed partition-value tuple
+    * via HasPartitionKey), so two manifest tables partitioned the same way join
+    * WITHOUT any shuffle when spark.sql.sources.v2.bucketing.enabled is set — the
+    * DSv2 analog of bucketed co-located joins.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partCols.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        pinned.count(allowed))
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(pc => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(pc.name): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        pinned.filter(allowed).map(_.partition).distinct.size)
   override def createReaderFactory(): PartitionReaderFactory = {
     // serializable projection spec: (name, dataType) of required fields + the
     // partition-column spec for typed constant columns
@@ -433,8 +457,13 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   }
 }
 
-private case class ManifestDataInputPartition(file: String, partition: String)
-    extends InputPartition
+private case class ManifestDataInputPartition(file: String, partition: String,
+    keyDatums: Array[Any] = Array.empty)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // typed partition-value tuple — the grouping key for storage-partitioned joins
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyDatums)
+}
 
 private[sources] object ManifestAggScan {
   sealed trait AggSpec extends Serializable

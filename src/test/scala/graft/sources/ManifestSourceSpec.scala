@@ -540,6 +540,47 @@ class ManifestSourceSpec extends AnyFunSuite {
       .select("shard_id").distinct().count())
   }
 
+  test("storage-partitioned join: co-partitioned manifest tables join with NO shuffle") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("manifest_spj_a").toString
+    val dirB = Files.createTempDirectory("manifest_spj_b").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("lang_p", col("lang")).drop("lang")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(dirA)
+    Seq(("en", 1.0), ("fr", 2.0), ("es", 3.0), ("de", 4.0), ("zh", 5.0))
+      .toDF("lang_p", "weight")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(dirB)
+    val prev = (spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join
+    try {
+      val a = dataTable(dirA)
+      val b = dataTable(dirB)
+      val joined = a.join(b, "lang_p")
+        .groupBy("lang_p").agg(count(lit(1)).as("n"), max("weight").as("w"))
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val native = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.map(t => t._1 -> t._2).toMap == native)
+      // join AND aggregation both run on the reported storage partitioning: the
+      // whole plan is EXCHANGE-FREE (SortMergeJoin over locally-sorted scans)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"expected a shuffle-free storage-partitioned join:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"plan lost its join?\n${p.take(500)}")
+    } finally {
+      prev._1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._2)
+    }
+  }
+
   test("limit pushdown: readers stop early, results stay correct") {
     val out = freshTable()
     val native = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -748,8 +789,14 @@ class ManifestSourceSpec extends AnyFunSuite {
       }
     }
     assert(scans.nonEmpty)
-    // the runtime filter reached the scan: fewer input partitions than committed files
-    val planned = scans.map(_.inputRDD.getNumPartitions).sum
+    // the runtime filter reached the scan: fewer FILES planned than committed. With
+    // key-grouped reporting the RDD keeps one (possibly EMPTY) group per original
+    // partition value, so count actual InputPartitions, not RDD partitions
+    val planned = scans.map(_.inputRDD.partitions.map {
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        d.inputPartitions.length
+      case _ => 1
+    }.sum).sum
     assert(planned < total && planned > 0,
       s"expected runtime file pruning: planned=$planned of $total files " +
         s"(runtime filters: ${scans.map(_.runtimeFilters).mkString(";")})")
