@@ -20,6 +20,9 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleProbe {
 
+  /** Bump on ANY generator change — the corpus cache key includes it. */
+  private val GenVersion = 2
+
   private val ProbeQueries = Seq(
     "q30_token_count", "q37_simhash_neardup", "q40_dedup_exact", "q41_minhash_lsh",
     "q42_simhash", "q43_jaccard_ngram", "q44_dup_clusters", "q45_top_terms",
@@ -108,7 +111,9 @@ object ScaleProbe {
     spark.range(1 << 20).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
 
     val out = scales.map { scale =>
-      val dir = s"/tmp/graft_scaleprobe_$scale"
+      // GenVersion in the path: a cached corpus from an OLDER generator (e.g. the
+      // round-4 dup-planting fix) must never be silently re-measured
+      val dir = s"/tmp/graft_scaleprobe_v${GenVersion}_$scale"
       ensureCorpus(spark, dir, scale)
       val times = ProbeQueries.filterNot(skip(_, scale)).map { q =>
         val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =

@@ -22,22 +22,45 @@ object CorpusQueries {
   private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
-  /** Stable per-(query, SF-dir) scratch path, physically CLEANED on entry: queries
-    * that materialize tables under /tmp (q63 family, q68) stay bounded at one copy
-    * per SF instead of leaking one per application (the Bench ENOSPC class), while
-    * still exercising their full write path every run.
+  /** Scratch table path for queries that materialize under /tmp (q63 family, q68):
+    * a per-APPLICATION subdir under a stable per-(query, SF-dir) root, with an
+    * age-guarded sweep of sibling application dirs on entry. Bounded footprint (the
+    * Bench ENOSPC class) without the stable-path hazard a review flagged: one
+    * application recursively deleting the table another LIVE application is
+    * mid-query on — a sibling is only reclaimed once untouched for an hour.
     */
   private[graft] def freshTmpTable(name: String, dir: String): String = {
+    import java.nio.file.{Files, Paths}
     val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-    val out = s"/tmp/graft_${name}_$tag"
-    val root = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
+    val root = Paths.get(s"/tmp/graft_${name}_$tag")
+    Files.createDirectories(root)
+    val appId = org.apache.spark.sql.SparkSession.active.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    val mine = root.resolve(appId)
+    val cutoff = System.currentTimeMillis() - 3600000L
+    val stream = Files.list(root)
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString != appId &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList
+    } finally stream.close()
+    stale.foreach { d =>
+      val walk = Files.walk(d)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
-    out
+    // re-entry within one application (Bench + Verify in one JVM) still cleans ITS
+    // OWN previous copy — the per-run write path is exercised fresh every time
+    if (Files.exists(mine)) {
+      val walk = Files.walk(mine)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    mine.toString
   }
 
   val FmPatterns: Seq[String] = Seq("merge", "spark", "the ", "window", "zz-absent")
@@ -445,11 +468,21 @@ object CorpusQueries {
     "q26_fm_prune_sql" -> ((s, dir) => {
       graft.functions.FmFunctions.register(s)
       graft.functions.GraftExtensions.installRules(s)
-      // stable per-(dir, compression) path, NOT per-application: publish() is
-      // idempotent (claim-once snapshot; shard builds are deterministic), so repeated
-      // sessions reuse one copy instead of accumulating a shard table per run
+      // stable per-(corpus, compression, layout-version) path, NOT per-application:
+      // publish() is idempotent (claim-once snapshot; shard builds are deterministic
+      // for a corpus), so repeated sessions reuse one copy instead of accumulating a
+      // shard table per run. The key hashes the ABSOLUTE corpus path (two dirs with
+      // one basename must not collide) and carries ShardIndexTable.LayoutVersion so
+      // a format change can never silently serve a stale table.
+      val dirHash = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(dir).getAbsolutePath
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.take(6).map(b => f"$b%02x").mkString
+      }
       val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-      val tbl = s"/tmp/graft_q26_${tag}_${ShardTableCache.compressionMode}"
+      val tbl = s"/tmp/graft_q26_v${graft.sources.ShardIndexTable.LayoutVersion}_" +
+        s"${tag}_${dirHash}_${ShardTableCache.compressionMode}"
       graft.sources.ShardIndexTable.publish(
         ShardTableCache.docShards(s, dir, numShards = 16).toDF(), tbl)
       val branches = Seq("merge", "the ", "zz-absent").zipWithIndex.map { case (p, i) =>

@@ -89,7 +89,7 @@ object ManifestDataSource {
     // falls through (refs with no inline entries and no segments) — a snapshot whose
     // referenced segment is missing is corruption and must fail loudly here, not be
     // silently served from older data
-    val entries = (latest.get to 0 by -1).iterator
+    val entries = ManifestTables.snapshotIds(dir).reverseIterator
       .map { id =>
         val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
         if (refs.inline.isEmpty && refs.segments.isEmpty) Nil
@@ -129,6 +129,23 @@ object ManifestDataSource {
     case "date" => java.time.LocalDate.parse(v).toEpochDay.toInt
     case other => throw new IllegalArgumentException(s"unsupported partition type $other")
   }
+
+  /** Canonical manifest string of a pushed partition literal when its runtime type
+    * matches the column's declared type — the ONE canonicalization both the
+    * planning-time pushdown and runtime (DPP) filtering use; a drifted copy would
+    * make the two prune differently with no error.
+    */
+  private[sources] def canonPartValue(partCols: Seq[ManifestTables.PartCol])(
+      colName: String, v: Any): Option[String] =
+    partCols.find(_.name == colName).flatMap { pc =>
+      (pc.tpe, v) match {
+        case ("string", s: String) => Some(s)
+        case ("int", i: java.lang.Integer) => Some(i.toString)
+        case ("date", d: java.sql.Date) => Some(d.toLocalDate.toString)
+        case ("date", d: java.time.LocalDate) => Some(d.toString)
+        case _ => None
+      }
+    }
 
   /** The per-entry joined partition value -> per-column canonical strings (empty
     * trailing values preserved; single-column tables carry the raw value unjoined).
@@ -235,19 +252,9 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
-  /** Canonical manifest string of a pushed literal, when its runtime type matches the
-    * column's declared partition type; None -> the filter stays residual.
-    */
+  /** None -> the filter stays residual (shared canonicalization; see companion). */
   private def canon(colName: String, v: Any): Option[String] =
-    partCols.find(_.name == colName).flatMap { pc =>
-      (pc.tpe, v) match {
-        case ("string", s: String) => Some(s)
-        case ("int", i: java.lang.Integer) => Some(i.toString)
-        case ("date", d: java.sql.Date) => Some(d.toLocalDate.toString)
-        case ("date", d: java.time.LocalDate) => Some(d.toString)
-        case _ => None
-      }
-    }
+    ManifestDataSource.canonPartValue(partCols)(colName, v)
 
   /** Partition-column equality/IN (on ANY partition column, typed) prunes files at
     * the manifest; everything else stays residual (returned to Spark for post-scan
@@ -388,15 +395,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   override def filter(filters: Array[Filter]): Unit = {
     def canon(colName: String, v: Any): Option[String] =
-      partCols.find(_.name == colName).flatMap { pc =>
-        (pc.tpe, v) match {
-          case ("string", s: String) => Some(s)
-          case ("int", i: java.lang.Integer) => Some(i.toString)
-          case ("date", d: java.sql.Date) => Some(d.toLocalDate.toString)
-          case ("date", d: java.time.LocalDate) => Some(d.toString)
-          case _ => None
-        }
-      }
+      ManifestDataSource.canonPartValue(partCols)(colName, v)
     filters.foreach {
       case EqualTo(c, v) => canon(c, v).foreach { s =>
         runtimeValues = runtimeValues.updated(c,

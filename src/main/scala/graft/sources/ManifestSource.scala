@@ -177,6 +177,19 @@ object ManifestTables {
     finally stream.close()
   }
 
+  /** All committed snapshot ids, ascending — NOT assumed contiguous (expiry
+    * removes old ids).
+    */
+  private[sources] def snapshotIds(dir: String): Seq[Int] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val stream = Files.list(mdir)
+    val ids = try stream.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(n => SnapshotName.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1).toInt))
+      .toSeq finally stream.close()
+    ids.sorted
+  }
+
   /** Highest committed snapshot id, or None before the first commit. */
   private[sources] def latestSnapshotId(dir: String): Option[Int] = {
     val mdir = Paths.get(dir, "_manifests")
@@ -222,16 +235,22 @@ object ManifestTables {
   /** Inline entries + segment references of a snapshot, WITHOUT expanding segments —
     * the O(metadata) read the append path uses.
     */
-  private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs = {
-    val chosen = snapshotFileFor(dir, id)
-    val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
-    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-    val segments = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+  /** The segment names referenced by one snapshot file's JSON — the ONE parser every
+    * reader and both GC paths share (a drifted copy would under-compute the
+    * referenced set and delete live data).
+    */
+  private def parseSegmentRefs(txt: String): Seq[String] =
+    "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
       case None => Nil
       case Some(m) =>
         s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
     }
-    SnapshotRefs(snap, parseEntries(txt, chosen, snap), segments)
+
+  private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs = {
+    val chosen = snapshotFileFor(dir, id)
+    val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
+    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+    SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt))
   }
 
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
@@ -407,15 +426,15 @@ object ManifestTables {
     def refsOf(files: Seq[String]): (Set[String], Set[String]) = {
       val all = files.map { f =>
         val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
-        val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
-          case None => Seq.empty[String]
-          case Some(m) => s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
-        }
-        val inline = parseEntries(txt, f, 0).map(_.path)
-        (segs.toSet, inline.toSet)
+        (parseSegmentRefs(txt).toSet, parseEntries(txt, f, 0).map(_.path).toSet)
       }
       (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet)
     }
+    // a sink's EXACTLY-ONCE replay dedup depends on its newest commit note being
+    // findable; if expiry would delete the snapshot carrying a sink's newest note,
+    // persist that high-water mark to a sidecar BEFORE any deletion (hasCommittedNote
+    // consults the sidecar first)
+    preserveSinkWatermarks(dir, expired, retained)
     val (retainedSegs, retainedInline) = refsOf(retained)
     val (expiredSegs, expiredInline) = refsOf(expired)
     // data files referenced by retained snapshots = their inline entries + every
@@ -425,10 +444,10 @@ object ManifestTables {
         StandardCharsets.UTF_8), seg, 0).map(_.path)
     }
     val deadSegs = expiredSegs -- retainedSegs
-    val deadData = (expiredInline ++ deadSegs.flatMap { seg =>
-      val p = Paths.get(dir, "_manifests", seg)
-      if (Files.exists(p))
-        parseEntries(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), seg, 0).map(_.path)
+    val deadData = (expiredInline ++ deadSegs.toSeq.flatMap { seg =>
+      val sp = Paths.get(dir, "_manifests", seg)
+      if (Files.exists(sp))
+        parseEntries(new String(Files.readAllBytes(sp), StandardCharsets.UTF_8), seg, 0).map(_.path)
       else Nil
     }) -- retainedData
     // 1: snapshots, 2: segments, 3: data files
@@ -445,28 +464,80 @@ object ManifestTables {
     * yet. Returns the number of files removed.
     */
   def removeOrphans(dir: String, olderThanMillis: Long): Int = {
-    val referenced = snapshotFiles(dir).flatMap { f =>
-      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
-      val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
-        case None => Seq.empty[String]
-        case Some(m) => s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
-      }
-      parseEntries(txt, f, 0).map(_.path) ++ segs.flatMap { seg =>
+    // the age guard is the ONLY protection for in-flight writers: a live commit's
+    // task files are unreferenced until the snapshot publishes, so the threshold
+    // must exceed the longest write job's duration. Enforce a sane floor and make
+    // the operator contract explicit (Iceberg's remove_orphan_files defaults to 3
+    // DAYS for the same reason).
+    require(olderThanMillis >= 600000L,
+      s"removeOrphans threshold ${olderThanMillis}ms is below the 10-minute floor — " +
+        "it must exceed the longest concurrent write's duration, or live commits corrupt")
+    val snapTxt = snapshotFiles(dir).map(f =>
+      new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8))
+    val referencedSegs = snapTxt.flatMap(parseSegmentRefs).toSet
+    val referenced = snapTxt.flatMap(txt => parseEntries(txt, dir, 0).map(_.path)).toSet ++
+      referencedSegs.flatMap { seg =>
         parseEntries(new String(Files.readAllBytes(Paths.get(dir, "_manifests", seg)),
           StandardCharsets.UTF_8), seg, 0).map(_.path)
       }
-    }.toSet
     val root = Paths.get(dir)
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val walk = Files.walk(root)
     val orphans = try walk.iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_manifests"))
-      .filter(p => !referenced.contains(root.relativize(p).toString))
+      .filter { p =>
+        val name = p.getFileName.toString
+        // data files outside _manifests, plus UNREFERENCED segment JSONs inside it
+        // (lost compact() attempts, crashed pre-publication commits) — both orphan
+        // classes accumulate forever without this
+        (p.toString.endsWith(".parquet") && !p.toString.contains("_manifests") &&
+          !referenced.contains(root.relativize(p).toString)) ||
+        (name.startsWith("seg-") && name.endsWith(".json") &&
+          p.getParent.getFileName.toString == "_manifests" && !referencedSegs.contains(name))
+      }
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .toSeq
     finally walk.close()
     orphans.foreach(Files.deleteIfExists)
     orphans.length
+  }
+
+  /** Before deleting expired snapshots, persist each sink's newest committed batch
+    * id if that note would otherwise vanish — `hasCommittedNote`'s monotone rule then
+    * answers from the sidecar, keeping streaming replay dedup EXACT across expiry.
+    * Values only grow, so a replace-write is safe.
+    */
+  private def preserveSinkWatermarks(dir: String,
+      expired: Seq[String], retained: Seq[String]): Unit = {
+    def newestNotes(files: Seq[String]): Map[String, Long] =
+      files.flatMap(noteOf).foldLeft(Map.empty[String, Long]) { (m, note) =>
+        note match {
+          case StreamNote(sink, b) => m.updated(sink, math.max(m.getOrElse(sink, -1L), b.toLong))
+          case _ => m
+        }
+      }
+    val exp = newestNotes(expired)
+    if (exp.isEmpty) return
+    val ret = newestNotes(retained)
+    exp.foreach { case (sink, wm) =>
+      if (ret.getOrElse(sink, -1L) < wm && sinkWatermark(dir, sink).forall(_ < wm)) {
+        val f = Paths.get(dir, "_manifests", s"sinkwm-${hiveEscape(sink)}.json")
+        val tmp = Files.createTempFile(f.getParent, ".tmp-wm-", ".inprogress")
+        try {
+          Files.write(tmp, s"""{"sink": "${jsonEscape(sink)}", "batch": $wm}"""
+            .getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
+  }
+
+  private def sinkWatermark(dir: String, sink: String): Option[Long] = {
+    val f = Paths.get(dir, "_manifests", s"sinkwm-${hiveEscape(sink)}.json")
+    if (!Files.exists(f)) None
+    else "\"batch\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
   }
 
   /** The commit note of one snapshot file, reading only the HEAD of the file — the
@@ -498,6 +569,9 @@ object ManifestTables {
     if (latestSnapshotId(dir).isEmpty) return false
     note match {
       case StreamNote(sink, b) =>
+        // expiry may have deleted the snapshot that carried this sink's newest note;
+        // its high-water mark then lives in the sidecar (preserveSinkWatermarks)
+        sinkWatermark(dir, sink).exists(_ >= b.toLong) ||
         snapshotFiles(dir).reverseIterator.flatMap(noteOf).collectFirst {
           case StreamNote(`sink`, b2) => b2.toLong >= b.toLong
         }.getOrElse(false)

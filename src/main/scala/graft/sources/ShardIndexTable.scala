@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object ShardIndexTable {
 
+  /** Bump on ANY change to the published layout (shard build parameters, fingerprint
+    * encoding, partition spec) — cached published tables key on it.
+    */
+  val LayoutVersion = 1
+
   // the 256-hex-char fingerprint rides in TWO partition columns of 128 chars each: a
   // single Hive dir component `alpha_hex=<256 chars>` would exceed the 255-byte
   // filesystem component limit

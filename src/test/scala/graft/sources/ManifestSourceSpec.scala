@@ -642,6 +642,68 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ManifestTables.expireSnapshots(out, keepLast = 1) == ((0, 0, 0)))
   }
 
+  test("expiry preserves streaming exactly-once: a replayed batch stays refused after its note's snapshot is gone") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_expire_stream").toString
+    val sinkId = "expire-sink"
+    assert(ManifestStreamSink.commitBatch(Seq((1L, "a")).toDF("id", "p"), 0L, out, "p", sinkId))
+    assert(ManifestStreamSink.commitBatch(Seq((2L, "a")).toDF("id", "p"), 1L, out, "p", sinkId))
+    // a later un-noted commit (e.g. compaction or a plain append) becomes the only
+    // retained snapshot — both noted snapshots expire
+    Seq((3L, "b")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .mode("append").save(out)
+    val (nSnap, _, _) = ManifestTables.expireSnapshots(out, keepLast = 1)
+    assert(nSnap == 2)
+    // the sink's high-water mark survived in the sidecar: replaying batches 0/1 is
+    // still a no-op (without preservation this would duplicate rows)
+    assert(!ManifestStreamSink.commitBatch(Seq((9L, "z")).toDF("id", "p"), 0L, out, "p", sinkId))
+    assert(!ManifestStreamSink.commitBatch(Seq((9L, "z")).toDF("id", "p"), 1L, out, "p", sinkId))
+    assert(dataTable(out).filter(col("p") === "z").count() == 0)
+    // a genuinely NEW batch still commits
+    assert(ManifestStreamSink.commitBatch(Seq((4L, "c")).toDF("id", "p"), 2L, out, "p", sinkId))
+    assert(dataTable(out).count() == 4)
+  }
+
+  test("tableSchema walks the ACTUAL snapshot ids after expiry leaves gaps") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_expire_schema").toString
+    Seq((1L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)         // snapshot 0
+    Seq((2L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .mode("append").save(out)                                // snapshot 1
+    spark.emptyDataset[(Long, String)].toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName).mode("overwrite").save(out) // snapshot 2: empty
+    ManifestTables.expireSnapshots(out, keepLast = 2)          // ids now {1, 2} — 0 is a gap
+    // the empty-latest schema fallback must walk existing ids, not assume 0..latest
+    assert(dataTable(out).count() == 0)
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "1").load(out).count() == 2)
+  }
+
+  test("removeOrphans reclaims stale unreferenced segment JSONs too") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("manifest_orphan_segs").toString
+    Seq((1L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(out)
+    val referenced = ManifestTables.readSnapshotRefs(out, None).segments
+    assert(referenced.nonEmpty)
+    // a lost compact() attempt / crashed pre-publication commit leaves an
+    // unreferenced segment; old ones must be reclaimed, referenced ones kept
+    val strayName = ManifestTables.writeSegment(out,
+      Seq(ManifestTables.Entry("ghost.parquet", 1L, "a", 0)))
+    val stray = Paths.get(out, "_manifests", strayName)
+    Files.setLastModifiedTime(stray,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    val removed = ManifestTables.removeOrphans(out, olderThanMillis = 3600000L)
+    assert(removed == 1)
+    assert(!Files.exists(stray))
+    referenced.foreach(s => assert(Files.exists(Paths.get(out, "_manifests", s))))
+    assert(dataTable(out).count() == 1)
+    // the threshold floor is enforced
+    val err = intercept[IllegalArgumentException] { ManifestTables.removeOrphans(out, 1000L) }
+    assert(err.getMessage.contains("floor"))
+  }
+
   test("removeOrphans deletes only old unreferenced files") {
     import spark.implicits._
     val out = Files.createTempDirectory("manifest_orphans").toString
