@@ -497,6 +497,32 @@ object CorpusQueries {
            |GROUP BY pattern ORDER BY pattern""".stripMargin)
     }),
 
+    //     q26b: the SAME answer with ZERO graft API in the query — the shard table
+    //     resolves BY NAME through ManifestCatalog, fm_count resolves as a CATALOG
+    //     V2 ScalarFunction, and the WHERE clause's `fm_count(shard, p) > 0`
+    //     translates to a UserDefinedScalarFunc V2 predicate that the scan builder
+    //     recognizes (SupportsPushDownV2Filters) and turns into fingerprint FILE
+    //     pruning. Pure SQL in, file skipping out — the predicate itself stays
+    //     residual so the pruning can never change answers.
+    "q26b_fm_catalog_pushdown" -> ((s, dir) => {
+      graft.functions.FmFunctions.register(s)
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q26b", dir)
+      graft.sources.ShardIndexTable.publish(
+        ShardTableCache.docShards(s, dir, numShards = 16).toDF(), s"$wh/fm/shards")
+      val cat = s"graft_q26b_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val branches = Seq("merge", "the ", "zz-absent").map { p =>
+        s"""SELECT '$p' AS pattern, $cat.fm_count(shard, '$p') AS c
+           |FROM $cat.fm.shards WHERE $cat.fm_count(shard, '$p') > 0""".stripMargin
+      }
+      s.sql(
+        s"""SELECT pattern, CAST(sum(c) AS BIGINT) AS n_matches
+           |FROM (${branches.mkString("\nUNION ALL\n")})
+           |GROUP BY pattern ORDER BY pattern""".stripMargin)
+    }),
+
     // --- corpus redundancy metric (typed Aggregator) with expression cross-check ---
     "q34_redundancy" -> ((s, dir) => {
       val runs = (size(filter(sequence(lit(1), size(col("ch")) - 1),
@@ -1092,6 +1118,36 @@ object CorpusQueries {
         .orderBy(col("label_p"))
     }),
 
+    // --- storage-partitioned join UNDER THE GATE: two manifest tables written
+    //     co-partitioned on lang_p report KeyGroupedPartitioning (HasPartitionKey),
+    //     and with V2 bucketing on + broadcast off the join AND the aggregate plan
+    //     with ZERO exchanges before the final presentation sort (PlanShapeSpec pins
+    //     it). The bucketing/broadcast confs live on a CLONED session (newSession:
+    //     same SparkContext, separate SQLConf), so the rest of the catalog plans
+    //     untouched — the scoped-conf answer to running SPJ inside a shared-session
+    //     catalog. ---
+    "q69_spj_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val wh = freshTmpTable("q69", dir)
+      t(s, dir, "documents").withColumn("lang_p", col("lang")).drop("lang")
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/docs")
+      Seq(("en", 1L), ("fr", 2L), ("es", 3L), ("de", 4L), ("zh", 5L))
+        .toDF("lang_p", "weight")
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/dims")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = s2.read.format("graft.sources.ManifestDataSource").load(s"$wh/docs")
+      val dims = s2.read.format("graft.sources.ManifestDataSource").load(s"$wh/dims")
+      docs.join(dims, "lang_p")
+        .groupBy(col("lang_p"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars") * col("weight")).cast("long").as("weighted_chars"))
+        .orderBy(col("lang_p"))
+    }),
+
     // --- multimodal frame sampling through the REAL batched mapPartitions path:
     //     documents become binary assets with a deterministic kind; extractFeatures
     //     gathers fixed-size batches per partition and emits byte/frame counts (the
@@ -1172,6 +1228,13 @@ object CorpusQueries {
         |  substr(text, strpos(text, 'window') + 6) AS suffix
         |FROM documents WHERE contains(text, 'window') ORDER BY doc_id""".stripMargin,
     "q26_fm_prune_sql" ->
+      s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
+         |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
+         |  FROM documents, (SELECT unnest(['merge', 'the ', 'zz-absent']) AS pattern) p
+         |) GROUP BY 1 HAVING sum(cnt) > 0 ORDER BY 1""".stripMargin,
+    // q26b: identical oracle — the catalog-resolved SQL surface must land on the
+    // same answer as the readPruned + session-function surface
+    "q26b_fm_catalog_pushdown" ->
       s"""SELECT pattern, CAST(sum(cnt) AS BIGINT) AS n_matches FROM (
          |  SELECT p.pattern, ${duckOverlapCount("p.pattern")} AS cnt
          |  FROM documents, (SELECT unnest(['merge', 'the ', 'zz-absent']) AS pattern) p
@@ -1506,6 +1569,13 @@ object CorpusQueries {
         |  CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
         |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dim0_scaled
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q69: exchange-free storage-partitioned join == plain relational join
+    "q69_spj_manifest" ->
+      """SELECT lang AS lang_p, count(*) AS n_docs,
+        |  CAST(sum(n_chars * weight) AS BIGINT) AS weighted_chars
+        |FROM documents JOIN (VALUES ('en', 1), ('fr', 2), ('es', 3), ('de', 4),
+        |  ('zh', 5)) AS w(lang, weight) USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

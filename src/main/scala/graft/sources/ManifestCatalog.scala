@@ -26,7 +26,8 @@ import scala.jdk.CollectionConverters._
   * CREATED by writing data (the DSv2 write bootstrap defines the schema), so
   * createTable/alterTable/drop are unsupported rather than half-implemented.
   */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -96,4 +97,23 @@ class ManifestCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported on manifest tables")
+
+  // ------------------------------------------------------------- FunctionCatalog
+  // `cat.fm_count(shard, 'p')` in SQL resolves HERE; the resulting
+  // ApplyFunctionExpression translates to a V2 UserDefinedScalarFunc predicate that
+  // the manifest scan recognizes for fingerprint file pruning (any namespace depth —
+  // the function is catalog-global, not per-table)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "fm_count"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "fm_count" => graft.functions.FmCountV2
+      case other =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+
+  override def functionExists(ident: Identifier): Boolean = ident.name() == "fm_count"
 }

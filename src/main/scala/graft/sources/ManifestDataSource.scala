@@ -238,49 +238,129 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = tschema
   // per-PARTITION early-stop bound; Spark keeps the global limit (partial pushdown),
   // the scan just stops decoding each file once `limit` rows are out
   private var limit: Option[Int] = None
   // per-partition-column allowed canonical values (intersection of accepted filters)
   private var partitionValues: Map[String, Set[String]] = Map.empty
-  private var accepted: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Seq[String], Seq[ManifestAggScan.AggSpec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
-  /** None -> the filter stays residual (shared canonicalization; see companion). */
-  private def canon(colName: String, v: Any): Option[String] =
-    ManifestDataSource.canonPartValue(partCols)(colName, v)
+  // ------------------------------------------------------- V2 predicate pushdown
+  // V2-ONLY on purpose: Spark's PushDownUtils dispatches on SupportsPushDownFilters
+  // BEFORE SupportsPushDownV2Filters, so a builder implementing both never sees a
+  // V2 predicate — and only the V2 form carries UserDefinedScalarFunc. Two
+  // predicate classes are understood:
+  //  1. "="/"IN" on partition columns — the same manifest-level file pruning as V1;
+  //  2. `fm_count(shard, 'p') > 0` arriving as a UserDefinedScalarFunc predicate
+  //     (the FunctionCatalog-resolved graft.fm_count) over a SHARD-LAYOUT table:
+  //     the pattern's fingerprint test prunes candidate files AT THE SCAN, driven
+  //     by nothing but the SQL WHERE clause. The predicate itself stays RESIDUAL
+  //     (Spark re-evaluates it post-scan), so the pruning is a pure I/O win and
+  //     can never change answers.
+  private var acceptedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
 
-  /** Partition-column equality/IN (on ANY partition column, typed) prunes files at
-    * the manifest; everything else stays residual (returned to Spark for post-scan
-    * evaluation).
-    */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (pushed, residual) = filters.partition {
-      case EqualTo(c, v) => canon(c, v).isDefined
-      case In(c, vs) => vs.nonEmpty && vs.forall(v => canon(c, v).isDefined)
-      case _ => false
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, UserDefinedScalarFunc}
+    type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
+    // V2 literals carry catalyst-internal values (UTF8String, epoch-day Int);
+    // surface them as external values so the ONE canonicalizer (canonPartValue)
+    // owns the type rules for both this path and the writer.
+    def canonLit(col: String, l: LV[_]): Option[String] = {
+      val external: Any = (l.dataType(), l.value()) match {
+        case (StringType, v) => v.toString
+        case (IntegerType, v: java.lang.Integer) => v
+        case (DateType, v: java.lang.Integer) =>
+          java.time.LocalDate.ofEpochDay(v.longValue())
+        case (_, v) => v
+      }
+      ManifestDataSource.canonPartValue(partCols)(col, external)
     }
-    pushed.foreach {
-      case EqualTo(c, v) =>
-        val s = Set(canon(c, v).get)
-        partitionValues = partitionValues.updated(c,
-          partitionValues.get(c).map(_ intersect s).getOrElse(s))
-      case In(c, vs) =>
-        val s = vs.map(v => canon(c, v).get).toSet
-        partitionValues = partitionValues.updated(c,
-          partitionValues.get(c).map(_ intersect s).getOrElse(s))
-      case _ =>
+    def intersect(col: String, vs: Set[String]): Unit =
+      partitionValues = partitionValues.updated(col,
+        partitionValues.get(col).map(_ intersect vs).getOrElse(vs))
+    // partition-column equality/IN -> absorbed (pruned at the manifest)
+    def absorbPartition(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean =
+      (p.name(), p.children()) match {
+        case ("=", Array(r: NamedReference, l: LV[_])) if r.fieldNames.length == 1 =>
+          canonLit(r.fieldNames.head, l) match {
+            case Some(v) => intersect(r.fieldNames.head, Set(v)); true
+            case None => false
+          }
+        case ("=", Array(l: LV[_], r: NamedReference)) if r.fieldNames.length == 1 =>
+          canonLit(r.fieldNames.head, l) match {
+            case Some(v) => intersect(r.fieldNames.head, Set(v)); true
+            case None => false
+          }
+        case ("IN", children) if children.length >= 2 =>
+          children.head match {
+            case r: NamedReference if r.fieldNames.length == 1 &&
+                children.tail.forall(_.isInstanceOf[LV[_]]) =>
+              val canoned = children.tail.map(c =>
+                canonLit(r.fieldNames.head, c.asInstanceOf[LV[_]]))
+              if (canoned.forall(_.isDefined)) {
+                intersect(r.fieldNames.head, canoned.flatten.toSet); true
+              } else false
+            case _ => false
+          }
+        case _ => false
+      }
+    // fm_count(shard, 'p') > 0 / >= 1 -> fingerprint file pruning (stays residual)
+    def fmPattern(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[String] = {
+      def boundOk(name: String, l: LV[_]): Boolean = {
+        val b = l.value() match {
+          case i: java.lang.Integer => i.longValue()
+          case lg: java.lang.Long => lg.longValue()
+          case _ => return false
+        }
+        (name == ">" && b >= 0) || (name == ">=" && b >= 1)
+      }
+      (p.name(), p.children()) match {
+        case (">" | ">=", Array(u: UserDefinedScalarFunc, l: LV[_]))
+            if u.canonicalName() == graft.functions.FmCountV2.CanonicalName &&
+              boundOk(p.name(), l) =>
+          u.children() match {
+            case Array(r: NamedReference, pat: LV[_])
+                if r.fieldNames.sameElements(Array("shard")) && pat.dataType() == StringType =>
+              Some(pat.value().toString)
+            case _ => None
+          }
+        case _ => None
+      }
     }
-    accepted = pushed
+    val absorbed = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.connector.expressions.filter.Predicate]
+    val residual = predicates.filter { p =>
+      if (absorbPartition(p)) { absorbed += p; false }
+      else {
+        fmPattern(p).foreach { pattern =>
+          if (ShardIndexTable.isShardLayout(partCols)) {
+            val passing = ShardIndexTable.passingHexPairs(dir, pattern)
+            intersect(ShardIndexTable.HexCols(0), passing.map(_._1).toSet)
+            intersect(ShardIndexTable.HexCols(1), passing.map(_._2).toSet)
+            absorbed += p // visible in explain; ALSO kept residual below
+          }
+        }
+        true
+      }
+    }
+    acceptedV2 = absorbed.toArray
     residual
   }
-  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = acceptedV2
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true

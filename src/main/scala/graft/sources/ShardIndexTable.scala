@@ -59,12 +59,12 @@ object ShardIndexTable {
     Array.tabulate(16)(i => java.lang.Long.parseUnsignedLong(hex.substring(16 * i, 16 * i + 16), 16))
   }
 
-  /** The shard rows whose fingerprint MAY contain `pattern`, served through the
-    * manifest data table with non-candidates pruned at the FILE level. Shards a
-    * pattern provably cannot match cost zero I/O.
+  /** Distinct (alpha_hex0, alpha_hex1) pairs of the latest snapshot whose
+    * fingerprint MAY contain `pattern` — shared by readPruned and the V2-predicate
+    * pushdown path in ManifestDataScanBuilder.
     */
-  def readPruned(s: SparkSession, dir: String, pattern: String): DataFrame = {
-    val passing = ManifestTables.readLatest(dir)
+  private[sources] def passingHexPairs(dir: String, pattern: String): Seq[(String, String)] =
+    ManifestTables.readLatest(dir)
       .map { e =>
         val vals = ManifestDataSource.splitPartValues(e.partition, 3)
         (vals(1), vals(2))
@@ -72,6 +72,19 @@ object ShardIndexTable {
       .distinct
       .filter { case (h0, h1) =>
         graft.functions.AlphaFingerprint.mayContain(parseHex(h0 + h1), pattern) }
+
+  /** True when a manifest table carries the published shard layout (the fingerprint
+    * partition columns) — the precondition for pattern pruning at the scan.
+    */
+  private[sources] def isShardLayout(partCols: Seq[ManifestTables.PartCol]): Boolean =
+    HexCols.forall(h => partCols.exists(_.name == h))
+
+  /** The shard rows whose fingerprint MAY contain `pattern`, served through the
+    * manifest data table with non-candidates pruned at the FILE level. Shards a
+    * pattern provably cannot match cost zero I/O.
+    */
+  def readPruned(s: SparkSession, dir: String, pattern: String): DataFrame = {
+    val passing = passingHexPairs(dir, pattern)
     val df = s.read.format(classOf[ManifestDataSource].getName).load(dir)
     if (passing.isEmpty) df.where(lit(false)) // folds to an empty relation — no scan
     else

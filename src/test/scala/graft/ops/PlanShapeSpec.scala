@@ -199,6 +199,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // the Union, which is exactly the zero-I/O outcome the pruning promises
   }
 
+  test("q69: storage-partitioned join + aggregate plan with no hash exchange") {
+    // Both manifest tables report KeyGroupedPartitioning on lang_p; join and
+    // groupBy both run on the storage partitioning. The ONLY exchange allowed is
+    // the final presentation sort's range partitioning.
+    val df = SparkEntry.queries("q69_spj_manifest")(spark, dir)
+    df.collect() // AQE: materialize before reading the executed plan
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("Join")), "plan lost its join")
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(_.outputPartitioning.toString.contains("range")),
+      s"SPJ plan shuffled on hash keys:\n${df.queryExecution.executedPlan.toString.take(2500)}")
+    assert(exchanges.size <= 1, s"expected at most the presentation-sort exchange, got ${exchanges.size}")
+  }
+
   test("pipeline route stage: patterns broadcast, shards stream (single shuffle)") {
     import spark.implicits._
     val turns = graft.pipeline.Transcripts.generate(spark, 10, 10)

@@ -540,6 +540,53 @@ class ManifestSourceSpec extends AnyFunSuite {
       .select("shard_id").distinct().count())
   }
 
+  test("FunctionCatalog: SQL fm_count predicate prunes shard FILES via V2 pushdown") {
+    // The query-driven twin of the readPruned test: nothing but a WHERE clause —
+    // `cat.fm_count(shard, p) > 0` resolves through ManifestCatalog's
+    // FunctionCatalog, Catalyst translates it to a UserDefinedScalarFunc V2
+    // predicate, and ManifestDataScanBuilder.pushPredicates turns it into
+    // fingerprint file pruning. The predicate stays residual, so answers are
+    // oracle-exact regardless of pruning (q26b pins that); HERE we pin the I/O.
+    val dir = "/root/testdata/sf0.001"
+    val wh = Files.createTempDirectory("fm_fn_catalog").toString
+    val shards = graft.ops.ShardTableCache.docShards(spark, dir, numShards = 16)
+    graft.sources.ShardIndexTable.publish(shards.toDF(), s"$wh/fm/shards")
+    spark.conf.set("spark.sql.catalog.graft_fnc", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fnc.warehouse", wh)
+    def planned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+    }
+    // absent pattern (unset fingerprint bit in every shard) -> ZERO files planned
+    val fps = shards.collect().map(_.alpha_fp)
+    val absentBit = (0 until 1024).find(b =>
+      fps.forall(fp => (fp(b >>> 6) & (1L << (b & 63))) == 0L)).get
+    val absent = s"x${(absentBit + 1024).toChar}y"
+    val qAbsent = spark.sql(
+      s"SELECT shard_id FROM graft_fnc.fm.shards WHERE graft_fnc.fm_count(shard, '$absent') > 0")
+    assert(planned(qAbsent) == 0,
+      "SQL fm_count predicate on a provably-absent pattern must prune every file")
+    // present pattern -> candidate files only, and the residual predicate still
+    // re-checks: the total equals the session-expression answer on the full table
+    val qThe = spark.sql(
+      "SELECT CAST(sum(graft_fnc.fm_count(shard, 'the ')) AS BIGINT) AS n " +
+        "FROM graft_fnc.fm.shards WHERE graft_fnc.fm_count(shard, 'the ') > 0")
+    graft.functions.FmFunctions.register(spark)
+    import spark.implicits._
+    val expected = shards.toDF().selectExpr("fm_count(shard, 'the ') AS c")
+      .agg(sum("c")).head().getLong(0)
+    assert(qThe.head().getLong(0) == expected)
+    val keptFiles = planned(spark.sql(
+      "SELECT shard_id FROM graft_fnc.fm.shards WHERE graft_fnc.fm_count(shard, 'the ') > 0"))
+    assert(keptFiles > 0 && keptFiles <= 16)
+    // the pushed predicate is visible in the explain output (UI/debug surface)
+    val explained = qAbsent.queryExecution.toString
+    assert(explained.contains("fm_count"), "plan should carry the fm_count predicate")
+  }
+
   test("storage-partitioned join: co-partitioned manifest tables join with NO shuffle") {
     import spark.implicits._
     val dirA = Files.createTempDirectory("manifest_spj_a").toString
