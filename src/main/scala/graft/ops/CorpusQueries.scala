@@ -1003,6 +1003,69 @@ object CorpusQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- IVF-PQ composite index: IVF inverted lists bound WHICH vectors are
+    //     candidates (equi-join on probed cluster ids), PQ codes + ADC bound the
+    //     COST of ranking them (8 table lookups per candidate instead of 64 float
+    //     mults), exact cosine reranks only the ADC shortlist. Codebooks, codes
+    //     and ADC scores are quantized-integer math, so the DuckDB oracle
+    //     re-derives the identical index end-to-end (fit + encode + ADC + rerank);
+    //     the hit flag marks agreement with the exact top-5 (the labeled bounded
+    //     brute side, as in q51b). ---
+    "q54_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val ds = tWide(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      val coarse = IvfKmeans.fit(ds, k = 10, iters = 2)
+      val assigned = IvfKmeans.assignAll(ds, coarse).toDF("neighbor_id", "cl")
+      val probes = IvfKmeans.probesFor(ds.filter(_._1 < 8), coarse, nprobe = 3)
+        .toDF("query_id", "qcl")
+      val pq = ProductQuantizer.fit(ds, numSub = 8, subdim = 8, k = 16, iters = 2)
+      val codes = ProductQuantizer.encodeAll(ds, pq).toDF("neighbor_id", "code")
+      // bounded query-side LUTs: 8 queries x 8 subspaces x 16 longs, broadcast
+      val luts: Map[Long, Array[Array[Long]]] = ds.filter(_._1 < 8).collect()
+        .map { case (id, e) => id -> pq.lut(IvfKmeans.quantize(e), 16) }.toMap
+      val bcLut = s.sparkContext.broadcast(luts)
+      val cand = probes
+        .join(assigned, col("qcl") === col("cl") && col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      val adc = cand.join(codes, "neighbor_id")
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("code"))
+        .as[(Long, Long, Array[Int])]
+        .mapPartitions(_.map { case (q, n, code) =>
+          val l = bcLut.value(q)
+          var sum = 0L
+          var m = 0
+          while (m < code.length) { sum += l(m)(code(m)); m += 1 }
+          (q, n, sum)
+        }).toDF("query_id", "neighbor_id", "adc")
+      val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+      val shortlist = adc.withColumn("rn", row_number().over(wA)).filter(col("rn") <= 40)
+        .select("query_id", "neighbor_id", "adc")
+      val wI = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val reranked = shortlist
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wI).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("bq"), col("embedding").as("qe"))
+      val wB = Window.partitionBy(col("bq")).orderBy(col("cos").desc, col("bn"))
+      val brute = emb.select(col("vec_id").as("bn"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q))
+        .filter(col("bn") =!= col("bq"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 5)
+        .select(col("bq"), col("bn"))
+      reranked.join(brute, col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+        .withColumn("hit", when(col("bn").isNotNull, 1L).otherwise(0L))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"), col("hit"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- multimodal plumbing: opaque binary payloads with typed metadata ---
     "q60_blob_stats" -> ((s, dir) => {
       val blob = col("text").cast("binary")
@@ -1546,6 +1609,51 @@ object CorpusQueries {
          |SELECT i.query_id, i.rank, i.neighbor_id,
          |  CAST(CASE WHEN b.bn IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
          |FROM ivf i LEFT JOIN brute b ON b.bq = i.query_id AND b.bn = i.neighbor_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // q54: the oracle re-derives the ENTIRE IVF-PQ index — coarse k-means, 8
+    // subspace codebooks, codes, per-query ADC tables — in integer SQL, then the
+    // same shortlist/rerank/hit pipeline as the Spark side
+    "q54_ivf_pq" -> {
+      val dotQC = duckDot("qe", "ce")
+      val nQ = duckDot("qe", "qe")
+      val nC = duckDot("ce", "ce")
+      val ivf = IvfKmeans.duckModelCtes(k = 10, iters = 2, nprobe = 3, dim = 64,
+        querySql = "v.vec_id < 8")
+      val pq = ProductQuantizer.duckPqCtes(numSub = 8, subdim = 8, k = 16, iters = 2,
+        querySql = "v.vec_id < 8")
+      s"""WITH $ivf,
+         |$pq,
+         |cand AS (SELECT pr.query_id, af.vec_id AS neighbor_id
+         |  FROM pr JOIN af ON af.cl = pr.qcl AND af.vec_id <> pr.query_id),
+         |adcs AS (SELECT c.query_id, c.neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc
+         |  FROM cand c JOIN codes k2 ON k2.vec_id = c.neighbor_id
+         |  JOIN qlut l ON l.query_id = c.query_id AND l.m = k2.m AND l.cl = k2.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+         |  FROM adcs) WHERE rn <= 40),
+         |sc AS (SELECT s.query_id, s.neighbor_id, s.adc,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM short s
+         |  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) ea ON ea.vec_id = s.query_id
+         |  JOIN (SELECT vec_id, embedding AS ce FROM embeddings) eb ON eb.vec_id = s.neighbor_id),
+         |rr AS (SELECT query_id, rank, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS bq, c.vec_id AS bn,
+         |    $dotQC / (sqrt($nQ) * sqrt($nC)) AS cos
+         |  FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 8) q,
+         |       (SELECT vec_id, embedding AS ce FROM embeddings) c
+         |  WHERE c.vec_id <> q.vec_id),
+         |brute AS (SELECT bq, bn FROM (
+         |  SELECT bq, bn, row_number() OVER (PARTITION BY bq ORDER BY cos DESC, bn) AS rank
+         |  FROM bs) WHERE rank <= 5)
+         |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id, r.adc,
+         |  CAST(CASE WHEN b.bn IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM rr r LEFT JOIN brute b ON b.bq = r.query_id AND b.bn = r.neighbor_id
          |ORDER BY 1, 2""".stripMargin
     },
     "q60_blob_stats" ->

@@ -64,6 +64,39 @@ class IvfKmeansSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.2f below the 0.9 design point")
   }
 
+  test("IVF-PQ: codes are 8 bytes per 64-dim vector, discriminative, and ADC " +
+      "shortlist recall@5 >= 0.6 on isotropic embeddings") {
+    import spark.implicits._
+    val embDs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding")).as[(Long, Array[Float])]
+    val pq = ProductQuantizer.fit(embDs, numSub = 8, subdim = 8, k = 16, iters = 2)
+    val codes = ProductQuantizer.encodeAll(embDs, pq).collect()
+    // 64 floats (256 B) -> 8 small ints: the ranking working set compresses 32x
+    assert(codes.forall(_._2.length == 8))
+    // every code names a LIVE centroid of its subspace, and every subspace
+    // discriminates (a collapsed codebook would make ADC useless)
+    val live = pq.models.map(_.centroids.map(_._1).toSet)
+    codes.foreach { case (_, c) =>
+      c.zipWithIndex.foreach { case (cl, m) => assert(live(m).contains(cl)) }
+    }
+    (0 until 8).foreach { m =>
+      val distinct = codes.map(_._2(m)).distinct.length
+      assert(distinct >= 4, s"subspace $m collapsed to $distinct codes")
+    }
+    // encode agrees with a local re-derivation (engine-independence of the math)
+    val local = embDs.collect().map { case (id, e) => (id, IvfKmeans.quantize(e)) }.toMap
+    codes.take(50).foreach { case (id, c) => assert(pq.encode(local(id)).sameElements(c)) }
+    // end-to-end recall through the catalog query's hit column: isotropic random
+    // embeddings are PQ's hardest case (no cluster structure), so the floor is
+    // modest — the oracle gate, not this number, pins correctness
+    val out = CorpusQueries.queries("q54_ivf_pq")(spark, dir).collect()
+    assert(out.length == 40, s"8 queries x top-5 expected, got ${out.length}")
+    val recall = out.map(_.getAs[Long]("hit")).sum.toDouble / out.length
+    info(f"IVF-PQ nprobe=3 C=40 recall@5 = $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below the 0.6 floor")
+  }
+
   test("candidate generation is an equi-join on cluster ids (no cartesian)") {
     val plan = CorpusQueries.queries("q51b_ivf_kmeans")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -95,9 +95,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // self-check that the traversal actually reaches Window nodes (q06/q07/q45/...)
     // — if AQE wrapping changes again, this fails instead of the ban going vacuous
     assert(windowsSeen > 5, s"plan traversal found only $windowsSeen Window nodes — AQE recursion broken?")
-    // q50 IS the brute-force baseline; q51b carries one bounded brute side for its
-    // recall hit column. Nothing else may nest-loop.
-    val allowed = Set("q50_knn_brute", "q51b_ivf_kmeans")
+    // q50 IS the brute-force baseline; q51b/q54 carry one bounded brute side for
+    // their recall hit columns. Nothing else may nest-loop.
+    val allowed = Set("q50_knn_brute", "q51b_ivf_kmeans", "q54_ivf_pq")
     assert(nlOffenders.map(_._1).toSet.subsetOf(allowed),
       s"unexpected nested-loop joins: $nlOffenders")
     assert(winOffenders.isEmpty,
