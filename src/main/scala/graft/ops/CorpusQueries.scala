@@ -1181,6 +1181,34 @@ object CorpusQueries {
         .orderBy(col("label_p"))
     }),
 
+    // --- SCHEMA EVOLUTION under the gate: snapshot 0 carries the narrow schema
+    //     (even doc_ids), ALTER TABLE ADD COLUMN publishes a metadata-only snapshot,
+    //     the append supplies the new column for odd doc_ids — the final aggregate
+    //     mixes pre-ALTER files (null-filled by the reader's constant-vector path)
+    //     with post-ALTER files in one scan and must match the relational oracle. ---
+    "q63e_schema_evolution" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63e", dir)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63e_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"ALTER TABLE $cat.corpus.docs ADD COLUMN n_tokens BIGINT")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"),
+          expr("n_chars div 4").as("n_tokens"))
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(s"$wh/corpus/docs")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN n_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+           |  CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS total_tokens
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- storage-partitioned join UNDER THE GATE: two manifest tables written
     //     co-partitioned on lang_p report KeyGroupedPartitioning (HasPartitionKey),
     //     and with V2 bucketing on + broadcast off the join AND the aggregate plan
@@ -1677,6 +1705,13 @@ object CorpusQueries {
         |  CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
         |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS dim0_scaled
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63e: the evolved-table aggregate == a relational derivation over documents
+    // (even doc_ids predate the ALTER -> null n_tokens; odd carry n_chars // 4)
+    "q63e_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars // 4 ELSE 0 END) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q69: exchange-free storage-partitioned join == plain relational join
     "q69_spj_manifest" ->
       """SELECT lang AS lang_p, count(*) AS n_docs,

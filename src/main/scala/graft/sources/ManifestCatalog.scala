@@ -23,8 +23,9 @@ import scala.jdk.CollectionConverters._
   * own, exactly like the path-based API; both views of the same directory stay
   * consistent because the manifest is the single source of truth). SQL `VERSION AS
   * OF n` maps to the pinned-snapshot read. DDL is intentionally thin: tables are
-  * CREATED by writing data (the DSv2 write bootstrap defines the schema), so
-  * createTable/alterTable/drop are unsupported rather than half-implemented.
+  * CREATED by writing data (the DSv2 write bootstrap defines the schema); the one
+  * supported evolution is `ALTER TABLE ... ADD COLUMN` (metadata-only snapshot, old
+  * files null-fill); everything else is unsupported rather than half-implemented.
   */
 class ManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
@@ -75,11 +76,11 @@ class ManifestCatalog extends TableCatalog
     }
     // Fail at resolution time if the pinned snapshot does not exist (readSnapshot
     // throws for an unknown id); a legitimately EMPTY snapshot (e.g. an empty
-    // overwrite) is fine and serves zero rows. The schema comes from the LATEST
-    // snapshot — appends/overwrites enforce schema equality, so per-snapshot schemas
-    // cannot diverge.
+    // overwrite) is fine and serves zero rows. The schema is the PINNED snapshot's
+    // own (tableSchema honors its ALTER-recorded DDL when present): a version from
+    // before a column was added serves the narrower historical schema.
     ManifestTables.readSnapshot(dir, Some(snap))
-    new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir), Some(snap))
+    new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir, Some(snap)), Some(snap))
   }
 
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
@@ -88,8 +89,53 @@ class ManifestCatalog extends TableCatalog
     throw new UnsupportedOperationException(
       "manifest tables are created by writing data (DSv2 write bootstrap); CREATE TABLE is not supported")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported on manifest tables")
+  /** Schema evolution, Iceberg-style metadata-only: `ALTER TABLE ... ADD COLUMN`
+    * publishes a NEW snapshot carrying the same file references plus the widened
+    * schema as a DDL override — no data file is touched. Files written before the
+    * ALTER null-fill the added column at read time (the reader's constant-vector
+    * path); later appends must supply it and carry the override forward. Only
+    * top-level nullable ADD COLUMN is supported — everything else (renames, drops,
+    * type changes) would need per-file column-id mapping to be correct and is
+    * rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ADD COLUMN supports top-level columns only, got ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"added column ${a.fieldNames().head} must be nullable — existing files cannot backfill it")
+        require(a.position() == null,
+          "FIRST/AFTER positions are not supported — added columns append at the end")
+        org.apache.spark.sql.types.StructField(a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"only ADD COLUMN is supported on manifest tables, got ${other.getClass.getSimpleName}")
+    }
+    // optimistic-concurrency publication, same discipline as the write path: the
+    // ALTER races cleanly with concurrent appends (losers retarget latest+1)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = ManifestDataSource.tableSchema(dir)
+      adds.foreach(f => require(!cur.fieldNames.contains(f.name),
+        s"column ${f.name} already exists in ${cur.simpleString}"))
+      val widened = org.apache.spark.sql.types.StructType(cur.fields ++ adds)
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
+        refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
+        schemaDdl = Some(widened.toDDL))
+      if (!done) {
+        attempt += 1
+        require(attempt < 16, s"ALTER TABLE on $dir lost the snapshot race $attempt times")
+        Thread.sleep(20L * attempt +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

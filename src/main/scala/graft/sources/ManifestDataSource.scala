@@ -60,7 +60,9 @@ import scala.jdk.CollectionConverters._
   */
 class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestDataSource.tableSchema(options.get("path"))
+    // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
+    ManifestDataSource.tableSchema(options.get("path"),
+      Option(options.get("snapshot")).map(_.toInt))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestDataTable(properties.get("path"), schema)
@@ -74,15 +76,20 @@ object ManifestDataSource {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** File schema of the first committed data file + the manifest's partition column
-    * appended as a (non-null) string. Derived on the driver at plan time only.
-    * EMPTY before the first commit — the write-path bootstrap (the first DSv2 write
-    * defines the schema); reads of an uncommitted table fail in newScanBuilder.
+  /** Table schema at a snapshot (latest when None): an ALTER-recorded schema DDL on
+    * the snapshot wins (schema evolution — files written before the ALTER null-fill
+    * the added columns at read time); otherwise the first committed data file's
+    * schema + the manifest's partition columns. Derived on the driver at plan time
+    * only. EMPTY before the first commit — the write-path bootstrap (the first DSv2
+    * write defines the schema); reads of an uncommitted table fail in newScanBuilder.
     */
-  private[sources] def tableSchema(dir: String): StructType = {
+  private[sources] def tableSchema(dir: String, snapshot: Option[Int] = None): StructType = {
     require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
     val latest = ManifestTables.latestSnapshotId(dir)
     if (latest.isEmpty) return new StructType()
+    ManifestTables.readSnapshotRefs(dir, snapshot).schemaDdl.foreach { ddl =>
+      return StructType.fromDDL(ddl)
+    }
     // the latest snapshot may be legitimately EMPTY (empty overwrite); schemas cannot
     // diverge across snapshots (appends/overwrites enforce equality), so fall back to
     // the newest snapshot that still lists a file. Only the VERIFIABLY-empty case
@@ -727,27 +734,34 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
     val wanted = df.map(_._1).toSet
     val readCols = fileSchema.getFields.asScala.map(_.getName).filter(wanted).toArray
-    require(readCols.length == df.length,
-      s"columns ${df.map(_._1).mkString(",")} not all present in ${p.file}")
+    // schema evolution: requested data columns ABSENT from this (pre-ALTER) file are
+    // served as constant nulls through initBatch's appended-constant mechanism —
+    // exactly how Spark's native scan serves partition values, so the null columns
+    // cost no decode and stay columnar
+    val present = readCols.toSet
+    val missing = df.filter { case (n, _) => !present.contains(n) }
+    if (readCols.isEmpty) return constantBatchReader(p, missing)
     val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false, /*capacity=*/ 4096)
     var ok = false
     try {
       reader.initialize(p.file, java.util.Arrays.asList(readCols: _*))
-      // projected partition columns, in their `fields` order (initBatch appends them
-      // after the data columns in exactly the order given here)
+      // appended constants, in `fields` order: projected partition columns (typed
+      // values) then missing data columns (nulls); initBatch appends them after the
+      // data columns in exactly the order given here
       val presentParts = fields.collect { case (n, dt) if partNames.contains(n) => (n, dt) }
-      val partSchema = StructType(presentParts.map { case (n, dt) =>
-        StructField(n, dt, nullable = false) })
+      val appended = presentParts ++ missing
+      val partSchema = StructType(appended.map { case (n, dt) =>
+        StructField(n, dt, nullable = !partNames.contains(n)) })
       val partRow: InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          presentParts.map { case (n, _) => partDatum(p, n) })
+          appended.map { case (n, _) => if (partNames.contains(n)) partDatum(p, n) else null })
       reader.initBatch(partSchema, partRow)
       val colIdx = readCols.zipWithIndex.toMap
-      val partPos = presentParts.map(_._1).zipWithIndex.toMap
+      val appendedPos = appended.map(_._1).zipWithIndex.toMap
       val perm: Array[Int] =
         fields.map { case (n, _) =>
-          if (partNames.contains(n)) readCols.length + partPos(n) else colIdx(n) }
+          if (colIdx.contains(n)) colIdx(n) else readCols.length + appendedPos(n) }
       val identity = perm.sameElements(perm.indices)
       ok = true
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -782,6 +796,49 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       "row-based reads serve only zero-data-column projections; Spark routes " +
         "data-column scans through createColumnarReader (supportColumnarReads)")
     emptyProjectionReader(p)
+  }
+
+  /** Every projected field is a constant for this file (partition values, plus data
+    * columns the file predates — schema evolution's null-fill): batches of constant
+    * vectors sized from the footer row count, no page decoded.
+    */
+  private def constantBatchReader(p: ManifestDataInputPartition,
+      missing: Array[(String, DataType)])
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    val capacity = 4096
+    val missingNames = missing.map(_._1).toSet
+    val vectors = fields.map { case (n, dt) =>
+      val v = new ConstantColumnVector(capacity, dt)
+      if (missingNames.contains(n)) v.setNull()
+      else (dt, partDatum(p, n)) match {
+        case (StringType, s: UTF8String) => v.setUtf8String(s)
+        case (IntegerType, i: Int) => v.setInt(i)
+        case (DateType, d: Int) => v.setInt(d)
+        case (t, d) => throw new IllegalStateException(s"unsupported constant $t=$d")
+      }
+      v: org.apache.spark.sql.vectorized.ColumnVector
+    }
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(vectors)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var remaining: Long = -1
+      override def next(): Boolean = {
+        if (remaining < 0) {
+          val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+          val r = ParquetFileReader.open(in)
+          remaining = try r.getRecordCount finally r.close()
+          limit.foreach(l => remaining = math.min(remaining, l.toLong))
+        }
+        if (remaining <= 0) false
+        else {
+          batch.setNumRows(math.min(capacity.toLong, remaining).toInt)
+          remaining -= batch.numRows()
+          true
+        }
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
   }
 
   /** Zero data columns requested (count(*) / partition-column-only reads): row count
@@ -837,12 +894,20 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     }
     val partTypes = partColNames.map(n =>
       ManifestDataSource.partTypeNameOf(n, incoming(incoming.fieldIndex(n)).dataType))
-    // ACCEPT_ANY_SCHEMA skips Spark's check; enforce append compatibility here
-    if (tschema.nonEmpty) {
-      val want = tschema.fields.map(f => (f.name, f.dataType)).toSet
-      val got = incoming.fields.map(f => (f.name, f.dataType)).toSet
-      require(want == got,
-        s"write schema ${incoming.simpleString} does not match table ${tschema.simpleString}")
+    // Append compatibility against the AUTHORITATIVE manifest schema, re-read here:
+    // the `tschema` this builder was constructed with is the incoming DF's own
+    // schema on the path-based write API (Spark hands TableProvider.getTable the
+    // frame's schema for writes), so comparing against it would be vacuous — an
+    // append missing an ALTER-added column would silently commit. Overwrites are
+    // exempt: they legitimately redefine the schema from the incoming data.
+    if (!replace) {
+      val authoritative = ManifestDataSource.tableSchema(dir)
+      if (authoritative.nonEmpty) {
+        val want = authoritative.fields.map(f => (f.name, f.dataType)).toSet
+        val got = incoming.fields.map(f => (f.name, f.dataType)).toSet
+        require(want == got,
+          s"write schema ${incoming.simpleString} does not match table ${authoritative.simpleString}")
+      }
     }
     val note = Option(info.options.get("commitnote")).getOrElse("")
     new Write {
@@ -914,8 +979,12 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         val inlineSeg =
           if (prev.inline.isEmpty) None
           else Some(ManifestTables.writeSegment(dir, prev.inline))
+        // an ALTER-recorded schema survives every later append (dropping it would
+        // silently revert the table to its oldest file's schema); an overwrite
+        // redefines the schema from the incoming data, so it does NOT carry over
         done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
-          prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes)
+          prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes,
+          schemaDdl = prev.schemaDdl)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)

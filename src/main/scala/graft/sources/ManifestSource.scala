@@ -133,7 +133,8 @@ object ManifestTables {
     * is what keeps DSv2 append commits O(fresh files + segment count) instead of
     * O(every file ever appended) — Iceberg's manifest-list discipline on this layout.
     */
-  private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String])
+  private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String],
+      schemaDdl: Option[String] = None)
 
   /** Multi-column partition values ride in ONE entry field, joined by the unit
     * separator (a control char: always \\u-escaped in the manifest JSON, never legal
@@ -250,7 +251,11 @@ object ManifestTables {
     val chosen = snapshotFileFor(dir, id)
     val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
     val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-    SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt))
+    // schema evolution: an overriding full-table schema (DDL) recorded by ALTER
+    // TABLE; absent on tables that never evolved (schema then derives from files)
+    val ddl = s"\"schema\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1)))
+    SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt), ddl)
   }
 
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
@@ -317,7 +322,7 @@ object ManifestTables {
     */
   private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
-      partTypes: String = ""): Boolean = {
+      partTypes: String = "", schemaDdl: Option[String] = None): Boolean = {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
@@ -338,11 +343,15 @@ object ManifestTables {
     // ride in partition_types
     val typesLine =
       if (partTypes.isEmpty) "" else s"""  "partition_types": "${jsonEscape(partTypes)}",\n"""
+    // schema evolution: the full-table schema (DDL) recorded by ALTER TABLE and
+    // propagated through every later append/compaction; stays after the fixed-size
+    // note head (a wide table's DDL may exceed the note probe window)
+    val schemaLine = schemaDdl.fold("")(d => s"""  "schema": "${jsonEscape(d)}",\n""")
     val json =
       s"""{
          |  "snapshot": $id,
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
-         |$typesLine$segLine  "files": [
+         |$typesLine$schemaLine$segLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -381,7 +390,7 @@ object ManifestTables {
         val folded = writeSegment(dir, readSnapshot(dir, None))
         val next = latest.get + 1
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
-            partTypes = readPartitionTypes(dir))) {
+            partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl)) {
           result = Some(next); done = true
         } else {
           // CAS loss: a concurrent commit advanced the table — back off, re-read and

@@ -1006,6 +1006,68 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(missing.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("schema evolution: ADD COLUMN is metadata-only; old files null-fill; " +
+      "time travel serves the historical schema") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_evolve").toString
+    val tblDir = s"$wh/ns/t"
+    Seq((1L, "a", "en"), (2L, "b", "fr")).toDF("id", "txt", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tblDir)
+    spark.conf.set("spark.sql.catalog.graft_evo", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evo.warehouse", wh)
+    def countData(): Long = {
+      val w = Files.walk(Paths.get(tblDir))
+      try w.filter(_.toString.endsWith(".parquet")).count() finally w.close()
+    }
+    val dataFilesBefore = countData()
+    spark.sql("ALTER TABLE graft_evo.ns.t ADD COLUMN score DOUBLE")
+    // metadata-only: no data file written or rewritten
+    assert(countData() == dataFilesBefore, "ALTER must not touch data files")
+    // old rows serve the added column as NULL (vectorized constant fill)
+    val widened = spark.sql("SELECT id, txt, score, lang_p FROM graft_evo.ns.t ORDER BY id")
+      .collect()
+    assert(widened.map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq ==
+      Seq((1L, "a", true), (2L, "b", true)))
+    // new appends carry the column; mixed old/new files read correctly
+    // table order after ALTER: (id, txt, lang_p, score) — added columns append last
+    spark.sql("INSERT INTO graft_evo.ns.t VALUES (3, 'c', 'de', 0.5)")
+    val mixed = spark.sql(
+      "SELECT id, score FROM graft_evo.ns.t ORDER BY id").collect()
+    assert(mixed.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some(0.5))))
+    assert(spark.sql("SELECT count(*) FROM graft_evo.ns.t WHERE score IS NULL")
+      .head().getLong(0) == 2)
+    // projecting ONLY constant columns over a pre-ALTER file (the no-decode path)
+    assert(spark.sql("SELECT score, lang_p FROM graft_evo.ns.t WHERE lang_p = 'en'")
+      .collect().map(r => (r.isNullAt(0), r.getString(1))).toSeq == Seq((true, "en")))
+    // time travel: the pre-ALTER snapshot serves the NARROW historical schema
+    val v0 = spark.sql("SELECT * FROM graft_evo.ns.t VERSION AS OF 0")
+    assert(!v0.schema.fieldNames.contains("score"), v0.schema.simpleString)
+    assert(v0.count() == 2)
+    // an append that omits the added NULLABLE column null-fills it (Spark's output
+    // resolution against the evolved table schema supplies the null default) —
+    // old writers keep working after an ALTER, the evolution contract
+    Seq((4L, "d", "zh")).toDF("id", "txt", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(tblDir)
+    assert(spark.sql("SELECT score FROM graft_evo.ns.t WHERE id = 4").head().isNullAt(0))
+    // compaction preserves the evolved schema
+    assert(ManifestTables.compact(tblDir).isDefined)
+    assert(spark.read.format(classOf[ManifestDataSource].getName).load(tblDir)
+      .schema.fieldNames.contains("score"))
+    assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM graft_evo.ns.t")
+      .head().getDouble(0) == 0.5)
+    // unsupported evolutions fail loudly
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.t RENAME COLUMN txt TO body")
+    }
+    assert(bad.getMessage.contains("ADD COLUMN"), bad.getMessage)
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evo.ns.t ADD COLUMN score DOUBLE")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
   test("manifest escaping: quotes/backslashes in values and %XX partition dirs round-trip") {
     assert(ManifestTables.jsonUnescape(ManifestTables.jsonEscape("a\"b\\c\nd")) == "a\"b\\c\nd")
     assert(ManifestTables.hiveUnescape("a%20b%3Ac") == "a b:c")
