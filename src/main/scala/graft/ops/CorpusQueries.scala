@@ -1209,6 +1209,57 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- metadata-only DELETE under the gate: partition-predicate DELETE FROM is a
+    //     snapshot edit (no data file read or removed); the post-delete aggregate
+    //     must equal the relational oracle with the deleted partitions excluded. ---
+    "q63f_delete_where" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63f", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63f_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DELETE FROM $cat.corpus.docs WHERE lang_p IN ('en', 'fr')")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
+    // --- data-file COMPACTION under the gate: three appends fragment each language
+    //     partition into three small files; bin-packing rewrites each partition to
+    //     ONE file (asserted) and the post-compaction aggregate must still equal the
+    //     whole-table relational oracle — rewriting moved bytes, never rows. ---
+    "q63g_compaction" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63g", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      (0 until 3).foreach { r =>
+        docs.filter(col("doc_id") % 3 === r)
+          .write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")
+      }
+      val nLangs = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+        .map(_._3).distinct.length
+      require(graft.sources.ManifestMaintenance
+        .compactDataFiles(s, s"$wh/corpus/docs", 64L << 20).isDefined,
+        "compaction found nothing to pack — the fragmentation setup is broken")
+      val after = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+      require(after.length == nLangs,
+        s"expected one compacted file per language, got ${after.length} for $nLangs langs")
+      val cat = s"graft_q63g_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- storage-partitioned join UNDER THE GATE: two manifest tables written
     //     co-partitioned on lang_p report KeyGroupedPartitioning (HasPartitionKey),
     //     and with V2 bucketing on + broadcast off the join AND the aggregate plan
@@ -1711,6 +1762,14 @@ object CorpusQueries {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars // 4 ELSE 0 END) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63f: post-DELETE table == documents minus the deleted partitions
+    "q63f_delete_where" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang NOT IN ('en', 'fr') GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63g: compaction moved bytes, not rows — whole-table aggregate unchanged
+    "q63g_compaction" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q69: exchange-free storage-partitioned join == plain relational join
     "q69_spj_manifest" ->

@@ -165,6 +165,68 @@ object ManifestDataSource {
       parts
     }
 
+  /** External value of a V2 literal (they carry catalyst-internal values:
+    * UTF8String, epoch-day Int) -> the canonical manifest string, via the ONE
+    * canonicalizer (canonPartValue) that owns the type rules for pushdown, DPP,
+    * the writer, and DELETE alike.
+    */
+  private[sources] def canonV2Literal(partCols: Seq[ManifestTables.PartCol])(
+      colName: String, l: org.apache.spark.sql.connector.expressions.Literal[_])
+      : Option[String] = {
+    val external: Any = (l.dataType(), l.value()) match {
+      case (StringType, v) => v.toString
+      case (IntegerType, v: java.lang.Integer) => v
+      case (DateType, v: java.lang.Integer) =>
+        java.time.LocalDate.ofEpochDay(v.longValue())
+      case (_, v) => v
+    }
+    canonPartValue(partCols)(colName, external)
+  }
+
+  /** A V2 predicate absorbable as a partition-value bound: `=` or `IN` over ONE
+    * partition column with type-matching literal operand(s) -> the column and its
+    * allowed canonical values. The SINGLE absorption rule the scan's pushdown and
+    * the table's DELETE share — a drifted copy would let DELETE accept a predicate
+    * the scan prunes differently.
+    */
+  private[sources] def partitionBound(partCols: Seq[ManifestTables.PartCol])(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Set[String])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
+    val canon = canonV2Literal(partCols) _
+    (p.name(), p.children()) match {
+      case ("=", Array(r: NamedReference, l: LV[_])) if r.fieldNames.length == 1 =>
+        canon(r.fieldNames.head, l).map(v => (r.fieldNames.head, Set(v)))
+      case ("=", Array(l: LV[_], r: NamedReference)) if r.fieldNames.length == 1 =>
+        canon(r.fieldNames.head, l).map(v => (r.fieldNames.head, Set(v)))
+      case ("IN", children) if children.length >= 2 =>
+        children.head match {
+          case r: NamedReference if r.fieldNames.length == 1 &&
+              children.tail.forall(_.isInstanceOf[LV[_]]) =>
+            val canoned = children.tail.map(c => canon(r.fieldNames.head, c.asInstanceOf[LV[_]]))
+            if (canoned.forall(_.isDefined)) Some((r.fieldNames.head, canoned.flatten.toSet))
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Does an entry's (joined) partition value satisfy every per-column bound?
+    * Empty bounds = no constraint = every entry satisfies — which reads as "keep
+    * all" on the scan side and "an unconstrained conjunction is TRUE" on the
+    * DELETE side; both are the same statement.
+    */
+  private[sources] def entryWithinBounds(partCols: Seq[ManifestTables.PartCol],
+      bounds: Map[String, Set[String]])(e: ManifestTables.Entry): Boolean =
+    bounds.isEmpty || {
+      val vals = splitPartValues(e.partition, partCols.length)
+      partCols.zipWithIndex.forall { case (pc, i) =>
+        bounds.get(pc.name).forall(_.contains(vals(i)))
+      }
+    }
+
   /** parquet MessageType -> Spark fields: primitives (long/int/double/float/boolean/
     * string/binary/date/timestamp) plus LIST-of-primitive (the embeddings table's
     * array<float>, standard 3-level layout). Anything else fails loudly rather than
@@ -216,7 +278,8 @@ object ManifestDataSource {
 
 private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     pinnedSnapshot: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
   override def name(): String = s"manifest_data($dir)"
   override def schema(): StructType = tschema
@@ -241,6 +304,82 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, tschema, info)
+
+  // ------------------------------------------------ metadata-only DELETE FROM
+  // Iceberg's delete-by-partition-predicate analog: when every predicate is an
+  // `=`/`IN` bound over partition columns, whole files match or miss (files are
+  // partition-homogeneous), so the delete is a SNAPSHOT EDIT — no data file is
+  // read, rewritten, or removed. Old snapshots still reference the dropped files
+  // (time travel sees pre-delete data); the physical bytes are reclaimed later by
+  // expireSnapshots + removeOrphans, the same lifecycle as overwrite. Segments
+  // that contain NO matching entry are carried by NAME (never re-read into the new
+  // snapshot) — the delete's metadata cost is O(touched segments), not O(table).
+  // Anything not expressible as partition bounds is refused via canDeleteWhere, so
+  // Spark raises a loud analysis error instead of a silent partial delete.
+
+  private def deleteBounds(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Map[String, Set[String]]] = {
+    val partCols = ManifestTables.readPartitionSpec(dir)
+    val bound = ManifestDataSource.partitionBound(partCols) _
+    predicates.foldLeft(Option(Map.empty[String, Set[String]])) { (acc, p) =>
+      acc.flatMap { m =>
+        if (p.name() == "ALWAYS_TRUE") Some(m) // unconstrained conjunct: TRUE
+        else bound(p).map { case (col, vs) =>
+          m.updated(col, m.get(col).map(_ intersect vs).getOrElse(vs))
+        }
+      }
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    pinnedSnapshot.isEmpty && deleteBounds(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    require(pinnedSnapshot.isEmpty, "cannot DELETE from a time-travel (VERSION AS OF) relation")
+    val bounds = deleteBounds(predicates).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE on manifest tables supports =/IN predicates over partition columns only; " +
+        s"got ${predicates.mkString(", ")}"))
+    val partCols = ManifestTables.readPartitionSpec(dir)
+    val matches = ManifestDataSource.entryWithinBounds(partCols, bounds) _
+    // optimistic-concurrency publication, same discipline as writes and ALTER
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val inlineSurvivors = refs.inline.filterNot(matches)
+      // untouched segments carry by NAME; touched ones are rewritten without the
+      // matching entries (dropped entirely when nothing survives)
+      val perSeg = refs.segments.map { seg =>
+        (seg, ManifestTables.readSegmentEntries(dir, seg, refs.snapshot))
+      }
+      if (inlineSurvivors.length == refs.inline.length &&
+          perSeg.forall { case (_, es) => !es.exists(matches) }) {
+        return // nothing matched: publish no snapshot, the table is unchanged
+      }
+      val newSegs = perSeg.map { case (seg, es) =>
+        val survivors = es.filterNot(matches)
+        if (survivors.length == es.length) Some(seg)
+        else if (survivors.isEmpty) None
+        else Some(ManifestTables.writeSegment(dir, survivors))
+      }.flatten
+      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
+        inlineSurvivors, newSegs, next,
+        partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl)
+      if (!done) {
+        attempt += 1
+        require(attempt < ManifestBatchWrite.MaxCommitAttempts,
+          s"DELETE on $dir lost the snapshot race $attempt times")
+        Thread.sleep(math.min(1000L, 20L * attempt) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+  }
 }
 
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
@@ -279,48 +418,16 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, UserDefinedScalarFunc}
     type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
-    // V2 literals carry catalyst-internal values (UTF8String, epoch-day Int);
-    // surface them as external values so the ONE canonicalizer (canonPartValue)
-    // owns the type rules for both this path and the writer.
-    def canonLit(col: String, l: LV[_]): Option[String] = {
-      val external: Any = (l.dataType(), l.value()) match {
-        case (StringType, v) => v.toString
-        case (IntegerType, v: java.lang.Integer) => v
-        case (DateType, v: java.lang.Integer) =>
-          java.time.LocalDate.ofEpochDay(v.longValue())
-        case (_, v) => v
-      }
-      ManifestDataSource.canonPartValue(partCols)(col, external)
-    }
     def intersect(col: String, vs: Set[String]): Unit =
       partitionValues = partitionValues.updated(col,
         partitionValues.get(col).map(_ intersect vs).getOrElse(vs))
-    // partition-column equality/IN -> absorbed (pruned at the manifest)
+    // partition-column equality/IN -> absorbed (pruned at the manifest); the
+    // absorption rule is the shared one DELETE uses too (partitionBound)
     def absorbPartition(
         p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean =
-      (p.name(), p.children()) match {
-        case ("=", Array(r: NamedReference, l: LV[_])) if r.fieldNames.length == 1 =>
-          canonLit(r.fieldNames.head, l) match {
-            case Some(v) => intersect(r.fieldNames.head, Set(v)); true
-            case None => false
-          }
-        case ("=", Array(l: LV[_], r: NamedReference)) if r.fieldNames.length == 1 =>
-          canonLit(r.fieldNames.head, l) match {
-            case Some(v) => intersect(r.fieldNames.head, Set(v)); true
-            case None => false
-          }
-        case ("IN", children) if children.length >= 2 =>
-          children.head match {
-            case r: NamedReference if r.fieldNames.length == 1 &&
-                children.tail.forall(_.isInstanceOf[LV[_]]) =>
-              val canoned = children.tail.map(c =>
-                canonLit(r.fieldNames.head, c.asInstanceOf[LV[_]]))
-              if (canoned.forall(_.isDefined)) {
-                intersect(r.fieldNames.head, canoned.flatten.toSet); true
-              } else false
-            case _ => false
-          }
-        case _ => false
+      ManifestDataSource.partitionBound(partCols)(p) match {
+        case Some((col, vs)) => intersect(col, vs); true
+        case None => false
       }
     // fm_count(shard, 'p') > 0 / >= 1 -> fingerprint file pruning (stays residual)
     def fmPattern(
@@ -436,27 +543,15 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // join's build side) further restrict the file list before planInputPartitions
   private var runtimeValues: Map[String, Set[String]] = Map.empty
 
-  private def allowed(e: ManifestTables.Entry): Boolean = {
-    val bounds = Seq(partitionValues, runtimeValues)
-    bounds.forall(_.isEmpty) || {
-      val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
-      partCols.zipWithIndex.forall { case (pc, i) =>
-        bounds.forall(_.get(pc.name).forall(_.contains(vals(i))))
-      }
-    }
-  }
+  private def allowed(e: ManifestTables.Entry): Boolean =
+    ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
+      ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e)
 
   // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
   // on EVERY filtered partition column; an explicit snapshot option = time travel
   private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readSnapshot(dir, snapshot).filter { e =>
-      partitionValues.isEmpty || {
-        val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
-        partCols.zipWithIndex.forall { case (pc, i) =>
-          partitionValues.get(pc.name).forall(_.contains(vals(i)))
-        }
-      }
-    }
+    ManifestTables.readSnapshot(dir, snapshot)
+      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -571,14 +666,8 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
   import ManifestAggScan._
 
   private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readSnapshot(dir, snapshot).filter { e =>
-      partitionValues.isEmpty || {
-        val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
-        partCols.zipWithIndex.forall { case (pc, i) =>
-          partitionValues.get(pc.name).forall(_.contains(vals(i)))
-        }
-      }
-    }
+    ManifestTables.readSnapshot(dir, snapshot)
+      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
 
   // scan output contract (positional): groupBy columns first, then one column per
   // aggregate — count as long, min/max in the column's own type

@@ -1,0 +1,179 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Data-file COMPACTION for manifest tables — the `rewrite_data_files` analog to
+  * `ManifestTables.compact`'s `rewrite_manifests`. The small-file problem is the
+  * canonical failure mode of streaming/append-heavy tables at scale: a 100 TB table
+  * fed by per-micro-batch commits accumulates millions of KB-sized parquet files,
+  * and every scan pays one footer open + one InputPartition per file. Compaction
+  * bin-packs small files of the SAME partition into consolidated files and publishes
+  * the swap as one atomic snapshot edit:
+  *
+  *  - files are packed greedily, in manifest order, into bins of at most
+  *    `targetBytes`; only bins holding >= 2 files are rewritten (a lone small file
+  *    or any file already near target size is carried unchanged);
+  *  - each bin is read through Spark WITH THE AUTHORITATIVE table schema, so a bin
+  *    spanning pre- and post-ALTER files materializes the evolved columns (nulls
+  *    for legacy rows) — compaction and schema evolution compose;
+  *  - the rewritten snapshot is published with the same optimistic-concurrency CAS
+  *    as every other commit; concurrent APPENDS are preserved (their entries are
+  *    re-read on each attempt), while a concurrent OVERWRITE/DELETE that removed
+  *    any source file ABORTS the compaction (publishing would resurrect deleted
+  *    rows — Iceberg's serializable-validation rule), cleaning up its output;
+  *  - old snapshots still reference the original small files (time travel is
+  *    untouched); the physical bytes are reclaimed later by `expireSnapshots` +
+  *    `removeOrphans`, the same lifecycle as overwrite and DELETE.
+  *
+  * Reference behavior: dynatrace-oss/index4j has no table maintenance surface; this
+  * follows the published Iceberg/Delta OPTIMIZE design (bin-pack rewrite + snapshot
+  * swap) re-expressed on this repo's manifest layout.
+  */
+object ManifestMaintenance {
+
+  /** Live data files of the current snapshot: (relative path, bytes, joined
+    * partition value) — the public maintenance view (file counts before/after
+    * compaction, fragmentation monitoring) without exposing manifest internals.
+    */
+  def liveDataFiles(dir: String): Seq[(String, Long, String)] =
+    ManifestTables.readSnapshot(dir, None).map(e => (e.path, e.bytes, e.partition))
+
+  /** One rewritten bin: the source entries it replaces and the replacement entry. */
+  private case class Rewrite(sources: Seq[ManifestTables.Entry], replacement: ManifestTables.Entry)
+
+  /** Bin-packs and rewrites small data files; returns the new snapshot id, or None
+    * when no partition holds a packable bin (the table is left untouched — no
+    * snapshot is published). `targetBytes` is both the pack bound and the "already
+    * big enough" cutoff.
+    */
+  def compactDataFiles(spark: SparkSession, dir: String, targetBytes: Long): Option[Int] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val partCols = ManifestTables.readPartitionSpec(dir)
+    val schema = ManifestDataSource.tableSchema(dir)
+    require(schema.nonEmpty, s"no committed schema under $dir — nothing to compact")
+    val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
+    val entries = ManifestTables.readSnapshot(dir, None)
+
+    // pack per partition, in manifest order (stable, deterministic given a snapshot)
+    val rewrites: Seq[Rewrite] = entries.groupBy(_.partition).toSeq.sortBy(_._1)
+      .flatMap { case (joined, es) =>
+        packBins(es, targetBytes).filter(_.length >= 2).map { bin =>
+          Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin))
+        }
+      }
+    if (rewrites.isEmpty) return None
+
+    val replaced: Map[String, ManifestTables.Entry] =
+      rewrites.flatMap(r => r.sources.map(e => e.path -> r.replacement)).toMap
+    def cleanup(): Unit = rewrites.foreach { r =>
+      try Files.deleteIfExists(Paths.get(dir, r.replacement.path))
+      catch { case _: Exception => }
+    }
+
+    // CAS publication: re-read per attempt so concurrent appends survive; abort if
+    // any source file left the table meanwhile (overwrite/delete raced us)
+    var attempt = 0
+    while (true) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val current = ManifestTables.readSnapshot(dir, None)
+      val present = current.map(_.path).toSet
+      if (!replaced.keysIterator.forall(present.contains)) {
+        cleanup()
+        return None // a concurrent overwrite/DELETE removed a source file
+      }
+      // each source entry collapses into its bin's replacement, emitted once at the
+      // position of the bin's FIRST file; everything else carries unchanged
+      val emitted = scala.collection.mutable.HashSet.empty[String]
+      val newEntries = current.flatMap { e =>
+        replaced.get(e.path) match {
+          case None => Some(e)
+          case Some(rep) => if (emitted.add(rep.path)) Some(rep) else None
+        }
+      }
+      val seg = ManifestTables.writeSegment(dir, newEntries)
+      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
+          Nil, Seq(seg), next,
+          partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl)) {
+        return Some(next)
+      }
+      attempt += 1
+      if (attempt >= 64) { // same bound as the write path: fail loudly, never hang
+        cleanup()
+        throw new IllegalStateException(s"compaction on $dir lost the snapshot race $attempt times")
+      }
+      Thread.sleep(math.min(1000L, 20L * attempt) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+    }
+    None // unreachable
+  }
+
+  /** Greedy in-order packing: a file at or above the target forms its own bin. */
+  private def packBins(es: Seq[ManifestTables.Entry], targetBytes: Long)
+      : Seq[Seq[ManifestTables.Entry]] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[ManifestTables.Entry]]
+    var cur = Vector.empty[ManifestTables.Entry]
+    var curBytes = 0L
+    es.foreach { e =>
+      if (e.bytes >= targetBytes) {
+        if (cur.nonEmpty) { bins += cur; cur = Vector.empty; curBytes = 0L }
+        bins += Vector(e)
+      } else if (cur.nonEmpty && curBytes + e.bytes > targetBytes) {
+        bins += cur; cur = Vector(e); curBytes = e.bytes
+      } else {
+        cur :+= e; curBytes += e.bytes
+      }
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.toSeq
+  }
+
+  /** Reads one bin with the authoritative data schema and lands it as ONE parquet
+    * file inside the partition's directory (unique name; a crash strands only an
+    * unreferenced file that removeOrphans reclaims). Spark writes the file so the
+    * layout is exactly what the vectorized read path expects; timestamps are forced
+    * to INT64 micros (the manifest schema mapping) rather than Spark's INT96 legacy
+    * default.
+    */
+  private def rewriteBin(spark: SparkSession, dir: String,
+      partCols: Seq[ManifestTables.PartCol], dataSchema: StructType,
+      joined: String, bin: Seq[ManifestTables.Entry]): ManifestTables.Entry = {
+    val uid = java.util.UUID.randomUUID().toString
+    val tmpOut = s"$dir/_compact_tmp/$uid"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s2.read.schema(dataSchema).parquet(bin.map(e => s"$dir/${e.path}"): _*)
+      .coalesce(1).write.parquet(tmpOut)
+    val part = listOnly(Paths.get(tmpOut), p => {
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".parquet")
+    })
+    val vals = ManifestDataSource.splitPartValues(joined, partCols.length)
+    val rel = partCols.zip(vals).map { case (pc, v) =>
+      s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString + s"compact-$uid.parquet"
+    val target = Paths.get(dir, rel)
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(Paths.get(dir, "_compact_tmp", uid))
+    ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1)
+  }
+
+  private def listOnly(dirPath: Path, pred: Path => Boolean): Path = {
+    val w = Files.list(dirPath)
+    val all = try w.filter(p => pred(p)).toArray(new Array[Path](_)) finally w.close()
+    require(all.length == 1, s"expected exactly one part file in $dirPath, got ${all.length}")
+    all.head
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally w.close()
+  }
+}

@@ -263,13 +263,19 @@ object ManifestTables {
     */
   private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] = {
     val refs = readSnapshotRefs(dir, id)
-    refs.inline ++ refs.segments.flatMap { seg =>
-      val segPath = Paths.get(dir, "_manifests", seg)
-      require(Files.exists(segPath),
-        s"snapshot ${refs.snapshot} references missing segment $seg")
-      parseEntries(new String(Files.readAllBytes(segPath), StandardCharsets.UTF_8),
-        segPath.toString, refs.snapshot)
-    }
+    refs.inline ++ refs.segments.flatMap(readSegmentEntries(dir, _, refs.snapshot))
+  }
+
+  /** Entries of ONE immutable segment — lets per-segment operations (DELETE's
+    * selective manifest rewrite) avoid materializing the whole table's entry list
+    * as a single undifferentiated sequence.
+    */
+  private[sources] def readSegmentEntries(dir: String, seg: String, snapshot: Int): Seq[Entry] = {
+    val segPath = Paths.get(dir, "_manifests", seg)
+    require(Files.exists(segPath),
+      s"snapshot $snapshot references missing segment $seg")
+    parseEntries(new String(Files.readAllBytes(segPath), StandardCharsets.UTF_8),
+      segPath.toString, snapshot)
   }
 
   /** Writes an immutable manifest segment; returns its name for snapshot reference.

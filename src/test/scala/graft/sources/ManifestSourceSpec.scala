@@ -1068,6 +1068,108 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("DELETE FROM: partition-predicate deletes are metadata-only snapshot edits; " +
+      "untouched segments carry by name; time travel still serves pre-delete data") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_delete").toString
+    val tblDir = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tblDir)
+    append((1L, "en"), (2L, "en"))            // segment A: all matching
+    append((3L, "fr"), (4L, "de"))            // segment B: untouched
+    append((5L, "en"), (6L, "fr"))            // segment C: mixed -> rewritten
+    spark.conf.set("spark.sql.catalog.graft_del", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_del.warehouse", wh)
+    def dataFiles(): Long = {
+      val w = Files.walk(Paths.get(tblDir))
+      try w.filter(_.toString.endsWith(".parquet")).count() finally w.close()
+    }
+    val filesBefore = dataFiles()
+    val preDeleteSnap = ManifestTables.latestSnapshotId(tblDir).get
+    val segsBefore = ManifestTables.readSnapshotRefs(tblDir, None).segments
+    assert(segsBefore.length == 3, segsBefore.mkString(","))
+    spark.sql("DELETE FROM graft_del.ns.t WHERE lang_p = 'en'")
+    assert(spark.sql("SELECT id FROM graft_del.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 6L))
+    // metadata-only: no data file removed or rewritten; the pre-delete snapshot
+    // still serves all six rows (reclamation is expireSnapshots' job, not DELETE's)
+    assert(dataFiles() == filesBefore, "DELETE must not touch data files")
+    assert(spark.sql(s"SELECT count(*) FROM graft_del.ns.t VERSION AS OF $preDeleteSnap")
+      .head().getLong(0) == 6)
+    // segment discipline: B carried by NAME, A dropped, C replaced by a rewrite
+    val segsAfter = ManifestTables.readSnapshotRefs(tblDir, None).segments
+    assert(segsAfter.contains(segsBefore(1)), "untouched segment must carry by name")
+    assert(!segsAfter.contains(segsBefore(0)) && !segsAfter.contains(segsBefore(2)))
+    assert(segsAfter.length == 2, segsAfter.mkString(","))
+    // a no-match delete publishes NO snapshot (the table is unchanged)
+    val idBefore = ManifestTables.latestSnapshotId(tblDir).get
+    spark.sql("DELETE FROM graft_del.ns.t WHERE lang_p = 'zz'")
+    assert(ManifestTables.latestSnapshotId(tblDir).get == idBefore)
+    // non-partition predicates are refused loudly, nothing is deleted
+    val bad = intercept[Exception] { spark.sql("DELETE FROM graft_del.ns.t WHERE id = 3") }
+    assert(bad.getMessage.toLowerCase.contains("delete"), bad.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft_del.ns.t").head().getLong(0) == 3)
+    // IN predicate; then unconditional DELETE = truncate to a legitimately empty
+    // snapshot that still reads (and time travel still works underneath)
+    spark.sql("DELETE FROM graft_del.ns.t WHERE lang_p IN ('fr')")
+    assert(spark.sql("SELECT id FROM graft_del.ns.t").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    spark.sql("DELETE FROM graft_del.ns.t")
+    assert(spark.sql("SELECT count(*) FROM graft_del.ns.t").head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM graft_del.ns.t VERSION AS OF $preDeleteSnap")
+      .head().getLong(0) == 6)
+  }
+
+  test("data-file compaction: bin-packs small files per partition into one atomic " +
+      "snapshot swap; schema-evolution-aware; no-op when nothing packs") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_compactdata").toString
+    val tblDir = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tblDir)
+    append((1L, "en"), (2L, "fr"))
+    append((3L, "en"))
+    append((4L, "en"), (5L, "fr"))
+    // evolve mid-history: the en bin will span pre- and post-ALTER files
+    spark.conf.set("spark.sql.catalog.graft_cmp", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cmp.warehouse", wh)
+    spark.sql("ALTER TABLE graft_cmp.ns.t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft_cmp.ns.t VALUES (6, 'en', 2.5)")
+    val entriesBefore = ManifestTables.readSnapshot(tblDir, None)
+    assert(entriesBefore.length == 6) // en: 4 files, fr: 2 files
+    val preSnap = ManifestTables.latestSnapshotId(tblDir).get
+    def allRows() = spark.sql(
+      "SELECT id, lang_p, score FROM graft_cmp.ns.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val rowsBefore = allRows()
+    // a 1-byte target packs nothing (every file forms its own bin) — pure no-op
+    assert(ManifestMaintenance.compactDataFiles(spark, tblDir, 1L).isEmpty)
+    assert(ManifestTables.latestSnapshotId(tblDir).get == preSnap)
+    // a generous target packs each partition into ONE file
+    val snap = ManifestMaintenance.compactDataFiles(spark, tblDir, 64L << 20)
+    assert(snap.contains(preSnap + 1))
+    assert(allRows() == rowsBefore, "compaction must not change table content")
+    val entriesAfter = ManifestTables.readSnapshot(tblDir, None)
+    assert(entriesAfter.length == 2, entriesAfter.map(_.path).mkString(","))
+    assert(entriesAfter.map(_.partition).sorted == Seq("en", "fr"))
+    // time travel still serves the pre-compaction snapshot from the original files
+    assert(spark.sql(s"SELECT count(*) FROM graft_cmp.ns.t VERSION AS OF $preSnap")
+      .head().getLong(0) == 6)
+    // re-running finds only single-file bins — no-op, no snapshot published
+    assert(ManifestMaintenance.compactDataFiles(spark, tblDir, 64L << 20).isEmpty)
+    // the evolved column survived the rewrite (materialized nulls for legacy rows)
+    assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM graft_cmp.ns.t")
+      .head().getDouble(0) == 2.5)
+    // appends after compaction still work and the next compaction packs them in
+    append((7L, "en"))
+    assert(ManifestMaintenance.compactDataFiles(spark, tblDir, 64L << 20).isDefined)
+    assert(spark.sql("SELECT count(*) FROM graft_cmp.ns.t").head().getLong(0) == 7)
+  }
+
   test("manifest escaping: quotes/backslashes in values and %XX partition dirs round-trip") {
     assert(ManifestTables.jsonUnescape(ManifestTables.jsonEscape("a\"b\\c\nd")) == "a\"b\\c\nd")
     assert(ManifestTables.hiveUnescape("a%20b%3Ac") == "a b:c")
