@@ -1260,6 +1260,41 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- copy-on-write ROW-LEVEL operations under the gate: UPDATE with a
+    //     non-partition predicate and a MERGE (matched-update + not-matched-insert)
+    //     run through Spark's group-based rewrite — runtime group filtering narrows
+    //     the rewrite to files that actually CONTAIN matches (filterAttributes =
+    //     `_file`), the replace-write swaps exactly those files in one atomic
+    //     snapshot, and the final aggregate must equal the relational derivation
+    //     (update-then-merge composed in the same order). ---
+    "q63h_row_level" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63h", dir)
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63h_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 1000 WHERE doc_id % 10 = 0")
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .unionAll(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            lit(50L).as("n_chars"), lit("zz").as("lang_p")))
+        .createOrReplaceTempView(s"q63h_src_$tag")
+      s.sql(
+        s"""MERGE INTO $cat.corpus.docs t USING q63h_src_$tag s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.n_chars = t.n_chars * 2
+           |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang_p)
+           |  VALUES (s.doc_id, s.n_chars, s.lang_p)""".stripMargin)
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- storage-partitioned join UNDER THE GATE: two manifest tables written
     //     co-partitioned on lang_p report KeyGroupedPartitioning (HasPartitionKey),
     //     and with V2 bucketing on + broadcast off the join AND the aggregate plan
@@ -1771,6 +1806,22 @@ object CorpusQueries {
     "q63g_compaction" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63h: UPDATE-then-MERGE composed relationally in the same order (the %70
+    // rows see BOTH the +1000 and the doubling; merge inserts land in lang 'zz')
+    "q63h_row_level" ->
+      """WITH upd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |    lang FROM documents
+        |), merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars,
+        |    lang FROM upd
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 50, 'zz' FROM documents WHERE doc_id % 97 = 0
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // q69: exchange-free storage-partitioned join == plain relational join
     "q69_spj_manifest" ->
       """SELECT lang AS lang_p, count(*) AS n_docs,

@@ -165,6 +165,14 @@ object ManifestDataSource {
       parts
     }
 
+  /** Name of the file-provenance METADATA column: `SELECT _file, * FROM t` shows
+    * which manifest file each row came from, and the copy-on-write row-level
+    * operations use it as the group identifier (runtime group filtering rewrites
+    * only files that actually contain matching rows). Served as a per-file
+    * constant vector — provenance costs zero decode.
+    */
+  private[sources] val FileCol = "_file"
+
   /** External value of a V2 literal (they carry catalyst-internal values:
     * UTF8String, epoch-day Int) -> the canonical manifest string, via the ONE
     * canonicalizer (canonPartValue) that owns the type rules for pushdown, DPP,
@@ -279,8 +287,36 @@ object ManifestDataSource {
 private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     pinnedSnapshot: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestDataSource.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the data file this row came from"
+    })
+
+  /** Copy-on-write row-level operations (DELETE/UPDATE/MERGE with arbitrary row
+    * predicates): Spark's group-based rewrite reads the affected files through the
+    * operation's scan, recomputes their surviving/updated rows plan-side, and this
+    * connector swaps exactly those files for the rewritten ones in one atomic
+    * snapshot commit. Partition-predicate DELETEs never get here — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable routes them back to the metadata-only
+    * SupportsDeleteV2 path above.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedSnapshot.isEmpty,
+      "row-level operations are not allowed on a time-travel (VERSION AS OF) relation")
+    () => new ManifestRowLevelOperation(dir, info.command())
+  }
   override def name(): String = s"manifest_data($dir)"
   override def schema(): StructType = tschema
   // ACCEPT_ANY_SCHEMA only while BOOTSTRAPPING (no schema yet): Spark's built-in
@@ -383,7 +419,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 }
 
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
-    partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int])
+    partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int],
+    rowLevel: Option[ManifestRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -527,13 +564,19 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     case Some((groupCols, aggs)) =>
       new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
     case None =>
-      new ManifestDataScan(dir, tschema, required, partCols, partitionValues, snapshot, limit)
+      val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
+        snapshot, limit, rowLevel.isDefined)
+      // the FIRST scan built for a row-level operation is the main rewrite scan
+      // (scan planning precedes the group-filter subquery's own scan build); its
+      // post-runtime-filter file list is what the replace-write swaps out
+      rowLevel.foreach(_.register(scan))
+      scan
   }
 }
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
-    snapshot: Option[Int], limit: Option[Int] = None)
+    snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -542,10 +585,21 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // DPP: equality/IN filters on partition columns arriving AT EXECUTION TIME (from a
   // join's build side) further restrict the file list before planInputPartitions
   private var runtimeValues: Map[String, Set[String]] = Map.empty
+  // runtime GROUP filter of a row-level operation: the set of files that actually
+  // contain rows matching the DELETE/UPDATE/MERGE condition (In(_file, ...) computed
+  // by Spark's group-filter subquery) — only these files are read and rewritten
+  private var runtimeFiles: Option[Set[String]] = None
 
   private def allowed(e: ManifestTables.Entry): Boolean =
     ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
-      ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e)
+      ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e) &&
+      runtimeFiles.forall(_.contains(e.path))
+
+  /** The scan's CURRENT file list, all pruning applied — for a row-level operation
+    * this is read at commit time (after runtime group filtering narrowed it) and is
+    * exactly the set of files the replace-write swaps out.
+    */
+  private[sources] def effectiveEntries: Seq[ManifestTables.Entry] = pinned.filter(allowed)
 
   // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
   // on EVERY filtered partition column; an explicit snapshot option = time travel
@@ -567,18 +621,36 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partCols.map(pc =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(pc.name)).toArray
+  /** A row-level operation's scan filters on `_file` alone (the group identifier —
+    * Spark's runtime group filtering then rewrites only files containing matches);
+    * ordinary scans filter on partition columns (dynamic partition pruning).
+    * Only columns the scan actually OUTPUTS are advertised — Spark's
+    * PartitionPruning rule resolves these refs against the scan's output and
+    * throws on a pruned-away column (e.g. `SELECT _file, id` drops lang_p).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = required.fieldNames.toSet
+    if (rowLevel)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        ManifestDataSource.FileCol)).filter(c => out.contains(ManifestDataSource.FileCol))
+    else partCols.collect { case pc if out.contains(pc.name) =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(pc.name) }.toArray
+  }
 
-  /** Runtime (dynamic partition pruning) filters: same canonicalization as the
-    * planning-time path; unparseable predicates are ignored (they only ever REDUCE
-    * the file list — correctness never depends on them).
+  /** Runtime (dynamic partition pruning / row-level group) filters: same
+    * canonicalization as the planning-time path; unparseable predicates are ignored
+    * (they only ever REDUCE the file list — correctness never depends on them).
     */
   override def filter(filters: Array[Filter]): Unit = {
     def canon(colName: String, v: Any): Option[String] =
       ManifestDataSource.canonPartValue(partCols)(colName, v)
+    def intersectFiles(vs: Set[String]): Unit =
+      runtimeFiles = Some(runtimeFiles.map(_ intersect vs).getOrElse(vs))
     filters.foreach {
+      case EqualTo(c, v: String) if c == ManifestDataSource.FileCol =>
+        intersectFiles(Set(v))
+      case In(c, vs) if c == ManifestDataSource.FileCol =>
+        intersectFiles(vs.collect { case s: String => s }.toSet)
       case EqualTo(c, v) => canon(c, v).foreach { s =>
         runtimeValues = runtimeValues.updated(c,
           runtimeValues.get(c).map(_ intersect Set(s)).getOrElse(Set(s)))
@@ -602,7 +674,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
 
   override def planInputPartitions(): Array[InputPartition] =
     pinned.filter(allowed)
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition,
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e)): InputPartition)
       .toArray
 
@@ -638,8 +710,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   }
 }
 
-private case class ManifestDataInputPartition(file: String, partition: String,
-    keyDatums: Array[Any] = Array.empty)
+private case class ManifestDataInputPartition(file: String, relPath: String,
+    partition: String, keyDatums: Array[Any] = Array.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // typed partition-value tuple — the grouping key for storage-partitioned joins
   override def partitionKey(): InternalRow =
@@ -686,14 +758,14 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = pinned
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.partition): InputPartition)
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition): InputPartition)
       .toArray
     // GLOBAL aggregation over zero files must still yield count 0 (Spark's final agg
     // over an empty partial set would report null); one synthetic all-null/zero
     // partial row keeps the semantics exact. Grouped aggregation over zero files is
     // correctly empty.
     if (files.isEmpty && groupCols.isEmpty)
-      Array(ManifestDataInputPartition("", ""))
+      Array(ManifestDataInputPartition("", "", ""))
     else files
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -791,11 +863,16 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     extends PartitionReaderFactory {
 
   private def partNames = partCols.map(_.name).toSet
-  private def dataFields = fields.filter(f => !partNames.contains(f._1))
+  // per-file CONSTANT fields: partition columns + the _file provenance column
+  private def constNames = partNames + ManifestDataSource.FileCol
+  private def dataFields = fields.filter(f => !constNames.contains(f._1))
   private def tpeOf(name: String): String = partCols.find(_.name == name).get.tpe
 
-  /** Typed internal value of partition column `name` for one input partition. */
+  /** Typed internal value of constant column `name` for one input partition
+    * (a partition value, or the file's manifest-relative path for `_file`).
+    */
   private def partDatum(p: ManifestDataInputPartition, name: String): Any = {
+    if (name == ManifestDataSource.FileCol) return UTF8String.fromString(p.relPath)
     val vals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
     ManifestDataSource.internalPartValue(tpeOf(name), vals(partCols.indexWhere(_.name == name)))
   }
@@ -838,13 +915,13 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       // appended constants, in `fields` order: projected partition columns (typed
       // values) then missing data columns (nulls); initBatch appends them after the
       // data columns in exactly the order given here
-      val presentParts = fields.collect { case (n, dt) if partNames.contains(n) => (n, dt) }
+      val presentParts = fields.collect { case (n, dt) if constNames.contains(n) => (n, dt) }
       val appended = presentParts ++ missing
       val partSchema = StructType(appended.map { case (n, dt) =>
-        StructField(n, dt, nullable = !partNames.contains(n)) })
+        StructField(n, dt, nullable = !constNames.contains(n)) })
       val partRow: InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          appended.map { case (n, _) => if (partNames.contains(n)) partDatum(p, n) else null })
+          appended.map { case (n, _) => if (constNames.contains(n)) partDatum(p, n) else null })
       reader.initBatch(partSchema, partRow)
       val colIdx = readCols.zipWithIndex.toMap
       val appendedPos = appended.map(_._1).zipWithIndex.toMap
@@ -1100,6 +1177,134 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       case _ =>
     }
   }
+}
+
+/** COPY-ON-WRITE row-level operation (DELETE/UPDATE/MERGE with arbitrary row
+  * predicates) — the group-based rewrite protocol:
+  *
+  *  1. Spark's analysis rewrites the command into ReplaceData over this operation's
+  *     scan; the condition's partition conjuncts push down as usual (file pruning at
+  *     the manifest);
+  *  2. the runtime group filter (a subquery over the same table computing
+  *     `DISTINCT _file` of rows MATCHING the condition) narrows the scan to files
+  *     that actually contain matches — `filterAttributes` is `_file` here, so whole
+  *     untouched files never read or rewrite;
+  *  3. the plan recomputes the surviving/updated rows of those files and this
+  *     write lands them as fresh files, committing ONE atomic snapshot that swaps
+  *     exactly the scanned files for the rewritten ones (segments without replaced
+  *     entries carry by name);
+  *  4. serializable validation: if a concurrent commit removed any file this
+  *     operation rewrote, the commit FAILS loudly instead of resurrecting rows.
+  *
+  * The scan registered first is the main rewrite scan (operation scan planning runs
+  * before the group-filter subquery is even created); its post-runtime-filter file
+  * list, read at commit time, is the replaced set. A no-match operation (empty scan,
+  * zero replacement rows) publishes nothing.
+  */
+private[sources] class ManifestRowLevelOperation(dir: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{RowLevelOperation, WriteBuilder}
+
+  @volatile private var mainScan: ManifestDataScan = _
+  private[sources] def register(scan: ManifestDataScan): Unit =
+    synchronized { if (mainScan == null) mainScan = scan }
+  private[sources] def replacedEntries: Seq[ManifestTables.Entry] = {
+    require(mainScan != null, s"row-level $cmd write committed before its scan was planned")
+    mainScan.effectiveEntries
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"manifest copy-on-write $cmd($dir)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestDataScanBuilder(dir, ManifestDataSource.tableSchema(dir),
+      ManifestTables.readPartitionSpec(dir), None, rowLevel = Some(this))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val incoming = info.schema()
+    require(!incoming.fieldNames.contains(ManifestDataSource.FileCol),
+      s"replacement rows must not carry ${ManifestDataSource.FileCol}; got ${incoming.simpleString}")
+    val authoritative = ManifestDataSource.tableSchema(dir)
+    require(incoming.fields.map(f => (f.name, f.dataType)).toSet ==
+      authoritative.fields.map(f => (f.name, f.dataType)).toSet,
+      s"row-level write schema ${incoming.simpleString} does not match table " +
+        s"${authoritative.simpleString}")
+    val partCol = ManifestTables.readPartitionColumn(dir)
+    val partTypes = ManifestTables.readPartitionTypes(dir)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ManifestReplaceBatchWrite(dir, ManifestRowLevelOperation.this, cmd.toString,
+            partCol, partTypes, incoming)
+      }
+    }
+  }
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      ManifestDataSource.FileCol))
+}
+
+/** The replace-write half of the copy-on-write protocol: swap the operation's
+  * scanned files for the freshly written ones in one CAS-published snapshot.
+  */
+private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperation,
+    cmdName: String, partCol: String, partTypes: String, schema: StructType)
+    extends BatchWrite {
+  private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)), writeUid)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.flatMap {
+      case ManifestWriteMessage(files) => files
+      case _ => Nil
+    }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
+    val replaced = op.replacedEntries.map(_.path).toSet
+    if (replaced.isEmpty && fresh.isEmpty) return // no-match operation: no snapshot
+    val freshSeg = if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
+    var done = false
+    var attempt = 0
+    while (!done) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val inlineKeep = refs.inline.filterNot(e => replaced.contains(e.path))
+      val perSeg = refs.segments.map { seg =>
+        (seg, ManifestTables.readSegmentEntries(dir, seg, refs.snapshot))
+      }
+      // serializable validation: every file this operation rewrote must still be
+      // live — a concurrent overwrite/DELETE/compaction that dropped one means our
+      // replacement rows were derived from a retracted state
+      val present = (refs.inline ++ perSeg.flatMap(_._2)).map(_.path).toSet
+      require(replaced.subsetOf(present),
+        s"$cmdName on $dir conflicts with a concurrent commit that removed " +
+          s"${(replaced -- present).take(3).mkString(", ")} — rerun the operation")
+      val keptSegs = perSeg.flatMap { case (seg, es) =>
+        val keep = es.filterNot(e => replaced.contains(e.path))
+        if (keep.length == es.length) Some(seg)
+        else if (keep.isEmpty) None
+        else Some(ManifestTables.writeSegment(dir, keep))
+      }
+      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, inlineKeep,
+        keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl)
+      if (!done) {
+        attempt += 1
+        require(attempt < ManifestBatchWrite.MaxCommitAttempts,
+          s"$cmdName commit to $dir lost the snapshot race $attempt times")
+        Thread.sleep(math.min(1000L, 20L * attempt) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _) =>
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+        catch { case _: Exception => }
+      }
+      case _ =>
+    }
 }
 
 private class ManifestWriterFactory(dir: String, partCol: String,

@@ -1107,10 +1107,18 @@ class ManifestSourceSpec extends AnyFunSuite {
     val idBefore = ManifestTables.latestSnapshotId(tblDir).get
     spark.sql("DELETE FROM graft_del.ns.t WHERE lang_p = 'zz'")
     assert(ManifestTables.latestSnapshotId(tblDir).get == idBefore)
-    // non-partition predicates are refused loudly, nothing is deleted
-    val bad = intercept[Exception] { spark.sql("DELETE FROM graft_del.ns.t WHERE id = 3") }
-    assert(bad.getMessage.toLowerCase.contains("delete"), bad.getMessage)
-    assert(spark.sql("SELECT count(*) FROM graft_del.ns.t").head().getLong(0) == 3)
+    // non-partition predicates take the COPY-ON-WRITE path (see the row-level
+    // operations test): only the file holding the matching row is swapped
+    val entriesPreRowLevel = ManifestTables.readSnapshot(tblDir, None).map(_.path).toSet
+    spark.sql("DELETE FROM graft_del.ns.t WHERE id = 3")
+    assert(spark.sql("SELECT id FROM graft_del.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 6L))
+    val entriesPostRowLevel = ManifestTables.readSnapshot(tblDir, None).map(_.path).toSet
+    // exactly one file replaced (segment B's fr file holds only id=3, so the
+    // rewrite has zero survivors and the file is simply dropped); every other
+    // file carries untouched
+    assert((entriesPreRowLevel -- entriesPostRowLevel).size == 1,
+      s"expected 1 replaced file, diff=${entriesPreRowLevel -- entriesPostRowLevel}")
     // IN predicate; then unconditional DELETE = truncate to a legitimately empty
     // snapshot that still reads (and time travel still works underneath)
     spark.sql("DELETE FROM graft_del.ns.t WHERE lang_p IN ('fr')")
@@ -1119,6 +1127,74 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_del.ns.t").head().getLong(0) == 0)
     assert(spark.sql(s"SELECT count(*) FROM graft_del.ns.t VERSION AS OF $preDeleteSnap")
       .head().getLong(0) == 6)
+  }
+
+  test("row-level operations: UPDATE/MERGE copy-on-write rewrites only files with " +
+      "matches; _file provenance column; no-match ops publish nothing") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_rowlevel").toString
+    val tblDir = s"$wh/ns/t"
+    def append(rows: (Long, String, Long)*): Unit =
+      rows.toSeq.toDF("id", "lang_p", "score").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tblDir)
+    append((1L, "en", 10L), (2L, "fr", 20L))   // 2 files
+    append((3L, "en", 30L), (4L, "en", 40L))   // 1 file (same partition)
+    append((5L, "de", 50L))                    // 1 file
+    spark.conf.set("spark.sql.catalog.graft_rl", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+    def rows() = spark.sql("SELECT id, lang_p, score FROM graft_rl.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def entries() = ManifestTables.readSnapshot(tblDir, None).map(_.path).toSet
+
+    // the _file metadata column reports each row's manifest-relative source file
+    val byFile = spark.sql("SELECT _file, id FROM graft_rl.ns.t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byFile.map(_._1).toSet == entries(), "_file must be the manifest-relative path")
+    assert(byFile.filter { case (_, id) => id == 3L || id == 4L }.map(_._1).distinct.size == 1,
+      "ids 3 and 4 were appended into one en file")
+
+    // UPDATE with a row predicate: only the file holding ids 3+4 is swapped
+    val preUpdate = entries()
+    val preUpdateSnap = ManifestTables.latestSnapshotId(tblDir).get
+    spark.sql("UPDATE graft_rl.ns.t SET score = score + 1 WHERE id = 3")
+    assert(rows() == Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 31L),
+      (4L, "en", 40L), (5L, "de", 50L)))
+    val postUpdate = entries()
+    assert((preUpdate -- postUpdate).size == 1, s"one file out, got ${preUpdate -- postUpdate}")
+    assert((postUpdate -- preUpdate).size == 1, s"one file in, got ${postUpdate -- preUpdate}")
+    // time travel still serves the pre-update value from the original file
+    assert(spark.sql(s"SELECT score FROM graft_rl.ns.t VERSION AS OF $preUpdateSnap WHERE id = 3")
+      .head().getLong(0) == 30L)
+
+    // a no-match UPDATE publishes NO snapshot
+    val idBefore = ManifestTables.latestSnapshotId(tblDir).get
+    spark.sql("UPDATE graft_rl.ns.t SET score = 0 WHERE id = 999")
+    assert(ManifestTables.latestSnapshotId(tblDir).get == idBefore)
+
+    // MERGE: matched rows update, unmatched source rows insert (new file appended);
+    // files without matches carry untouched
+    val preMerge = entries()
+    spark.sql(
+      """MERGE INTO graft_rl.ns.t t
+        |USING (SELECT * FROM VALUES (5L, 'de', 500L), (7L, 'it', 70L) AS s(id, lang_p, score)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.score = s.score
+        |WHEN NOT MATCHED THEN INSERT (id, lang_p, score) VALUES (s.id, s.lang_p, s.score)
+        |""".stripMargin)
+    assert(rows() == Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 31L),
+      (4L, "en", 40L), (5L, "de", 500L), (7L, "it", 70L)))
+    val postMerge = entries()
+    // only the de file was replaced; en/fr files carry; the it row landed in a fresh file
+    assert((preMerge -- postMerge).size == 1, s"merge replaced ${preMerge -- postMerge}")
+    assert(spark.sql("SELECT DISTINCT lang_p FROM graft_rl.ns.t WHERE id = 7")
+      .head().getString(0) == "it")
+
+    // row-level ops on a time-travel relation are refused loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"UPDATE graft_rl.ns.t VERSION AS OF $preUpdateSnap SET score = 0 WHERE id = 1")
+    }
+    assert(bad.getMessage != null)
   }
 
   test("data-file compaction: bin-packs small files per partition into one atomic " +
