@@ -1260,6 +1260,35 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- per-file STATS SKIPPING under the gate: the DSv2 write records min/max
+    //     column bounds per data file in the manifest; a range predicate on doc_id
+    //     then skips whole files at scan PLANNING (before any footer opens) — the
+    //     require() proves files were actually skipped, the oracle proves skipping
+    //     never changed the answer. Range-clustered ingest (the repartitionByRange)
+    //     is exactly the layout streaming/batch ingest produces for time/id keys. ---
+    "q63i_stats_skipping" -> ((s, dir) => {
+      val wh = freshTmpTable("q63i", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .repartitionByRange(8, col("doc_id"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/docs")
+      val tbl = s.read.format("graft.sources.ManifestDataSource").load(s"$wh/docs")
+      val filtered = tbl.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/docs").length
+      val probe = filtered.select("doc_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total,
+        s"stats skipping pruned nothing: planned $planned of $total files")
+      filtered.groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- copy-on-write ROW-LEVEL operations under the gate: UPDATE with a
     //     non-partition predicate and a MERGE (matched-update + not-matched-insert)
     //     run through Spark's group-based rewrite — runtime group filtering narrows
@@ -1806,6 +1835,10 @@ object CorpusQueries {
     "q63g_compaction" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63i: stats skipping is invisible to answers — plain filtered aggregate
+    "q63i_stats_skipping" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63h: UPDATE-then-MERGE composed relationally in the same order (the %70
     // rows see BOTH the +1000 and the doubling; merge inserts land in lang 'zz')
     "q63h_row_level" ->

@@ -506,8 +506,58 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
         true
       }
     }
+    // data-column comparisons additionally become STATS-PRUNING bounds: they stay
+    // residual (Spark re-evaluates them row-by-row — pruning can never change
+    // answers), but a file whose recorded min/max provably excludes every row is
+    // skipped before its footer ever opens
+    statBounds = residual.flatMap(statBoundOf).toSeq
     acceptedV2 = absorbed.toArray
     residual
+  }
+
+  private var statBounds: Seq[ManifestStats.Bound] = Nil
+
+  /** One residual predicate -> a min/max-testable bound, when it is a plain
+    * comparison between a single DATA column and non-null literal(s). Anything
+    * else (null-safe ops, expressions, nested refs) contributes no bound.
+    */
+  private def statBoundOf(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[ManifestStats.Bound] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
+    def colOf(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        !partCols.exists(_.name == r.fieldNames.head) &&
+        tschema.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+      case _ => None
+    }
+    def litOf(e: Expression): Option[Any] = e match {
+      case l: LV[_] if l.value() != null => Some(l.value())
+      case _ => None
+    }
+    (p.name(), p.children()) match {
+      case ("=" | "<" | "<=" | ">" | ">=", Array(a, b)) =>
+        (colOf(a), litOf(b)) match {
+          case (Some(c), Some(v)) => Some(ManifestStats.Bound(c, p.name(), Seq(v)))
+          case _ => (litOf(a), colOf(b)) match {
+            case (Some(v), Some(c)) =>
+              val flipped = p.name() match {
+                case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+                case op => op
+              }
+              Some(ManifestStats.Bound(c, flipped, Seq(v)))
+            case _ => None
+          }
+        }
+      case ("IN", children) if children.length >= 2 =>
+        colOf(children(0)).flatMap { c =>
+          val vs = children.drop(1).flatMap(litOf)
+          if (vs.length == children.length - 1) Some(ManifestStats.Bound(c, "in", vs.toSeq))
+          else None
+        }
+      case _ => None
+    }
   }
 
   override def pushedPredicates()
@@ -565,7 +615,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
-        snapshot, limit, rowLevel.isDefined)
+        snapshot, limit, rowLevel.isDefined, statBounds)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -576,7 +626,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
-    snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false)
+    snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
+    statBounds: Seq[ManifestStats.Bound] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -593,7 +644,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   private def allowed(e: ManifestTables.Entry): Boolean =
     ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
       ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e) &&
-      runtimeFiles.forall(_.contains(e.path))
+      runtimeFiles.forall(_.contains(e.path)) &&
+      ManifestStats.allows(e.stats, statBounds)
 
   /** The scan's CURRENT file list, all pruning applied — for a row-level operation
     * this is read at commit time (after runtime group filtering narrowed it) and is
@@ -1083,7 +1135,7 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
   }
 }
 
-private case class ManifestWriteMessage(files: Seq[(String, Long, String)])
+private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)])
     extends WriterCommitMessage
 
 private object ManifestBatchWrite {
@@ -1116,7 +1168,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     val fresh = messages.flatMap {
       case ManifestWriteMessage(files) => files
       case _ => Nil
-    }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
+    }.map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
     // this write's entries become ONE immutable segment, written once OUTSIDE the
     // retry loop (its content never changes across attempts); the snapshot then
     // carries `previous segment names + this name` — commit cost is O(fresh files +
@@ -1170,7 +1222,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort cleanup; an aborted write's files were never referenced anyway
     messages.foreach {
-      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _) =>
+      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -1259,7 +1311,7 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
     val fresh = messages.flatMap {
       case ManifestWriteMessage(files) => files
       case _ => Nil
-    }.map { case (rel, bytes, part) => ManifestTables.Entry(rel, bytes, part, 0) }
+    }.map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
     val replaced = op.replacedEntries.map(_.path).toSet
     if (replaced.isEmpty && fresh.isEmpty) return // no-match operation: no snapshot
     val freshSeg = if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
@@ -1299,7 +1351,7 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _) =>
+      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -1354,6 +1406,11 @@ private class ManifestDataWriter(dir: String, partCol: String,
   private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
   private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[Group]]()
   private val paths = scala.collection.mutable.LinkedHashMap[String, String]()
+  // per-file min/max column stats, accumulated as rows stream through and recorded
+  // in the manifest entry at commit — the scan's data-skipping input
+  private val statSpecs: Array[(String, DataType, Int)] =
+    dataFields.map { case ((n, dt), ord) => (n, dt, ord) }
+  private val stats = scala.collection.mutable.LinkedHashMap[String, ManifestStats.Acc]()
 
   private def writerFor(joined: String, vals: Seq[String]): org.apache.parquet.hadoop.ParquetWriter[Group] =
     writers.getOrElseUpdate(joined, {
@@ -1416,12 +1473,14 @@ private class ManifestDataWriter(dir: String, partCol: String,
       }
     }
     writerFor(joined, vals).write(g)
+    stats.getOrElseUpdate(joined, new ManifestStats.Acc(statSpecs)).observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
     ManifestWriteMessage(paths.toSeq.map { case (v, rel) =>
-      (rel, java.nio.file.Files.size(java.nio.file.Paths.get(dir, rel)), v)
+      (rel, java.nio.file.Files.size(java.nio.file.Paths.get(dir, rel)), v,
+        stats.get(v).map(_.encode()).getOrElse(""))
     })
   }
 

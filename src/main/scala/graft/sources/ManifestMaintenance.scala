@@ -159,7 +159,11 @@ object ManifestMaintenance {
     Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(Paths.get(dir, "_compact_tmp", uid))
-    ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1)
+    // the compacted file's stats are the MERGE of its inputs' recorded bounds
+    // (min of mins, max of maxes) — compaction must not erase data-skipping
+    ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1,
+      stats = ManifestStats.merge(bin.map(_.stats),
+        dataSchema.fields.map(f => (f.name, f.dataType)).toSeq))
   }
 
   private def listOnly(dirPath: Path, pred: Path => Boolean): Path = {

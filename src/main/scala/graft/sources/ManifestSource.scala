@@ -126,7 +126,8 @@ object ManifestTables {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int)
+  private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int,
+      stats: String = "")
 
   /** What a snapshot file REFERENCES, without expanding segments: inline entries
     * (legacy full-list commits) plus immutable segment-file names. The layered form
@@ -218,13 +219,17 @@ object ManifestTables {
 
   private def parseEntries(txt: String, sourceFile: String, snap: Int): Seq[Entry] = {
     // partition key optional: PartitionedTable's transcript manifests share this file
-    // layout but carry no partition values (they surface as "")
+    // layout but carry no partition values (they surface as ""); per-file column
+    // stats optional (entries written before the stats feature read as stat-less —
+    // they are simply never pruned on data-column bounds)
     val entry =
       (s"\\{\"path\":\\s*\"$JStr\",\\s*\"bytes\":\\s*(\\d+)" +
-        s"(?:,\\s*\"partition\":\\s*\"$JStr\")?\\}").r
+        s"(?:,\\s*\"partition\":\\s*\"$JStr\")?" +
+        s"(?:,\\s*\"stats\":\\s*\"$JStr\")?\\}").r
     val out = entry.findAllMatchIn(txt)
       .map(m => Entry(jsonUnescape(m.group(1)), m.group(2).toLong,
-        jsonUnescape(Option(m.group(3)).getOrElse("")), snap))
+        jsonUnescape(Option(m.group(3)).getOrElse("")), snap,
+        jsonUnescape(Option(m.group(4)).getOrElse(""))))
       .toSeq
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
@@ -282,10 +287,16 @@ object ManifestTables {
     * Unique (UUID) name + temp-then-link publication: a crash leaves only an
     * unreferenced temp or an orphaned complete segment, never a torn referenced one.
     */
+  /** One entry's JSON object — path/bytes/partition plus OPTIONAL per-file column
+    * stats (min/max bounds the scan prunes on; see ManifestDataSource.FileStats).
+    */
+  private def entryJson(e: Entry): String = {
+    val statsField = if (e.stats.isEmpty) "" else s""", "stats": "${jsonEscape(e.stats)}""""
+    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField}"""
+  }
+
   private[sources] def writeSegment(dir: String, entries: Seq[Entry]): String = {
-    val fileList = entries.map { e =>
-      s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
-    }
+    val fileList = entries.map(entryJson)
     val json = s"""{\n  "files": [\n${fileList.mkString(",\n")}\n  ]\n}"""
     val mdir = Paths.get(dir, "_manifests")
     Files.createDirectories(mdir)
@@ -332,9 +343,7 @@ object ManifestTables {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
-    val fileList = inline.map { e =>
-      s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"}"""
-    }
+    val fileList = inline.map(entryJson)
     // `note` rides INSIDE the atomic publication — the exactly-once hook: a streaming
     // sink stamps its micro-batch id here, so "was batch B committed?" and "commit
     // batch B" can never be observed apart (see ManifestStreamSink). It stays in the

@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-FILE column statistics (min/max bounds) recorded in the manifest at write
+  * time and used to SKIP whole files at scan planning — Iceberg's data-skipping
+  * discipline on this layout. Partition pruning removes files by directory value;
+  * stats pruning removes files by data-column CONTENT bounds, which is the lever
+  * that matters for range predicates over sorted/clustered columns (time ranges
+  * over event tables, id ranges over ingest batches) at 100 TB: a predicate
+  * touching 1% of the key space should open ~1% of the files.
+  *
+  * Encoding (one escaped JSON string field per manifest entry, flat and
+  * regex-friendly — the manifest's parser stays a single regex):
+  *   record    := name FS kind FS minEnc FS maxEnc
+  *   stats     := record (RS record)*
+  *   kind      := 'l' (integral: int/long/date/timestamp — decimal micros/days) |
+  *                'd' (float/double — java.lang.Double.toString) |
+  *                's' (string — base64 of UTF-8 bytes; bounds compare in
+  *                     UTF8String binary order, Spark's own string order)
+  * An all-null column records EMPTY min/max (prunes every non-null comparison);
+  * a column with no record is UNKNOWN (never pruned — the safe direction, and how
+  * entries written before this feature behave). String bounds are recorded only
+  * when every value fits [[ManifestStats.MaxStringStat]] chars — long text
+  * columns carry no bounds rather than truncated ones (a truncated upper bound
+  * would be unsound without Iceberg's increment-last-char dance).
+  */
+private[sources] object ManifestStats {
+  val RecSep = '\u001e'
+  val FieldSep = '\u001f'
+  val MaxStringStat = 64
+
+  /** Stat kind of a column type; None = not stat-able (binary/array/bool/...). */
+  def kindOf(dt: DataType): Option[Char] = dt match {
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType => Some('l')
+    case FloatType | DoubleType => Some('d')
+    case StringType => Some('s')
+    case _ => None
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** A data-column comparison usable for pruning: op in =, <, <=, >, >=, in.
+    * `values` are catalyst-internal literal values (UTF8String, epoch-day Int, ...).
+    */
+  case class Bound(col: String, op: String, values: Seq[Any])
+
+  /** Catalyst literal -> the stat kind's comparable domain; None = not convertible
+    * (mismatched literal type -> no pruning, the safe direction).
+    */
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case _ => asLong(v).map(_.toDouble)
+  }
+  private def asUtf8(v: Any): Option[UTF8String] = v match {
+    case u: UTF8String => Some(u)
+    case s: String => Some(UTF8String.fromString(s))
+    case _ => None
+  }
+
+  /** sign of (bound - literal), or None when the literal does not convert
+    * (or is NaN — NaN compares are never a basis for skipping a file).
+    */
+  private def cmp(kind: Char, boundEnc: String, lit: Any): Option[Int] = kind match {
+    case 'l' => asLong(lit).map(v => java.lang.Long.compare(boundEnc.toLong, v))
+    case 'd' => asDouble(lit).flatMap { v =>
+      if (v.isNaN) None else Some(java.lang.Double.compare(boundEnc.toDouble, v))
+    }
+    case 's' => asUtf8(lit).map(v => UTF8String.fromString(unb64(boundEnc)).compareTo(v))
+    case _ => None
+  }
+
+  private def parse(stats: String): Map[String, (Char, String, String)] =
+    stats.split(RecSep).iterator.flatMap { r =>
+      r.split(FieldSep.toString, -1) match {
+        case Array(name, kind, mn, mx) if kind.length == 1 => Some(name -> (kind.head, mn, mx))
+        case _ => None
+      }
+    }.toMap
+
+  /** Does a file with these stats POSSIBLY contain a row matching every bound?
+    * false = provably no match = the file is skipped. Unknown columns, unparseable
+    * records, and non-convertible literals all answer true (never prune on doubt).
+    */
+  def allows(stats: String, bounds: Seq[Bound]): Boolean = {
+    if (stats.isEmpty || bounds.isEmpty) return true
+    val recs = parse(stats)
+    bounds.forall { b =>
+      recs.get(b.col) match {
+        case None => true
+        case Some((_, "", _)) | Some((_, _, "")) =>
+          // all-null column: no non-null value can satisfy any comparison
+          false
+        case Some((kind, mn, mx)) =>
+          def minCmp(v: Any) = cmp(kind, mn, v) // sign of (min - v)
+          def maxCmp(v: Any) = cmp(kind, mx, v) // sign of (max - v)
+          def mayEqual(v: Any): Boolean =
+            (minCmp(v), maxCmp(v)) match {
+              case (Some(a), Some(c)) => a <= 0 && c >= 0 // min <= v <= max
+              case _ => true
+            }
+          b.op match {
+            case "=" => b.values.headOption.forall(mayEqual)
+            case "in" => b.values.isEmpty || b.values.exists(mayEqual)
+            case ">" => b.values.headOption.forall(v => maxCmp(v).forall(_ > 0))
+            case ">=" => b.values.headOption.forall(v => maxCmp(v).forall(_ >= 0))
+            case "<" => b.values.headOption.forall(v => minCmp(v).forall(_ < 0))
+            case "<=" => b.values.headOption.forall(v => minCmp(v).forall(_ <= 0))
+            case _ => true
+          }
+      }
+    }
+  }
+
+  /** Merge per-file stats of files being rewritten into one (compaction): a column
+    * survives only if EVERY input carries a record for it (any unknown input makes
+    * the merged bound unknown); all-null inputs widen nothing; a mix of all-null
+    * and valued inputs keeps the valued bounds.
+    */
+  def merge(statsList: Seq[String], fields: Seq[(String, DataType)]): String = {
+    if (statsList.isEmpty || statsList.exists(_.isEmpty)) return ""
+    val parsed = statsList.map(parse)
+    def lt(kind: Char)(a: String, b: String): Boolean = kind match {
+      case 'l' => a.toLong < b.toLong
+      case 'd' => a.toDouble < b.toDouble
+      case _ => UTF8String.fromString(unb64(a)).compareTo(UTF8String.fromString(unb64(b))) < 0
+    }
+    fields.flatMap { case (name, dt) =>
+      kindOf(dt).flatMap { kind =>
+        val recs = parsed.map(_.get(name))
+        if (recs.exists(_.isEmpty)) None
+        else {
+          val present = recs.flatten.filter { case (_, mn, mx) => mn.nonEmpty && mx.nonEmpty }
+          if (present.isEmpty) Some(s"$name$FieldSep$kind$FieldSep$FieldSep")
+          else {
+            val mn = present.map(_._2).reduce((a, b) => if (lt(kind)(a, b)) a else b)
+            val mx = present.map(_._3).reduce((a, b) => if (lt(kind)(a, b)) b else a)
+            Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
+          }
+        }
+      }
+    }.mkString(RecSep.toString)
+  }
+
+  /** Writer-side accumulator for ONE data file: tracks min/max per stat-able
+    * column while rows stream through; O(stat-able columns) comparisons per row.
+    * specs: (name, type, row ordinal) of the DATA columns being written.
+    */
+  final class Acc(specs: Array[(String, DataType, Int)]) {
+    // only stat-able columns with separator-free names (a name carrying the
+    // encoding's own separators could not round-trip)
+    private val cols: Array[(String, Char, DataType, Int)] = specs.flatMap {
+      case (name, dt, ord) =>
+        if (name.indexOf(RecSep.toInt) >= 0 || name.indexOf(FieldSep.toInt) >= 0) None
+        else kindOf(dt).map(k => (name, k, dt, ord))
+    }
+    private val n = cols.length
+    private val valid = Array.fill(n)(true)
+    private val hasVal = Array.fill(n)(false)
+    private val minL, maxL = new Array[Long](n)
+    private val minD, maxD = new Array[Double](n)
+    private val minS, maxS = new Array[UTF8String](n)
+
+    def observe(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        if (valid(i)) {
+          val (_, kind, dt, ord) = cols(i)
+          if (!row.isNullAt(ord)) kind match {
+            case 'l' =>
+              val v = dt match {
+                case IntegerType | DateType => row.getInt(ord).toLong
+                case _ => row.getLong(ord)
+              }
+              if (!hasVal(i)) { minL(i) = v; maxL(i) = v; hasVal(i) = true }
+              else { if (v < minL(i)) minL(i) = v; if (v > maxL(i)) maxL(i) = v }
+            case 'd' =>
+              val v = dt match {
+                case FloatType => row.getFloat(ord).toDouble
+                case _ => row.getDouble(ord)
+              }
+              if (v.isNaN) valid(i) = false // NaN breaks ordering: drop the column
+              else if (!hasVal(i)) { minD(i) = v; maxD(i) = v; hasVal(i) = true }
+              else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }
+            case 's' =>
+              val v = row.getUTF8String(ord)
+              if (v.numChars() > MaxStringStat) valid(i) = false // no truncated bounds
+              else {
+                val copy = v.clone() // row buffers are reused; bounds must own their bytes
+                if (!hasVal(i)) { minS(i) = copy; maxS(i) = copy; hasVal(i) = true }
+                else {
+                  if (copy.compareTo(minS(i)) < 0) minS(i) = copy
+                  if (copy.compareTo(maxS(i)) > 0) maxS(i) = copy
+                }
+              }
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+    }
+
+    def encode(): String =
+      (0 until n).flatMap { i =>
+        val (name, kind, _, _) = cols(i)
+        if (!valid(i)) None
+        else if (!hasVal(i)) Some(s"$name$FieldSep$kind$FieldSep$FieldSep") // all-null
+        else {
+          val (mn, mx) = kind match {
+            case 'l' => (minL(i).toString, maxL(i).toString)
+            case 'd' => (minD(i).toString, maxD(i).toString)
+            case _ => (b64(minS(i).toString), b64(maxS(i).toString))
+          }
+          Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
+        }
+      }.mkString(RecSep.toString)
+  }
+}

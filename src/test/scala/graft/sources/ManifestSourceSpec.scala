@@ -1197,6 +1197,66 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("per-file column stats: data-column predicates skip whole files by min/max; " +
+      "compaction merges bounds; unknown/long/all-null columns never mis-prune") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_stats").toString
+    val tbl = s"$wh/t"
+    // three files in ONE partition with disjoint id ranges, a short string tag,
+    // and a score column that is all-null in the third file
+    def append(ids: Range, tag: String, score: Option[Double]): Unit =
+      ids.map { i =>
+        val s: java.lang.Double = score.map(v => java.lang.Double.valueOf(v + i)).orNull
+        (i.toLong, tag, s, "en")
+      }.toDF("id", "tag", "score", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(0 until 10, "alpha", Some(0.5))
+    append(10 until 20, "mid", Some(100.5))
+    append(20 until 30, "zulu", None)
+    val entries = ManifestTables.readSnapshot(tbl, None)
+    assert(entries.length == 3 && entries.forall(_.stats.nonEmpty),
+      entries.map(e => s"${e.path}:${e.stats}").mkString("\n"))
+    def tdf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    def files(df: org.apache.spark.sql.DataFrame): Int = inputPartitionCount(df)
+    // long range: only the file whose [min,max] overlaps opens
+    assert(files(tdf.filter(col("id") >= 25).select("id")) == 1)
+    assert(files(tdf.filter(col("id") === 12).select("id")) == 1)
+    assert(files(tdf.filter(col("id") < 0).select("id")) == 0)
+    assert(files(tdf.filter(col("id") isin (3L, 7L)).select("id")) == 1)
+    assert(tdf.filter(col("id") >= 25).count() == 5)
+    // string bounds in UTF8 binary order: 'zulu' lives only in file 3
+    assert(files(tdf.filter(col("tag") === "zulu").select("id")) == 1)
+    assert(files(tdf.filter(col("tag") > "zz").select("id")) == 0)
+    // double bounds; the ALL-NULL score file is skipped for any comparison...
+    assert(files(tdf.filter(col("score") > 50.0).select("id")) == 1)
+    assert(tdf.filter(col("score") > 50.0).count() == 10)
+    // ...but never for IS NULL (no bound is extracted from null tests)
+    assert(tdf.filter(col("score").isNull).count() == 10)
+    // a filter on BOTH partition and data columns composes both prunings
+    assert(files(tdf.filter(col("lang_p") === "en" && col("id") === 5).select("id")) == 1)
+    assert(files(tdf.filter(col("lang_p") === "xx" && col("id") === 5).select("id")) == 0)
+    // compaction MERGES stats: pack files 1+2 (bin bound fits two), file 3 alone
+    val twoFileBytes = entries.take(2).map(_.bytes).sum
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, twoFileBytes + 1).isDefined)
+    val after = ManifestTables.readSnapshot(tbl, None)
+    assert(after.length == 2, after.map(_.path).mkString(","))
+    assert(after.forall(_.stats.nonEmpty))
+    assert(files(tdf.filter(col("id") >= 25).select("id")) == 1) // merged [0,19] skipped
+    assert(files(tdf.filter(col("id") === 12).select("id")) == 1)
+    assert(tdf.filter(col("id") >= 25).count() == 5)
+    // a LONG string column records no bounds and is simply never pruned on
+    val tbl2 = s"$wh/t2"
+    Seq((1L, "x" * 100, "en"), (2L, "y" * 100, "en")).toDF("id", "body", "lang_p")
+      .coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tbl2)
+    val e2 = ManifestTables.readSnapshot(tbl2, None)
+    assert(e2.head.stats.contains("id"), e2.head.stats)
+    assert(!e2.head.stats.contains("body"), e2.head.stats)
+    val t2 = spark.read.format(classOf[ManifestDataSource].getName).load(tbl2)
+    assert(t2.filter(col("body") === ("x" * 100)).count() == 1)
+  }
+
   test("data-file compaction: bin-packs small files per partition into one atomic " +
       "snapshot swap; schema-evolution-aware; no-op when nothing packs") {
     import spark.implicits._
