@@ -1011,6 +1011,44 @@ object CorpusQueries {
     //     re-derives the identical index end-to-end (fit + encode + ADC + rerank);
     //     the hit flag marks agreement with the exact top-5 (the labeled bounded
     //     brute side, as in q51b). ---
+    // --- training-data MIXTURE SAMPLING: per-language keep rates applied by a
+    //     deterministic content-hash coin — the corpus-mixing step every training
+    //     run needs (upsample scarce languages, downsample dominant ones), with
+    //     zero state and exact reproducibility. The coin is the first 4 hex chars
+    //     of md5(text) compared lexicographically against a hex threshold
+    //     (lowercase-hex order == numeric order, so the DuckDB oracle mirrors it
+    //     exactly); rates ride in a broadcast dim, never a shuffle. ---
+    "q55_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq(("en", "8000"), ("fr", "4000"), ("es", "2000"),
+        ("de", "1000"), ("zh", "0800")).toDF("lang", "thresh")
+      t(s, dir, "documents")
+        .join(broadcast(rates), "lang")
+        .filter(substring(md5s(col("text")), 1, 4) < col("thresh"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- training-data SEQUENCE PACKING: documents stream per language in doc_id
+    //     order into fixed 2048-token sequences (tokens ~ n_chars/4); each doc's
+    //     sequence id = floor(running-token-prefix / budget) — the streamed-concat
+    //     packing layout trainers consume. All integer math over a PARTITIONED
+    //     window (per-language, never partitionless); the aggregate reports
+    //     sequences and fill per language. ---
+    "q56_sequence_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("toks", expr("n_chars div 4"))
+        .withColumn("prefix", sum(col("toks")).over(w) - col("toks"))
+        .withColumn("seq_id", expr("prefix div 2048"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("seq_id")).as("n_seqs"),
+          sum(col("toks")).cast("long").as("total_toks"),
+          max(col("seq_id")).cast("long").as("last_seq"))
+        .orderBy(col("lang"))
+    }),
+
     "q54_ivf_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -1757,6 +1795,24 @@ object CorpusQueries {
     // q54: the oracle re-derives the ENTIRE IVF-PQ index — coarse k-means, 8
     // subspace codebooks, codes, per-query ADC tables — in integer SQL, then the
     // same shortlist/rerank/hit pipeline as the Spark side
+    "q55_mixture_sample" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |JOIN (VALUES ('en','8000'), ('fr','4000'), ('es','2000'), ('de','1000'),
+        |  ('zh','0800')) AS r(lang, thresh) USING (lang)
+        |WHERE substr(md5(text), 1, 4) < thresh
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, n_chars // 4 AS toks,
+        |    sum(n_chars // 4) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (n_chars // 4) AS prefix
+        |  FROM documents
+        |)
+        |SELECT lang, count(DISTINCT prefix // 2048) AS n_seqs,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(max(prefix // 2048) AS BIGINT) AS last_seq
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_ivf_pq" -> {
       val dotQC = duckDot("qe", "ce")
       val nQ = duckDot("qe", "qe")
