@@ -1362,6 +1362,48 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- MERGE-ON-READ positional DELETE under the gate: a non-partition-predicate
+    //     DELETE runs as a delta (the scan emits matching rows' (_file,_pos)
+    //     identities, one positional-delete segment commits, NO data file is read
+    //     back or rewritten — the require()s prove it), readers apply the positions,
+    //     and the aggregate must equal the relational complement. Then compaction
+    //     folds the delta into real files and the answer must NOT move. ---
+    "q63k_merge_on_read" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63k", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63k_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val filesBefore = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+        .map(_._1).toSet
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 7 = 3")
+      finally s.conf.unset("spark.graft.manifest.deleteMode")
+      val filesAfter = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+        .map(_._1).toSet
+      require(filesAfter == filesBefore,
+        "merge-on-read DELETE must leave every data file in place")
+      def agg() = s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+      // the DELTA-carrying read (positions applied at scan time) answers first...
+      val deltaAnswer = agg().collect().toSeq
+      // ...then compaction folds the delta into real files, and the SAME aggregate
+      // must not move by a row (the gate re-runs it against DuckDB)
+      require(graft.sources.ManifestMaintenance
+        .compactDataFiles(s, s"$wh/corpus/docs", 64L << 20).isDefined,
+        "compaction found nothing to fold — the merge-on-read setup is broken")
+      val folded = agg()
+      require(folded.collect().toSeq == deltaAnswer,
+        "compaction changed the merge-on-read answer")
+      folded
+    }),
+
     // --- storage-partitioned join UNDER THE GATE: two manifest tables written
     //     co-partitioned on lang_p report KeyGroupedPartitioning (HasPartitionKey),
     //     and with V2 bucketing on + broadcast off the join AND the aggregate plan
@@ -1895,6 +1937,10 @@ object CorpusQueries {
     "q63i_stats_skipping" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63k: merge-on-read DELETE == relational complement of the predicate
+    "q63k_merge_on_read" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 7 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63h: UPDATE-then-MERGE composed relationally in the same order (the %70
     // rows see BOTH the +1000 and the doubling; merge inserts land in lang 'zz')
     "q63h_row_level" ->

@@ -126,7 +126,7 @@ class ManifestCatalog extends TableCatalog
       val next = ManifestTables.latestSnapshotId(dir).get + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
-        schemaDdl = Some(widened.toDDL))
+        schemaDdl = Some(widened.toDDL), deletes = refs.deletes)
       if (!done) {
         attempt += 1
         require(attempt < 16, s"ALTER TABLE on $dir lost the snapshot race $attempt times")

@@ -173,6 +173,15 @@ object ManifestDataSource {
     */
   private[sources] val FileCol = "_file"
 
+  /** Name of the row-POSITION metadata column: a row's ordinal within its data
+    * file. `(_file, _pos)` is the stable row identity merge-on-read positional
+    * deletes key on (the delta row-level operation's rowId). Serving `_pos`
+    * forces the row-mode read path (it is a running counter, not a per-file
+    * constant) — only delete-planning scans and explicit provenance queries
+    * project it, so the columnar fast path is undisturbed.
+    */
+  private[sources] val PosCol = "_pos"
+
   /** External value of a V2 literal (they carry catalyst-internal values:
     * UTF8String, epoch-day Int) -> the canonical manifest string, via the ONE
     * canonicalizer (canonPartValue) that owns the type rules for pushdown, DPP,
@@ -294,13 +303,21 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = ManifestDataSource.FileCol
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "manifest-relative path of the data file this row came from"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestDataSource.FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest-relative path of the data file this row came from"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestDataSource.PosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row position within its data file (merge-on-read delete identity)"
+      })
 
   /** Copy-on-write row-level operations (DELETE/UPDATE/MERGE with arbitrary row
     * predicates): Spark's group-based rewrite reads the affected files through the
@@ -315,7 +332,16 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedSnapshot.isEmpty,
       "row-level operations are not allowed on a time-travel (VERSION AS OF) relation")
-    () => new ManifestRowLevelOperation(dir, info.command())
+    // session opt-in: DELETE as a merge-on-read positional delta (O(matches)
+    // commit, no data file rewritten) instead of the copy-on-write default;
+    // UPDATE/MERGE always copy-on-write (their replacement rows need real files)
+    val mergeOnRead = info.command() ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.manifest.deleteMode", "copy-on-write") == "merge-on-read"
+    () =>
+      if (mergeOnRead) new ManifestDeltaDeleteOperation(dir)
+      else new ManifestRowLevelOperation(dir, info.command())
   }
   override def name(): String = s"manifest_data($dir)"
   override def schema(): StructType = tschema
@@ -406,7 +432,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       val next = ManifestTables.latestSnapshotId(dir).get + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         inlineSurvivors, newSegs, next,
-        partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl)
+        partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
+        deletes = refs.deletes)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -578,6 +605,10 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    // merge-on-read: footer statistics predate positional deletes (COUNT would
+    // overcount, MIN/MAX might be a deleted row) — compute honestly until
+    // compaction folds the deletes away
+    if (ManifestTables.readSnapshotRefs(dir, snapshot).deletes.nonEmpty) return false
     def partColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -658,6 +689,11 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   private lazy val pinned: Seq[ManifestTables.Entry] =
     ManifestTables.readSnapshot(dir, snapshot)
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+  // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
+  // sorted deleted positions, applied by the readers (a file without deletes keeps
+  // the columnar fast path)
+  private lazy val pinnedDeletes: Map[String, Array[Long]] =
+    ManifestTables.deletedPositions(dir, ManifestTables.readSnapshotRefs(dir, snapshot))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -727,7 +763,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   override def planInputPartitions(): Array[InputPartition] =
     pinned.filter(allowed)
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
-        if (partCols.isEmpty) Array.empty else keyDatumsOf(e)): InputPartition)
+        if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
+        pinnedDeletes.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
       .toArray
 
   /** STORAGE-PARTITIONED JOINS: the scan reports KeyGroupedPartitioning over the
@@ -747,9 +784,13 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
         pinned.filter(allowed).map(_.partition).distinct.size)
   override def createReaderFactory(): PartitionReaderFactory = {
     // serializable projection spec: (name, dataType) of required fields + the
-    // partition-column spec for typed constant columns
+    // partition-column spec for typed constant columns. Spark requires every
+    // partition of ONE scan to agree on columnar-vs-row, so ANY pending
+    // positional delete puts the whole scan in row mode (honest trade: tables
+    // carry deletes only until compaction folds them)
     val fields = required.fields.map(f => (f.name, f.dataType))
-    new ManifestDataReaderFactory(fields, partCols, limit)
+    new ManifestDataReaderFactory(fields, partCols, limit,
+      forceRows = pinnedDeletes.nonEmpty)
   }
   override def description(): String = {
     val parts =
@@ -763,7 +804,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
 }
 
 private case class ManifestDataInputPartition(file: String, relPath: String,
-    partition: String, keyDatums: Array[Any] = Array.empty)
+    partition: String, keyDatums: Array[Any] = Array.empty,
+    deleted: Array[Long] = Array.emptyLongArray)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // typed partition-value tuple — the grouping key for storage-partitioned joins
   override def partitionKey(): InternalRow =
@@ -911,13 +953,17 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
 }
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
-    partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None)
+    partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None,
+    forceRows: Boolean = false)
     extends PartitionReaderFactory {
 
   private def partNames = partCols.map(_.name).toSet
   // per-file CONSTANT fields: partition columns + the _file provenance column
   private def constNames = partNames + ManifestDataSource.FileCol
-  private def dataFields = fields.filter(f => !constNames.contains(f._1))
+  // _pos is neither constant nor stored: the row reader counts it
+  private def dataFields = fields.filter(f =>
+    !constNames.contains(f._1) && f._1 != ManifestDataSource.PosCol)
+  private def hasPos = fields.exists(_._1 == ManifestDataSource.PosCol)
   private def tpeOf(name: String): String = partCols.find(_.name == name).get.tpe
 
   /** Typed internal value of constant column `name` for one input partition
@@ -938,7 +984,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     * footer counts — no page is read at all, which beats any columnar decode.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataFields.nonEmpty
+    dataFields.nonEmpty && !hasPos && !forceRows
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1010,10 +1056,103 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
-    require(dataFields.isEmpty,
-      "row-based reads serve only zero-data-column projections; Spark routes " +
-        "data-column scans through createColumnarReader (supportColumnarReads)")
-    emptyProjectionReader(p)
+    if (dataFields.isEmpty && !hasPos && p.deleted.isEmpty) emptyProjectionReader(p)
+    // (a clean file in a deletes-carrying scan takes the same row wrapper with an
+    // empty skip list — correctness identical, columnar returns after compaction)
+    else if (dataFields.isEmpty) syntheticPositionReader(p)
+    else deleteAwareRowReader(p)
+  }
+
+  /** Zero-data-column projection over a file with deletes and/or a projected
+    * `_pos`: positions are IMPLICIT (0..rowCount), so rows synthesize from the
+    * footer count + per-file constants, skipping deleted positions — still no
+    * page decoded.
+    */
+  private def syntheticPositionReader(p: ManifestDataInputPartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var total: Long = -1
+      private var pos: Long = -1
+      private var delIdx = 0
+      private var emitted = 0L
+      private val posIdx = fields.indexWhere(_._1 == ManifestDataSource.PosCol)
+      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        fields.map { case (n, _) =>
+          if (n == ManifestDataSource.PosCol) null else partDatum(p, n) }: Array[Any])
+      override def next(): Boolean = {
+        if (total < 0) {
+          val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+          val r = ParquetFileReader.open(in)
+          total = try r.getRecordCount finally r.close()
+        }
+        if (limit.exists(emitted >= _)) return false
+        pos += 1
+        while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
+        while (pos < total && delIdx < p.deleted.length && p.deleted(delIdx) == pos) {
+          pos += 1
+          while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
+        }
+        if (pos >= total) return false
+        if (posIdx >= 0) row.update(posIdx, pos)
+        emitted += 1
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+
+  /** Data-column read over a file with deletes and/or a projected `_pos`: the
+    * COLUMNAR reader still does the decoding (same vectorized path), this wrapper
+    * walks its batches row-by-row, tracks the absolute file position, skips
+    * deleted positions, and appends `_pos` when projected. Only deleted files and
+    * explicit `_pos` scans pay the row-mode tax — clean files stay columnar.
+    */
+  private def deleteAwareRowReader(p: ManifestDataInputPartition)
+      : PartitionReader[InternalRow] = {
+    val innerFields = fields.filter(_._1 != ManifestDataSource.PosCol)
+    val inner = new ManifestDataReaderFactory(innerFields, partCols, None)
+      .createColumnarReader(p)
+    val posIdx = fields.indexWhere(_._1 == ManifestDataSource.PosCol)
+    // output ordinal -> inner batch ordinal (identity until posIdx, then shifted)
+    val srcIdx = fields.indices.filter(_ != posIdx).toArray
+    val types = innerFields.map(_._2)
+    new PartitionReader[InternalRow] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var rowIt: java.util.Iterator[org.apache.spark.sql.catalyst.InternalRow] = _
+      private var pos: Long = -1
+      private var delIdx = 0
+      private var emitted = 0L
+      private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+      override def next(): Boolean = {
+        if (limit.exists(emitted >= _)) return false
+        while (true) {
+          if (rowIt != null && rowIt.hasNext) {
+            val r = rowIt.next()
+            pos += 1
+            while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
+            val dead = delIdx < p.deleted.length && p.deleted(delIdx) == pos
+            if (!dead) {
+              var i = 0
+              while (i < srcIdx.length) {
+                val o = srcIdx(i)
+                out.update(o, if (r.isNullAt(i)) null else r.get(i, types(i)))
+                i += 1
+              }
+              if (posIdx >= 0) out.update(posIdx, pos)
+              emitted += 1
+              return true
+            }
+          } else {
+            if (!inner.next()) return false
+            batch = inner.get()
+            rowIt = batch.rowIterator()
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = out
+      override def close(): Unit = inner.close()
+    }
   }
 
   /** Every projected field is a constant for this file (partition values, plus data
@@ -1202,7 +1341,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         // redefines the schema from the incoming data, so it does NOT carry over
         done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
           prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes,
-          schemaDdl = prev.schemaDdl)
+          schemaDdl = prev.schemaDdl, deletes = prev.deletes)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
@@ -1338,7 +1477,8 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
       }
       val next = ManifestTables.latestSnapshotId(dir).get + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, inlineKeep,
-        keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl)
+        keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
+        deletes = refs.deletes)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -1357,6 +1497,125 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
       }
       case _ =>
     }
+}
+
+/** MERGE-ON-READ positional DELETE (the delta-based row-level protocol): instead
+  * of rewriting every file that contains a match (copy-on-write), the operation's
+  * scan projects each matching row's identity `(_file, _pos)` and the delta write
+  * records those positions in an immutable positional-delete segment; ONE atomic
+  * snapshot adds the segment reference and no data file is read back, rewritten,
+  * or removed. Readers apply the positions at scan time; compaction folds them
+  * into real rewrites. This is the 100 TB answer for frequent small deletes
+  * (GDPR row erasure, retention sweeps): commit cost is O(matches), not O(bytes
+  * of every touched file). Enabled per session via
+  * `spark.graft.manifest.deleteMode=merge-on-read` (copy-on-write remains the
+  * default — it keeps the table free of read-time merge work).
+  */
+private[sources] class ManifestDeltaDeleteOperation(dir: String)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, RowLevelOperation}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def description(): String = s"manifest merge-on-read DELETE($dir)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestDataScanBuilder(dir, ManifestDataSource.tableSchema(dir),
+      ManifestTables.readPartitionSpec(dir), None)
+  /** A row's stable identity: its file and ordinal within it — the pair the
+    * positional-delete segments key on.
+    */
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ManifestDataSource.FileCol),
+    Expressions.column(ManifestDataSource.PosCol))
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta DELETE write planned without a rowId schema"))
+    val fileIdx = idSchema.fieldIndex(ManifestDataSource.FileCol)
+    val posIdx = idSchema.fieldIndex(ManifestDataSource.PosCol)
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new ManifestDeltaDeleteBatchWrite(dir, fileIdx, posIdx)
+      }
+    }
+  }
+}
+
+private case class ManifestDeleteMessage(byFile: Map[String, Seq[Long]])
+    extends WriterCommitMessage
+
+private class ManifestDeltaDeleteBatchWrite(dir: String, fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.{DeltaWriter, DeltaWriterFactory}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(fileIdx, posIdx)
+
+  /** ONE delete segment for the whole job, referenced by a CAS-published snapshot
+    * that carries everything else forward. Serializable validation: every file we
+    * recorded positions against must still be live — a concurrent rewrite/DELETE/
+    * compaction of that file means our positions describe retracted bytes, and
+    * publishing them would silently lose this operation's deletes.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byFile: Map[String, Seq[Long]] = messages.flatMap {
+      case ManifestDeleteMessage(m) => m.toSeq
+      case _ => Nil
+    }.groupBy(_._1).map { case (f, xs) => f -> xs.flatMap(_._2).toSeq }
+    if (byFile.isEmpty) return // no matches: no snapshot
+    val delSeg = ManifestTables.writeDeleteSegment(dir, byFile)
+    val partCol = ManifestTables.readPartitionColumn(dir)
+    val partTypes = ManifestTables.readPartitionTypes(dir)
+    var done = false
+    var attempt = 0
+    while (!done) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val present = ManifestTables.readSnapshot(dir, None).map(_.path).toSet
+      require(byFile.keySet.subsetOf(present),
+        s"merge-on-read DELETE on $dir conflicts with a concurrent commit that removed " +
+          s"${(byFile.keySet -- present).take(3).mkString(", ")} — rerun the operation")
+      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline, refs.segments,
+        next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
+        deletes = refs.deletes :+ delSeg)
+      if (!done) {
+        attempt += 1
+        require(attempt < ManifestBatchWrite.MaxCommitAttempts,
+          s"merge-on-read DELETE commit to $dir lost the snapshot race $attempt times")
+        Thread.sleep(math.min(1000L, 20L * attempt) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    () // nothing lands on disk before commit's segment write
+}
+
+private class ManifestDeltaWriterFactory(fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new ManifestDeltaDeleteWriter(fileIdx, posIdx)
+}
+
+private class ManifestDeltaDeleteWriter(fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posIdx)
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException("delta operation supports DELETE only")
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException("delta operation supports DELETE only")
+  override def commit(): WriterCommitMessage =
+    ManifestDeleteMessage(acc.map { case (f, ps) => f -> ps.toSeq }.toMap)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private class ManifestWriterFactory(dir: String, partCol: String,

@@ -56,14 +56,23 @@ object ManifestMaintenance {
     val schema = ManifestDataSource.tableSchema(dir)
     require(schema.nonEmpty, s"no committed schema under $dir — nothing to compact")
     val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
+    val planRefs = ManifestTables.readSnapshotRefs(dir, None)
     val entries = ManifestTables.readSnapshot(dir, None)
+    // merge-on-read: positional deletes APPLY during the rewrite (a compaction that
+    // copied deleted rows into the replacement would resurrect them) and their
+    // segments fold away once no live file references them
+    val deleted = ManifestTables.deletedPositions(dir, planRefs)
 
-    // pack per partition, in manifest order (stable, deterministic given a snapshot)
+    // pack per partition, in manifest order (stable, deterministic given a snapshot);
+    // a file with recorded deletes always packs (even alone): folding the delete is
+    // itself the maintenance win
     val rewrites: Seq[Rewrite] = entries.groupBy(_.partition).toSeq.sortBy(_._1)
       .flatMap { case (joined, es) =>
-        packBins(es, targetBytes).filter(_.length >= 2).map { bin =>
-          Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin))
-        }
+        packBins(es, targetBytes)
+          .filter(bin => bin.length >= 2 || bin.exists(e => deleted.contains(e.path)))
+          .map { bin =>
+            Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin, deleted))
+          }
       }
     if (rewrites.isEmpty) return None
 
@@ -85,6 +94,15 @@ object ManifestMaintenance {
         cleanup()
         return None // a concurrent overwrite/DELETE removed a source file
       }
+      // serializable validation: a positional delete committed AFTER the bins were
+      // read would be silently undone if its target file was rewritten from the
+      // stale read — abort and let the caller re-run on the fresh state
+      val newDels = refs.deletes.filterNot(planRefs.deletes.contains)
+      if (newDels.exists(d => ManifestTables.readDeleteSegment(dir, d)
+          .keysIterator.exists(replaced.contains))) {
+        cleanup()
+        return None
+      }
       // each source entry collapses into its bin's replacement, emitted once at the
       // position of the bin's FIRST file; everything else carries unchanged
       val emitted = scala.collection.mutable.HashSet.empty[String]
@@ -95,10 +113,17 @@ object ManifestMaintenance {
         }
       }
       val seg = ManifestTables.writeSegment(dir, newEntries)
+      // delete segments fold away once every path they reference left the table
+      // (their positions were APPLIED in the rewrites); segments still touching a
+      // live (un-rewritten) file carry forward
+      val livePaths = newEntries.map(_.path).toSet
+      val liveDels = refs.deletes.filter(d =>
+        ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
       val next = ManifestTables.latestSnapshotId(dir).get + 1
       if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
           Nil, Seq(seg), next,
-          partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl)) {
+          partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
+          deletes = liveDels)) {
         return Some(next)
       }
       attempt += 1
@@ -141,12 +166,28 @@ object ManifestMaintenance {
     */
   private def rewriteBin(spark: SparkSession, dir: String,
       partCols: Seq[ManifestTables.PartCol], dataSchema: StructType,
-      joined: String, bin: Seq[ManifestTables.Entry]): ManifestTables.Entry = {
+      joined: String, bin: Seq[ManifestTables.Entry],
+      deleted: Map[String, Array[Long]] = Map.empty): ManifestTables.Entry = {
+    import org.apache.spark.sql.functions.col
     val uid = java.util.UUID.randomUUID().toString
     val tmpOut = s"$dir/_compact_tmp/$uid"
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    s2.read.schema(dataSchema).parquet(bin.map(e => s"$dir/${e.path}"): _*)
+    // positional deletes apply DURING the rewrite via the native scan's
+    // _metadata.row_index — files with deletes read one-at-a-time (positions are
+    // per-file), clean files batch together
+    val (withDels, clean) = bin.partition(e => deleted.get(e.path).exists(_.nonEmpty))
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(s2.read.schema(dataSchema).parquet(clean.map(e => s"$dir/${e.path}"): _*))
+    val delDfs = withDels.map { e =>
+      val poss = deleted(e.path).map(java.lang.Long.valueOf).toSeq
+      s2.read.schema(dataSchema).parquet(s"$dir/${e.path}")
+        .withColumn("__graft_ri", col("_metadata.row_index"))
+        .filter(!col("__graft_ri").isin(poss: _*))
+        .drop("__graft_ri")
+    }
+    (cleanDf.toSeq ++ delDfs).reduce(_ unionAll _)
       .coalesce(1).write.parquet(tmpOut)
     val part = listOnly(Paths.get(tmpOut), p => {
       val n = p.getFileName.toString

@@ -135,7 +135,7 @@ object ManifestTables {
     * O(every file ever appended) — Iceberg's manifest-list discipline on this layout.
     */
   private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String],
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None, deletes: Seq[String] = Nil)
 
   /** Multi-column partition values ride in ONE entry field, joined by the unit
     * separator (a control char: always \\u-escaped in the manifest JSON, never legal
@@ -252,6 +252,14 @@ object ManifestTables {
         s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
     }
 
+  /** Positional-DELETE segment names referenced by a snapshot (merge-on-read). */
+  private def parseDeleteRefs(txt: String): Seq[String] =
+    "\"deletes\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+      case None => Nil
+      case Some(m) =>
+        s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+    }
+
   private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs = {
     val chosen = snapshotFileFor(dir, id)
     val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
@@ -260,7 +268,8 @@ object ManifestTables {
     // TABLE; absent on tables that never evolved (schema then derives from files)
     val ddl = s"\"schema\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
       .map(m => jsonUnescape(m.group(1)))
-    SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt), ddl)
+    SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt), ddl,
+      parseDeleteRefs(txt))
   }
 
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
@@ -309,6 +318,53 @@ object ManifestTables {
     name
   }
 
+  /** Writes an immutable positional-DELETE segment: data-file path -> ascending
+    * row positions deleted from it (merge-on-read — Iceberg positional delete
+    * files on this layout, JSON for the analog; the production format would be
+    * parquet). Same unique-name + temp-then-link publication as data segments.
+    */
+  private[sources] def writeDeleteSegment(dir: String, byFile: Map[String, Seq[Long]]): String = {
+    val body = byFile.toSeq.sortBy(_._1).map { case (path, poss) =>
+      s"""    "${jsonEscape(path)}": [${poss.sorted.distinct.mkString(",")}]"""
+    }
+    val json = s"""{\n  "positions": {\n${body.mkString(",\n")}\n  }\n}"""
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val name = s"del-${java.util.UUID.randomUUID().toString}.json"
+    val tmp = Files.createTempFile(mdir, ".tmp-del-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.createLink(mdir.resolve(name), tmp)
+    } finally Files.deleteIfExists(tmp)
+    name
+  }
+
+  /** One delete segment's path -> positions map. */
+  private[sources] def readDeleteSegment(dir: String, name: String): Map[String, Seq[Long]] = {
+    val p = Paths.get(dir, "_manifests", name)
+    require(Files.exists(p), s"snapshot references missing delete segment $name")
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val rec = s"\"$JStr\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+    rec.findAllMatchIn(txt).flatMap { m =>
+      val path = jsonUnescape(m.group(1))
+      if (path == "positions") None // the wrapper key itself never matches [digits]
+      else Some(path -> m.group(2).split(',').iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+    }.toMap
+  }
+
+  /** Union of every delete segment a snapshot references: data-file path ->
+    * SORTED DISTINCT deleted positions. O(total recorded deletes) driver-side —
+    * the same metadata scale as the manifest itself.
+    */
+  private[sources] def deletedPositions(dir: String, refs: SnapshotRefs): Map[String, Array[Long]] =
+    if (refs.deletes.isEmpty) Map.empty
+    else refs.deletes.flatMap(readDeleteSegment(dir, _).toSeq)
+      .groupBy(_._1)
+      .map { case (path, chunks) =>
+        path -> chunks.flatMap(_._2).distinct.sorted.toArray
+      }
+
   /** Atomically PUBLISHES an explicit entry list as snapshot `id` iff that id is
     * still unclaimed: the content lands in a temp file (whose ".tmp-" name can never
     * be read as a snapshot), then `Files.createLink(target, tmp)` claims the final
@@ -339,7 +395,8 @@ object ManifestTables {
     */
   private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
-      partTypes: String = "", schemaDdl: Option[String] = None): Boolean = {
+      partTypes: String = "", schemaDdl: Option[String] = None,
+      deletes: Seq[String] = Nil): Boolean = {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
@@ -353,6 +410,11 @@ object ManifestTables {
     val segLine =
       if (segments.isEmpty) ""
       else s"""  "segments": [${segments.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
+    // merge-on-read positional-delete segment references (applied at read time;
+    // folded away by data-file compaction)
+    val delLine =
+      if (deletes.isEmpty) ""
+      else s"""  "deletes": [${deletes.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
     // multi-column/typed partitions: names stay comma-joined in partition_column
     // (back-compat: a single untyped name reads as one string column), value types
     // ride in partition_types
@@ -366,7 +428,7 @@ object ManifestTables {
       s"""{
          |  "snapshot": $id,
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
-         |$typesLine$schemaLine$segLine  "files": [
+         |$typesLine$schemaLine$segLine$delLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -403,9 +465,16 @@ object ManifestTables {
       if (refs.inline.isEmpty && refs.segments.length <= 1) { done = true }
       else {
         val folded = writeSegment(dir, readSnapshot(dir, None))
+        // positional-delete segments carry forward, dropping any whose every
+        // referenced path has left the table (dangling after copy-on-write
+        // rewrites or whole-file deletes)
+        val livePaths = readSnapshot(dir, None).map(_.path).toSet
+        val liveDels = refs.deletes.filter(d =>
+          readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
         val next = latest.get + 1
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
-            partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl)) {
+            partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
+            deletes = liveDels)) {
           result = Some(next); done = true
         } else {
           // CAS loss: a concurrent commit advanced the table — back off, re-read and
@@ -447,20 +516,22 @@ object ManifestTables {
     val snaps = snapshotFiles(dir)
     if (snaps.length <= keepLast) return (0, 0, 0)
     val (expired, retained) = snaps.splitAt(snaps.length - keepLast)
-    def refsOf(files: Seq[String]): (Set[String], Set[String]) = {
+    def refsOf(files: Seq[String]): (Set[String], Set[String], Set[String]) = {
       val all = files.map { f =>
         val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
-        (parseSegmentRefs(txt).toSet, parseEntries(txt, f, 0).map(_.path).toSet)
+        (parseSegmentRefs(txt).toSet, parseEntries(txt, f, 0).map(_.path).toSet,
+          parseDeleteRefs(txt).toSet)
       }
-      (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet)
+      (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet, all.flatMap(_._3).toSet)
     }
     // a sink's EXACTLY-ONCE replay dedup depends on its newest commit note being
     // findable; if expiry would delete the snapshot carrying a sink's newest note,
     // persist that high-water mark to a sidecar BEFORE any deletion (hasCommittedNote
     // consults the sidecar first)
     preserveSinkWatermarks(dir, expired, retained)
-    val (retainedSegs, retainedInline) = refsOf(retained)
-    val (expiredSegs, expiredInline) = refsOf(expired)
+    val (retainedSegs, retainedInline, retainedDels) = refsOf(retained)
+    val (expiredSegs, expiredInline, expiredDels) = refsOf(expired)
+    val deadDels = expiredDels -- retainedDels
     // data files referenced by retained snapshots = their inline entries + every
     // entry of every retained segment
     val retainedData = retainedInline ++ retainedSegs.flatMap { seg =>
@@ -474,11 +545,12 @@ object ManifestTables {
         parseEntries(new String(Files.readAllBytes(sp), StandardCharsets.UTF_8), seg, 0).map(_.path)
       else Nil
     }) -- retainedData
-    // 1: snapshots, 2: segments, 3: data files
+    // 1: snapshots, 2: segments (data + delete), 3: data files
     expired.foreach(f => Files.deleteIfExists(Paths.get(f)))
     deadSegs.foreach(s => Files.deleteIfExists(Paths.get(dir, "_manifests", s)))
+    deadDels.foreach(s => Files.deleteIfExists(Paths.get(dir, "_manifests", s)))
     deadData.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
-    (expired.length, deadSegs.size, deadData.size)
+    (expired.length, deadSegs.size + deadDels.size, deadData.size)
   }
 
   /** Delete data files under `dir` referenced by NO committed snapshot and older
@@ -499,6 +571,7 @@ object ManifestTables {
     val snapTxt = snapshotFiles(dir).map(f =>
       new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8))
     val referencedSegs = snapTxt.flatMap(parseSegmentRefs).toSet
+    val referencedDels = snapTxt.flatMap(parseDeleteRefs).toSet
     val referenced = snapTxt.flatMap(txt => parseEntries(txt, dir, 0).map(_.path)).toSet ++
       referencedSegs.flatMap { seg =>
         parseEntries(new String(Files.readAllBytes(Paths.get(dir, "_manifests", seg)),
@@ -516,7 +589,9 @@ object ManifestTables {
         (p.toString.endsWith(".parquet") && !p.toString.contains("_manifests") &&
           !referenced.contains(root.relativize(p).toString)) ||
         (name.startsWith("seg-") && name.endsWith(".json") &&
-          p.getParent.getFileName.toString == "_manifests" && !referencedSegs.contains(name))
+          p.getParent.getFileName.toString == "_manifests" && !referencedSegs.contains(name)) ||
+        (name.startsWith("del-") && name.endsWith(".json") &&
+          p.getParent.getFileName.toString == "_manifests" && !referencedDels.contains(name))
       }
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .toSeq

@@ -1197,6 +1197,82 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("merge-on-read DELETE: positional delta segment, no data file rewritten; " +
+      "readers apply positions; copy-on-write and compaction compose; GC reclaims") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_mor").toString
+    val tblDir = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tblDir)
+    append((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"), (5L, "en")) // file A
+    append((6L, "fr"), (7L, "fr"), (8L, "fr"))                          // file B
+    spark.conf.set("spark.sql.catalog.graft_mor", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
+    def parquets(): Set[String] = {
+      val w = Files.walk(Paths.get(tblDir))
+      try {
+        val it = w.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) { val s = it.next().toString; if (s.endsWith(".parquet")) b += s }
+        b.result()
+      } finally w.close()
+    }
+    def ids() = spark.sql("SELECT id FROM graft_mor.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val filesBefore = parquets()
+    val preSnap = ManifestTables.latestSnapshotId(tblDir).get
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft_mor.ns.t WHERE id IN (2, 4, 7)")
+      // delta, not rewrite: every data file byte-identical, one delete segment added
+      assert(parquets() == filesBefore, "merge-on-read DELETE must not touch data files")
+      val refs1 = ManifestTables.readSnapshotRefs(tblDir, None)
+      assert(refs1.deletes.length == 1, refs1.deletes.mkString(","))
+      assert(ids() == Seq(1L, 3L, 5L, 6L, 8L))
+      // count(*) goes through the honest (non-footer) path and sees the deletes
+      assert(spark.sql("SELECT count(*) FROM graft_mor.ns.t").head().getLong(0) == 5)
+      // positions are FILE-ABSOLUTE: id=5 keeps _pos 4 even after 2 and 4 vanished
+      val posRow = spark.sql("SELECT _file, _pos FROM graft_mor.ns.t WHERE id = 5").head()
+      assert(posRow.getLong(1) == 4L, posRow.toString)
+      // time travel serves the pre-delete snapshot complete
+      assert(spark.sql(s"SELECT count(*) FROM graft_mor.ns.t VERSION AS OF $preSnap")
+        .head().getLong(0) == 8)
+      // no-match delta DELETE publishes nothing
+      val snapBefore = ManifestTables.latestSnapshotId(tblDir).get
+      spark.sql("DELETE FROM graft_mor.ns.t WHERE id = 999")
+      assert(ManifestTables.latestSnapshotId(tblDir).get == snapBefore)
+      // a second delta stacks (segments union at read)
+      spark.sql("DELETE FROM graft_mor.ns.t WHERE id = 1")
+      assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.length == 2)
+      assert(ids() == Seq(3L, 5L, 6L, 8L))
+    } finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    // copy-on-write UPDATE composes: the rewrite scan APPLIES the positions, so the
+    // replacement en file holds only the surviving rows (3 updated, 5 untouched)
+    spark.sql("UPDATE graft_mor.ns.t SET id = 30 WHERE id = 3")
+    assert(ids() == Seq(5L, 6L, 8L, 30L))
+    // compaction folds the deltas into real rewrites: all delete refs gone,
+    // answers unchanged, and the fr file shrank to its survivors
+    assert(ManifestMaintenance.compactDataFiles(spark, tblDir, 64L << 20).isDefined)
+    assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.isEmpty,
+      "compaction must fold positional deletes away")
+    assert(ids() == Seq(5L, 6L, 8L, 30L))
+    assert(spark.sql("SELECT count(*) FROM graft_mor.ns.t").head().getLong(0) == 4)
+    // lifecycle: expiry + orphan GC reclaim the now-unreferenced delete segments
+    ManifestTables.expireSnapshots(tblDir, keepLast = 1)
+    val mdir = Paths.get(tblDir, "_manifests")
+    val delFiles = {
+      val w = Files.list(mdir)
+      try {
+        val it = w.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) { val s = it.next().getFileName.toString; if (s.startsWith("del-")) b += s }
+        b.result()
+      } finally w.close()
+    }
+    assert(delFiles.isEmpty, s"expiry left delete segments: $delFiles")
+    assert(ids() == Seq(5L, 6L, 8L, 30L))
+  }
+
   test("per-file column stats: data-column predicates skip whole files by min/max; " +
       "compaction merges bounds; unknown/long/all-null columns never mis-prune") {
     import spark.implicits._
