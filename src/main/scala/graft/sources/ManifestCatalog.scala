@@ -123,7 +123,8 @@ class ManifestCatalog extends TableCatalog
         s"column ${f.name} already exists in ${cur.simpleString}"))
       val widened = org.apache.spark.sql.types.StructType(cur.fields ++ adds)
       val refs = ManifestTables.readSnapshotRefs(dir, None)
-      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      // pin the target id from the refs already read (CAS ordering rule)
+      val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
         schemaDdl = Some(widened.toDDL), deletes = refs.deletes)

@@ -429,7 +429,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
         else if (survivors.isEmpty) None
         else Some(ManifestTables.writeSegment(dir, survivors))
       }.flatten
-      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      // pin the target id from the refs already read (see ManifestReplaceBatchWrite)
+      val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         inlineSurvivors, newSegs, next,
         partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
@@ -685,15 +686,24 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   private[sources] def effectiveEntries: Seq[ManifestTables.Entry] = pinned.filter(allowed)
 
   // snapshot pinned at plan time (see class doc) + manifest-level partition pruning
-  // on EVERY filtered partition column; an explicit snapshot option = time travel
+  // on EVERY filtered partition column; an explicit snapshot option = time travel.
+  // ONE refs read feeds entries AND deletes: two independent 'latest' reads could
+  // straddle a concurrent compaction (new files + empty deletes vs old files +
+  // no skip list = resurrected rows)
+  private lazy val pinnedRefs: ManifestTables.SnapshotRefs =
+    ManifestTables.readSnapshotRefs(dir, snapshot)
   private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readSnapshot(dir, snapshot)
+    ManifestTables.entriesOf(dir, pinnedRefs)
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
   // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
-  // sorted deleted positions, applied by the readers (a file without deletes keeps
-  // the columnar fast path)
+  // sorted deleted positions, applied by the readers
   private lazy val pinnedDeletes: Map[String, Array[Long]] =
-    ManifestTables.deletedPositions(dir, ManifestTables.readSnapshotRefs(dir, snapshot))
+    ManifestTables.deletedPositions(dir, pinnedRefs)
+  /** Delete-segment refs this scan planned against — a row-level replace commit
+    * compares them with commit-time refs to detect a concurrent merge-on-read
+    * DELETE it would otherwise silently undo.
+    */
+  private[sources] def planningDeleteRefs: Seq[String] = pinnedRefs.deletes
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -1234,6 +1244,13 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 
   override def build(): Write = {
     val incoming = info.schema()
+    // the metadata column names are RESERVED: a data column named _file/_pos would
+    // commit fine and then read back as the per-file constant / row counter instead
+    // of its stored values — reject at write time, never corrupt silently
+    Seq(ManifestDataSource.FileCol, ManifestDataSource.PosCol).foreach { r =>
+      require(!incoming.fieldNames.contains(r),
+        s"'$r' is a reserved metadata column name on manifest tables")
+    }
     // comma-joined partition column NAMES (multi-column layouts nest Hive dirs in
     // this order); types are derived from the written schema and recorded alongside
     val partCol = {
@@ -1404,6 +1421,11 @@ private[sources] class ManifestRowLevelOperation(dir: String,
     require(mainScan != null, s"row-level $cmd write committed before its scan was planned")
     mainScan.effectiveEntries
   }
+  /** Delete-segment refs the rewrite scan planned against (conflict baseline). */
+  private[sources] def planningDeletes: Seq[String] = {
+    require(mainScan != null, s"row-level $cmd write committed before its scan was planned")
+    mainScan.planningDeleteRefs
+  }
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"manifest copy-on-write $cmd($dir)"
@@ -1469,16 +1491,35 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
       require(replaced.subsetOf(present),
         s"$cmdName on $dir conflicts with a concurrent commit that removed " +
           s"${(replaced -- present).take(3).mkString(", ")} — rerun the operation")
+      // ...and a positional DELETE committed AFTER this operation's scan planned
+      // would be silently undone if it targets a file we rewrote from the
+      // pre-delete state — same rule as compaction, but loud (this is user DML)
+      val newDels = refs.deletes.filterNot(op.planningDeletes.contains)
+      require(!newDels.exists(d => ManifestTables.readDeleteSegment(dir, d)
+          .keysIterator.exists(replaced.contains)),
+        s"$cmdName on $dir conflicts with a concurrent merge-on-read DELETE against " +
+          "a rewritten file — rerun the operation")
       val keptSegs = perSeg.flatMap { case (seg, es) =>
         val keep = es.filterNot(e => replaced.contains(e.path))
         if (keep.length == es.length) Some(seg)
         else if (keep.isEmpty) None
         else Some(ManifestTables.writeSegment(dir, keep))
       }
-      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      // delete segments referencing only replaced (now-gone) paths fold away —
+      // carrying them would force row-mode scans and block footer aggregates
+      // table-wide for no live delete
+      val livePaths = (inlineKeep ++ perSeg.flatMap(_._2).filterNot(e =>
+        replaced.contains(e.path)) ++ fresh).map(_.path).toSet
+      val liveDels = refs.deletes.filter(d =>
+        ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
+      // target id pinned from the refs ALREADY READ: any concurrent publication
+      // claims this same id first, failing our CAS and routing us back through
+      // the validations (a latest-id read here could see a NEWER commit and
+      // silently build next from stale refs)
+      val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, inlineKeep,
         keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes)
+        deletes = liveDels)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -1573,11 +1614,12 @@ private class ManifestDeltaDeleteBatchWrite(dir: String, fileIdx: Int, posIdx: I
     var attempt = 0
     while (!done) {
       val refs = ManifestTables.readSnapshotRefs(dir, None)
-      val present = ManifestTables.readSnapshot(dir, None).map(_.path).toSet
+      val present = ManifestTables.entriesOf(dir, refs).map(_.path).toSet
       require(byFile.keySet.subsetOf(present),
         s"merge-on-read DELETE on $dir conflicts with a concurrent commit that removed " +
           s"${(byFile.keySet -- present).take(3).mkString(", ")} — rerun the operation")
-      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      // pin the target id from the refs already read (see ManifestReplaceBatchWrite)
+      val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline, refs.segments,
         next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
         deletes = refs.deletes :+ delSeg)

@@ -57,7 +57,7 @@ object ManifestMaintenance {
     require(schema.nonEmpty, s"no committed schema under $dir — nothing to compact")
     val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
     val planRefs = ManifestTables.readSnapshotRefs(dir, None)
-    val entries = ManifestTables.readSnapshot(dir, None)
+    val entries = ManifestTables.entriesOf(dir, planRefs)
     // merge-on-read: positional deletes APPLY during the rewrite (a compaction that
     // copied deleted rows into the replacement would resurrect them) and their
     // segments fold away once no live file references them
@@ -88,7 +88,7 @@ object ManifestMaintenance {
     var attempt = 0
     while (true) {
       val refs = ManifestTables.readSnapshotRefs(dir, None)
-      val current = ManifestTables.readSnapshot(dir, None)
+      val current = ManifestTables.entriesOf(dir, refs)
       val present = current.map(_.path).toSet
       if (!replaced.keysIterator.forall(present.contains)) {
         cleanup()
@@ -119,7 +119,10 @@ object ManifestMaintenance {
       val livePaths = newEntries.map(_.path).toSet
       val liveDels = refs.deletes.filter(d =>
         ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
-      val next = ManifestTables.latestSnapshotId(dir).get + 1
+      // pin the target id from the refs already read: a concurrent commit must
+      // claim this same id first, failing our CAS (a fresh latest-id read here
+      // could silently absorb a commit our entry list never saw)
+      val next = refs.snapshot + 1
       if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
           Nil, Seq(seg), next,
           partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,

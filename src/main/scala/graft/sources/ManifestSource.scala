@@ -275,10 +275,15 @@ object ManifestTables {
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
     * entries plus every referenced immutable segment, in reference order.
     */
-  private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] = {
-    val refs = readSnapshotRefs(dir, id)
+  private[sources] def readSnapshot(dir: String, id: Option[Int]): Seq[Entry] =
+    entriesOf(dir, readSnapshotRefs(dir, id))
+
+  /** Entry expansion of an ALREADY-READ refs value — callers that need entries AND
+    * refs use one readSnapshotRefs + this, so both views describe the SAME snapshot
+    * (two independent 'latest' reads can straddle a concurrent commit).
+    */
+  private[sources] def entriesOf(dir: String, refs: SnapshotRefs): Seq[Entry] =
     refs.inline ++ refs.segments.flatMap(readSegmentEntries(dir, _, refs.snapshot))
-  }
 
   /** Entries of ONE immutable segment — lets per-segment operations (DELETE's
     * selective manifest rewrite) avoid materializing the whole table's entry list
@@ -464,11 +469,12 @@ object ManifestTables {
       val refs = readSnapshotRefs(dir, None)
       if (refs.inline.isEmpty && refs.segments.length <= 1) { done = true }
       else {
-        val folded = writeSegment(dir, readSnapshot(dir, None))
+        val entries = entriesOf(dir, refs)
+        val folded = writeSegment(dir, entries)
         // positional-delete segments carry forward, dropping any whose every
         // referenced path has left the table (dangling after copy-on-write
         // rewrites or whole-file deletes)
-        val livePaths = readSnapshot(dir, None).map(_.path).toSet
+        val livePaths = entries.map(_.path).toSet
         val liveDels = refs.deletes.filter(d =>
           readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
         val next = latest.get + 1

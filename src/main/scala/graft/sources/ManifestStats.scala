@@ -71,17 +71,27 @@ private[sources] object ManifestStats {
     case _ => None
   }
 
-  /** sign of (bound - literal), or None when the literal does not convert
-    * (or is NaN — NaN compares are never a basis for skipping a file).
+  /** -0.0 normalizes to +0.0 on BOTH sides: SQL says -0.0 = 0.0, but
+    * Double.compare's total order separates them — an un-normalized bound would
+    * prune a file whose rows actually match the predicate.
     */
-  private def cmp(kind: Char, boundEnc: String, lit: Any): Option[Int] = kind match {
-    case 'l' => asLong(lit).map(v => java.lang.Long.compare(boundEnc.toLong, v))
-    case 'd' => asDouble(lit).flatMap { v =>
-      if (v.isNaN) None else Some(java.lang.Double.compare(boundEnc.toDouble, v))
-    }
-    case 's' => asUtf8(lit).map(v => UTF8String.fromString(unb64(boundEnc)).compareTo(v))
-    case _ => None
-  }
+  private def normZero(v: Double): Double = if (v == 0.0d) 0.0d else v
+
+  /** sign of (bound - literal), or None when the literal does not convert,
+    * is NaN (never a basis for skipping a file), or the recorded bound is
+    * malformed — corrupted stats must degrade to "no pruning", never crash
+    * every scan of the table.
+    */
+  private def cmp(kind: Char, boundEnc: String, lit: Any): Option[Int] =
+    try kind match {
+      case 'l' => asLong(lit).map(v => java.lang.Long.compare(boundEnc.toLong, v))
+      case 'd' => asDouble(lit).flatMap { v =>
+        if (v.isNaN) None
+        else Some(java.lang.Double.compare(normZero(boundEnc.toDouble), normZero(v)))
+      }
+      case 's' => asUtf8(lit).map(v => UTF8String.fromString(unb64(boundEnc)).compareTo(v))
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
 
   private def parse(stats: String): Map[String, (Char, String, String)] =
     stats.split(RecSep).iterator.flatMap { r =>
@@ -145,10 +155,13 @@ private[sources] object ManifestStats {
         else {
           val present = recs.flatten.filter { case (_, mn, mx) => mn.nonEmpty && mx.nonEmpty }
           if (present.isEmpty) Some(s"$name$FieldSep$kind$FieldSep$FieldSep")
-          else {
+          else try {
             val mn = present.map(_._2).reduce((a, b) => if (lt(kind)(a, b)) a else b)
             val mx = present.map(_._3).reduce((a, b) => if (lt(kind)(a, b)) b else a)
             Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
+          } catch {
+            // a malformed input bound makes the merged column UNKNOWN, never a crash
+            case _: IllegalArgumentException => None
           }
         }
       }
@@ -188,10 +201,10 @@ private[sources] object ManifestStats {
               if (!hasVal(i)) { minL(i) = v; maxL(i) = v; hasVal(i) = true }
               else { if (v < minL(i)) minL(i) = v; if (v > maxL(i)) maxL(i) = v }
             case 'd' =>
-              val v = dt match {
+              val v = normZero(dt match {
                 case FloatType => row.getFloat(ord).toDouble
                 case _ => row.getDouble(ord)
-              }
+              })
               if (v.isNaN) valid(i) = false // NaN breaks ordering: drop the column
               else if (!hasVal(i)) { minD(i) = v; maxD(i) = v; hasVal(i) = true }
               else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }

@@ -1331,6 +1331,25 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(!e2.head.stats.contains("body"), e2.head.stats)
     val t2 = spark.read.format(classOf[ManifestDataSource].getName).load(tbl2)
     assert(t2.filter(col("body") === ("x" * 100)).count() == 1)
+    // SQL -0.0 = 0.0, but Double.compare separates them: a 0.0-valued file must
+    // NOT be pruned for a -0.0 literal (both sides normalize)
+    val tbl3 = s"$wh/t3"
+    Seq((1L, 0.0d, "en")).toDF("id", "v", "lang_p")
+      .coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tbl3)
+    val t3 = spark.read.format(classOf[ManifestDataSource].getName).load(tbl3)
+    assert(t3.filter(col("v") === lit(-0.0d)).count() == 1)
+    // corrupted stats degrade to "no pruning", never a planning crash
+    val fs = ManifestStats.FieldSep
+    assert(ManifestStats.allows(s"id${fs}l${fs}garbage${fs}also",
+      Seq(ManifestStats.Bound("id", "=", Seq(java.lang.Long.valueOf(5L))))))
+    // the metadata column names are reserved at write time
+    val bad = intercept[Exception] {
+      Seq((1L, "x")).toDF("_file", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(s"$wh/t4")
+    }
+    assert(bad.getMessage.contains("reserved"), bad.getMessage)
   }
 
   test("data-file compaction: bin-packs small files per partition into one atomic " +
