@@ -1362,6 +1362,46 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- SORT-ORDER CLUSTERING under the gate: hash-shuffled ingest defeats
+    //     data-skipping (every file spans the whole doc_id range — the first
+    //     require proves the range scan opens ALL files), clusterBy re-sorts each
+    //     partition into range-disjoint files (footer-derived stats), and the same
+    //     scan then opens a strict subset (second require). The aggregate must
+    //     equal the relational oracle before == after — clustering moves bytes,
+    //     never rows. ---
+    "q63l_cluster_skipping" -> ((s, dir) => {
+      val wh = freshTmpTable("q63l", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .repartition(6, col("n_chars")) // orthogonal key: doc_id ranges interleave
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/docs")
+      def tbl = s.read.format("graft.sources.ManifestDataSource").load(s"$wh/docs")
+      def planned(): Int = {
+        val probe = tbl.filter(col("doc_id") >= 100 && col("doc_id") < 300).select("doc_id")
+        probe.collect()
+        probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }.sum
+      }
+      val before = planned()
+      val perFile = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/docs")
+        .map(_._2).max + 1
+      require(graft.sources.ManifestMaintenance
+        .clusterBy(s, s"$wh/docs", Seq("doc_id"), perFile).isDefined,
+        "clusterBy found nothing to rewrite")
+      val totalAfter = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/docs").length
+      val afterN = planned()
+      require(afterN < totalAfter && afterN < before,
+        s"clustering must sharpen skipping: $before files pre-cluster, " +
+          s"$afterN of $totalAfter post-cluster")
+      tbl.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- MERGE-ON-READ positional DELETE under the gate: a non-partition-predicate
     //     DELETE runs as a delta (the scan emits matching rows' (_file,_pos)
     //     identities, one positional-delete segment commits, NO data file is read
@@ -1935,6 +1975,10 @@ object CorpusQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63i: stats skipping is invisible to answers — plain filtered aggregate
     "q63i_stats_skipping" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63l: clustering moves bytes, never rows — same filtered aggregate as q63i
+    "q63l_cluster_skipping" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63k: merge-on-read DELETE == relational complement of the predicate

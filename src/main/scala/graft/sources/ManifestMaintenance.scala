@@ -140,6 +140,131 @@ object ManifestMaintenance {
     None // unreachable
   }
 
+  /** SORT-ORDER CLUSTERING rewrite (`rewrite_data_files` with a sort order — the
+    * Z-order-lite half of the data-skipping story): every partition's rows are
+    * globally re-sorted on `sortCols` and re-landed as ~`targetBytes` files with
+    * DISJOINT key ranges, so the per-file min/max stats the scan prunes on become
+    * maximally selective. Ingest order rarely matches query order — a table
+    * appended by arrival time answers id/time-range queries by opening every
+    * file; after clustering, a 1%-of-keyspace predicate opens ~1% of the files.
+    * The new files are written by Spark (range repartition + in-partition sort),
+    * so their stats derive from the parquet FOOTERS ([[ManifestStats.fromFooter]]);
+    * positional deletes apply during the read and fold away; the swap publishes
+    * under the same CAS + serializable validation as compaction. Returns the new
+    * snapshot id, or None when the table is empty or a concurrent commit
+    * invalidated the rewrite.
+    */
+  def clusterBy(spark: SparkSession, dir: String, sortCols: Seq[String],
+      targetBytes: Long): Option[Int] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(sortCols.nonEmpty, "clusterBy needs at least one sort column")
+    val partCols = ManifestTables.readPartitionSpec(dir)
+    val schema = ManifestDataSource.tableSchema(dir)
+    require(schema.nonEmpty, s"no committed schema under $dir — nothing to cluster")
+    val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
+    sortCols.foreach { c =>
+      require(dataSchema.fieldNames.contains(c),
+        s"sort column '$c' is not a data column of ${dataSchema.simpleString}")
+    }
+    val planRefs = ManifestTables.readSnapshotRefs(dir, None)
+    val entries = ManifestTables.entriesOf(dir, planRefs)
+    if (entries.isEmpty) return None
+    val deleted = ManifestTables.deletedPositions(dir, planRefs)
+
+    // one rewrite group per partition: all its files -> N range-disjoint files
+    val groups: Seq[(Seq[ManifestTables.Entry], Seq[ManifestTables.Entry])] =
+      entries.groupBy(_.partition).toSeq.sortBy(_._1).map { case (joined, es) =>
+        (es, rewriteClustered(spark, dir, partCols, dataSchema, joined, es, deleted,
+          sortCols, targetBytes))
+      }
+    val sourceToGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
+      case ((srcs, _), g) => srcs.map(_.path -> g) }.toMap
+    val allSources = sourceToGroup.keySet
+    def cleanup(): Unit = groups.foreach(_._2.foreach { e =>
+      try Files.deleteIfExists(Paths.get(dir, e.path)) catch { case _: Exception => }
+    })
+
+    var attempt = 0
+    while (true) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val current = ManifestTables.entriesOf(dir, refs)
+      if (!allSources.subsetOf(current.map(_.path).toSet)) {
+        cleanup(); return None // concurrent overwrite/DELETE retracted a source
+      }
+      val newDels = refs.deletes.filterNot(planRefs.deletes.contains)
+      if (newDels.exists(d => ManifestTables.readDeleteSegment(dir, d)
+          .keysIterator.exists(allSources.contains))) {
+        cleanup(); return None // a delete we did not apply landed on a source
+      }
+      val emitted = scala.collection.mutable.HashSet.empty[Int]
+      val newEntries = current.flatMap { e =>
+        sourceToGroup.get(e.path) match {
+          case None => Seq(e)
+          case Some(g) => if (emitted.add(g)) groups(g)._2 else Nil
+        }
+      }
+      val seg = ManifestTables.writeSegment(dir, newEntries)
+      val livePaths = newEntries.map(_.path).toSet
+      val liveDels = refs.deletes.filter(d =>
+        ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
+      val next = refs.snapshot + 1 // pin from the refs already read (CAS ordering rule)
+      if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
+          Nil, Seq(seg), next,
+          partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
+          deletes = liveDels)) {
+        return Some(next)
+      }
+      attempt += 1
+      if (attempt >= 64) {
+        cleanup()
+        throw new IllegalStateException(s"clusterBy on $dir lost the snapshot race $attempt times")
+      }
+      Thread.sleep(math.min(1000L, 20L * attempt) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+    }
+    None // unreachable
+  }
+
+  /** One partition's clustered rewrite: global range sort into ~targetBytes
+    * files; per-file stats from the written parquet footers.
+    */
+  private def rewriteClustered(spark: SparkSession, dir: String,
+      partCols: Seq[ManifestTables.PartCol], dataSchema: StructType, joined: String,
+      files: Seq[ManifestTables.Entry], deleted: Map[String, Array[Long]],
+      sortCols: Seq[String], targetBytes: Long): Seq[ManifestTables.Entry] = {
+    import org.apache.spark.sql.functions.col
+    val uid = java.util.UUID.randomUUID().toString
+    val tmpOut = s"$dir/_compact_tmp/$uid"
+    val s2 = rewriteSession(spark)
+    val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    readFilesWithDeletes(s2, dir, dataSchema, files, deleted)
+      .repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.parquet(tmpOut)
+    val w = Files.list(Paths.get(tmpOut))
+    val parts = try {
+      val it = w.iterator(); val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) b += p
+      }
+      b.result().sortBy(_.getFileName.toString)
+    } finally w.close()
+    val fields = dataSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    val out = parts.zipWithIndex.map { case (p, k) =>
+      val rel = partitionDirOf(partCols, joined) + s"cluster-$uid-$k.parquet"
+      val target = Paths.get(dir, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1,
+        stats = ManifestStats.fromFooter(target.toString, fields,
+          ManifestDataSource.hadoopConf()))
+    }
+    deleteRecursively(Paths.get(dir, "_compact_tmp", uid))
+    out
+  }
+
   /** Greedy in-order packing: a file at or above the target forms its own bin. */
   private def packBins(es: Seq[ManifestTables.Entry], targetBytes: Long)
       : Seq[Seq[ManifestTables.Entry]] = {
@@ -167,19 +292,17 @@ object ManifestMaintenance {
     * to INT64 micros (the manifest schema mapping) rather than Spark's INT96 legacy
     * default.
     */
-  private def rewriteBin(spark: SparkSession, dir: String,
-      partCols: Seq[ManifestTables.PartCol], dataSchema: StructType,
-      joined: String, bin: Seq[ManifestTables.Entry],
-      deleted: Map[String, Array[Long]] = Map.empty): ManifestTables.Entry = {
+  /** Deletes-aware read of a set of committed files with the authoritative data
+    * schema: positional deletes apply DURING the read via the native scan's
+    * `_metadata.row_index` — files with deletes read one-at-a-time (positions are
+    * per-file), clean files batch together. Shared by compaction and clustering:
+    * any maintenance rewrite that skipped this would resurrect deleted rows.
+    */
+  private def readFilesWithDeletes(s2: SparkSession, dir: String, dataSchema: StructType,
+      files: Seq[ManifestTables.Entry],
+      deleted: Map[String, Array[Long]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val uid = java.util.UUID.randomUUID().toString
-    val tmpOut = s"$dir/_compact_tmp/$uid"
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    // positional deletes apply DURING the rewrite via the native scan's
-    // _metadata.row_index — files with deletes read one-at-a-time (positions are
-    // per-file), clean files batch together
-    val (withDels, clean) = bin.partition(e => deleted.get(e.path).exists(_.nonEmpty))
+    val (withDels, clean) = files.partition(e => deleted.get(e.path).exists(_.nonEmpty))
     val cleanDf =
       if (clean.isEmpty) None
       else Some(s2.read.schema(dataSchema).parquet(clean.map(e => s"$dir/${e.path}"): _*))
@@ -191,14 +314,36 @@ object ManifestMaintenance {
         .drop("__graft_ri")
     }
     (cleanDf.toSeq ++ delDfs).reduce(_ unionAll _)
+  }
+
+  private def rewriteSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    // timestamps forced to INT64 micros (the manifest schema mapping), not
+    // Spark's INT96 legacy default
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s2
+  }
+
+  private def partitionDirOf(partCols: Seq[ManifestTables.PartCol], joined: String): String = {
+    val vals = ManifestDataSource.splitPartValues(joined, partCols.length)
+    partCols.zip(vals).map { case (pc, v) =>
+      s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString
+  }
+
+  private def rewriteBin(spark: SparkSession, dir: String,
+      partCols: Seq[ManifestTables.PartCol], dataSchema: StructType,
+      joined: String, bin: Seq[ManifestTables.Entry],
+      deleted: Map[String, Array[Long]] = Map.empty): ManifestTables.Entry = {
+    val uid = java.util.UUID.randomUUID().toString
+    val tmpOut = s"$dir/_compact_tmp/$uid"
+    val s2 = rewriteSession(spark)
+    readFilesWithDeletes(s2, dir, dataSchema, bin, deleted)
       .coalesce(1).write.parquet(tmpOut)
     val part = listOnly(Paths.get(tmpOut), p => {
       val n = p.getFileName.toString
       n.startsWith("part-") && n.endsWith(".parquet")
     })
-    val vals = ManifestDataSource.splitPartValues(joined, partCols.length)
-    val rel = partCols.zip(vals).map { case (pc, v) =>
-      s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString + s"compact-$uid.parquet"
+    val rel = partitionDirOf(partCols, joined) + s"compact-$uid.parquet"
     val target = Paths.get(dir, rel)
     Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)

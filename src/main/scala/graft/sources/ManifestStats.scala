@@ -45,6 +45,60 @@ private[sources] object ManifestStats {
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Derives the stats encoding from a parquet file's FOOTER column-chunk
+    * statistics — the path for files Spark's own writer produced (clustering
+    * rewrites land through `df.write.parquet`, not the DSv2 row writer). Per
+    * column, merged across row groups; the same safety rules as the live
+    * accumulator: no bounds when any chunk lacks statistics, when a float bound
+    * is NaN, or when a string bound exceeds [[MaxStringStat]] (footer binary
+    * stats can also be writer-truncated — an over-long bound is simply not
+    * recorded rather than trusted).
+    */
+  def fromFooter(file: String, fields: Seq[(String, DataType)],
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    val blocks = try reader.getFooter.getBlocks finally reader.close()
+    import scala.jdk.CollectionConverters._
+    val chunks = blocks.asScala.flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+    fields.flatMap { case (name, dt) =>
+      kindOf(dt).flatMap { kind =>
+        if (name.indexOf(RecSep.toInt) >= 0 || name.indexOf(FieldSep.toInt) >= 0) None
+        else chunks.get(name).flatMap { cs =>
+          val stats = cs.map(_.getStatistics)
+          if (stats.exists(s => s == null || s.isEmpty)) None
+          else if (stats.forall(s => !s.hasNonNullValue)) // every chunk all-null
+            Some(s"$name$FieldSep$kind$FieldSep$FieldSep")
+          else if (stats.exists(s => !s.hasNonNullValue && s.getNumNulls == 0)) None
+          else try {
+            val present = stats.filter(_.hasNonNullValue)
+            def enc(v: Any): Option[String] = (kind, v) match {
+              case ('l', n: java.lang.Number) => Some(n.longValue.toString)
+              case ('d', n: java.lang.Number) =>
+                val d = normZero(n.doubleValue)
+                if (d.isNaN) None else Some(d.toString)
+              case ('s', b: org.apache.parquet.io.api.Binary) =>
+                val s = b.toStringUsingUTF8
+                if (s.length > MaxStringStat) None else Some(b64(s))
+              case _ => None
+            }
+            val mins = present.map(s => enc(s.genericGetMin))
+            val maxs = present.map(s => enc(s.genericGetMax))
+            if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
+            else {
+              val mn = mins.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) a else b)
+              val mx = maxs.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) b else a)
+              Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
+            }
+          } catch { case _: IllegalArgumentException | _: UnsupportedOperationException => None }
+        }
+      }
+    }.mkString(RecSep.toString)
+  }
+
   /** A data-column comparison usable for pruning: op in =, <, <=, >, >=, in.
     * `values` are catalyst-internal literal values (UTF8String, epoch-day Int, ...).
     */
@@ -140,14 +194,17 @@ private[sources] object ManifestStats {
     * the merged bound unknown); all-null inputs widen nothing; a mix of all-null
     * and valued inputs keeps the valued bounds.
     */
+  /** Encoded-bound order within one kind (shared by merge and fromFooter). */
+  private def ltEnc(kind: Char)(a: String, b: String): Boolean = kind match {
+    case 'l' => a.toLong < b.toLong
+    case 'd' => a.toDouble < b.toDouble
+    case _ => UTF8String.fromString(unb64(a)).compareTo(UTF8String.fromString(unb64(b))) < 0
+  }
+
   def merge(statsList: Seq[String], fields: Seq[(String, DataType)]): String = {
     if (statsList.isEmpty || statsList.exists(_.isEmpty)) return ""
     val parsed = statsList.map(parse)
-    def lt(kind: Char)(a: String, b: String): Boolean = kind match {
-      case 'l' => a.toLong < b.toLong
-      case 'd' => a.toDouble < b.toDouble
-      case _ => UTF8String.fromString(unb64(a)).compareTo(UTF8String.fromString(unb64(b))) < 0
-    }
+    def lt(kind: Char)(a: String, b: String): Boolean = ltEnc(kind)(a, b)
     fields.flatMap { case (name, dt) =>
       kindOf(dt).flatMap { kind =>
         val recs = parsed.map(_.get(name))

@@ -1352,6 +1352,51 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("reserved"), bad.getMessage)
   }
 
+  test("clusterBy: sort-order rewrite makes per-file ranges disjoint so range " +
+      "queries skip; footer-derived stats; deletes fold; time travel intact") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_cluster").toString
+    val tbl = s"$wh/t"
+    // ingest order orthogonal to id: every append spans the WHOLE id range, so a
+    // range predicate must open every file before clustering
+    def append(ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"body-$i", "en")).toDF("id", "tag", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(Seq(0L, 10L, 20L, 30L))
+    append(Seq(1L, 11L, 21L, 31L))
+    append(Seq(2L, 12L, 22L, 32L))
+    def tdf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    def files(df: org.apache.spark.sql.DataFrame): Int = inputPartitionCount(df)
+    assert(files(tdf.filter(col("id") >= 30).select("id")) == 3,
+      "interleaved ingest must defeat skipping before clustering")
+    // a positional delete folds during the clustering rewrite
+    spark.conf.set("spark.sql.catalog.graft_cl", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cl.warehouse", wh.substring(0, wh.lastIndexOf('/')))
+    val preSnap = ManifestTables.latestSnapshotId(tbl).get
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql(s"DELETE FROM graft_cl.${wh.substring(wh.lastIndexOf('/') + 1)}.t WHERE id = 11")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    // cluster into ~3 files per partition (target sized to one source file)
+    val target = ManifestTables.readSnapshot(tbl, None).map(_.bytes).max + 1
+    assert(ManifestMaintenance.clusterBy(spark, tbl, Seq("id"), target).isDefined)
+    val after = ManifestTables.readSnapshot(tbl, None)
+    assert(after.forall(_.path.contains("cluster-")), after.map(_.path).mkString(","))
+    assert(after.forall(_.stats.nonEmpty), "clustered files must carry footer stats")
+    assert(ManifestTables.readSnapshotRefs(tbl, None).deletes.isEmpty,
+      "clustering must fold positional deletes")
+    // ranges now disjoint: the same predicate opens a strict subset of the files
+    assert(after.length >= 2)
+    assert(files(tdf.filter(col("id") >= 30).select("id")) < after.length)
+    assert(tdf.filter(col("id") >= 30).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(30L, 31L, 32L))
+    // content identical minus the folded delete; time travel serves pre-delete
+    assert(tdf.count() == 11)
+    assert(tdf.filter(col("id") === 11).count() == 0)
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", preSnap.toString).load(tbl).count() == 12)
+  }
+
   test("data-file compaction: bin-packs small files per partition into one atomic " +
       "snapshot swap; schema-evolution-aware; no-op when nothing packs") {
     import spark.implicits._
