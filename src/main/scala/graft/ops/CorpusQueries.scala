@@ -1362,6 +1362,37 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- SNAPSHOT TAGS under the gate: the training-reproducibility primitive.
+    //     The full corpus is tagged 'trainset', then OVERWRITTEN by a filtered
+    //     subset, then expiry reclaims everything untagged — and the aggregate
+    //     read back by NAME must still equal the full-corpus oracle: the exact
+    //     table state a model trained on stays readable however the table moves
+    //     on. (The require proves the latest snapshot really is the subset.) ---
+    "q63m_snapshot_tag" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63m", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      docs.write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      graft.sources.ManifestTables.tagLatest(s"$wh/corpus/docs", "trainset")
+      docs.filter(col("lang_p") === "en")
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      graft.sources.ManifestTables.expireSnapshots(s"$wh/corpus/docs", keepLast = 1)
+      val cat = s"graft_q63m_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val latestLangs = s.sql(s"SELECT count(DISTINCT lang_p) FROM $cat.corpus.docs")
+        .head().getLong(0)
+      require(latestLangs == 1, s"latest should be the en-only overwrite, saw $latestLangs langs")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs VERSION AS OF 'trainset'
+           |GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- SORT-ORDER CLUSTERING under the gate: hash-shuffled ingest defeats
     //     data-skipping (every file spans the whole doc_id range — the first
     //     require proves the range scan opens ALL files), clusterBy re-sorts each
@@ -1977,6 +2008,10 @@ object CorpusQueries {
     "q63i_stats_skipping" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63m: the tag pins the FULL corpus through overwrite + expiry
+    "q63m_snapshot_tag" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63l: clustering moves bytes, never rows — same filtered aggregate as q63i
     "q63l_cluster_skipping" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -70,10 +70,8 @@ class ManifestCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val snap = try version.toInt catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"snapshot version must be an integer, got '$version'")
-    }
+    // a decimal literal is a snapshot id; anything else resolves as a TAG name
+    val snap = ManifestTables.resolveVersion(dir, version)
     // Fail at resolution time if the pinned snapshot does not exist (readSnapshot
     // throws for an unknown id); a legitimately EMPTY snapshot (e.g. an empty
     // overwrite) is fine and serves zero rows. The schema is the PINNED snapshot's

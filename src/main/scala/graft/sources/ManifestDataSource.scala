@@ -62,7 +62,8 @@ class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
     ManifestDataSource.tableSchema(options.get("path"),
-      Option(options.get("snapshot")).map(_.toInt))
+      Option(options.get("snapshot"))
+        .map(ManifestTables.resolveVersion(options.get("path"), _)))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestDataTable(properties.get("path"), schema)
@@ -359,9 +360,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(ManifestTables.latestSnapshotId(dir).isDefined,
       s"no committed snapshot under $dir — write or commit first")
-    // time travel: .option("snapshot", N) — or a catalog-level pin from SQL's
-    // `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
-    val snapshot = Option(options.get("snapshot")).map(_.toInt).orElse(pinnedSnapshot)
+    // time travel: .option("snapshot", <id or tag name>) — or a catalog-level pin
+    // from SQL's `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
+    val snapshot = Option(options.get("snapshot"))
+      .map(ManifestTables.resolveVersion(dir, _)).orElse(pinnedSnapshot)
     new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir), snapshot)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

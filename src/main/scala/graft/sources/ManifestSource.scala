@@ -344,6 +344,79 @@ object ManifestTables {
     name
   }
 
+  // ------------------------------------------------------------------ snapshot TAGS
+  // Named immutable refs to snapshot ids (Iceberg tag analog): `VERSION AS OF
+  // 'name'` resolves through them, and expireSnapshots RETAINS tagged snapshots —
+  // the training-reproducibility primitive ("the exact corpus model X trained on"
+  // stays readable by name however many snapshots land afterwards).
+
+  private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9_.-]{0,63}"
+
+  private def tagPath(dir: String, name: String) =
+    Paths.get(dir, "_manifests", s"tag-$name.json")
+
+  /** Creates an IMMUTABLE tag (create-once via hard link — re-tagging a used name
+    * fails loudly; delete first to move a name). The snapshot must exist.
+    */
+  def createTag(dir: String, name: String, snapshot: Int): Unit = {
+    require(name.matches(TagNamePattern),
+      s"tag name '$name' must match $TagNamePattern")
+    snapshotFileFor(dir, Some(snapshot)) // throws on an unknown snapshot
+    val json = s"""{\n  "tag": "${jsonEscape(name)}",\n  "snapshot": $snapshot\n}"""
+    val mdir = Paths.get(dir, "_manifests")
+    val tmp = Files.createTempFile(mdir, ".tmp-tag-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(tagPath(dir, name), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists on $dir — tags are immutable; deleteTag first")
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Tags the CURRENT latest snapshot (the common "pin what I just built" call);
+    * returns the pinned id.
+    */
+  def tagLatest(dir: String, name: String): Int = {
+    val id = latestSnapshotId(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir to tag"))
+    createTag(dir, name, id)
+    id
+  }
+
+  def readTag(dir: String, name: String): Option[Int] = {
+    val p = tagPath(dir, name)
+    if (!Files.exists(p)) None
+    else "\"snapshot\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .map(_.group(1).toInt)
+  }
+
+  def listTags(dir: String): Seq[(String, Int)] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val TagFile = s"tag-($TagNamePattern)\\.json".r
+    val stream = Files.list(mdir)
+    val names = try stream.iterator().asScala.map(_.getFileName.toString).flatMap { n =>
+      TagFile.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1))
+    }.toSeq finally stream.close()
+    names.sorted.flatMap(n => readTag(dir, n).map(n -> _))
+  }
+
+  def deleteTag(dir: String, name: String): Boolean =
+    Files.deleteIfExists(tagPath(dir, name))
+
+  /** `VERSION AS OF` argument -> snapshot id: a decimal literal is an id, anything
+    * else resolves as a tag name (loud on an unknown tag).
+    */
+  private[sources] def resolveVersion(dir: String, version: String): Int =
+    version.toIntOption.getOrElse(
+      readTag(dir, version).getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a snapshot id nor a tag on $dir " +
+          s"(tags: ${listTags(dir).map(_._1).mkString(", ")})")))
+
   /** One delete segment's path -> positions map. */
   private[sources] def readDeleteSegment(dir: String, name: String): Map[String, Seq[Long]] = {
     val p = Paths.get(dir, "_manifests", name)
@@ -521,7 +594,15 @@ object ManifestTables {
     require(keepLast >= 1, "must retain at least the latest snapshot")
     val snaps = snapshotFiles(dir)
     if (snaps.length <= keepLast) return (0, 0, 0)
-    val (expired, retained) = snaps.splitAt(snaps.length - keepLast)
+    // TAGGED snapshots are retained regardless of age — a tag is a promise that
+    // this exact table state stays readable by name (delete the tag to release it)
+    val tagged = listTags(dir).map(_._2).toSet
+    def idOf(f: String): Int =
+      SnapshotName.findFirstMatchIn(Paths.get(f).getFileName.toString).get.group(1).toInt
+    val keepTail = snaps.takeRight(keepLast).toSet
+    val (retained, expired) = snaps.partition(f =>
+      keepTail.contains(f) || tagged.contains(idOf(f)))
+    if (expired.isEmpty) return (0, 0, 0)
     def refsOf(files: Seq[String]): (Set[String], Set[String], Set[String]) = {
       val all = files.map { f =>
         val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)

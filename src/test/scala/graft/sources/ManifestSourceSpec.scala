@@ -1397,6 +1397,48 @@ class ManifestSourceSpec extends AnyFunSuite {
       .option("snapshot", preSnap.toString).load(tbl).count() == 12)
   }
 
+  test("snapshot tags: VERSION AS OF a name; tags pin snapshots through expiry; " +
+      "immutable; deleteTag releases") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_tags").toString
+    val tbl = s"$wh/ns/t"
+    def write(mode: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode).save(tbl)
+    write("overwrite", (1L, "en"), (2L, "fr"))
+    val v0 = ManifestTables.latestSnapshotId(tbl).get
+    ManifestTables.createTag(tbl, "train_v1", v0)
+    write("overwrite", (10L, "en"))
+    // resolve by name through BOTH surfaces: SQL VERSION AS OF and the path option
+    spark.conf.set("spark.sql.catalog.graft_tag", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tag.warehouse", wh)
+    assert(spark.sql("SELECT id FROM graft_tag.ns.t VERSION AS OF 'train_v1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "train_v1").load(tbl).count() == 2)
+    assert(spark.sql("SELECT count(*) FROM graft_tag.ns.t").head().getLong(0) == 1)
+    // tags are immutable; unknown tags fail loudly naming the known ones
+    intercept[IllegalArgumentException] { ManifestTables.createTag(tbl, "train_v1", v0) }
+    val unknown = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tag.ns.t VERSION AS OF 'nope'").collect()
+    }
+    assert(unknown.getMessage.contains("train_v1"), unknown.getMessage)
+    // expiry RETAINS the tagged snapshot: still readable by name afterwards
+    ManifestTables.expireSnapshots(tbl, keepLast = 1)
+    assert(spark.sql("SELECT count(*) FROM graft_tag.ns.t VERSION AS OF 'train_v1'")
+      .head().getLong(0) == 2)
+    assert(ManifestTables.listTags(tbl) == Seq(("train_v1", v0)))
+    // releasing the tag lets the next expiry reclaim it
+    assert(ManifestTables.deleteTag(tbl, "train_v1"))
+    ManifestTables.expireSnapshots(tbl, keepLast = 1)
+    intercept[Exception] {
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("snapshot", v0.toString).load(tbl).count()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_tag.ns.t").head().getLong(0) == 1)
+  }
+
   test("data-file compaction: bin-packs small files per partition into one atomic " +
       "snapshot swap; schema-evolution-aware; no-op when nothing packs") {
     import spark.implicits._
