@@ -1362,6 +1362,36 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- MERGE-ON-READ UPDATE under the gate: the delta protocol's second half —
+    //     matched rows positional-delete their old version while the updated rows
+    //     land as ordinary appends (O(matches) commit; the require proves every
+    //     pre-update file survived untouched); readers merge both at scan time and
+    //     the aggregate must equal the relational update derivation. ---
+    "q63n_mor_update" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63n", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63n_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val filesBefore = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+        .map(_._1).toSet
+      s.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
+      try s.sql(s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 1000 WHERE doc_id % 10 = 0")
+      finally s.conf.unset("spark.graft.manifest.updateMode")
+      val filesAfter = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/corpus/docs")
+        .map(_._1).toSet
+      require(filesBefore.subsetOf(filesAfter),
+        "merge-on-read UPDATE must leave every pre-update data file in place")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- SNAPSHOT TAGS under the gate: the training-reproducibility primitive.
     //     The full corpus is tagged 'trainset', then OVERWRITTEN by a filtered
     //     subset, then expiry reclaims everything untagged — and the aggregate
@@ -2008,6 +2038,12 @@ object CorpusQueries {
     "q63i_stats_skipping" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63n: merge-on-read UPDATE == the relational update derivation
+    "q63n_mor_update" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END)
+        |    AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63m: the tag pins the FULL corpus through overwrite + expiry
     "q63m_snapshot_tag" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -333,15 +333,20 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedSnapshot.isEmpty,
       "row-level operations are not allowed on a time-travel (VERSION AS OF) relation")
-    // session opt-in: DELETE as a merge-on-read positional delta (O(matches)
-    // commit, no data file rewritten) instead of the copy-on-write default;
-    // UPDATE/MERGE always copy-on-write (their replacement rows need real files)
-    val mergeOnRead = info.command() ==
-      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
-      org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.manifest.deleteMode", "copy-on-write") == "merge-on-read"
+    // session opt-in: DELETE/UPDATE as a merge-on-read delta (O(matches) commit,
+    // no touched file rewritten — DELETE records positions only, UPDATE records
+    // positions + lands replacement rows as ordinary appends) instead of the
+    // copy-on-write default; MERGE always copy-on-write (its matched/unmatched
+    // split needs the group protocol's cardinality handling)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    def conf(key: String): String = org.apache.spark.sql.SparkSession.active.conf
+      .get(key, "copy-on-write")
+    val mergeOnRead = (info.command() == Command.DELETE &&
+        conf("spark.graft.manifest.deleteMode") == "merge-on-read") ||
+      (info.command() == Command.UPDATE &&
+        conf("spark.graft.manifest.updateMode") == "merge-on-read")
     () =>
-      if (mergeOnRead) new ManifestDeltaDeleteOperation(dir)
+      if (mergeOnRead) new ManifestDeltaOperation(dir, info.command())
       else new ManifestRowLevelOperation(dir, info.command())
   }
   override def name(): String = s"manifest_data($dir)"
@@ -1554,14 +1559,15 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
   * `spark.graft.manifest.deleteMode=merge-on-read` (copy-on-write remains the
   * default — it keeps the table free of read-time merge work).
   */
-private[sources] class ManifestDeltaDeleteOperation(dir: String)
+private[sources] class ManifestDeltaOperation(dir: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, RowLevelOperation}
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
-  override def description(): String = s"manifest merge-on-read DELETE($dir)"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"manifest merge-on-read $cmd($dir)"
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestDataScanBuilder(dir, ManifestDataSource.tableSchema(dir),
       ManifestTables.readPartitionSpec(dir), None)
@@ -1572,45 +1578,66 @@ private[sources] class ManifestDeltaDeleteOperation(dir: String)
     Expressions.column(ManifestDataSource.FileCol),
     Expressions.column(ManifestDataSource.PosCol))
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  /** UPDATE = positional delete of the old row + ordinary insert of the new one —
+    * the insert rides the SAME per-task writer appends use, so updated rows may
+    * even move partitions (SET on a partition column just lands the row in its
+    * new directory).
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newWriteBuilder(
       info: LogicalWriteInfo): DeltaWriteBuilder = {
     val idSchema = info.rowIdSchema().orElseThrow(() =>
-      new IllegalStateException("delta DELETE write planned without a rowId schema"))
+      new IllegalStateException(s"delta $cmd write planned without a rowId schema"))
     val fileIdx = idSchema.fieldIndex(ManifestDataSource.FileCol)
     val posIdx = idSchema.fieldIndex(ManifestDataSource.PosCol)
+    val rowFields = info.schema().fields.map(f => (f.name, f.dataType))
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new ManifestDeltaDeleteBatchWrite(dir, fileIdx, posIdx)
+          new ManifestDeltaBatchWrite(dir, cmd.toString, fileIdx, posIdx, rowFields,
+            insertsAllowed = cmd != RowLevelOperation.Command.DELETE)
       }
     }
   }
 }
 
-private case class ManifestDeleteMessage(byFile: Map[String, Seq[Long]])
-    extends WriterCommitMessage
+/** One task's delta outcome: positional deletes + any data files its inserts
+  * landed (UPDATE's replacement rows; empty for DELETE).
+  */
+private case class ManifestDeltaMessage(byFile: Map[String, Seq[Long]],
+    files: Seq[(String, Long, String, String)]) extends WriterCommitMessage
 
-private class ManifestDeltaDeleteBatchWrite(dir: String, fileIdx: Int, posIdx: Int)
+private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
+    fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
+    insertsAllowed: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.{DeltaWriter, DeltaWriterFactory}
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(fileIdx, posIdx)
+  private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
+  private val partCol = ManifestTables.readPartitionColumn(dir)
 
-  /** ONE delete segment for the whole job, referenced by a CAS-published snapshot
-    * that carries everything else forward. Serializable validation: every file we
-    * recorded positions against must still be live — a concurrent rewrite/DELETE/
-    * compaction of that file means our positions describe retracted bytes, and
-    * publishing them would silently lose this operation's deletes.
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(dir, partCol, fileIdx, posIdx, rowFields,
+      writeUid, insertsAllowed)
+
+  /** ONE delete segment (+ one data segment when inserts landed) for the whole
+    * job, referenced by a CAS-published snapshot that carries everything else
+    * forward. Serializable validation: every file we recorded positions against
+    * must still be live — a concurrent rewrite/DELETE/compaction of that file
+    * means our positions describe retracted bytes, and publishing them would
+    * silently lose this operation's effect.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val byFile: Map[String, Seq[Long]] = messages.flatMap {
-      case ManifestDeleteMessage(m) => m.toSeq
-      case _ => Nil
-    }.groupBy(_._1).map { case (f, xs) => f -> xs.flatMap(_._2).toSeq }
-    if (byFile.isEmpty) return // no matches: no snapshot
-    val delSeg = ManifestTables.writeDeleteSegment(dir, byFile)
-    val partCol = ManifestTables.readPartitionColumn(dir)
+    val parts = messages.collect { case m: ManifestDeltaMessage => m }
+    val byFile: Map[String, Seq[Long]] = parts.flatMap(_.byFile.toSeq)
+      .groupBy(_._1).map { case (f, xs) => f -> xs.flatMap(_._2).toSeq }
+    val fresh = parts.flatMap(_.files)
+      .map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
+    if (byFile.isEmpty && fresh.isEmpty) return // no matches: no snapshot
+    val delSeg = if (byFile.isEmpty) None
+      else Some(ManifestTables.writeDeleteSegment(dir, byFile))
+    val freshSeg = if (fresh.isEmpty) None
+      else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
     val partTypes = ManifestTables.readPartitionTypes(dir)
     var done = false
     var attempt = 0
@@ -1618,17 +1645,17 @@ private class ManifestDeltaDeleteBatchWrite(dir: String, fileIdx: Int, posIdx: I
       val refs = ManifestTables.readSnapshotRefs(dir, None)
       val present = ManifestTables.entriesOf(dir, refs).map(_.path).toSet
       require(byFile.keySet.subsetOf(present),
-        s"merge-on-read DELETE on $dir conflicts with a concurrent commit that removed " +
+        s"merge-on-read $cmdName on $dir conflicts with a concurrent commit that removed " +
           s"${(byFile.keySet -- present).take(3).mkString(", ")} — rerun the operation")
       // pin the target id from the refs already read (see ManifestReplaceBatchWrite)
       val next = refs.snapshot + 1
-      done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline, refs.segments,
-        next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes :+ delSeg)
+      done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline,
+        refs.segments ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
+        deletes = refs.deletes ++ delSeg)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
-          s"merge-on-read DELETE commit to $dir lost the snapshot race $attempt times")
+          s"merge-on-read $cmdName commit to $dir lost the snapshot race $attempt times")
         Thread.sleep(math.min(1000L, 20L * attempt) +
           java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
       }
@@ -1636,29 +1663,54 @@ private class ManifestDeltaDeleteBatchWrite(dir: String, fileIdx: Int, posIdx: I
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    () // nothing lands on disk before commit's segment write
+    // positions never land before commit; inserted data files do — remove them
+    messages.foreach {
+      case ManifestDeltaMessage(_, files) => files.foreach { case (rel, _, _, _) =>
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+        catch { case _: Exception => }
+      }
+      case _ =>
+    }
 }
 
-private class ManifestDeltaWriterFactory(fileIdx: Int, posIdx: Int)
+private class ManifestDeltaWriterFactory(dir: String, partCol: String,
+    fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
+    writeUid: String, insertsAllowed: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new ManifestDeltaDeleteWriter(fileIdx, posIdx)
+    new ManifestDeltaRowWriter(dir, partCol, fileIdx, posIdx, rowFields,
+      partitionId, taskId, writeUid, insertsAllowed)
 }
 
-private class ManifestDeltaDeleteWriter(fileIdx: Int, posIdx: Int)
+private class ManifestDeltaRowWriter(dir: String, partCol: String,
+    fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
+    partitionId: Int, taskId: Long, writeUid: String, insertsAllowed: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  // UPDATE's replacement rows land through the SAME writer appends use (one open
+  // parquet writer per partition tuple, stats accumulated live)
+  private lazy val inserts =
+    new ManifestDataWriter(dir, partCol, rowFields, partitionId, taskId, writeUid)
+  private var wroteAny = false
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
       scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posIdx)
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new UnsupportedOperationException("delta operation supports DELETE only")
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException("delta operation supports DELETE only")
-  override def commit(): WriterCommitMessage =
-    ManifestDeleteMessage(acc.map { case (f, ps) => f -> ps.toSeq }.toMap)
-  override def abort(): Unit = ()
+    throw new UnsupportedOperationException(
+      "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+  override def insert(row: InternalRow): Unit = {
+    require(insertsAllowed, "delta DELETE must not insert rows")
+    wroteAny = true
+    inserts.write(row)
+  }
+  override def commit(): WriterCommitMessage = {
+    val files =
+      if (!wroteAny) Nil
+      else inserts.commit() match { case ManifestWriteMessage(fs) => fs }
+    ManifestDeltaMessage(acc.map { case (f, ps) => f -> ps.toSeq }.toMap, files)
+  }
+  override def abort(): Unit = if (wroteAny) inserts.abort()
   override def close(): Unit = ()
 }
 

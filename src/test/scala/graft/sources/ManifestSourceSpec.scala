@@ -1273,6 +1273,44 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ids() == Seq(5L, 6L, 8L, 30L))
   }
 
+  test("merge-on-read UPDATE: delete+insert delta — no touched file rewritten, " +
+      "replacement rows append; partition moves work; compaction folds") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_moru").toString
+    val tblDir = s"$wh/ns/t"
+    Seq((1L, 10L, "en"), (2L, 20L, "en"), (3L, 30L, "fr")).toDF("id", "score", "lang_p")
+      .coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tblDir)
+    spark.conf.set("spark.sql.catalog.graft_moru", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_moru.warehouse", wh)
+    def rows() = spark.sql("SELECT id, score, lang_p FROM graft_moru.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val before = ManifestTables.readSnapshot(tblDir, None).map(_.path).toSet
+    spark.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
+    try {
+      spark.sql("UPDATE graft_moru.ns.t SET score = score + 1 WHERE id = 2")
+      val after = ManifestTables.readSnapshot(tblDir, None).map(_.path).toSet
+      // the touched file stays; the replacement row landed as ONE fresh append
+      assert(before.subsetOf(after), s"original files must stay: ${before -- after}")
+      assert((after -- before).size == 1, s"fresh files: ${after -- before}")
+      assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.length == 1)
+      assert(rows() == Seq((1L, 10L, "en"), (2L, 21L, "en"), (3L, 30L, "fr")))
+      // SET on the PARTITION column: the row moves directories
+      spark.sql("UPDATE graft_moru.ns.t SET lang_p = 'de' WHERE id = 3")
+      assert(rows() == Seq((1L, 10L, "en"), (2L, 21L, "en"), (3L, 30L, "de")))
+      assert(spark.sql("SELECT count(*) FROM graft_moru.ns.t WHERE lang_p = 'fr'")
+        .head().getLong(0) == 0)
+      // a no-match UPDATE publishes nothing
+      val snapBefore = ManifestTables.latestSnapshotId(tblDir).get
+      spark.sql("UPDATE graft_moru.ns.t SET score = 0 WHERE id = 999")
+      assert(ManifestTables.latestSnapshotId(tblDir).get == snapBefore)
+    } finally spark.conf.unset("spark.graft.manifest.updateMode")
+    // compaction folds the deltas; answers unchanged
+    assert(ManifestMaintenance.compactDataFiles(spark, tblDir, 64L << 20).isDefined)
+    assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.isEmpty)
+    assert(rows() == Seq((1L, 10L, "en"), (2L, 21L, "en"), (3L, 30L, "de")))
+  }
+
   test("per-file column stats: data-column predicates skip whole files by min/max; " +
       "compaction merges bounds; unknown/long/all-null columns never mis-prune") {
     import spark.implicits._
