@@ -1392,6 +1392,110 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
+    //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
+    //     serve EXACTLY the rows appended after that snapshot — the scan plans
+    //     O(delta) files (the require proves a strict subset), the baseline is
+    //     never rescanned, and append-only history is enforced. This is the CDC
+    //     backbone of a training pipeline: "give me everything that landed since
+    //     the corpus version model X trained on". ---
+    "q63o_incremental_read" -> ((s, dir) => {
+      val out = freshTmpTable("q63o", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def part(r: Int) = docs.filter(col("doc_id") % 3 === r)
+      part(0).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(out)
+      // the baseline rides a snapshot TAG — "everything since the tagged corpus"
+      graft.sources.ManifestTables.tagLatest(out, "trained")
+      part(1).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(out)
+      part(2).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(out)
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(out).length
+      val delta = s.read.format("graft.sources.ManifestDataSource")
+        .option("startSnapshot", "trained").load(out)
+      val probe = delta.select("doc_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total,
+        s"incremental scan must plan a strict subset of the table's $total files, planned $planned")
+      delta.groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- CDC CHANGELOG read under the gate (Iceberg changelog / Delta CDF analog):
+    //     the full corpus is tagged v0, a merge-on-read DELETE removes doc_id%5
+    //     rows (positional delta — no file rewritten), an append lands doc_id%7
+    //     rows, and `.option("changelog", true).option("startSnapshot", "v0")`
+    //     must serve BOTH sides with a _change_type column: deletes carry their
+    //     pre-delete column values read back from the baseline files at exactly
+    //     the deleted positions, inserts are the appended rows. The aggregate
+    //     equals the relational UNION-ALL derivation bit-for-bit. ---
+    "q63p_changelog" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63p", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      docs.write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      graft.sources.ManifestTables.tagLatest(s"$wh/corpus/docs", "v0")
+      val cat = s"graft_q63p_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 5 = 0")
+      finally s.conf.unset("spark.graft.manifest.deleteMode")
+      docs.filter(col("doc_id") % 7 === 0)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("changelog", "true").option("startSnapshot", "v0")
+        .load(s"$wh/corpus/docs")
+        .groupBy(col("_change_type").as("change"), col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("change"), col("lang"))
+    }),
+
+    // --- STREAMING SOURCE under the gate (Iceberg incremental-append streaming
+    //     read analog): the manifest table is read AS A STREAM — offsets are
+    //     snapshot ids, each micro-batch plans exactly the files appended in the
+    //     offset range — and routed through the exactly-once manifest SINK into a
+    //     second manifest table. The first run drains two snapshots; a THIRD lands
+    //     and the restarted stream (same checkpoint) must emit only the delta; a
+    //     final idle restart must commit nothing. The read-back aggregate equals
+    //     the full-corpus oracle ONLY if every row crossed exactly once. ---
+    "q66_stream_manifest_read" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = freshTmpTable("q66_src", dir)
+      val dst = freshTmpTable("q66_dst", dir)
+      val ckpt = freshTmpTable("q66_ckpt", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def landed(r: Int): Unit = docs.filter(col("doc_id") % 3 === r)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(src)
+      def drain(): Unit = {
+        val stream = s.readStream.format("graft.sources.ManifestDataSource").load(src)
+        val q = graft.sources.ManifestStreamSink.start(stream, dst, "lang_p", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      landed(0); landed(1)
+      drain()
+      landed(2)
+      drain()
+      drain() // idle restart on the same checkpoint: a pure no-op on dst
+      s.read.format("graft.sources.ManifestDataSource").load(dst)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- SNAPSHOT TAGS under the gate: the training-reproducibility primitive.
     //     The full corpus is tagged 'trainset', then OVERWRITTEN by a filtered
     //     subset, then expiry reclaims everything untagged — and the aggregate
@@ -2043,6 +2147,22 @@ object CorpusQueries {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END)
         |    AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63o: the incremental read == the relational complement of the first append
+    "q63o_incremental_read" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63p: the changelog == UNION ALL of the relational delete/insert derivations
+    "q63p_changelog" ->
+      """SELECT change, lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT 'delete' AS change, lang, n_chars FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'insert' AS change, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q66: source->sink streaming loop is exactly-once == full-corpus aggregate
+    "q66_stream_manifest_read" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63m: the tag pins the FULL corpus through overwrite + expiry
     "q63m_snapshot_tag" ->

@@ -59,11 +59,16 @@ import scala.jdk.CollectionConverters._
   * (`df.write.format(...).option("partcol", "lang_p").mode("append"|"overwrite").save(dir)`).
   */
 class ManifestDataSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
-    ManifestDataSource.tableSchema(options.get("path"),
+    val base = ManifestDataSource.tableSchema(options.get("path"),
       Option(options.get("snapshot"))
         .map(ManifestTables.resolveVersion(options.get("path"), _)))
+    // changelog relations additionally expose the change-type column
+    if (options.getBoolean("changelog", false))
+      base.add(StructField(ManifestDataSource.ChangeCol, StringType, nullable = false))
+    else base
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestDataTable(properties.get("path"), schema)
@@ -183,6 +188,14 @@ object ManifestDataSource {
     */
   private[sources] val PosCol = "_pos"
 
+  /** Name of the CHANGELOG change-type column ("insert" | "delete"), present only
+    * on changelog relations (`.option("changelog", "true")` + `startSnapshot`).
+    * Served as a per-InputPartition constant — a whole file's delta rows share one
+    * change type, so the column costs zero decode (same mechanism as partition
+    * values and `_file`).
+    */
+  private[sources] val ChangeCol = "_change_type"
+
   /** External value of a V2 literal (they carry catalyst-internal values:
     * UTF8String, epoch-day Int) -> the canonical manifest string, via the ONE
     * canonicalizer (canonPartValue) that owns the type rules for pushdown, DPP,
@@ -244,6 +257,82 @@ object ManifestDataSource {
         bounds.get(pc.name).forall(_.contains(vals(i)))
       }
     }
+
+  /** An entry's typed partition-value tuple (storage-partitioned-join grouping key). */
+  private[sources] def keyDatums(partCols: Seq[ManifestTables.PartCol],
+      e: ManifestTables.Entry): Array[Any] = {
+    val vals = splitPartValues(e.partition, partCols.length)
+    partCols.zipWithIndex.map { case (pc, i) =>
+      internalPartValue(pc.tpe, vals(i)) }.toArray
+  }
+
+  /** The file paths already present at `start`, validated against an end snapshot's
+    * refs so an incremental read (batch `startSnapshot` option, streaming offset
+    * pair) is well-defined: every baseline file must still be referenced at the end
+    * (otherwise an overwrite/compaction/row-level rewrite replaced data in the range
+    * and a file-level diff would drop or duplicate rows), and the range must carry
+    * no NEW merge-on-read delete segments (removed rows would be resurrected).
+    * Returns the baseline path set to subtract.
+    */
+  private[sources] def incrementalBaseline(dir: String, start: Int,
+      endRefs: ManifestTables.SnapshotRefs): Set[String] = {
+    require(start <= endRefs.snapshot,
+      s"startSnapshot $start is after the read snapshot ${endRefs.snapshot}")
+    if (start == endRefs.snapshot) {
+      // empty range: nothing appended — no guards needed, serve zero files
+      return ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
+    }
+    val startRefs = ManifestTables.readSnapshotRefs(dir, Some(start))
+    require(startRefs.deletes.toSet == endRefs.deletes.toSet,
+      s"incremental read over ($start, ${endRefs.snapshot}] is not append-only: " +
+        "merge-on-read delete segments changed in the range (row removals cannot " +
+        "be represented as a file-level delta) — compact first or read full snapshots")
+    val baseline = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
+    val endPaths = ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
+    val removed = baseline -- endPaths
+    require(removed.isEmpty,
+      s"incremental read over ($start, ${endRefs.snapshot}] is not append-only: " +
+        s"${removed.size} baseline file(s) were replaced or removed in the range " +
+        s"(e.g. ${removed.toSeq.sorted.take(3).mkString(", ")}) — an overwrite, " +
+        "compaction or row-level rewrite happened; read full snapshots instead")
+    baseline
+  }
+
+  /** CHANGELOG diff over (start, end]: the baseline path set (same append-only file
+    * guard as `incrementalBaseline`) PLUS the net-new merge-on-read deleted
+    * positions per file — the rows that left the table in the range. Unlike the
+    * plain incremental read, delete-segment GROWTH is consumed (it becomes delete
+    * rows), but a segment DISAPPEARING still refuses: only a rewrite (compaction /
+    * copy-on-write) folds segments, and rewrites already fail the file guard.
+    */
+  private[sources] def changelogDiff(dir: String, start: Int,
+      endRefs: ManifestTables.SnapshotRefs): (Set[String], Map[String, Array[Long]]) = {
+    require(start <= endRefs.snapshot,
+      s"startSnapshot $start is after the read snapshot ${endRefs.snapshot}")
+    if (start == endRefs.snapshot)
+      return (ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet, Map.empty)
+    val startRefs = ManifestTables.readSnapshotRefs(dir, Some(start))
+    require(startRefs.deletes.toSet.subsetOf(endRefs.deletes.toSet),
+      s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
+        "delete segments vanished in the range (a rewrite folded them) — " +
+        "read full snapshots instead")
+    val baseline = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
+    val endPaths = ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
+    val removed = baseline -- endPaths
+    require(removed.isEmpty,
+      s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
+        s"${removed.size} baseline file(s) were replaced or removed in the range " +
+        s"(e.g. ${removed.toSeq.sorted.take(3).mkString(", ")}) — an overwrite, " +
+        "compaction or copy-on-write rewrite happened; read full snapshots instead")
+    val before = ManifestTables.deletedPositions(dir, startRefs)
+    val after = ManifestTables.deletedPositions(dir, endRefs)
+    val fresh = after.flatMap { case (path, poss) =>
+      val old = before.get(path).map(_.toSet).getOrElse(Set.empty)
+      val added = poss.filterNot(old.contains).sorted // readers binary-search these
+      if (added.isEmpty) None else Some(path -> added)
+    }
+    (baseline, fresh)
+  }
 
   /** parquet MessageType -> Spark fields: primitives (long/int/double/float/boolean/
     * string/binary/date/timestamp) plus LIST-of-primitive (the embeddings table's
@@ -358,7 +447,7 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   // the table's names; newWriteBuilder still re-checks as defense in depth.
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
     if (tschema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -369,7 +458,19 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // from SQL's `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
     val snapshot = Option(options.get("snapshot"))
       .map(ManifestTables.resolveVersion(dir, _)).orElse(pinnedSnapshot)
-    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir), snapshot)
+    // incremental read: .option("startSnapshot", <id or tag name>) serves only the
+    // files APPENDED strictly after that snapshot (Iceberg incremental-scan analog);
+    // for a streaming read it is the initial offset instead
+    val startSnapshot = Option(options.get("startSnapshot"))
+      .map(ManifestTables.resolveVersion(dir, _))
+    // CDC changelog: rows changed in (startSnapshot, snapshot] with a _change_type
+    // column — appends surface as inserts, merge-on-read deletions as deletes
+    val changelog = options.getBoolean("changelog", false)
+    if (changelog) require(startSnapshot.isDefined,
+      "a changelog read needs .option(\"startSnapshot\", <id or tag>) — the version " +
+        "the changes are relative to")
+    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir),
+      snapshot, startSnapshot = startSnapshot, changelog = changelog)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, tschema, info)
@@ -455,7 +556,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int],
-    rowLevel: Option[ManifestRowLevelOperation] = None)
+    rowLevel: Option[ManifestRowLevelOperation] = None,
+    startSnapshot: Option[Int] = None, changelog: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -617,6 +719,9 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // overcount, MIN/MAX might be a deleted row) — compute honestly until
     // compaction folds the deletes away
     if (ManifestTables.readSnapshotRefs(dir, snapshot).deletes.nonEmpty) return false
+    // incremental reads keep aggregates plan-side: the footer-stat scan has no
+    // baseline-subtraction path, and the delta is small by construction anyway
+    if (startSnapshot.isDefined) return false
     def partColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -654,7 +759,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
-        snapshot, limit, rowLevel.isDefined, statBounds)
+        snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -666,7 +771,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 private class ManifestDataScan(dir: String, tschema: StructType, required: StructType,
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
     snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
-    statBounds: Seq[ManifestStats.Bound] = Nil)
+    statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
+    changelog: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -699,8 +805,32 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // no skip list = resurrected rows)
   private lazy val pinnedRefs: ManifestTables.SnapshotRefs =
     ManifestTables.readSnapshotRefs(dir, snapshot)
-  private lazy val pinned: Seq[ManifestTables.Entry] =
+  /** INCREMENTAL read (`startSnapshot` option): the paths already present at the
+    * start snapshot, subtracted from the pinned file list — "rows appended strictly
+    * after snapshot S". Only well-defined over an APPEND-ONLY history, so the read
+    * refuses loudly if any baseline file vanished (an overwrite/compaction/DELETE
+    * replaced data in the range) or delete-segment activity happened in the range
+    * (merge-on-read removed rows — a file-level diff would resurrect them).
+    */
+  private lazy val changeDiff: (Set[String], Map[String, Array[Long]]) =
+    startSnapshot match {
+      case None => (Set.empty, Map.empty)
+      case Some(s0) =>
+        // changelog consumes delete-segment growth as delete rows; the plain
+        // incremental read refuses it (a file-level delta can't represent removals)
+        if (changelog) ManifestDataSource.changelogDiff(dir, s0, pinnedRefs)
+        else (ManifestDataSource.incrementalBaseline(dir, s0, pinnedRefs), Map.empty)
+    }
+  private def baselinePaths: Set[String] = changeDiff._1
+  /** changelog only: per-file positions newly deleted IN (start, end] — the rows
+    * that left the table in the range (served as _change_type='delete' rows).
+    */
+  private def rangeDeletes: Map[String, Array[Long]] = changeDiff._2
+  private lazy val pinnedAll: Seq[ManifestTables.Entry] =
     ManifestTables.entriesOf(dir, pinnedRefs)
+  private lazy val pinned: Seq[ManifestTables.Entry] =
+    pinnedAll
+      .filter(e => !baselinePaths.contains(e.path))
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
   // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
   // sorted deleted positions, applied by the readers
@@ -771,18 +901,32 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     }
   }
 
-  private def keyDatumsOf(e: ManifestTables.Entry): Array[Any] = {
-    val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
-    partCols.zipWithIndex.map { case (pc, i) =>
-      ManifestDataSource.internalPartValue(pc.tpe, vals(i)) }.toArray
-  }
+  private def keyDatumsOf(e: ManifestTables.Entry): Array[Any] =
+    ManifestDataSource.keyDatums(partCols, e)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    pinned.filter(allowed)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // changelog inserts NET OUT rows both appended and deleted in the range: a
+    // file that didn't exist at start has only range-new deletions, so the pinned
+    // snapshot's full skip list IS the net-out list for it
+    val inserts = pinned.filter(allowed)
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
-        pinnedDeletes.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
-      .toArray
+        pinnedDeletes.getOrElse(e.path, Array.emptyLongArray),
+        changeType = if (changelog) "insert" else ""): InputPartition)
+    if (!changelog) return inserts.toArray
+    // delete rows: baseline files whose positions were newly deleted in the range —
+    // the reader emits ONLY those positions, with their pre-delete column values
+    val deletes = pinnedAll
+      .filter(e => baselinePaths.contains(e.path) && rangeDeletes.contains(e.path))
+      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+      .filter(ManifestDataSource.entryWithinBounds(partCols, runtimeValues))
+      .filter(e => runtimeFiles.forall(_.contains(e.path)))
+      .filter(e => ManifestStats.allows(e.stats, statBounds))
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+        if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
+        changeType = "delete", emitOnly = rangeDeletes(e.path)): InputPartition)
+    (inserts ++ deletes).toArray
+  }
 
   /** STORAGE-PARTITIONED JOINS: the scan reports KeyGroupedPartitioning over the
     * partition columns (each InputPartition carries its typed partition-value tuple
@@ -791,7 +935,9 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     * DSv2 analog of bucketed co-located joins.
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (partCols.isEmpty)
+    // a changelog scan mixes insert and delete views of one range — it stays a
+    // plain read and never claims key-grouped storage partitioning
+    if (partCols.isEmpty || changelog)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         pinned.count(allowed))
     else
@@ -806,8 +952,11 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     // positional delete puts the whole scan in row mode (honest trade: tables
     // carry deletes only until compaction folds them)
     val fields = required.fields.map(f => (f.name, f.dataType))
+    // changelog delete parts emit selected positions row-by-row, so any range with
+    // delete activity puts the whole scan in row mode (same all-partitions-agree
+    // rule as pending deletes)
     new ManifestDataReaderFactory(fields, partCols, limit,
-      forceRows = pinnedDeletes.nonEmpty)
+      forceRows = pinnedDeletes.nonEmpty || (changelog && rangeDeletes.nonEmpty))
   }
   override def description(): String = {
     val parts =
@@ -818,11 +967,95 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     s"manifest_data($dir, partitions=$parts, " +
       s"files=${pinned.size}, snapshot=${snapshot.map(_.toString).getOrElse("latest")})"
   }
+
+  /** STREAMING SOURCE (Iceberg incremental-append streaming-read analog): offsets
+    * are snapshot ids, each micro-batch reads exactly the files appended in
+    * (startOffset, endOffset] — O(delta) work per batch, never a rescan. Exactly-once
+    * end to end falls out of Spark's offset log plus the manifest's immutable
+    * snapshots: a replayed batch re-plans the same snapshot range and therefore the
+    * same files. Append-only history is enforced per planned range (same guards as
+    * the batch `startSnapshot` option); time-travel pins can't stream.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshot.isEmpty,
+      "a time-travel (snapshot/VERSION AS OF) relation is immutable — it cannot " +
+        "be read as a stream; use .option(\"startSnapshot\", n) for the initial offset")
+    require(!changelog,
+      "changelog streaming is not supported yet — read the changelog in batch " +
+        "ranges (.option(\"changelog\", true) + startSnapshot)")
+    new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
+      startSnapshot, statBounds)
+  }
+}
+
+/** A streaming offset: "everything up to and including manifest snapshot N has been
+  * consumed". -1 = nothing consumed (the first batch serves the whole first snapshot).
+  */
+private[sources] case class ManifestStreamOffset(snapshot: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshot":$snapshot}"""
+}
+
+private[sources] class ManifestMicroBatchStream(dir: String,
+    required: StructType, partCols: Seq[ManifestTables.PartCol],
+    partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
+    statBounds: Seq[ManifestStats.Bound])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  override def initialOffset(): StreamOffset =
+    ManifestStreamOffset(startSnapshot.getOrElse(-1))
+
+  override def latestOffset(): StreamOffset =
+    ManifestStreamOffset(ManifestTables.latestSnapshotId(dir).getOrElse(-1))
+
+  override def deserializeOffset(json: String): StreamOffset = {
+    val m = """"snapshot"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
+      throw new IllegalArgumentException(s"malformed manifest stream offset: $json"))
+    ManifestStreamOffset(m.group(1).toInt)
+  }
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[ManifestStreamOffset].snapshot
+    val s1 = end.asInstanceOf[ManifestStreamOffset].snapshot
+    if (s1 <= s0 || s1 < 0) return Array.empty
+    val endRefs = ManifestTables.readSnapshotRefs(dir, Some(s1))
+    // initial offset -1 has no baseline snapshot to diff against: the whole first
+    // snapshot is the delta, but it must itself carry no pending row removals
+    val baseline: Set[String] =
+      if (s0 < 0) {
+        require(endRefs.deletes.isEmpty,
+          s"streaming read of $dir at snapshot $s1 found pending merge-on-read " +
+            "delete segments — stream reads require an append-only table; compact first")
+        Set.empty
+      } else ManifestDataSource.incrementalBaseline(dir, s0, endRefs)
+    ManifestTables.entriesOf(dir, endRefs)
+      .filter(e => !baseline.contains(e.path))
+      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+      .filter(e => ManifestStats.allows(e.stats, statBounds))
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+        if (partCols.isEmpty) Array.empty
+        else ManifestDataSource.keyDatums(partCols, e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fields.map(f => (f.name, f.dataType))
+    // every planned range is guarded append-only (no pending deletes), so the
+    // columnar fast path always applies
+    new ManifestDataReaderFactory(fields, partCols, None, forceRows = false)
+  }
+
+  override def commit(end: StreamOffset): Unit = () // snapshots are immutable; nothing to release
+  override def stop(): Unit = ()
 }
 
 private case class ManifestDataInputPartition(file: String, relPath: String,
     partition: String, keyDatums: Array[Any] = Array.empty,
-    deleted: Array[Long] = Array.emptyLongArray)
+    deleted: Array[Long] = Array.emptyLongArray,
+    changeType: String = "", emitOnly: Array[Long] = Array.emptyLongArray)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // typed partition-value tuple — the grouping key for storage-partitioned joins
   override def partitionKey(): InternalRow =
@@ -975,8 +1208,10 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     extends PartitionReaderFactory {
 
   private def partNames = partCols.map(_.name).toSet
-  // per-file CONSTANT fields: partition columns + the _file provenance column
-  private def constNames = partNames + ManifestDataSource.FileCol
+  // per-file CONSTANT fields: partition columns, the _file provenance column, and
+  // the changelog _change_type (one file view's delta rows share one change type)
+  private def constNames =
+    partNames + ManifestDataSource.FileCol + ManifestDataSource.ChangeCol
   // _pos is neither constant nor stored: the row reader counts it
   private def dataFields = fields.filter(f =>
     !constNames.contains(f._1) && f._1 != ManifestDataSource.PosCol)
@@ -984,10 +1219,12 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
   private def tpeOf(name: String): String = partCols.find(_.name == name).get.tpe
 
   /** Typed internal value of constant column `name` for one input partition
-    * (a partition value, or the file's manifest-relative path for `_file`).
+    * (a partition value, the file's manifest-relative path for `_file`, or the
+    * partition's change type for changelog reads).
     */
   private def partDatum(p: ManifestDataInputPartition, name: String): Any = {
     if (name == ManifestDataSource.FileCol) return UTF8String.fromString(p.relPath)
+    if (name == ManifestDataSource.ChangeCol) return UTF8String.fromString(p.changeType)
     val vals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
     ManifestDataSource.internalPartValue(tpeOf(name), vals(partCols.indexWhere(_.name == name)))
   }
@@ -1073,7 +1310,8 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
-    if (dataFields.isEmpty && !hasPos && p.deleted.isEmpty) emptyProjectionReader(p)
+    if (dataFields.isEmpty && !hasPos && p.deleted.isEmpty && p.emitOnly.isEmpty)
+      emptyProjectionReader(p)
     // (a clean file in a deletes-carrying scan takes the same row wrapper with an
     // empty skip list — correctness identical, columnar returns after compaction)
     else if (dataFields.isEmpty) syntheticPositionReader(p)
@@ -1096,13 +1334,23 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         fields.map { case (n, _) =>
           if (n == ManifestDataSource.PosCol) null else partDatum(p, n) }: Array[Any])
+      private var emitIdx = 0
       override def next(): Boolean = {
+        if (limit.exists(emitted >= _)) return false
+        // changelog delete view: positions are EXPLICIT (the range's deleted
+        // positions) — emit exactly those, no footer read needed
+        if (p.emitOnly.nonEmpty) {
+          if (emitIdx >= p.emitOnly.length) return false
+          pos = p.emitOnly(emitIdx); emitIdx += 1
+          if (posIdx >= 0) row.update(posIdx, pos)
+          emitted += 1
+          return true
+        }
         if (total < 0) {
           val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
           val r = ParquetFileReader.open(in)
           total = try r.getRecordCount finally r.close()
         }
-        if (limit.exists(emitted >= _)) return false
         pos += 1
         while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
         while (pos < total && delIdx < p.deleted.length && p.deleted(delIdx) == pos) {
@@ -1146,8 +1394,15 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
           if (rowIt != null && rowIt.hasNext) {
             val r = rowIt.next()
             pos += 1
-            while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
-            val dead = delIdx < p.deleted.length && p.deleted(delIdx) == pos
+            // changelog delete view: keep ONLY the range's deleted positions
+            // (sorted — binary search); otherwise skip the scan's deleted positions
+            val dead =
+              if (p.emitOnly.nonEmpty)
+                java.util.Arrays.binarySearch(p.emitOnly, pos) < 0
+              else {
+                while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
+                delIdx < p.deleted.length && p.deleted(delIdx) == pos
+              }
             if (!dead) {
               var i = 0
               while (i < srcIdx.length) {

@@ -1541,4 +1541,184 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(vals == Set("v 0", "v 1"), s"got $vals")
     assert(dataTable(out).filter(col("p") === "v 1").count() == 2)
   }
+
+  // ------------------------------------------------------------ incremental reads
+
+  private def incAppend(tbl: String, lo: Long, hi: Long, lang: String): Unit = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, s"d$i", lang)).toDF("id", "body", "lang_p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tbl)
+  }
+
+  test("incremental batch read: startSnapshot serves exactly the appended delta; " +
+      "tags resolve; empty range is empty; overwrite in range refuses") {
+    val tbl = Files.createTempDirectory("manifest_inc").toString + "/t"
+    incAppend(tbl, 0, 5, "en")
+    val base = ManifestTables.latestSnapshotId(tbl).get
+    ManifestTables.createTag(tbl, "base", base)
+    incAppend(tbl, 5, 8, "en")
+    incAppend(tbl, 8, 12, "fr")
+    def inc(start: String) = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("startSnapshot", start).load(tbl)
+    // exactly the two post-base appends, by id AND by value
+    assert(inc(base.toString).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (5L until 12L).toSeq)
+    // tag name resolves to the same baseline
+    assert(inc("base").count() == 7)
+    // partition pruning composes with the delta
+    assert(inc("base").filter(col("lang_p") === "fr").count() == 4)
+    // empty range: startSnapshot == read snapshot
+    val latest = ManifestTables.latestSnapshotId(tbl).get
+    assert(inc(latest.toString).count() == 0)
+    // an overwrite inside the range breaks append-only: the read must refuse
+    spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+      .filter(col("lang_p") === "en").limit(2)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tbl)
+    val e = intercept[Exception] { inc(base.toString).collect() }
+    assert(e.getMessage != null && e.getMessage.contains("not append-only"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("incremental batch read: merge-on-read delete activity in range refuses") {
+    val tbl = Files.createTempDirectory("manifest_inc_mor").toString + "/t"
+    incAppend(tbl, 0, 6, "en")
+    val base = ManifestTables.latestSnapshotId(tbl).get
+    incAppend(tbl, 6, 9, "en")
+    // craft a positional-delete commit the way the delta writer does
+    val dataFile = ManifestTables.readLatest(tbl).head.path
+    val seg = ManifestTables.writeDeleteSegment(tbl, Map(dataFile -> Seq(0L)))
+    val refs = ManifestTables.readSnapshotRefs(tbl, None)
+    assert(ManifestTables.tryWriteSnapshotRefs(tbl, "lang_p", refs.inline,
+      refs.segments, refs.snapshot + 1, schemaDdl = refs.schemaDdl,
+      deletes = refs.deletes :+ seg))
+    val e = intercept[Exception] {
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("startSnapshot", base.toString).load(tbl).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("delete segments"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("changelog read: net insert/delete rows reconstruct the end snapshot; " +
+      "insert-then-delete-in-range nets out; rewrites refuse; pruning composes") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_cdc").toString
+    val tbl = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append((0L, "en"), (1L, "en"), (2L, "en"), (3L, "en"))   // file A
+    append((10L, "fr"), (11L, "fr"), (12L, "fr"))            // file B
+    val s0 = ManifestTables.latestSnapshotId(tbl).get
+    spark.conf.set("spark.sql.catalog.graft_cdc", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    var d1 = -1; var c1 = -1
+    try {
+      spark.sql("DELETE FROM graft_cdc.ns.t WHERE id IN (3, 12)") // baseline deletes
+      d1 = ManifestTables.latestSnapshotId(tbl).get
+      append((20L, "en"), (21L, "en"), (22L, "en"))               // file C (in-range)
+      c1 = ManifestTables.latestSnapshotId(tbl).get
+      spark.sql("DELETE FROM graft_cdc.ns.t WHERE id IN (1, 21)") // baseline + in-range
+    } finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    // an APPEND-ONLY sub-range pinned via time travel: inserts only (columnar path),
+    // and 21 is still an insert at that end — it nets out only in the wider range
+    val insOnly = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("changelog", "true").option("startSnapshot", d1.toString)
+      .option("snapshot", c1.toString).load(tbl)
+      .select("_change_type", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(insOnly == Set(("insert", 20L), ("insert", 21L), ("insert", 22L)), insOnly)
+    def changelog = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("changelog", "true").option("startSnapshot", s0.toString).load(tbl)
+    val rows = changelog.select("_change_type", "id", "lang_p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // id 21 was appended AND deleted inside the range: it nets out of BOTH sides
+    assert(rows == Set(
+      ("insert", 20L, "en"), ("insert", 22L, "en"),
+      ("delete", 3L, "en"), ("delete", 12L, "fr"), ("delete", 1L, "en")), rows)
+    // apply property: rows(s0) - deletes + inserts == rows(latest)
+    val at0 = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", s0.toString).load(tbl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val now = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dels = rows.collect { case ("delete", id, _) => id }
+    val ins = rows.collect { case ("insert", id, _) => id }
+    assert((at0 -- dels) ++ ins == now, s"apply property broken: $at0 -> $now")
+    // partition pruning composes with both views
+    val enOnly = changelog.filter(col("lang_p") === "en")
+      .select("_change_type", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(enOnly == Set(("insert", 20L), ("insert", 22L), ("delete", 3L), ("delete", 1L)))
+    // zero-data-column projection over the delete view (count by change type)
+    val counts = changelog.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("insert" -> 2L, "delete" -> 3L), counts.toString)
+    // a rewrite in the range (compaction folds files + deltas) must refuse
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, targetBytes = 1L << 30).nonEmpty ||
+      ManifestTables.compact(tbl).nonEmpty)
+    val e = intercept[Exception] { changelog.collect() }
+    assert(e.getMessage != null && e.getMessage.contains("not representable"),
+      s"unexpected: ${e.getMessage}")
+    // changelog without a startSnapshot is an error by contract
+    val e2 = intercept[Exception] {
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("changelog", "true").load(tbl).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("startSnapshot"))
+  }
+
+  test("streaming source: AvailableNow drains appends incrementally across restarts, " +
+      "each file exactly once; time-travel relations refuse to stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("manifest_stream_src")
+    val tbl = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val sink = s"$root/sink"
+    incAppend(tbl, 0, 4, "en")
+    incAppend(tbl, 4, 6, "fr")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(classOf[ManifestDataSource].getName).load(tbl)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val got1 = spark.read.parquet(sink).select("id").collect().map(_.getLong(0)).sorted
+    assert(got1.toSeq == (0L until 6L).toSeq, got1.mkString(","))
+    // two more snapshots land; the restarted stream must emit ONLY the delta
+    incAppend(tbl, 6, 9, "en")
+    incAppend(tbl, 9, 11, "de")
+    runOnce()
+    val got2 = spark.read.parquet(sink).select("id").collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == (0L until 11L).toSeq, got2.mkString(","))
+    // idle restart: no new snapshots -> no new rows, no duplicates
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 11)
+    // projection + filter compose with the stream (fresh checkpoint/sink)
+    val q2 = spark.readStream.format(classOf[ManifestDataSource].getName).load(tbl)
+      .filter(col("lang_p") === "de").select("id")
+      .writeStream.format("parquet").option("path", s"$root/sink2")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/sink2").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(9L, 10L))
+    // a pinned (time-travel) relation must refuse to stream
+    val e = intercept[Exception] {
+      val q3 = spark.readStream.format(classOf[ManifestDataSource].getName)
+        .option("snapshot", "1").load(tbl)
+        .writeStream.format("noop").option("checkpointLocation", s"$root/ckpt3")
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("cannot " + "be read as a stream")),
+      chain(e).mkString(" | "))
+  }
 }
