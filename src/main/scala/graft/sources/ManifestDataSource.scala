@@ -275,20 +275,17 @@ object ManifestDataSource {
     * Returns the baseline path set to subtract.
     */
   private[sources] def incrementalBaseline(dir: String, start: Int,
-      endRefs: ManifestTables.SnapshotRefs): Set[String] = {
+      endRefs: ManifestTables.SnapshotRefs, endPaths: Set[String]): Set[String] = {
     require(start <= endRefs.snapshot,
       s"startSnapshot $start is after the read snapshot ${endRefs.snapshot}")
-    if (start == endRefs.snapshot) {
-      // empty range: nothing appended — no guards needed, serve zero files
-      return ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
-    }
+    // empty range: nothing appended — no guards needed, serve zero files
+    if (start == endRefs.snapshot) return endPaths
     val startRefs = ManifestTables.readSnapshotRefs(dir, Some(start))
     require(startRefs.deletes.toSet == endRefs.deletes.toSet,
       s"incremental read over ($start, ${endRefs.snapshot}] is not append-only: " +
         "merge-on-read delete segments changed in the range (row removals cannot " +
         "be represented as a file-level delta) — compact first or read full snapshots")
     val baseline = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
-    val endPaths = ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
     val removed = baseline -- endPaths
     require(removed.isEmpty,
       s"incremental read over ($start, ${endRefs.snapshot}] is not append-only: " +
@@ -306,18 +303,17 @@ object ManifestDataSource {
     * copy-on-write) folds segments, and rewrites already fail the file guard.
     */
   private[sources] def changelogDiff(dir: String, start: Int,
-      endRefs: ManifestTables.SnapshotRefs): (Set[String], Map[String, Array[Long]]) = {
+      endRefs: ManifestTables.SnapshotRefs, endPaths: Set[String],
+      endDeleted: Map[String, Array[Long]]): (Set[String], Map[String, Array[Long]]) = {
     require(start <= endRefs.snapshot,
       s"startSnapshot $start is after the read snapshot ${endRefs.snapshot}")
-    if (start == endRefs.snapshot)
-      return (ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet, Map.empty)
+    if (start == endRefs.snapshot) return (endPaths, Map.empty)
     val startRefs = ManifestTables.readSnapshotRefs(dir, Some(start))
     require(startRefs.deletes.toSet.subsetOf(endRefs.deletes.toSet),
       s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
         "delete segments vanished in the range (a rewrite folded them) — " +
         "read full snapshots instead")
     val baseline = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
-    val endPaths = ManifestTables.entriesOf(dir, endRefs).map(_.path).toSet
     val removed = baseline -- endPaths
     require(removed.isEmpty,
       s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
@@ -325,8 +321,7 @@ object ManifestDataSource {
         s"(e.g. ${removed.toSeq.sorted.take(3).mkString(", ")}) — an overwrite, " +
         "compaction or copy-on-write rewrite happened; read full snapshots instead")
     val before = ManifestTables.deletedPositions(dir, startRefs)
-    val after = ManifestTables.deletedPositions(dir, endRefs)
-    val fresh = after.flatMap { case (path, poss) =>
+    val fresh = endDeleted.flatMap { case (path, poss) =>
       val old = before.get(path).map(_.toSet).getOrElse(Set.empty)
       val added = poss.filterNot(old.contains).sorted // readers binary-search these
       if (added.isEmpty) None else Some(path -> added)
@@ -470,7 +465,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       "a changelog read needs .option(\"startSnapshot\", <id or tag>) — the version " +
         "the changes are relative to")
     new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir),
-      snapshot, startSnapshot = startSnapshot, changelog = changelog)
+      snapshot, startSnapshot = startSnapshot, changelog = changelog,
+      streamSkipRewrites = options.getBoolean("streamSkipRewrites", false))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, tschema, info)
@@ -557,7 +553,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
 private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int],
     rowLevel: Option[ManifestRowLevelOperation] = None,
-    startSnapshot: Option[Int] = None, changelog: Boolean = false)
+    startSnapshot: Option[Int] = None, changelog: Boolean = false,
+    streamSkipRewrites: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -759,7 +756,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
-        snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog)
+        snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
+        streamSkipRewrites)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -772,7 +770,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
     snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
     statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
-    changelog: Boolean = false)
+    changelog: Boolean = false, streamSkipRewrites: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -817,9 +815,14 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       case None => (Set.empty, Map.empty)
       case Some(s0) =>
         // changelog consumes delete-segment growth as delete rows; the plain
-        // incremental read refuses it (a file-level delta can't represent removals)
-        if (changelog) ManifestDataSource.changelogDiff(dir, s0, pinnedRefs)
-        else (ManifestDataSource.incrementalBaseline(dir, s0, pinnedRefs), Map.empty)
+        // incremental read refuses it (a file-level delta can't represent removals).
+        // The already-materialized pinned entry/delete views feed the diff, so
+        // planning reads each manifest artifact once.
+        val endPaths = pinnedAll.map(_.path).toSet
+        if (changelog)
+          ManifestDataSource.changelogDiff(dir, s0, pinnedRefs, endPaths, pinnedDeletes)
+        else
+          (ManifestDataSource.incrementalBaseline(dir, s0, pinnedRefs, endPaths), Map.empty)
     }
   private def baselinePaths: Set[String] = changeDiff._1
   /** changelog only: per-file positions newly deleted IN (start, end] — the rows
@@ -851,8 +854,16 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, pinned.map(_.bytes).sum))
+      override def sizeInBytes(): java.util.OptionalLong = {
+        // a changelog's delete view also produces rows (a delete-only range is
+        // NOT empty) — count the touched baseline files' bytes as an upper bound
+        // so a delete-heavy changelog never mis-reports ~1 byte and gets broadcast
+        val deleteBytes =
+          if (!changelog || rangeDeletes.isEmpty) 0L
+          else pinnedAll.filter(e => baselinePaths.contains(e.path) &&
+            rangeDeletes.contains(e.path)).map(_.bytes).sum
+        java.util.OptionalLong.of(math.max(1L, pinned.map(_.bytes).sum + deleteBytes))
+      }
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
 
@@ -918,10 +929,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     // the reader emits ONLY those positions, with their pre-delete column values
     val deletes = pinnedAll
       .filter(e => baselinePaths.contains(e.path) && rangeDeletes.contains(e.path))
-      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
-      .filter(ManifestDataSource.entryWithinBounds(partCols, runtimeValues))
-      .filter(e => runtimeFiles.forall(_.contains(e.path)))
-      .filter(e => ManifestStats.allows(e.stats, statBounds))
+      .filter(allowed) // the ONE pruning predicate — insert and delete views agree
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
         changeType = "delete", emitOnly = rangeDeletes(e.path)): InputPartition)
@@ -985,7 +993,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       "changelog streaming is not supported yet — read the changelog in batch " +
         "ranges (.option(\"changelog\", true) + startSnapshot)")
     new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
-      startSnapshot, statBounds)
+      startSnapshot, statBounds, streamSkipRewrites)
   }
 }
 
@@ -1000,7 +1008,7 @@ private[sources] case class ManifestStreamOffset(snapshot: Int)
 private[sources] class ManifestMicroBatchStream(dir: String,
     required: StructType, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
-    statBounds: Seq[ManifestStats.Bound])
+    statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
 
@@ -1022,24 +1030,69 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val s1 = end.asInstanceOf[ManifestStreamOffset].snapshot
     if (s1 <= s0 || s1 < 0) return Array.empty
     val endRefs = ManifestTables.readSnapshotRefs(dir, Some(s1))
-    // initial offset -1 has no baseline snapshot to diff against: the whole first
-    // snapshot is the delta, but it must itself carry no pending row removals
-    val baseline: Set[String] =
-      if (s0 < 0) {
-        require(endRefs.deletes.isEmpty,
-          s"streaming read of $dir at snapshot $s1 found pending merge-on-read " +
-            "delete segments — stream reads require an append-only table; compact first")
-        Set.empty
-      } else ManifestDataSource.incrementalBaseline(dir, s0, endRefs)
-    ManifestTables.entriesOf(dir, endRefs)
-      .filter(e => !baseline.contains(e.path))
+    val endEntries = ManifestTables.entriesOf(dir, endRefs)
+    // initial offset -1 is a STATE load of the end snapshot, not a transition:
+    // pending merge-on-read deletes APPLY (removed rows must not enter the
+    // stream), dropping that one batch to row mode — uniformly, so the batch's
+    // partitions agree on columnar-vs-row
+    if (s0 < 0) {
+      val dels = ManifestTables.deletedPositions(dir, endRefs)
+      return emit(endEntries, dels, rowMode = dels.nonEmpty)
+    }
+    val fresh: Seq[ManifestTables.Entry] =
+      try {
+        val endPaths = endEntries.map(_.path).toSet
+        val baseline = ManifestDataSource.incrementalBaseline(dir, s0, endRefs, endPaths)
+        endEntries.filterNot(e => baseline.contains(e.path))
+      } catch {
+        case _: IllegalArgumentException if skipRewrites => appendOnlyWalk(s0, s1)
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(e.getMessage +
+            "; a stream can resume past this with .option(\"streamSkipRewrites\", " +
+            "true) — non-append snapshots are then skipped (their rewritten files " +
+            "and row removals never enter the stream)", e)
+      }
+    emit(fresh, Map.empty, rowMode = false)
+  }
+
+  /** The skipRewrites recovery path: walk the surviving snapshot ids in (s0, s1]
+    * and emit only PURE-APPEND transitions' fresh files (file set grew, delete
+    * segments unchanged); overwrite/compaction/row-level transitions contribute
+    * nothing — Iceberg's skip-overwrite/skip-delete streaming semantics. Files
+    * appended in a clean transition are emitted from THAT snapshot even if a later
+    * in-range rewrite replaced them (snapshots are immutable; keep them unexpired
+    * until streams drain). Expiry gaps merge adjacent transitions — a merged hop
+    * that mixes an append with a rewrite is skipped whole.
+    */
+  private def appendOnlyWalk(s0: Int, s1: Int): Seq[ManifestTables.Entry] = {
+    val ids = ManifestTables.snapshotIds(dir).filter(id => id > s0 && id <= s1).sorted
+    val startRefs = ManifestTables.readSnapshotRefs(dir, Some(s0))
+    var prevPaths = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
+    var prevDeletes = startRefs.deletes.toSet
+    val out = Seq.newBuilder[ManifestTables.Entry]
+    for (id <- ids) {
+      val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
+      val entries = ManifestTables.entriesOf(dir, refs)
+      val paths = entries.map(_.path).toSet
+      val pureAppend = prevPaths.subsetOf(paths) && refs.deletes.toSet == prevDeletes
+      if (pureAppend) out ++= entries.filterNot(e => prevPaths.contains(e.path))
+      prevPaths = paths
+      prevDeletes = refs.deletes.toSet
+    }
+    out.result()
+  }
+
+  private def emit(entries: Seq[ManifestTables.Entry],
+      dels: Map[String, Array[Long]], rowMode: Boolean): Array[InputPartition] =
+    entries
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
       .filter(e => ManifestStats.allows(e.stats, statBounds))
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty
-        else ManifestDataSource.keyDatums(partCols, e)): InputPartition)
+        else ManifestDataSource.keyDatums(partCols, e),
+        deleted = dels.getOrElse(e.path, Array.emptyLongArray),
+        rowMode = rowMode): InputPartition)
       .toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fields.map(f => (f.name, f.dataType))
@@ -1055,7 +1108,8 @@ private[sources] class ManifestMicroBatchStream(dir: String,
 private case class ManifestDataInputPartition(file: String, relPath: String,
     partition: String, keyDatums: Array[Any] = Array.empty,
     deleted: Array[Long] = Array.emptyLongArray,
-    changeType: String = "", emitOnly: Array[Long] = Array.emptyLongArray)
+    changeType: String = "", emitOnly: Array[Long] = Array.emptyLongArray,
+    rowMode: Boolean = false)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // typed partition-value tuple — the grouping key for storage-partitioned joins
   override def partitionKey(): InternalRow =
@@ -1238,7 +1292,11 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     * footer counts — no page is read at all, which beats any columnar decode.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataFields.nonEmpty && !hasPos && !forceRows
+    // rowMode is a PER-BATCH uniform flag (a streaming initial load applying
+    // pending deletes); batch scans keep using the factory-level forceRows —
+    // either way every partition of one scan/batch answers identically
+    dataFields.nonEmpty && !hasPos && !forceRows &&
+      !partition.asInstanceOf[ManifestDataInputPartition].rowMode
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1395,7 +1453,9 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
             val r = rowIt.next()
             pos += 1
             // changelog delete view: keep ONLY the range's deleted positions
-            // (sorted — binary search); otherwise skip the scan's deleted positions
+            // (sorted — binary search), stopping the file walk entirely once the
+            // last one is out; otherwise skip the scan's deleted positions
+            if (p.emitOnly.nonEmpty && pos > p.emitOnly.last) return false
             val dead =
               if (p.emitOnly.nonEmpty)
                 java.util.Arrays.binarySearch(p.emitOnly, pos) < 0
@@ -1506,10 +1566,13 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 
   override def build(): Write = {
     val incoming = info.schema()
-    // the metadata column names are RESERVED: a data column named _file/_pos would
-    // commit fine and then read back as the per-file constant / row counter instead
-    // of its stored values — reject at write time, never corrupt silently
-    Seq(ManifestDataSource.FileCol, ManifestDataSource.PosCol).foreach { r =>
+    // the metadata/changelog column names are RESERVED: a data column named
+    // _file/_pos/_change_type would commit fine and then read back as the per-file
+    // constant / row counter instead of its stored values — reject at write time,
+    // never corrupt silently (materializing a changelog read into a table must
+    // rename or drop _change_type first)
+    Seq(ManifestDataSource.FileCol, ManifestDataSource.PosCol,
+        ManifestDataSource.ChangeCol).foreach { r =>
       require(!incoming.fieldNames.contains(r),
         s"'$r' is a reserved metadata column name on manifest tables")
     }

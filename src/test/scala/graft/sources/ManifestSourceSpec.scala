@@ -1670,6 +1670,53 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(e2.getMessage != null && e2.getMessage.contains("startSnapshot"))
   }
 
+  test("streaming source: initial load applies pending deletes (state, not history); " +
+      "streamSkipRewrites recovers a stream wedged on a rewrite") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_stream_skip")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append((0L, "en"), (1L, "en"), (2L, "en"))
+    append((10L, "fr"), (11L, "fr"))
+    spark.conf.set("spark.sql.catalog.graft_sskip", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sskip.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_sskip.ns.t WHERE id = 1")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def drain(skip: Boolean): Unit = {
+      val r0 = spark.readStream.format(classOf[ManifestDataSource].getName)
+      val r = if (skip) r0.option("streamSkipRewrites", "true") else r0
+      val q = r.load(tbl).writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sinkIds() = spark.read.parquet(sink).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // initial load is a STATE read: the deleted row never enters the stream
+    drain(skip = false)
+    assert(sinkIds() == Seq(0L, 2L, 10L, 11L), sinkIds().mkString(","))
+    // a rewrite lands (overwrite), then a genuine append on top of it
+    Seq((30L, "en"), (31L, "en")).toDF("id", "lang_p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tbl)
+    append((20L, "de"))
+    // strict restart refuses — and names the recovery option
+    val e = intercept[Exception] { drain(skip = false) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("streamSkipRewrites")), chain(e).mkString(" | "))
+    // the skip restart resumes from the SAME checkpoint: the overwrite transition
+    // contributes nothing (its files never re-emit), the append flows through
+    drain(skip = true)
+    assert(sinkIds() == Seq(0L, 2L, 10L, 11L, 20L), sinkIds().mkString(","))
+  }
+
   test("streaming source: AvailableNow drains appends incrementally across restarts, " +
       "each file exactly once; time-travel relations refuse to stream") {
     import org.apache.spark.sql.streaming.Trigger
