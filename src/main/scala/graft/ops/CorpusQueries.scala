@@ -1689,6 +1689,33 @@ object CorpusQueries {
         .orderBy(col("sink"), col("conv_id"))
     }),
 
+    // --- THE NORTH-RULE COMPOSITION under the gate: the transcript pipeline runs
+    //     OVER the Iceberg-analog table, not over raw files. Turns land in a
+    //     manifest table through the DSv2 write (partitioned by role), are read
+    //     back through the pinned snapshot, FM shards build FROM that read,
+    //     substring routing fans out, and the per-sink aggregate must equal the
+    //     relational derivation — transcripts-as-a-table end to end. ---
+    "q74_pipeline_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val out = freshTmpTable("q74", dir)
+      eventTranscripts(s, dir).withColumn("role_p", col("role"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "role_p").mode("overwrite").save(out)
+      val cfg = graft.pipeline.TranscriptPipeline.Config(
+        numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents)
+      val shards = ShardTableCache.manifestEventShards(s, dir, cfg, {
+        s.read.format("graft.sources.ManifestDataSource").load(out)
+          .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+            col("tool"), col("ts"))
+          .as[graft.pipeline.Turn]
+      })
+      graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
+        .groupBy(col("sink"))
+        .agg(countDistinct(col("conv_id")).as("n_convs"),
+          count(lit(1)).as("n_turns"), sum(col("n_matches")).as("n_matches"))
+        .orderBy(col("sink"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -2231,6 +2258,18 @@ object CorpusQueries {
     "q73_turn_equality" ->
       s"""WITH $duckTranscripts
          |SELECT conv_id, turn_idx, text FROM transcripts WHERE contains(text, 'error')
-         |ORDER BY conv_id, turn_idx""".stripMargin
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // q74: the manifest-table round-trip is the identity, so the pipeline-over-
+    // the-table aggregate equals the same relational routing derivation as q72
+    "q74_pipeline_manifest" ->
+      s"""WITH $duckTranscripts,
+         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
+         |  ('k8','"k": 8')) AS r(sink, pattern)),
+         |routed AS (
+         |  SELECT r.sink, t.conv_id, ${duckOverlapCount("r.pattern")} AS n_matches
+         |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
+         |SELECT sink, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+         |  CAST(sum(n_matches) AS BIGINT) AS n_matches
+         |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

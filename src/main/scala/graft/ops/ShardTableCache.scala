@@ -54,4 +54,19 @@ private[graft] object ShardTableCache {
       TranscriptPipeline.buildShards(s, CorpusQueries.eventTranscripts(s, dir).as[Turn], effective)
     }
   }
+
+  /** Shards built from turns served BY THE MANIFEST TABLE (q74's north-rule
+    * composition). Cached separately from `eventShards` — same rows, different
+    * provenance: this build's input plan is the DSv2 manifest scan, so the cache
+    * must never alias the raw-parquet build.
+    */
+  def manifestEventShards(s: SparkSession, dir: String, cfg: TranscriptPipeline.Config,
+      turns: => Dataset[Turn]): Dataset[ShardRow] = {
+    val effective =
+      if (compressionMode == graft.core.FmIndex.NoCompression) cfg
+      else cfg.copy(compression = compressionMode)
+    getOrBuild(s, s"manifest-events:$dir:$effective") {
+      TranscriptPipeline.buildShards(s, turns, effective)
+    }
+  }
 }
