@@ -1461,6 +1461,48 @@ object CorpusQueries {
         .orderBy(col("change"), col("lang"))
     }),
 
+    // --- STREAMING CDC under the gate (Delta Change Data Feed readStream analog):
+    //     the changelog is consumed AS A STREAM. Drain 1 is the state load (every
+    //     live row arrives as an insert); then a merge-on-read DELETE and an
+    //     append land, and the restarted stream (same checkpoint) emits exactly
+    //     the delete rows (pre-delete values) and the fresh inserts. The sink's
+    //     aggregate equals the relational three-way UNION derivation only if
+    //     every change event crossed exactly once. ---
+    "q65_stream_changelog" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q65", dir)
+      val sink = freshTmpTable("q65_sink", dir)
+      val ckpt = freshTmpTable("q65_ckpt", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      docs.write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      def drain(): Unit = {
+        val q = s.readStream.format("graft.sources.ManifestDataSource")
+          .option("changelog", "true").load(s"$wh/corpus/docs")
+          .select(col("_change_type").as("change"), col("lang_p"), col("n_chars"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // state load: every live row arrives as an insert
+      val cat = s"graft_q65_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 5 = 0")
+      finally s.conf.unset("spark.graft.manifest.deleteMode")
+      docs.filter(col("doc_id") % 7 === 0)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")
+      drain() // the changes, exactly once
+      s.read.parquet(sink)
+        .groupBy(col("change"), col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("change"), col("lang"))
+    }),
+
     // --- STREAMING SOURCE under the gate (Iceberg incremental-append streaming
     //     read analog): the manifest table is read AS A STREAM — offsets are
     //     snapshot ids, each micro-batch plans exactly the files appended in the
@@ -2186,6 +2228,16 @@ object CorpusQueries {
         |  SELECT 'delete' AS change, lang, n_chars FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL
         |  SELECT 'insert' AS change, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q65: state-load inserts + CDC events == the three-way relational derivation
+    "q65_stream_changelog" ->
+      """SELECT change, lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT 'insert' AS change, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 'insert' AS change, lang, n_chars FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete' AS change, lang, n_chars FROM documents WHERE doc_id % 5 = 0
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q66: source->sink streaming loop is exactly-once == full-corpus aggregate
     "q66_stream_manifest_read" ->

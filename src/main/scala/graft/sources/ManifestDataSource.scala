@@ -459,11 +459,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     val startSnapshot = Option(options.get("startSnapshot"))
       .map(ManifestTables.resolveVersion(dir, _))
     // CDC changelog: rows changed in (startSnapshot, snapshot] with a _change_type
-    // column — appends surface as inserts, merge-on-read deletions as deletes
+    // column — appends surface as inserts, merge-on-read deletions as deletes.
+    // A BATCH changelog needs startSnapshot (checked at toBatch); a STREAMING
+    // changelog without one starts with a state load and follows changes forever.
     val changelog = options.getBoolean("changelog", false)
-    if (changelog) require(startSnapshot.isDefined,
-      "a changelog read needs .option(\"startSnapshot\", <id or tag>) — the version " +
-        "the changes are relative to")
     new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
       streamSkipRewrites = options.getBoolean("streamSkipRewrites", false))
@@ -716,9 +715,9 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // overcount, MIN/MAX might be a deleted row) — compute honestly until
     // compaction folds the deletes away
     if (ManifestTables.readSnapshotRefs(dir, snapshot).deletes.nonEmpty) return false
-    // incremental reads keep aggregates plan-side: the footer-stat scan has no
-    // baseline-subtraction path, and the delta is small by construction anyway
-    if (startSnapshot.isDefined) return false
+    // incremental/changelog reads keep aggregates plan-side: the footer-stat scan
+    // has no baseline-subtraction or change-view path, and deltas are small anyway
+    if (startSnapshot.isDefined || changelog) return false
     def partColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -845,7 +844,13 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   private[sources] def planningDeleteRefs: Seq[String] = pinnedRefs.deletes
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!changelog || startSnapshot.isDefined,
+      "a batch changelog read needs .option(\"startSnapshot\", <id or tag>) — the " +
+        "version the changes are relative to (a STREAM may omit it: the initial " +
+        "batch is then a state load of inserts)")
+    this
+  }
 
   /** Post-pruning byte size from the manifest's recorded file sizes — this is what
     * lets Catalyst AUTO-BROADCAST a small (or well-pruned) manifest table in a join:
@@ -989,11 +994,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     require(snapshot.isEmpty,
       "a time-travel (snapshot/VERSION AS OF) relation is immutable — it cannot " +
         "be read as a stream; use .option(\"startSnapshot\", n) for the initial offset")
-    require(!changelog,
-      "changelog streaming is not supported yet — read the changelog in batch " +
-        "ranges (.option(\"changelog\", true) + startSnapshot)")
     new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
-      startSnapshot, statBounds, streamSkipRewrites)
+      startSnapshot, statBounds, streamSkipRewrites, changelog)
   }
 }
 
@@ -1008,7 +1010,8 @@ private[sources] case class ManifestStreamOffset(snapshot: Int)
 private[sources] class ManifestMicroBatchStream(dir: String,
     required: StructType, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
-    statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false)
+    statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false,
+    changelog: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
 
@@ -1024,6 +1027,14 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     ManifestStreamOffset(m.group(1).toInt)
   }
 
+  /** (entry, net-out deleted positions, emit-only positions, change type) — turned
+    * into InputPartitions only once the BATCH-WIDE row-mode decision is known
+    * (Spark requires every partition of one batch to agree columnar-vs-row).
+    */
+  private type Planned = (ManifestTables.Entry, Array[Long], Array[Long], String)
+  private val NoPos = Array.emptyLongArray
+  private def insertCT = if (changelog) "insert" else ""
+
   override def planInputPartitions(start: StreamOffset, end: StreamOffset)
       : Array[InputPartition] = {
     val s0 = start.asInstanceOf[ManifestStreamOffset].snapshot
@@ -1032,67 +1043,113 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val endRefs = ManifestTables.readSnapshotRefs(dir, Some(s1))
     val endEntries = ManifestTables.entriesOf(dir, endRefs)
     // initial offset -1 is a STATE load of the end snapshot, not a transition:
-    // pending merge-on-read deletes APPLY (removed rows must not enter the
-    // stream), dropping that one batch to row mode — uniformly, so the batch's
-    // partitions agree on columnar-vs-row
+    // pending merge-on-read deletes APPLY (removed rows must not enter the stream);
+    // a changelog stream serves the state as insert rows
     if (s0 < 0) {
       val dels = ManifestTables.deletedPositions(dir, endRefs)
-      return emit(endEntries, dels, rowMode = dels.nonEmpty)
+      return build(endEntries.map(e =>
+        (e, dels.getOrElse(e.path, NoPos), NoPos, insertCT)))
     }
-    val fresh: Seq[ManifestTables.Entry] =
+    val planned: Seq[Planned] =
       try {
         val endPaths = endEntries.map(_.path).toSet
-        val baseline = ManifestDataSource.incrementalBaseline(dir, s0, endRefs, endPaths)
-        endEntries.filterNot(e => baseline.contains(e.path))
+        if (changelog) {
+          // CDC: appends -> insert rows (net of range-internal deletions — an
+          // in-range file's deletions are all range-new, so the end snapshot's
+          // positions ARE its net-out list), delete growth -> delete rows
+          val endDels = ManifestTables.deletedPositions(dir, endRefs)
+          val (baseline, rangeDels) =
+            ManifestDataSource.changelogDiff(dir, s0, endRefs, endPaths, endDels)
+          endEntries.filterNot(e => baseline.contains(e.path)).map(e =>
+            (e, endDels.getOrElse(e.path, NoPos), NoPos, "insert")) ++
+            endEntries.filter(e =>
+              baseline.contains(e.path) && rangeDels.contains(e.path)).map(e =>
+              (e, NoPos, rangeDels(e.path), "delete"))
+        } else {
+          val baseline =
+            ManifestDataSource.incrementalBaseline(dir, s0, endRefs, endPaths)
+          endEntries.filterNot(e => baseline.contains(e.path))
+            .map(e => (e, NoPos, NoPos, ""))
+        }
       } catch {
-        case _: IllegalArgumentException if skipRewrites => appendOnlyWalk(s0, s1)
+        case _: IllegalArgumentException if skipRewrites => transitionWalk(s0, s1)
         case e: IllegalArgumentException =>
           throw new IllegalArgumentException(e.getMessage +
             "; a stream can resume past this with .option(\"streamSkipRewrites\", " +
-            "true) — non-append snapshots are then skipped (their rewritten files " +
-            "and row removals never enter the stream)", e)
+            "true) — rewrite snapshots are then skipped (their rewritten files " +
+            "never re-enter the stream)", e)
       }
-    emit(fresh, Map.empty, rowMode = false)
+    build(planned)
   }
 
   /** The skipRewrites recovery path: walk the surviving snapshot ids in (s0, s1]
-    * and emit only PURE-APPEND transitions' fresh files (file set grew, delete
-    * segments unchanged); overwrite/compaction/row-level transitions contribute
-    * nothing — Iceberg's skip-overwrite/skip-delete streaming semantics. Files
-    * appended in a clean transition are emitted from THAT snapshot even if a later
-    * in-range rewrite replaced them (snapshots are immutable; keep them unexpired
-    * until streams drain). Expiry gaps merge adjacent transitions — a merged hop
-    * that mixes an append with a rewrite is skipped whole.
+    * per transition. A plain stream emits only PURE-APPEND transitions' fresh
+    * files (Iceberg's skip-overwrite/skip-delete semantics); a CHANGELOG stream
+    * additionally represents delete-segment growth as delete rows — and a
+    * merge-on-read UPDATE commit (files + deletes at once) as its insert/delete
+    * pair — so only true REWRITES (file removals) skip. Walked transitions emit
+    * per-event (an insert-then-delete across two in-range snapshots shows both
+    * rows), unlike the single-shot fast path which nets a range; files appended
+    * in a clean transition are emitted from THAT snapshot even if a later
+    * in-range rewrite replaced them (snapshots are immutable; keep them
+    * unexpired until streams drain). Expiry gaps merge adjacent transitions — a
+    * merged hop that mixes an append with a rewrite is skipped whole.
     */
-  private def appendOnlyWalk(s0: Int, s1: Int): Seq[ManifestTables.Entry] = {
+  private def transitionWalk(s0: Int, s1: Int): Seq[Planned] = {
     val ids = ManifestTables.snapshotIds(dir).filter(id => id > s0 && id <= s1).sorted
     val startRefs = ManifestTables.readSnapshotRefs(dir, Some(s0))
     var prevPaths = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
-    var prevDeletes = startRefs.deletes.toSet
-    val out = Seq.newBuilder[ManifestTables.Entry]
+    var prevDelNames = startRefs.deletes.toSet
+    var prevDels: Map[String, Array[Long]] =
+      if (changelog) ManifestTables.deletedPositions(dir, startRefs) else Map.empty
+    val out = Seq.newBuilder[Planned]
     for (id <- ids) {
       val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
       val entries = ManifestTables.entriesOf(dir, refs)
       val paths = entries.map(_.path).toSet
-      val pureAppend = prevPaths.subsetOf(paths) && refs.deletes.toSet == prevDeletes
-      if (pureAppend) out ++= entries.filterNot(e => prevPaths.contains(e.path))
+      val delNames = refs.deletes.toSet
+      val filesGrew = prevPaths.subsetOf(paths)
+      if (!changelog) {
+        if (filesGrew && delNames == prevDelNames)
+          out ++= entries.filterNot(e => prevPaths.contains(e.path))
+            .map(e => (e, NoPos, NoPos, ""))
+      } else if (filesGrew && prevDelNames.subsetOf(delNames)) {
+        val dels = ManifestTables.deletedPositions(dir, refs)
+        val newDels = dels.flatMap { case (path, poss) =>
+          val old = prevDels.get(path).map(_.toSet).getOrElse(Set.empty)
+          val added = poss.filterNot(old.contains).sorted
+          if (added.isEmpty) None else Some(path -> added)
+        }
+        out ++= entries.filterNot(e => prevPaths.contains(e.path))
+          .map(e => (e, newDels.getOrElse(e.path, NoPos), NoPos, "insert"))
+        out ++= entries.filter(e =>
+          prevPaths.contains(e.path) && newDels.contains(e.path))
+          .map(e => (e, NoPos, newDels(e.path), "delete"))
+        prevDels = dels
+      } else if (changelog) {
+        // rewrite transition skipped: reset the delete baseline to this snapshot
+        prevDels = ManifestTables.deletedPositions(dir, refs)
+      }
       prevPaths = paths
-      prevDeletes = refs.deletes.toSet
+      prevDelNames = delNames
     }
     out.result()
   }
 
-  private def emit(entries: Seq[ManifestTables.Entry],
-      dels: Map[String, Array[Long]], rowMode: Boolean): Array[InputPartition] =
-    entries
-      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
-      .filter(e => ManifestStats.allows(e.stats, statBounds))
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
-        if (partCols.isEmpty) Array.empty
-        else ManifestDataSource.keyDatums(partCols, e),
-        deleted = dels.getOrElse(e.path, Array.emptyLongArray),
-        rowMode = rowMode): InputPartition)
+  private def build(planned: Seq[Planned]): Array[InputPartition] = {
+    val rowMode = planned.exists(p => p._2.nonEmpty || p._3.nonEmpty)
+    planned
+      .filter { case (e, _, _, _) =>
+        ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) }
+      .filter { case (e, _, _, _) => ManifestStats.allows(e.stats, statBounds) }
+      .map { case (e, dels, only, ct) =>
+        ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+          if (partCols.isEmpty) Array.empty
+          else ManifestDataSource.keyDatums(partCols, e),
+          deleted = dels, changeType = ct, emitOnly = only,
+          rowMode = rowMode): InputPartition }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fields.map(f => (f.name, f.dataType))

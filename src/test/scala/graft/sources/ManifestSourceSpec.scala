@@ -1717,6 +1717,111 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(sinkIds() == Seq(0L, 2L, 10L, 11L, 20L), sinkIds().mkString(","))
   }
 
+  test("changelog STREAM: state load arrives as inserts, then per-range insert/delete " +
+      "rows exactly once across restarts; a MOR UPDATE emits its delete/insert pair") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_cdc_stream")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def append(rows: (Long, Long, String)*): Unit =
+      rows.toSeq.toDF("id", "v", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append((0L, 5L, "en"), (1L, 6L, "en"), (2L, 7L, "en"))
+    append((10L, 8L, "fr"), (11L, 9L, "fr"))
+    spark.conf.set("spark.sql.catalog.graft_cdcs", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdcs.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_cdcs.ns.t WHERE id = 1")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[ManifestDataSource].getName)
+        .option("changelog", "true").load(tbl)
+        .select(col("_change_type").as("change"), col("id"), col("v"), col("lang_p"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows() = spark.read.parquet(sink).select("change", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // state load: the pre-stream deleted row never appears
+    drain()
+    assert(rows() == Map(("insert", 0L, 5L) -> 1, ("insert", 2L, 7L) -> 1,
+      ("insert", 10L, 8L) -> 1, ("insert", 11L, 9L) -> 1), rows().toString)
+    // a MOR delete + an append land; the restarted stream emits exactly the changes
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_cdcs.ns.t WHERE id = 10")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    append((20L, 40L, "de"), (21L, 41L, "de"))
+    drain()
+    assert(rows() == Map(("insert", 0L, 5L) -> 1, ("insert", 2L, 7L) -> 1,
+      ("insert", 10L, 8L) -> 1, ("insert", 11L, 9L) -> 1,
+      ("delete", 10L, 8L) -> 1, ("insert", 20L, 40L) -> 1,
+      ("insert", 21L, 41L) -> 1), rows().toString)
+    // a merge-on-read UPDATE is one commit carrying delete positions + fresh rows:
+    // the stream represents it as its delete/insert pair
+    spark.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
+    try spark.sql("UPDATE graft_cdcs.ns.t SET v = v + 100 WHERE id = 20")
+    finally spark.conf.unset("spark.graft.manifest.updateMode")
+    drain()
+    val after = rows()
+    assert(after(("delete", 20L, 40L)) == 1 && after(("insert", 20L, 140L)) == 1,
+      after.toString)
+    // idle restart: no duplicates
+    drain()
+    assert(rows() == after)
+  }
+
+  test("changelog SYNC: applying a changelog range to a replica (DELETE + INSERT) " +
+      "reproduces the source table exactly — the derived-corpus propagation primitive") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_cdc_sync")
+    val wh = s"$root/wh"
+    def write(tblPath: String, mode: String, rows: (Long, Long, String)*): Unit =
+      rows.toSeq.toDF("id", "v", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode).save(tblPath)
+    val src = s"$wh/ns/src"; val dst = s"$wh/ns/dst"
+    write(src, "overwrite", (1L, 10L, "en"), (2L, 20L, "en"), (3L, 30L, "fr"),
+      (4L, 40L, "fr"), (5L, 50L, "de"))
+    // replica bootstraps as a full copy; the source's current version is tagged
+    spark.read.format(classOf[ManifestDataSource].getName).load(src)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(dst)
+    ManifestTables.tagLatest(src, "synced")
+    // the source moves on: a MOR delete, a MOR update, and an append
+    spark.conf.set("spark.sql.catalog.graft_sync", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sync.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    spark.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft_sync.ns.src WHERE id IN (2, 4)")
+      spark.sql("UPDATE graft_sync.ns.src SET v = v + 1000 WHERE id = 3")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.deleteMode")
+      spark.conf.unset("spark.graft.manifest.updateMode")
+    }
+    write(src, "append", (6L, 60L, "en"), (7L, 70L, "de"))
+    // apply the changelog to the replica: deletes first (covers the UPDATE pair's
+    // retraction), then inserts land through the ordinary catalog INSERT
+    val chg = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("changelog", "true").option("startSnapshot", "synced").load(src)
+    val view = "graft_sync_chg"
+    chg.createOrReplaceTempView(view)
+    spark.sql(s"DELETE FROM graft_sync.ns.dst WHERE id IN " +
+      s"(SELECT id FROM $view WHERE _change_type = 'delete')")
+    spark.sql(s"INSERT INTO graft_sync.ns.dst " +
+      s"SELECT id, v, lang_p FROM $view WHERE _change_type = 'insert'")
+    def all(tbl: String) = spark.read.format(classOf[ManifestDataSource].getName)
+      .load(tbl).select("id", "v", "lang_p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(all(dst) == all(src), s"replica ${all(dst)} != source ${all(src)}")
+    assert(all(src) == Seq((1L, 10L, "en"), (3L, 1030L, "fr"), (5L, 50L, "de"),
+      (6L, 60L, "en"), (7L, 70L, "de")))
+  }
+
   test("streaming source: AvailableNow drains appends incrementally across restarts, " +
       "each file exactly once; time-travel relations refuse to stream") {
     import org.apache.spark.sql.streaming.Trigger
