@@ -321,13 +321,20 @@ object ManifestDataSource {
         s"(e.g. ${removed.toSeq.sorted.take(3).mkString(", ")}) — an overwrite, " +
         "compaction or copy-on-write rewrite happened; read full snapshots instead")
     val before = ManifestTables.deletedPositions(dir, startRefs)
-    val fresh = endDeleted.flatMap { case (path, poss) =>
+    (baseline, newDeletePositions(before, endDeleted))
+  }
+
+  /** Per-file positions present in `after` but not `before` — the rows removed in
+    * the transition. THE one diff both the changelog fast path and the streaming
+    * transition walk use; results stay sorted (readers binary-search them).
+    */
+  private[sources] def newDeletePositions(before: Map[String, Array[Long]],
+      after: Map[String, Array[Long]]): Map[String, Array[Long]] =
+    after.flatMap { case (path, poss) =>
       val old = before.get(path).map(_.toSet).getOrElse(Set.empty)
-      val added = poss.filterNot(old.contains).sorted // readers binary-search these
+      val added = poss.filterNot(old.contains).sorted
       if (added.isEmpty) None else Some(path -> added)
     }
-    (baseline, fresh)
-  }
 
   /** parquet MessageType -> Spark fields: primitives (long/int/double/float/boolean/
     * string/binary/date/timestamp) plus LIST-of-primitive (the embeddings table's
@@ -1076,8 +1083,9 @@ private[sources] class ManifestMicroBatchStream(dir: String,
         case e: IllegalArgumentException =>
           throw new IllegalArgumentException(e.getMessage +
             "; a stream can resume past this with .option(\"streamSkipRewrites\", " +
-            "true) — rewrite snapshots are then skipped (their rewritten files " +
-            "never re-enter the stream)", e)
+            "true) — a plain stream then skips every non-append snapshot (rewritten " +
+            "files AND row removals never enter it), a changelog stream skips only " +
+            "true rewrites (delete growth still arrives as delete rows)", e)
       }
     build(planned)
   }
@@ -1115,11 +1123,7 @@ private[sources] class ManifestMicroBatchStream(dir: String,
             .map(e => (e, NoPos, NoPos, ""))
       } else if (filesGrew && prevDelNames.subsetOf(delNames)) {
         val dels = ManifestTables.deletedPositions(dir, refs)
-        val newDels = dels.flatMap { case (path, poss) =>
-          val old = prevDels.get(path).map(_.toSet).getOrElse(Set.empty)
-          val added = poss.filterNot(old.contains).sorted
-          if (added.isEmpty) None else Some(path -> added)
-        }
+        val newDels = ManifestDataSource.newDeletePositions(prevDels, dels)
         out ++= entries.filterNot(e => prevPaths.contains(e.path))
           .map(e => (e, newDels.getOrElse(e.path, NoPos), NoPos, "insert"))
         out ++= entries.filter(e =>
@@ -1153,8 +1157,10 @@ private[sources] class ManifestMicroBatchStream(dir: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fields.map(f => (f.name, f.dataType))
-    // every planned range is guarded append-only (no pending deletes), so the
-    // columnar fast path always applies
+    // factory-level forceRows stays off: batches that carry deleted/emitOnly
+    // positions (initial state loads, changelog delete views) flip to row mode
+    // via the PER-PARTITION rowMode flag that build() sets batch-uniformly —
+    // remove that flag and columnar readers would silently ignore the positions
     new ManifestDataReaderFactory(fields, partCols, None, forceRows = false)
   }
 

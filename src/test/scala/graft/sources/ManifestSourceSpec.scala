@@ -427,6 +427,12 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(last < first * 5 + 2.0, s"per-commit cost grew: first10=${first}ms last10=${last}ms")
     // time travel into the middle of the append history
     assert(ManifestTables.readSnapshot(out, Some(49)).size == 5000)
+    // incremental planning is O(delta): the (98, 99] diff yields exactly the last
+    // append's 100 files out of 10000 — no baseline rescan in the served set
+    val refs99 = ManifestTables.readSnapshotRefs(out, None)
+    val endPaths = ManifestTables.entriesOf(out, refs99).map(_.path).toSet
+    val base98 = ManifestDataSource.incrementalBaseline(out, 98, refs99, endPaths)
+    assert((endPaths -- base98).size == 100, s"delta was ${(endPaths -- base98).size}")
     // compaction folds everything into one segment, preserving entries and history
     val cid = ManifestTables.compact(out)
     assert(cid.contains(100))
@@ -1766,12 +1772,63 @@ class ManifestSourceSpec extends AnyFunSuite {
     try spark.sql("UPDATE graft_cdcs.ns.t SET v = v + 100 WHERE id = 20")
     finally spark.conf.unset("spark.graft.manifest.updateMode")
     drain()
+    // FULL map equality: the UPDATE drain must add exactly its delete/insert pair
     val after = rows()
-    assert(after(("delete", 20L, 40L)) == 1 && after(("insert", 20L, 140L)) == 1,
-      after.toString)
+    assert(after == Map(("insert", 0L, 5L) -> 1, ("insert", 2L, 7L) -> 1,
+      ("insert", 10L, 8L) -> 1, ("insert", 11L, 9L) -> 1,
+      ("delete", 10L, 8L) -> 1, ("insert", 20L, 40L) -> 1,
+      ("insert", 21L, 41L) -> 1,
+      ("delete", 20L, 40L) -> 1, ("insert", 20L, 140L) -> 1), after.toString)
     // idle restart: no duplicates
     drain()
     assert(rows() == after)
+  }
+
+  test("changelog STREAM + streamSkipRewrites: a skipped rewrite resets the delete " +
+      "baseline; later delete growth and appends still arrive as events") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_cdc_skip")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def write(mode: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode).save(tbl)
+    write("append", (0L, "en"), (1L, "en"))
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def drain(skip: Boolean): Unit = {
+      val r0 = spark.readStream.format(classOf[ManifestDataSource].getName)
+        .option("changelog", "true")
+      val r = if (skip) r0.option("streamSkipRewrites", "true") else r0
+      val q = r.load(tbl)
+        .select(col("_change_type").as("change"), col("id"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows() = spark.read.parquet(sink).select("change", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    drain(skip = false) // state load
+    assert(rows() == Map(("insert", 0L) -> 1, ("insert", 1L) -> 1), rows().toString)
+    // a REWRITE lands (overwrite), then a MOR delete of one overwritten row
+    // (delete growth AFTER the rewrite — exercises the prevDels baseline reset),
+    // then a pure append
+    write("overwrite", (30L, "en"), (31L, "en"))
+    spark.conf.set("spark.sql.catalog.graft_cskip", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cskip.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_cskip.ns.t WHERE id = 31")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    write("append", (40L, "de"))
+    // strict drain refuses; the skip drain walks per transition: the overwrite
+    // contributes NOTHING (30/31 never stream as inserts), the delete transition
+    // emits its delete event (per-event semantics: a delete for a row this stream
+    // never inserted), the append flows
+    intercept[Exception] { drain(skip = false) }
+    drain(skip = true)
+    assert(rows() == Map(("insert", 0L) -> 1, ("insert", 1L) -> 1,
+      ("delete", 31L) -> 1, ("insert", 40L) -> 1), rows().toString)
   }
 
   test("changelog SYNC: applying a changelog range to a replica (DELETE + INSERT) " +
