@@ -1758,6 +1758,46 @@ object CorpusQueries {
         .orderBy(col("sink"))
     }),
 
+    // --- INCREMENTAL INDEX MAINTENANCE under the gate: at 10^12 turns a full
+    //     re-index per append is impossible — the shard table must EXTEND. Phase-1
+    //     turns land in a manifest table and are indexed; the table is tagged; more
+    //     turns append; DELTA shards build from the INCREMENTAL read (startSnapshot
+    //     = the tag — only the new files are ever scanned) and union with the
+    //     existing shard table. Routing over the union must equal the relational
+    //     derivation over ALL turns: a missed or doubled delta breaks the gate. ---
+    "q75_incremental_index" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = ShardTableCache.effectiveCfg(graft.pipeline.TranscriptPipeline.Config(
+        numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents))
+      val shards = ShardTableCache.customShards(s, s"incr:$dir", {
+        val out = freshTmpTable("q75", dir)
+        val turns = eventTranscripts(s, dir).withColumn("role_p", col("role"))
+        def save(mode: String)(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graft.sources.ManifestDataSource")
+            .option("partcol", "role_p").mode(mode).save(out)
+        save("overwrite")(turns.filter(col("turn_idx") % 2 === 0))
+        graft.sources.ManifestTables.tagLatest(out, "indexed")
+        save("append")(turns.filter(col("turn_idx") % 2 === 1))
+        def read(opts: Map[String, String]) = {
+          val r = opts.foldLeft(s.read.format("graft.sources.ManifestDataSource")) {
+            case (rd, (k, v)) => rd.option(k, v)
+          }
+          r.load(out).select(col("conv_id"), col("turn_idx"), col("role"),
+            col("text"), col("tool"), col("ts")).as[graft.pipeline.Turn]
+        }
+        val indexed = graft.pipeline.TranscriptPipeline.buildShards(s,
+          read(Map("snapshot" -> "indexed")), cfg)
+        val delta = graft.pipeline.TranscriptPipeline.buildShards(s,
+          read(Map("startSnapshot" -> "indexed")), cfg)
+        indexed.union(delta)
+      })
+      graft.pipeline.TranscriptPipeline.route(s, shards, cfg.rules)
+        .groupBy(col("sink"))
+        .agg(countDistinct(col("conv_id")).as("n_convs"),
+          count(lit(1)).as("n_turns"), sum(col("n_matches")).as("n_matches"))
+        .orderBy(col("sink"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -2314,6 +2354,17 @@ object CorpusQueries {
     // q74: the manifest-table round-trip is the identity, so the pipeline-over-
     // the-table aggregate equals the same relational routing derivation as q72
     "q74_pipeline_manifest" ->
+      s"""WITH $duckTranscripts,
+         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
+         |  ('k8','"k": 8')) AS r(sink, pattern)),
+         |routed AS (
+         |  SELECT r.sink, t.conv_id, ${duckOverlapCount("r.pattern")} AS n_matches
+         |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
+         |SELECT sink, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+         |  CAST(sum(n_matches) AS BIGINT) AS n_matches
+         |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q75: incremental index == full index — the same routing derivation as q74
+    "q75_incremental_index" ->
       s"""WITH $duckTranscripts,
          |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
          |  ('k8','"k": 8')) AS r(sink, pattern)),

@@ -62,11 +62,21 @@ private[graft] object ShardTableCache {
     */
   def manifestEventShards(s: SparkSession, dir: String, cfg: TranscriptPipeline.Config,
       turns: => Dataset[Turn]): Dataset[ShardRow] = {
-    val effective =
-      if (compressionMode == graft.core.FmIndex.NoCompression) cfg
-      else cfg.copy(compression = compressionMode)
+    val effective = effectiveCfg(cfg)
     getOrBuild(s, s"manifest-events:$dir:$effective") {
       TranscriptPipeline.buildShards(s, turns, effective)
     }
   }
+
+  /** An arbitrary prebuilt shard table under a cache key — q75's two-phase
+    * incremental build (tagged-snapshot shards + delta shards, unioned) caches as
+    * one unit, same discipline as the single-build entries.
+    */
+  def customShards(s: SparkSession, tag: String, build: => Dataset[ShardRow]): Dataset[ShardRow] =
+    getOrBuild(s, s"custom:$tag:$compressionMode")(build)
+
+  /** The catalog-wide compression sweep (env knob) applied to a pipeline config. */
+  private[graft] def effectiveCfg(cfg: TranscriptPipeline.Config): TranscriptPipeline.Config =
+    if (compressionMode == graft.core.FmIndex.NoCompression) cfg
+    else cfg.copy(compression = compressionMode)
 }
