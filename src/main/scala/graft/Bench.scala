@@ -164,11 +164,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // catalog-only runs (pairs=0) leave the scaling fields at their sentinels
+    // (Double.MaxValue / NaN) — emit JSON null for those, never a bare NaN or a
+    // 309-digit decimal, so every bench artifact stays strict-parsable
+    def num(v: Double, fmt: String): String =
+      if (pair == 0 || v.isNaN || v.isInfinite || v == Double.MaxValue) "null"
+      else fmt.format(v)
     val pipeline =
       f"""{"turns":$nTurns,"cores_low":$lowCores,"cores_high":$highCores,""" +
-        f""""pairs":$pair,"sec_low":$secLow%.2f,"sec_high":$secHigh%.2f,""" +
-        f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrHigh%.0f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}"""
+        s""""pairs":$pair,"sec_low":${num(secLow, "%.2f")},""" +
+        s""""sec_high":${num(secHigh, "%.2f")},""" +
+        s""""turns_per_sec_low":${num(thrLow, "%.0f")},""" +
+        s""""turns_per_sec_high":${num(thrHigh, "%.0f")},""" +
+        s""""scaling_efficiency":${num(efficiency, "%.3f")}}"""
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","pipeline":$pipeline%s}""")
     spark.stop()

@@ -1769,7 +1769,7 @@ object CorpusQueries {
       import s.implicits._
       val cfg = ShardTableCache.effectiveCfg(graft.pipeline.TranscriptPipeline.Config(
         numShards = 16, saltBlock = 64, sampleRate = 8, rules = RouteRulesEvents))
-      val shards = ShardTableCache.customShards(s, s"incr:$dir", {
+      val shards = ShardTableCache.customShards(s, s"incr:$dir", cfg, {
         val out = freshTmpTable("q75", dir)
         val turns = eventTranscripts(s, dir).withColumn("role_p", col("role"))
         def save(mode: String)(df: org.apache.spark.sql.DataFrame): Unit =
@@ -2352,27 +2352,21 @@ object CorpusQueries {
          |SELECT conv_id, turn_idx, text FROM transcripts WHERE contains(text, 'error')
          |ORDER BY conv_id, turn_idx""".stripMargin,
     // q74: the manifest-table round-trip is the identity, so the pipeline-over-
-    // the-table aggregate equals the same relational routing derivation as q72
-    "q74_pipeline_manifest" ->
-      s"""WITH $duckTranscripts,
-         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
-         |  ('k8','"k": 8')) AS r(sink, pattern)),
-         |routed AS (
-         |  SELECT r.sink, t.conv_id, ${duckOverlapCount("r.pattern")} AS n_matches
-         |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
-         |SELECT sink, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
-         |  CAST(sum(n_matches) AS BIGINT) AS n_matches
-         |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q75: incremental index == full index — the same routing derivation as q74
-    "q75_incremental_index" ->
-      s"""WITH $duckTranscripts,
-         |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
-         |  ('k8','"k": 8')) AS r(sink, pattern)),
-         |routed AS (
-         |  SELECT r.sink, t.conv_id, ${duckOverlapCount("r.pattern")} AS n_matches
-         |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
-         |SELECT sink, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
-         |  CAST(sum(n_matches) AS BIGINT) AS n_matches
-         |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
+    // the-table aggregate equals the relational routing derivation; q75's
+    // incremental index must equal the full index — ONE shared derivation, so
+    // the two gates can never silently diverge
+    "q74_pipeline_manifest" -> perSinkRoutedSql,
+    "q75_incremental_index" -> perSinkRoutedSql
   )
+
+  private lazy val perSinkRoutedSql: String =
+    s"""WITH $duckTranscripts,
+       |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
+       |  ('k8','"k": 8')) AS r(sink, pattern)),
+       |routed AS (
+       |  SELECT r.sink, t.conv_id, ${duckOverlapCount("r.pattern")} AS n_matches
+       |  FROM transcripts t JOIN rules r ON contains(t.text, r.pattern))
+       |SELECT sink, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+       |  CAST(sum(n_matches) AS BIGINT) AS n_matches
+       |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -47,9 +47,7 @@ private[graft] object ShardTableCache {
 
   def eventShards(s: SparkSession, dir: String, cfg: TranscriptPipeline.Config): Dataset[ShardRow] = {
     import s.implicits._
-    val effective =
-      if (compressionMode == graft.core.FmIndex.NoCompression) cfg
-      else cfg.copy(compression = compressionMode)
+    val effective = effectiveCfg(cfg)
     getOrBuild(s, s"events:$dir:$effective") {
       TranscriptPipeline.buildShards(s, CorpusQueries.eventTranscripts(s, dir).as[Turn], effective)
     }
@@ -70,10 +68,12 @@ private[graft] object ShardTableCache {
 
   /** An arbitrary prebuilt shard table under a cache key — q75's two-phase
     * incremental build (tagged-snapshot shards + delta shards, unioned) caches as
-    * one unit, same discipline as the single-build entries.
+    * one unit. The FULL config is part of the key, same as every sibling entry —
+    * two callers sharing a tag but differing in numShards/rules must never alias.
     */
-  def customShards(s: SparkSession, tag: String, build: => Dataset[ShardRow]): Dataset[ShardRow] =
-    getOrBuild(s, s"custom:$tag:$compressionMode")(build)
+  def customShards(s: SparkSession, tag: String, cfg: TranscriptPipeline.Config,
+      build: => Dataset[ShardRow]): Dataset[ShardRow] =
+    getOrBuild(s, s"custom:$tag:${effectiveCfg(cfg)}")(build)
 
   /** The catalog-wide compression sweep (env knob) applied to a pipeline config. */
   private[graft] def effectiveCfg(cfg: TranscriptPipeline.Config): TranscriptPipeline.Config =

@@ -1095,22 +1095,38 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     * files (Iceberg's skip-overwrite/skip-delete semantics); a CHANGELOG stream
     * additionally represents delete-segment growth as delete rows — and a
     * merge-on-read UPDATE commit (files + deletes at once) as its insert/delete
-    * pair — so only true REWRITES (file removals) skip. Walked transitions emit
-    * per-event (an insert-then-delete across two in-range snapshots shows both
-    * rows), unlike the single-shot fast path which nets a range; files appended
-    * in a clean transition are emitted from THAT snapshot even if a later
-    * in-range rewrite replaced them (snapshots are immutable; keep them
-    * unexpired until streams drain). Expiry gaps merge adjacent transitions — a
-    * merged hop that mixes an append with a rewrite is skipped whole.
+    * pair — so only true REWRITES (file removals) skip. Events NET over the
+    * whole range exactly like the single-shot fast path (a micro-batch is
+    * unordered, so an un-netted insert+delete pair for one row would let a
+    * deletes-first consumer resurrect it): a row both appended and deleted
+    * inside the range emits nothing, delete rows emit only for rows the stream
+    * could have delivered (the s0 baseline), and deletions of a SKIPPED
+    * rewrite's files drop (their rows never streamed). Skip mode is therefore
+    * LOSSY around rewrites by construction — a rewrite severs file/position
+    * identity, so a later delete of a rewritten copy cannot retract the
+    * original insert (spec-pinned); exact replicas must re-sync from a full
+    * snapshot after a skipped rewrite. The strict default refuses the range
+    * instead. Files appended in a
+    * clean transition are emitted from THAT snapshot even if a later in-range
+    * rewrite replaced them (snapshots are immutable; keep them unexpired until
+    * streams drain). Expiry gaps merge adjacent transitions — a merged hop that
+    * mixes an append with a rewrite is skipped whole.
     */
   private def transitionWalk(s0: Int, s1: Int): Seq[Planned] = {
     val ids = ManifestTables.snapshotIds(dir).filter(id => id > s0 && id <= s1).sorted
     val startRefs = ManifestTables.readSnapshotRefs(dir, Some(s0))
-    var prevPaths = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
+    val s0Entries = ManifestTables.entriesOf(dir, startRefs)
+    val s0Paths = s0Entries.map(_.path).toSet
+    var prevPaths = s0Paths
     var prevDelNames = startRefs.deletes.toSet
     var prevDels: Map[String, Array[Long]] =
       if (changelog) ManifestTables.deletedPositions(dir, startRefs) else Map.empty
-    val out = Seq.newBuilder[Planned]
+    // accumulated over the walk, netted at the end
+    val entryOf = scala.collection.mutable.Map[String, ManifestTables.Entry]()
+    s0Entries.foreach(e => entryOf(e.path) = e)
+    val inserted = scala.collection.mutable.LinkedHashMap[String, ManifestTables.Entry]()
+    val insertDels = scala.collection.mutable.Map[String, Vector[Long]]()   // net-out
+    val baselineDels = scala.collection.mutable.Map[String, Vector[Long]]() // delete rows
     for (id <- ids) {
       val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
       val entries = ManifestTables.entriesOf(dir, refs)
@@ -1119,16 +1135,22 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       val filesGrew = prevPaths.subsetOf(paths)
       if (!changelog) {
         if (filesGrew && delNames == prevDelNames)
-          out ++= entries.filterNot(e => prevPaths.contains(e.path))
-            .map(e => (e, NoPos, NoPos, ""))
+          entries.filterNot(e => prevPaths.contains(e.path))
+            .foreach(e => inserted(e.path) = e)
       } else if (filesGrew && prevDelNames.subsetOf(delNames)) {
+        entries.foreach(e => entryOf(e.path) = e)
+        entries.filterNot(e => prevPaths.contains(e.path))
+          .foreach(e => inserted(e.path) = e)
         val dels = ManifestTables.deletedPositions(dir, refs)
-        val newDels = ManifestDataSource.newDeletePositions(prevDels, dels)
-        out ++= entries.filterNot(e => prevPaths.contains(e.path))
-          .map(e => (e, newDels.getOrElse(e.path, NoPos), NoPos, "insert"))
-        out ++= entries.filter(e =>
-          prevPaths.contains(e.path) && newDels.contains(e.path))
-          .map(e => (e, NoPos, newDels(e.path), "delete"))
+        ManifestDataSource.newDeletePositions(prevDels, dels).foreach {
+          case (path, poss) =>
+            if (s0Paths.contains(path))
+              baselineDels(path) = baselineDels.getOrElse(path, Vector.empty) ++ poss
+            else if (inserted.contains(path))
+              insertDels(path) = insertDels.getOrElse(path, Vector.empty) ++ poss
+            // else: the file came from a SKIPPED rewrite — its rows never
+            // streamed, so their deletion emits nothing
+        }
         prevDels = dels
       } else if (changelog) {
         // rewrite transition skipped: reset the delete baseline to this snapshot
@@ -1137,21 +1159,27 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       prevPaths = paths
       prevDelNames = delNames
     }
-    out.result()
+    inserted.values.toSeq.map(e =>
+      (e, insertDels.get(e.path).map(_.sorted.toArray).getOrElse(NoPos), NoPos,
+        insertCT)) ++
+      baselineDels.toSeq.sortBy(_._1).map { case (path, poss) =>
+        (entryOf(path), NoPos, poss.sorted.toArray, "delete") }
   }
 
   private def build(planned: Seq[Planned]): Array[InputPartition] = {
-    val rowMode = planned.exists(p => p._2.nonEmpty || p._3.nonEmpty)
-    planned
+    val kept = planned
       .filter { case (e, _, _, _) =>
         ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) }
       .filter { case (e, _, _, _) => ManifestStats.allows(e.stats, statBounds) }
-      .map { case (e, dels, only, ct) =>
-        ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
-          if (partCols.isEmpty) Array.empty
-          else ManifestDataSource.keyDatums(partCols, e),
-          deleted = dels, changeType = ct, emitOnly = only,
-          rowMode = rowMode): InputPartition }
+    // batch-uniform row mode, decided over the SURVIVING partitions: deletes
+    // confined to pruned-away files must not tax the rest of the batch
+    val rowMode = kept.exists(p => p._2.nonEmpty || p._3.nonEmpty)
+    kept.map { case (e, dels, only, ct) =>
+      ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+        if (partCols.isEmpty) Array.empty
+        else ManifestDataSource.keyDatums(partCols, e),
+        deleted = dels, changeType = ct, emitOnly = only,
+        rowMode = rowMode): InputPartition }
       .toArray
   }
 

@@ -1821,14 +1821,58 @@ class ManifestSourceSpec extends AnyFunSuite {
     try spark.sql("DELETE FROM graft_cskip.ns.t WHERE id = 31")
     finally spark.conf.unset("spark.graft.manifest.deleteMode")
     write("append", (40L, "de"))
-    // strict drain refuses; the skip drain walks per transition: the overwrite
-    // contributes NOTHING (30/31 never stream as inserts), the delete transition
-    // emits its delete event (per-event semantics: a delete for a row this stream
-    // never inserted), the append flows
+    // strict drain refuses; the skip drain walks per transition AND NETS: the
+    // overwrite contributes nothing (30/31 never stream as inserts), so the
+    // delete of 31 ALSO drops — a delete event for a row the stream never
+    // delivered would make a deletes-first replica diverge. Only the append flows.
     intercept[Exception] { drain(skip = false) }
     drain(skip = true)
     assert(rows() == Map(("insert", 0L) -> 1, ("insert", 1L) -> 1,
-      ("delete", 31L) -> 1, ("insert", 40L) -> 1), rows().toString)
+      ("insert", 40L) -> 1), rows().toString)
+  }
+
+  test("changelog STREAM + streamSkipRewrites: skip mode is documented-lossy around " +
+      "rewrites — a delete targeting a rewritten copy cannot retract the original insert") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_cdc_skipnet")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def write(mode: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode).save(tbl)
+    write("append", (0L, "en"))
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[ManifestDataSource].getName)
+        .option("changelog", "true").option("streamSkipRewrites", "true").load(tbl)
+        .select(col("_change_type").as("change"), col("id"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // in ONE un-drained window: append id=9, a rewrite (forces the walk), then a
+    // MOR delete of id=9. The delete lands on the REWRITE's copy of the row —
+    // file/position identity was severed by the skipped rewrite, so the stream
+    // cannot attribute the retraction to F9's insert. This is the documented
+    // loss of skip mode (the strict default refuses the range instead): id=9
+    // streams as an insert with no delete, and a replica must re-sync from a
+    // full snapshot after any skipped rewrite to be exact again.
+    write("append", (9L, "en"))
+    spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tbl) // rewrite: same rows, new files
+    spark.conf.set("spark.sql.catalog.graft_cnet", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cnet.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_cnet.ns.t WHERE id = 9")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    drain()
+    val got = spark.read.parquet(sink).select("change", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map(("insert", 0L) -> 1, ("insert", 9L) -> 1), got.toString)
   }
 
   test("changelog SYNC: applying a changelog range to a replica (DELETE + INSERT) " +
