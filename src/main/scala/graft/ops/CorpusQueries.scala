@@ -1392,6 +1392,31 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- TIMESTAMP AS OF time travel under the gate: the full corpus commits,
+    //     a wall-clock instant is captured, an overwrite replaces the table with
+    //     a subset — and `.option("asOfTimestamp", t)` must serve the table AS IT
+    //     STOOD at t (the full corpus), resolved through per-snapshot commit
+    //     timestamps. "What did the corpus look like when the run started?"
+    //     without anyone having thought to tag it. ---
+    "q63q_time_travel_ts" -> ((s, dir) => {
+      val out = freshTmpTable("q63q", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      docs.write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(out)
+      val tMid = System.currentTimeMillis()
+      // the overwrite must stamp strictly AFTER the probe instant
+      while (System.currentTimeMillis() <= tMid) Thread.sleep(1)
+      docs.filter(col("lang_p") === "en")
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(out)
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("asOfTimestamp", tMid.toString).load(out)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2256,6 +2281,10 @@ object CorpusQueries {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END)
         |    AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63q: the timestamp pin pre-dates the overwrite -> the FULL corpus
+    "q63q_time_travel_ts" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->

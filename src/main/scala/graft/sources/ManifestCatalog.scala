@@ -81,6 +81,17 @@ class ManifestCatalog extends TableCatalog
     new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir, Some(snap)), Some(snap))
   }
 
+  /** SQL `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch; serve the
+    * latest snapshot committed at or before that moment (same pinning as a
+    * version read; legacy pre-ts snapshots resolve via their file mtime).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val snap = ManifestTables.resolveTimestampMs(dir, timestamp / 1000L)
+    new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir, Some(snap)), Some(snap))
+  }
+
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table =

@@ -62,8 +62,7 @@ class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
     val base = ManifestDataSource.tableSchema(options.get("path"),
-      Option(options.get("snapshot"))
-        .map(ManifestTables.resolveVersion(options.get("path"), _)))
+      ManifestDataSource.pinFromOptions(options.get("path"), options))
     // changelog relations additionally expose the change-type column
     if (options.getBoolean("changelog", false))
       base.add(StructField(ManifestDataSource.ChangeCol, StringType, nullable = false))
@@ -257,6 +256,20 @@ object ManifestDataSource {
         bounds.get(pc.name).forall(_.contains(vals(i)))
       }
     }
+
+  /** The snapshot pin a reader's options request: `snapshot` (id or tag) or
+    * `asOfTimestamp` (epoch ms, latest snapshot at or before it); both at once is
+    * ambiguous and refused.
+    */
+  private[sources] def pinFromOptions(dir: String,
+      options: CaseInsensitiveStringMap): Option[Int] = {
+    val byVersion = Option(options.get("snapshot"))
+    val byTime = Option(options.get("asOfTimestamp"))
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "set either snapshot or asOfTimestamp, not both")
+    byVersion.map(ManifestTables.resolveVersion(dir, _))
+      .orElse(byTime.map(t => ManifestTables.resolveTimestampMs(dir, t.toLong)))
+  }
 
   /** An entry's typed partition-value tuple (storage-partitioned-join grouping key). */
   private[sources] def keyDatums(partCols: Seq[ManifestTables.PartCol],
@@ -456,10 +469,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(ManifestTables.latestSnapshotId(dir).isDefined,
       s"no committed snapshot under $dir — write or commit first")
-    // time travel: .option("snapshot", <id or tag name>) — or a catalog-level pin
-    // from SQL's `VERSION AS OF` (ManifestCatalog.loadTable(ident, version))
-    val snapshot = Option(options.get("snapshot"))
-      .map(ManifestTables.resolveVersion(dir, _)).orElse(pinnedSnapshot)
+    // time travel: .option("snapshot", <id or tag>) or .option("asOfTimestamp",
+    // <epoch ms>) — or a catalog-level pin from SQL's VERSION/TIMESTAMP AS OF
+    val snapshot =
+      ManifestDataSource.pinFromOptions(dir, options).orElse(pinnedSnapshot)
     // incremental read: .option("startSnapshot", <id or tag name>) serves only the
     // files APPENDED strictly after that snapshot (Iceberg incremental-scan analog);
     // for a streaming read it is the initial offset instead

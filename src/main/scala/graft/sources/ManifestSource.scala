@@ -502,9 +502,12 @@ object ManifestTables {
     // propagated through every later append/compaction; stays after the fixed-size
     // note head (a wide table's DDL may exceed the note probe window)
     val schemaLine = schemaDdl.fold("")(d => s"""  "schema": "${jsonEscape(d)}",\n""")
+    // commit timestamp (ms): TIMESTAMP AS OF resolution; lives in the fixed-size
+    // head (short + before the growing lists, so the note probe still holds)
     val json =
       s"""{
          |  "snapshot": $id,
+         |  "ts": ${System.currentTimeMillis()},
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
          |$typesLine$schemaLine$segLine$delLine  "files": [
          |${fileList.mkString(",\n")}
@@ -738,6 +741,37 @@ object ManifestTables {
       new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
     } finally ch.close()
     s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
+  }
+
+  /** Commit timestamp (ms) of one snapshot — from the head's "ts" field, falling
+    * back to the snapshot FILE's mtime for pre-ts snapshots (legacy tables keep
+    * working; hard links preserve the original write time).
+    */
+  private[sources] def snapshotTimestamp(dir: String, id: Int): Long = {
+    val p = Paths.get(dir, "_manifests", f"snapshot-$id%05d.json")
+    val ch = java.nio.channels.FileChannel.open(p)
+    val head = try {
+      val buf = java.nio.ByteBuffer.allocate(NoteHeadBytes)
+      val n = ch.read(buf)
+      new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
+    } finally ch.close()
+    "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest snapshot committed at or before
+    * `ms` — "the table as it stood at that wall-clock moment". Commit timestamps
+    * are nondecreasing in snapshot id on one host (each commit CAS-claims
+    * latest+1 after reading the previous head), so the scan is a simple max.
+    */
+  private[sources] def resolveTimestampMs(dir: String, ms: Long): Int = {
+    val ids = snapshotIds(dir)
+    require(ids.nonEmpty, s"no committed snapshot under $dir")
+    val at = ids.filter(id => snapshotTimestamp(dir, id) <= ms)
+    require(at.nonEmpty,
+      s"no snapshot of $dir existed at timestamp $ms (earliest commit: " +
+        s"${snapshotTimestamp(dir, ids.min)} ms)")
+    at.max
   }
 
   private val StreamNote = "stream-(.+)-batch-(\\d+)".r

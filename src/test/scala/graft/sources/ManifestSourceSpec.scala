@@ -1875,6 +1875,54 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(got == Map(("insert", 0L) -> 1, ("insert", 9L) -> 1), got.toString)
   }
 
+  test("TIMESTAMP AS OF: commit timestamps resolve SQL + option reads; before-first " +
+      "refuses; both pins at once refuse; legacy snapshots fall back to file mtime") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_ts")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def write(mode: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode).save(tbl)
+    val t0 = System.currentTimeMillis() - 1
+    write("overwrite", (1L, "en"), (2L, "en"))
+    val tMid = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= tMid) Thread.sleep(1)
+    write("append", (3L, "fr"))
+    def idsAt(opts: (String, String)*): Seq[Long] = {
+      val r = opts.foldLeft(spark.read.format(classOf[ManifestDataSource].getName)) {
+        case (rd, (k, v)) => rd.option(k, v)
+      }
+      r.load(tbl).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(idsAt("asOfTimestamp" -> tMid.toString) == Seq(1L, 2L))
+    assert(idsAt("asOfTimestamp" -> System.currentTimeMillis().toString)
+      == Seq(1L, 2L, 3L))
+    // SQL TIMESTAMP AS OF through the catalog (Spark hands micros)
+    spark.conf.set("spark.sql.catalog.graft_ts", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ts.warehouse", wh)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_ts.ns.t TIMESTAMP AS OF timestamp_millis(${tMid}L)")
+      .head().getLong(0)
+    assert(n == 2, s"SQL TIMESTAMP AS OF served $n rows")
+    // before the first commit: loud refusal
+    val e = intercept[Exception] { idsAt("asOfTimestamp" -> t0.toString) }
+    assert(e.getMessage != null && e.getMessage.contains("no snapshot"), e.getMessage)
+    // both pins at once: refused
+    val e2 = intercept[Exception] {
+      idsAt("asOfTimestamp" -> tMid.toString, "snapshot" -> "0")
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("not both"), e2.getMessage)
+    // legacy snapshot with no ts field resolves via file mtime
+    val legacy = Files.createTempDirectory("manifest_ts_legacy")
+    val mdir = legacy.resolve("_manifests"); Files.createDirectories(mdir)
+    Files.writeString(mdir.resolve("snapshot-00000.json"),
+      """{"snapshot": 0, "partition_column": "p", "files": []}""")
+    val ts = ManifestTables.snapshotTimestamp(legacy.toString, 0)
+    val mtime = Files.getLastModifiedTime(mdir.resolve("snapshot-00000.json")).toMillis
+    assert(ts == mtime, s"legacy fallback: $ts != $mtime")
+  }
+
   test("changelog SYNC: applying a changelog range to a replica (DELETE + INSERT) " +
       "reproduces the source table exactly — the derived-corpus propagation primitive") {
     import spark.implicits._
