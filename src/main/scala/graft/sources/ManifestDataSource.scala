@@ -473,11 +473,16 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // <epoch ms>) — or a catalog-level pin from SQL's VERSION/TIMESTAMP AS OF
     val snapshot =
       ManifestDataSource.pinFromOptions(dir, options).orElse(pinnedSnapshot)
-    // incremental read: .option("startSnapshot", <id or tag name>) serves only the
-    // files APPENDED strictly after that snapshot (Iceberg incremental-scan analog);
-    // for a streaming read it is the initial offset instead
-    val startSnapshot = Option(options.get("startSnapshot"))
-      .map(ManifestTables.resolveVersion(dir, _))
+    // incremental read: .option("startSnapshot", <id or tag>) or
+    // .option("startTimestamp", <epoch ms> — "everything since that instant")
+    // serves only the files APPENDED strictly after that point (Iceberg
+    // incremental-scan analog); for a streaming read it is the initial offset
+    val byVersion = Option(options.get("startSnapshot"))
+    val byTime = Option(options.get("startTimestamp"))
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "set either startSnapshot or startTimestamp, not both")
+    val startSnapshot = byVersion.map(ManifestTables.resolveVersion(dir, _))
+      .orElse(byTime.map(t => ManifestTables.resolveTimestampMs(dir, t.toLong)))
     // CDC changelog: rows changed in (startSnapshot, snapshot] with a _change_type
     // column — appends surface as inserts, merge-on-read deletions as deletes.
     // A BATCH changelog needs startSnapshot (checked at toBatch); a STREAMING
@@ -735,9 +740,10 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // overcount, MIN/MAX might be a deleted row) — compute honestly until
     // compaction folds the deletes away
     if (ManifestTables.readSnapshotRefs(dir, snapshot).deletes.nonEmpty) return false
-    // incremental/changelog reads keep aggregates plan-side: the footer-stat scan
-    // has no baseline-subtraction or change-view path, and deltas are small anyway
-    if (startSnapshot.isDefined || changelog) return false
+    // changelog reads keep aggregates plan-side (the footer-stat scan has no
+    // change-view path); plain INCREMENTAL reads push fine — the delta is whole
+    // appended files, so their footers answer the aggregate exactly
+    if (changelog) return false
     def partColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -772,7 +778,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some((groupCols, aggs)) =>
-      new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs)
+      new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs,
+        startSnapshot)
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
@@ -1235,13 +1242,26 @@ private[sources] object ManifestAggScan {
   */
 private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], snapshot: Option[Int],
-    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec])
+    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec],
+    startSnapshot: Option[Int] = None)
     extends Scan with Batch {
   import ManifestAggScan._
 
-  private lazy val pinned: Seq[ManifestTables.Entry] =
-    ManifestTables.readSnapshot(dir, snapshot)
+  private lazy val pinned: Seq[ManifestTables.Entry] = {
+    val refs = ManifestTables.readSnapshotRefs(dir, snapshot)
+    val entries = ManifestTables.entriesOf(dir, refs)
+    // incremental aggregate: a delta is WHOLE appended files (guards enforce it),
+    // so footer statistics over exactly those files answer "count/min/max of
+    // everything since snapshot S" without opening a single data page
+    val baseline = startSnapshot match {
+      case None => Set.empty[String]
+      case Some(s0) => ManifestDataSource.incrementalBaseline(
+        dir, s0, refs, entries.map(_.path).toSet)
+    }
+    entries
+      .filter(e => !baseline.contains(e.path))
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+  }
 
   // scan output contract (positional): groupBy columns first, then one column per
   // aggregate — count as long, min/max in the column's own type

@@ -1563,6 +1563,8 @@ class ManifestSourceSpec extends AnyFunSuite {
     incAppend(tbl, 0, 5, "en")
     val base = ManifestTables.latestSnapshotId(tbl).get
     ManifestTables.createTag(tbl, "base", base)
+    val tBase = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= tBase) Thread.sleep(1)
     incAppend(tbl, 5, 8, "en")
     incAppend(tbl, 8, 12, "fr")
     def inc(start: String) = spark.read.format(classOf[ManifestDataSource].getName)
@@ -1572,8 +1574,18 @@ class ManifestSourceSpec extends AnyFunSuite {
       == (5L until 12L).toSeq)
     // tag name resolves to the same baseline
     assert(inc("base").count() == 7)
+    // so does a wall-clock instant ("everything since last night's sync")
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .option("startTimestamp", tBase.toString).load(tbl).count() == 7)
     // partition pruning composes with the delta
     assert(inc("base").filter(col("lang_p") === "fr").count() == 4)
+    // aggregate pushdown composes with the delta: the delta is whole appended
+    // files, so COUNT/MAX come from exactly those files' footers
+    val aggD = inc("base").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(aggD.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "incremental aggregate did not push to the footer scan")
+    val aggRow = aggD.head()
+    assert(aggRow.getLong(0) == 7 && aggRow.getLong(1) == 11, aggRow.toString)
     // empty range: startSnapshot == read snapshot
     val latest = ManifestTables.latestSnapshotId(tbl).get
     assert(inc(latest.toString).count() == 0)
