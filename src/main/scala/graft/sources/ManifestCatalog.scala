@@ -88,7 +88,7 @@ class ManifestCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val snap = ManifestTables.resolveTimestampMs(dir, timestamp / 1000L)
+    val snap = ManifestTables.requireTimestampMs(dir, timestamp / 1000L)
     new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir, Some(snap)), Some(snap))
   }
 

@@ -268,7 +268,7 @@ object ManifestDataSource {
     require(byVersion.isEmpty || byTime.isEmpty,
       "set either snapshot or asOfTimestamp, not both")
     byVersion.map(ManifestTables.resolveVersion(dir, _))
-      .orElse(byTime.map(t => ManifestTables.resolveTimestampMs(dir, t.toLong)))
+      .orElse(byTime.map(t => ManifestTables.requireTimestampMs(dir, t.toLong)))
   }
 
   /** An entry's typed partition-value tuple (storage-partitioned-join grouping key). */
@@ -481,8 +481,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     val byTime = Option(options.get("startTimestamp"))
     require(byVersion.isEmpty || byTime.isEmpty,
       "set either startSnapshot or startTimestamp, not both")
+    // a startTimestamp predating the table's full retained history means "no
+    // baseline" (the delta is the whole table)
     val startSnapshot = byVersion.map(ManifestTables.resolveVersion(dir, _))
-      .orElse(byTime.map(t => ManifestTables.resolveTimestampMs(dir, t.toLong)))
+      .orElse(byTime.flatMap(t => ManifestTables.resolveStartTimestampMs(dir, t.toLong)))
     // CDC changelog: rows changed in (startSnapshot, snapshot] with a _change_type
     // column — appends surface as inserts, merge-on-read deletions as deletes.
     // A BATCH changelog needs startSnapshot (checked at toBatch); a STREAMING
@@ -590,6 +592,10 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
   // per-partition-column allowed canonical values (intersection of accepted filters)
   private var partitionValues: Map[String, Set[String]] = Map.empty
   private var pushedAgg: Option[(Seq[String], Seq[ManifestAggScan.AggSpec])] = None
+  // the snapshot whose refs the aggregate guard VALIDATED (deletes empty): the agg
+  // scan pins to it, so a merge-on-read DELETE landing between pushdown and
+  // execution can never slip deleted rows into a footer answer
+  private var aggValidatedSnapshot: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
@@ -738,8 +744,11 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     // merge-on-read: footer statistics predate positional deletes (COUNT would
     // overcount, MIN/MAX might be a deleted row) — compute honestly until
-    // compaction folds the deletes away
-    if (ManifestTables.readSnapshotRefs(dir, snapshot).deletes.nonEmpty) return false
+    // compaction folds the deletes away. The validated refs' snapshot id pins the
+    // eventual agg scan (see aggValidatedSnapshot).
+    val guardRefs = ManifestTables.readSnapshotRefs(dir, snapshot)
+    if (guardRefs.deletes.nonEmpty) return false
+    aggValidatedSnapshot = Some(guardRefs.snapshot)
     // changelog reads keep aggregates plan-side (the footer-stat scan has no
     // change-view path); plain INCREMENTAL reads push fine — the delta is whole
     // appended files, so their footers answer the aggregate exactly
@@ -778,8 +787,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
 
   override def build(): Scan = pushedAgg match {
     case Some((groupCols, aggs)) =>
-      new ManifestAggScan(dir, partCols, partitionValues, snapshot, groupCols, aggs,
-        startSnapshot)
+      new ManifestAggScan(dir, partCols, partitionValues,
+        snapshot.orElse(aggValidatedSnapshot), groupCols, aggs, startSnapshot)
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,

@@ -734,13 +734,20 @@ object ManifestTables {
     * bytes per snapshot no matter how large the table gets.
     */
   private def noteOf(snapshotFile: String): Option[String] = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(snapshotFile))
-    val head = try {
+    val head = headOf(Paths.get(snapshotFile))
+    s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
+  }
+
+  /** The fixed-size head of a snapshot file — THE probe both the note reader and
+    * the timestamp reader share; every head field must stay inside it.
+    */
+  private def headOf(p: java.nio.file.Path): String = {
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
       val buf = java.nio.ByteBuffer.allocate(NoteHeadBytes)
       val n = ch.read(buf)
       new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
     } finally ch.close()
-    s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
   }
 
   /** Commit timestamp (ms) of one snapshot — from the head's "ts" field, falling
@@ -749,29 +756,53 @@ object ManifestTables {
     */
   private[sources] def snapshotTimestamp(dir: String, id: Int): Long = {
     val p = Paths.get(dir, "_manifests", f"snapshot-$id%05d.json")
-    val ch = java.nio.channels.FileChannel.open(p)
-    val head = try {
-      val buf = java.nio.ByteBuffer.allocate(NoteHeadBytes)
-      val n = ch.read(buf)
-      new String(buf.array(), 0, math.max(n, 0), StandardCharsets.UTF_8)
-    } finally ch.close()
-    "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+    "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(headOf(p)).map(_.group(1).toLong)
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
-  /** TIMESTAMP AS OF resolution: the latest snapshot committed at or before
-    * `ms` — "the table as it stood at that wall-clock moment". Commit timestamps
-    * are nondecreasing in snapshot id on one host (each commit CAS-claims
-    * latest+1 after reading the previous head), so the scan is a simple max.
+  /** TIMESTAMP AS OF resolution: the latest snapshot committed at or before `ms`
+    * — "the table as it stood at that wall-clock moment". Commit timestamps are
+    * nondecreasing in snapshot id (each commit CAS-claims latest+1 after reading
+    * the previous head), so a NEWEST-FIRST scan stops at the first qualifying id —
+    * O(commits newer than ms) head probes, typically one. EXPIRY-gap safety: if
+    * the id directly above the match was expired, the true as-of snapshot may be
+    * gone — resolving to the older survivor would silently serve stale state (or,
+    * for a delta start, re-serve every row of the gap), so that case refuses
+    * loudly. `None` means `ms` predates every RETAINED snapshot: the caller
+    * decides (time travel refuses; a delta start means "everything" — but only
+    * when snapshot 0 is retained, i.e. nothing older could have qualified).
     */
-  private[sources] def resolveTimestampMs(dir: String, ms: Long): Int = {
-    val ids = snapshotIds(dir)
+  private[sources] def resolveTimestampMs(dir: String, ms: Long): Option[Int] = {
+    val ids = snapshotIds(dir).sorted
     require(ids.nonEmpty, s"no committed snapshot under $dir")
-    val at = ids.filter(id => snapshotTimestamp(dir, id) <= ms)
-    require(at.nonEmpty,
-      s"no snapshot of $dir existed at timestamp $ms (earliest commit: " +
-        s"${snapshotTimestamp(dir, ids.min)} ms)")
-    at.max
+    val hit = ids.reverseIterator.find(id => snapshotTimestamp(dir, id) <= ms)
+    hit.foreach { id =>
+      require(id == ids.max || ids.contains(id + 1),
+        s"timestamp $ms on $dir is ambiguous: the snapshot(s) directly after " +
+          s"$id were expired, so the table's true state at that instant may be " +
+          "unrecoverable — pin a snapshot id or tag instead")
+    }
+    hit
+  }
+
+  /** TIMESTAMP AS OF (reads): refuses before the earliest retained commit. */
+  private[sources] def requireTimestampMs(dir: String, ms: Long): Int =
+    resolveTimestampMs(dir, ms).getOrElse(throw new IllegalArgumentException(
+      s"no snapshot of $dir existed at timestamp $ms (earliest retained commit: " +
+        s"${snapshotTimestamp(dir, snapshotIds(dir).min)} ms)"))
+
+  /** startTimestamp (incremental start): `ms` before the table's FULL retained
+    * history means the delta is the whole table (None = no baseline); if older
+    * snapshots were expired we cannot know whether they predated `ms` — refuse
+    * rather than silently re-serve rows.
+    */
+  private[sources] def resolveStartTimestampMs(dir: String, ms: Long): Option[Int] = {
+    val r = resolveTimestampMs(dir, ms)
+    if (r.isEmpty) require(snapshotIds(dir).min == 0,
+      s"startTimestamp $ms predates every RETAINED snapshot of $dir and older " +
+        "ones were expired — whether they predate the instant is unknowable; " +
+        "start from a snapshot id or tag instead")
+    r
   }
 
   private val StreamNote = "stream-(.+)-batch-(\\d+)".r

@@ -1925,6 +1925,19 @@ class ManifestSourceSpec extends AnyFunSuite {
       idsAt("asOfTimestamp" -> tMid.toString, "snapshot" -> "0")
     }
     assert(e2.getMessage != null && e2.getMessage.contains("not both"), e2.getMessage)
+    // startTimestamp BEFORE the full retained history = the delta is everything
+    assert(idsAt("startTimestamp" -> t0.toString) == Seq(1L, 2L, 3L))
+    assert(idsAt("startTimestamp" -> tMid.toString) == Seq(3L))
+    // EXPIRY-gap ambiguity: keep {0 (tagged), latest}, expire the middle — an
+    // instant resolving to 0 with its successor expired must refuse, not serve
+    // the stale snapshot-0 state (or re-serve the gap's rows as a delta)
+    write("append", (4L, "de")) // snapshot 2
+    ManifestTables.createTag(tbl, "genesis", 0)
+    ManifestTables.expireSnapshots(tbl, keepLast = 1) // retains {0, 2}
+    val e3 = intercept[Exception] { idsAt("asOfTimestamp" -> tMid.toString) }
+    assert(e3.getMessage != null && e3.getMessage.contains("ambiguous"), e3.getMessage)
+    val e4 = intercept[Exception] { idsAt("startTimestamp" -> tMid.toString) }
+    assert(e4.getMessage != null && e4.getMessage.contains("ambiguous"), e4.getMessage)
     // legacy snapshot with no ts field resolves via file mtime
     val legacy = Files.createTempDirectory("manifest_ts_legacy")
     val mdir = legacy.resolve("_manifests"); Files.createDirectories(mdir)
