@@ -13,6 +13,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object CorpusQueries {
 
+  /** q56 packing bucket width (docs per heavy-window task). Small here so the
+    * small-SF gates exercise multiple buckets per language; at scale size it so
+    * corpus/B offset rows stay broadcast-sized (~10^6 docs/bucket at 10^12 rows).
+    */
+  private[graft] val SeqPackBucket = 128
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -365,7 +371,13 @@ object CorpusQueries {
       }
       .toDF("doc_id", "band_idx", "band")
     val capped = maxBucket match {
-      case None => bands
+      case None =>
+        // loud guard: an uncapped run whose worst bucket exceeds the budget warns
+        // with the remedy knob named (SimilarityLshSpec pins the adversarial case)
+        if (SimilarityLsh.fanoutGuardThreshold > 0)
+          SimilarityLsh.fanoutWarning(bands, Seq("band_idx", "band"),
+            SimilarityLsh.fanoutGuardThreshold)
+        bands
       case Some(cap) =>
         val sizes = bands.groupBy(col("band_idx"), col("band")).count()
           .filter(col("count") <= cap).drop("count")
@@ -1033,14 +1045,33 @@ object CorpusQueries {
     // --- training-data SEQUENCE PACKING: documents stream per language in doc_id
     //     order into fixed 2048-token sequences (tokens ~ n_chars/4); each doc's
     //     sequence id = floor(running-token-prefix / budget) — the streamed-concat
-    //     packing layout trainers consume. All integer math over a PARTITIONED
-    //     window (per-language, never partitionless); the aggregate reports
-    //     sequences and fill per language. ---
+    //     packing layout trainers consume. TWO-LEVEL prefix sum (the round-4
+    //     hot-partition fix): a Window.partitionBy(lang) alone would sort the
+    //     dominant language in ONE task at 100 TB, so the heavy window partitions
+    //     by (lang, doc_id-range bucket) — each task sorts at most SeqPackBucket
+    //     docs — and the per-lang bucket offsets come from a window over the
+    //     AGGREGATED one-row-per-bucket frame (corpus/SeqPackBucket rows, broadcast
+    //     back). (lang, doc_id) order == (lang, bucket, doc_id) order because the
+    //     bucket is doc_id div B, so the composed prefix is bit-identical to the
+    //     single-window form the oracle derives. All integer math. PlanShapeSpec
+    //     pins that no window over the raw document rows partitions by lang alone. ---
     "q56_sequence_pack" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      t(s, dir, "documents")
+      // bucket width: per-task sort bound AND offsets-frame row count (corpus/B
+      // rows — broadcastable). Small here so the small-SF gate exercises multiple
+      // buckets per language; at 100 TB size B so corpus/B stays broadcast-sized.
+      val base = t(s, dir, "documents")
+        .withColumn("bucket", expr(s"doc_id div $SeqPackBucket"))
         .withColumn("toks", expr("n_chars div 4"))
-        .withColumn("prefix", sum(col("toks")).over(w) - col("toks"))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      val offsets = base.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("toks")).as("bucket_toks"))
+        .withColumn("bucket_offset", sum(col("bucket_toks")).over(wOff) - col("bucket_toks"))
+        .select(col("lang"), col("bucket"), col("bucket_offset"))
+      val wB = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      base
+        .join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("prefix",
+          col("bucket_offset") + sum(col("toks")).over(wB) - col("toks"))
         .withColumn("seq_id", expr("prefix div 2048"))
         .groupBy(col("lang"))
         .agg(countDistinct(col("seq_id")).as("n_seqs"),
@@ -1415,6 +1446,157 @@ object CorpusQueries {
         .groupBy(col("lang_p").as("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // --- EQUALITY-DELETE STREAMING UPSERT under the gate (Iceberg v2 / Flink-CDC
+    //     equality deletes): each micro-batch MERGES BY KEY — the exactly-once sink
+    //     commits the batch's rows PLUS one equality-delete segment over its keys,
+    //     so older versions of those rows vanish at read time while the batch's own
+    //     rows survive (data-sequence ordering). The require proves the write side
+    //     never read or rewrote a data file (O(keys) commit); the read-back
+    //     aggregate equals the relational last-writer-wins derivation. ---
+    "q63r_upsert_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = freshTmpTable("q63r_src", dir)
+      val dst = freshTmpTable("q63r_dst", dir)
+      val ckpt = freshTmpTable("q63r_ckpt", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def land(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").mode("append").save(src)
+      def drain(): Unit = {
+        val stream = s.readStream.format("graft.sources.ManifestDataSource").load(src)
+        val q = graft.sources.ManifestStreamSink
+          .start(stream, dst, "lang_p", ckpt, upsertKey = Some("doc_id"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      land(docs)
+      drain() // batch 1: the full corpus inserts
+      val files1 = graft.sources.ManifestMaintenance.liveDataFiles(dst).map(_._1).toSet
+      land(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L))
+      drain() // batch 2: upserts — every third doc replaced with the +5000 version
+      val files2 = graft.sources.ManifestMaintenance.liveDataFiles(dst).map(_._1).toSet
+      require(files1.subsetOf(files2),
+        "equality upsert must never read or rewrite an existing data file")
+      drain() // idle restart on the same checkpoint: a pure no-op on dst
+      s.read.format("graft.sources.ManifestDataSource").load(dst)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- Z-ORDER clustering under the gate: round-robin ingest interleaves BOTH
+    //     doc_id and n_chars ranges across every file (the before-probes prove
+    //     each range scan opens everything), zorderBy interleaves the two columns'
+    //     normalized bits into one sort key, and BOTH range probes must then open
+    //     strictly fewer files — the multi-dimensional skipping a lexicographic
+    //     clusterBy (q63l) cannot give the second column. Answers never move. ---
+    "q63s_zorder_skipping" -> ((s, dir) => {
+      val wh = freshTmpTable("q63s", dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .repartition(6) // round-robin: every file spans both value ranges
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/docs")
+      def tbl = s.read.format("graft.sources.ManifestDataSource").load(s"$wh/docs")
+      // probe bounds derived from the data so the slice stays selective at any SF;
+      // FIRST-fifth slices (not mid-range: a slice straddling a dimension's top-bit
+      // boundary would overlap both z-halves and skip nothing at small file counts)
+      val b = t(s, dir, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
+          min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
+      val (dLo, dHi) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5)
+      val (cLo, cHi) = (b.getLong(2), b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 5)
+      def planned(f: Column): Int = {
+        val probe = tbl.filter(f).select("doc_id")
+        probe.collect()
+        probe.queryExecution.executedPlan.collect {
+          case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            bs.inputRDD.getNumPartitions
+        }.sum
+      }
+      val docProbe = col("doc_id") >= dLo && col("doc_id") < dHi
+      val charProbe = col("n_chars") >= cLo && col("n_chars") < cHi
+      val (before1, before2) = (planned(docProbe), planned(charProbe))
+      val perFile = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/docs")
+        .map(_._2).max + 1
+      require(graft.sources.ManifestMaintenance
+        .zorderBy(s, s"$wh/docs", Seq("doc_id", "n_chars"), perFile).isDefined,
+        "zorderBy found nothing to rewrite")
+      val totalAfter = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/docs").length
+      val (after1, after2) = (planned(docProbe), planned(charProbe))
+      require(after1 < before1 && after1 < totalAfter,
+        s"z-order must sharpen doc_id skipping: $before1 before, $after1 of $totalAfter after")
+      require(after2 < before2 && after2 < totalAfter,
+        s"z-order must sharpen n_chars skipping: $before2 before, $after2 of $totalAfter after")
+      tbl.filter(docProbe).withColumn("probe", lit("doc_id"))
+        .unionAll(tbl.filter(charProbe).withColumn("probe", lit("n_chars")))
+        .groupBy(col("probe"), col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("probe"), col("lang"))
+    }),
+
+    // --- CREATE TABLE / INSERT INTO through the catalog under the gate: DDL-first
+    //     table creation (empty schema-carrying snapshot 0 with partition spec and
+    //     the column-id registry), then plain SQL INSERT resolves against the
+    //     declared schema and commits through the DSv2 write path. ---
+    "q63t_create_table" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63t", dir)
+      val cat = s"graft_q63t_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.corpus.docs
+               |  (doc_id BIGINT, n_chars BIGINT, lang_p STRING)
+               |  PARTITIONED BY (lang_p)""".stripMargin)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView(s"q63t_src_$tag")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        s"SELECT doc_id, n_chars, lang AS lang_p FROM q63t_src_$tag")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
+    // --- RENAME / DROP COLUMN evolution under the gate: pre-rename files carry the
+    //     OLD physical name (resolved by the footer FIELD IDS the writer stamps),
+    //     post-rename appends carry the new one, and a scan straddling the rename
+    //     must serve one coherent column; DROP retires a column as a pure registry
+    //     edit; VERSION AS OF 0 still serves the pre-rename name (require-pinned
+    //     against the relational expectation). ---
+    "q63u_rename_evolution" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63u", dir)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("source").as("junk"),
+          col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63u_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"ALTER TABLE $cat.corpus.docs RENAME COLUMN n_chars TO len_chars")
+      s.sql(s"ALTER TABLE $cat.corpus.docs DROP COLUMN junk")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars").as("len_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(s"$wh/corpus/docs")
+      // time travel to the pre-rename snapshot serves the ORIGINAL names
+      val ttSum = s.sql(s"SELECT CAST(sum(n_chars) AS BIGINT) " +
+        s"FROM $cat.corpus.docs VERSION AS OF 0").head().getLong(0)
+      val expect = docs.filter(col("doc_id") % 2 === 0)
+        .agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+      require(ttSum == expect,
+        s"pre-rename snapshot must serve n_chars unrenamed: got $ttSum, want $expect")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(len_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
@@ -2284,6 +2466,39 @@ object CorpusQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63q: the timestamp pin pre-dates the overwrite -> the FULL corpus
     "q63q_time_travel_ts" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63r: streaming equality upsert == relational last-writer-wins by key
+    "q63r_upsert_stream" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 5000 ELSE n_chars END)
+        |    AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63s: z-order moves bytes, never rows — both probes' filtered aggregates,
+    // bounds derived identically (integer division over global min/max)
+    "q63s_zorder_skipping" ->
+      """WITH b AS (SELECT min(doc_id) AS dmn, max(doc_id) AS dmx,
+        |  min(n_chars) AS cmn, max(n_chars) AS cmx FROM documents)
+        |SELECT probe, lang, n_docs, total_chars FROM (
+        |  SELECT 'doc_id' AS probe, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents, b
+        |  WHERE doc_id >= dmn AND doc_id < dmn + (dmx - dmn) // 5
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'n_chars' AS probe, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents, b
+        |  WHERE n_chars >= cmn AND n_chars < cmn + (cmx - cmn) // 5
+        |  GROUP BY 1, 2
+        |) ORDER BY probe, lang""".stripMargin,
+    // q63t: CREATE TABLE + INSERT INTO round-trip == the plain aggregate
+    "q63t_create_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63u: rename/drop are metadata-only — the straddling scan aggregates the
+    // SAME rows the un-renamed relation holds
+    "q63u_rename_evolution" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append

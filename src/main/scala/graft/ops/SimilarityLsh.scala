@@ -72,9 +72,42 @@ object SimilarityLsh {
     * exactly the pairs an exact rerank would mostly reject. Default None keeps the
     * oracle-exact behavior (q41/q44/q52 gates compare against a capless SQL pipeline).
     */
+  /** Uncapped fan-out guard: a partial+final count over the band keys (map-side
+    * combine absorbs the hot key, same shape the cap uses), warning loudly when any
+    * bucket exceeds `threshold` rows — its self-join alone emits > threshold²/2
+    * candidate pairs inside ONE shuffle partition, the exact degradation ScaleProbe
+    * measured (~quadratic on non-clustered inputs, killed at 100x). The warning
+    * names the remedy knob so a deployment that forgot the cap can't re-derive the
+    * probe's kill silently. Returns the message it logged (None = within budget).
+    */
+  def fanoutWarning(bandsDf: DataFrame, keys: Seq[String], threshold: Long): Option[String] = {
+    val hot = bandsDf.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > threshold)
+      .agg(count(lit(1)).as("n"), max(col("count")).as("worst")).head()
+    if (hot.getLong(0) == 0L) None
+    else {
+      val worst = hot.getLong(1)
+      val msg = s"uncapped LSH band join: ${hot.getLong(0)} bucket(s) exceed " +
+        s"$threshold rows (worst $worst -> ~${worst * worst / 2} candidate pairs " +
+        "inside ONE task); set SPARK_GRAFT_LSH_MAXBUCKET (or pass maxBucket) to " +
+        "bound fan-out — uncapped degrades ~quadratically on non-clustered inputs"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      Some(msg)
+    }
+  }
+
+  /** Guard threshold: `SPARK_GRAFT_LSH_FANOUT_WARN=<rows>` overrides, 0 disables. */
+  private[graft] def fanoutGuardThreshold: Long =
+    sys.env.get("SPARK_GRAFT_LSH_FANOUT_WARN").map(_.toLong).getOrElse(4096L)
+
   def candidatePairs(bandsDf: DataFrame, idCol: String, matchCols: Seq[String] = Nil,
       maxBucket: Option[Int] = None): DataFrame = {
     val keys = Seq("band_idx", "band_val") ++ matchCols
+    maxBucket match {
+      case None if fanoutGuardThreshold > 0 =>
+        fanoutWarning(bandsDf, keys, fanoutGuardThreshold)
+      case _ =>
+    }
     val capped = maxBucket match {
       case None => bandsDf
       case Some(cap) =>

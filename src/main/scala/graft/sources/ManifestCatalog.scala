@@ -92,51 +92,146 @@ class ManifestCatalog extends TableCatalog
     new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir, Some(snap)), Some(snap))
   }
 
+  /** `CREATE TABLE` / CTAS: publishes an EMPTY schema-carrying snapshot 0 (the
+    * same DDL + partition-spec machinery ALTER uses), so `INSERT INTO` and CTAS's
+    * follow-up write resolve against the declared schema immediately. Identity
+    * partition transforms only (the manifest layout's partitioning); partition
+    * columns must be string|int|date. The column-id registry bootstraps here, so
+    * created tables are rename/drop-evolvable from birth.
+    */
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "manifest tables are created by writing data (DSv2 write bootstrap); CREATE TABLE is not supported")
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    val partNames = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"manifest tables support identity partitioning only, got $other")
+    }
+    partNames.foreach(n => require(schema.fieldNames.contains(n),
+      s"partition column '$n' is not in the declared schema"))
+    val partTypes = partNames.map(n =>
+      ManifestDataSource.partTypeNameOf(n, schema(schema.fieldIndex(n)).dataType))
+    val dataCols = schema.fieldNames.toSeq.filterNot(partNames.contains)
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    val ok = ManifestTables.tryWriteSnapshotRefs(dir, partNames.mkString(","), Nil, Nil, 0,
+      partTypes = partTypes.mkString(","), schemaDdl = Some(schema.toDDL),
+      colIds = ManifestTables.colIdsBootstrap(dataCols))
+    if (!ok) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
 
-  /** Schema evolution, Iceberg-style metadata-only: `ALTER TABLE ... ADD COLUMN`
-    * publishes a NEW snapshot carrying the same file references plus the widened
-    * schema as a DDL override — no data file is touched. Files written before the
-    * ALTER null-fill the added column at read time (the reader's constant-vector
-    * path); later appends must supply it and carry the override forward. Only
-    * top-level nullable ADD COLUMN is supported — everything else (renames, drops,
-    * type changes) would need per-file column-id mapping to be correct and is
-    * rejected loudly.
+  /** Schema evolution, Iceberg-style metadata-only: ADD / RENAME / DROP COLUMN
+    * each publish a NEW snapshot carrying the same file references plus the edited
+    * schema DDL and the column-id registry — no data file is touched. ADD
+    * null-fills pre-ALTER files at read time (constant vectors); RENAME and DROP
+    * are pure registry edits: files written with field IDS resolve by id, id-less
+    * files (legacy tables, Spark-written maintenance rewrites) resolve through the
+    * id's NAME HISTORY — unambiguous because historical names may never be reused.
+    * Type changes stay rejected (they would need per-file value conversion).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"ADD COLUMN supports top-level columns only, got ${a.fieldNames().mkString(".")}")
-        require(a.isNullable,
-          s"added column ${a.fieldNames().head} must be nullable — existing files cannot backfill it")
-        require(a.position() == null,
-          "FIRST/AFTER positions are not supported — added columns append at the end")
-        org.apache.spark.sql.types.StructField(a.fieldNames().head, a.dataType(), nullable = true)
+    val partNames = ManifestTables.readPartitionSpec(dir).map(_.name).toSet
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
-        s"only ADD COLUMN is supported on manifest tables, got ${other.getClass.getSimpleName}")
+        s"manifest tables support ADD/RENAME/DROP COLUMN only, got ${other.getClass.getSimpleName}")
     }
     // optimistic-concurrency publication, same discipline as the write path: the
     // ALTER races cleanly with concurrent appends (losers retarget latest+1)
     var attempt = 0
     var done = false
     while (!done) {
-      val cur = ManifestDataSource.tableSchema(dir)
-      adds.foreach(f => require(!cur.fieldNames.contains(f.name),
-        s"column ${f.name} already exists in ${cur.simpleString}"))
-      val widened = org.apache.spark.sql.types.StructType(cur.fields ++ adds)
+      // ONE latest read per attempt: refs first, schema derived from THAT pinned
+      // snapshot — reading them independently could straddle a concurrent commit
+      // (notably a concurrent ALTER), silently dropping its column from the
+      // widened DDL while our CAS still succeeds on refs.snapshot+1
       val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val cur = ManifestDataSource.tableSchema(dir, Some(refs.snapshot))
+      // RENAME/DROP need the column-id registry; a legacy table synthesizes it on
+      // first use (its id-less files resolve by NAME HISTORY, which stays
+      // unambiguous because historical-name REUSE is rejected below)
+      var reg: Seq[ManifestTables.ColId] = refs.colIds
+        .map(ManifestTables.parseColIds)
+        .orElse(ManifestTables.colIdsBootstrap(
+          cur.fieldNames.toSeq.filterNot(partNames.contains)).map(ManifestTables.parseColIds))
+        .getOrElse(Nil)
+      val allHistoricNames: Set[String] = reg.flatMap(_.names).toSet
+      def nextId: Int = (reg.map(_.id) :+ 0).max + 1
+      var schema = cur
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames().length == 1,
+            s"ADD COLUMN supports top-level columns only, got ${a.fieldNames().mkString(".")}")
+          require(a.isNullable,
+            s"added column ${a.fieldNames().head} must be nullable — existing files cannot backfill it")
+          require(a.position() == null,
+            "FIRST/AFTER positions are not supported — added columns append at the end")
+          val n = a.fieldNames().head
+          require(!schema.fieldNames.contains(n),
+            s"column $n already exists in ${schema.simpleString}")
+          require(reg.isEmpty || !allHistoricNames.contains(n),
+            s"column name '$n' was used before (renamed or dropped) — reuse would be " +
+              "ambiguous for data files without field ids; pick a fresh name")
+          schema = StructType(schema.fields :+ StructField(n, a.dataType(), nullable = true))
+          if (reg.nonEmpty && n.matches(ManifestTables.SafeColName))
+            reg = reg :+ ManifestTables.ColId(nextId, dropped = false, Seq(n))
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            s"RENAME COLUMN supports top-level columns only, got ${r.fieldNames().mkString(".")}")
+          val from = r.fieldNames().head
+          val to = r.newName()
+          require(!partNames.contains(from),
+            s"cannot rename partition column '$from' — partition directories are laid out by name")
+          require(schema.fieldNames.contains(from), s"no column '$from' in ${schema.simpleString}")
+          require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+          require(to.matches(ManifestTables.SafeColName), s"unsupported column name '$to'")
+          require(reg.nonEmpty,
+            s"RENAME COLUMN needs the column-id registry — table columns carry names " +
+              "outside the safe grammar, so files could not be resolved after a rename")
+          require(!allHistoricNames.contains(to),
+            s"column name '$to' was used before (renamed or dropped) — reuse would be " +
+              "ambiguous for data files without field ids; pick a fresh name")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          reg = reg.map(c =>
+            if (!c.dropped && c.current == from) c.copy(names = c.names :+ to) else c)
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames().length == 1,
+            s"DROP COLUMN supports top-level columns only, got ${d.fieldNames().mkString(".")}")
+          val n = d.fieldNames().head
+          require(!partNames.contains(n), s"cannot drop partition column '$n'")
+          require(schema.fieldNames.contains(n), s"no column '$n' in ${schema.simpleString}")
+          require(reg.nonEmpty,
+            "DROP COLUMN needs the column-id registry — bootstrap failed on unsafe names")
+          // a live equality delete keyed on this column could no longer address
+          // its rows — compaction folds it away first
+          require(!ManifestTables.eqDeletesOf(dir, refs).exists(e =>
+              reg.exists(c => !c.dropped && c.names.contains(e.column) && c.current == n)),
+            s"column '$n' keys a live equality-delete segment — compact the table first")
+          schema = StructType(schema.fields.filterNot(_.name == n))
+          // the id RETIRES (history kept for the reuse ban); a re-added same-name
+          // column would get a new id, so dropped data can never resurrect
+          reg = reg.map(c =>
+            if (!c.dropped && c.current == n) c.copy(dropped = true) else c)
+        case _ => ()
+      }
       // pin the target id from the refs already read (CAS ordering rule)
       val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
-        schemaDdl = Some(widened.toDDL), deletes = refs.deletes)
+        schemaDdl = Some(schema.toDDL), deletes = refs.deletes,
+        eqDeletes = refs.eqDeletes,
+        colIds = if (reg.isEmpty) refs.colIds else Some(ManifestTables.renderColIds(reg)))
       if (!done) {
         attempt += 1
         require(attempt < 16, s"ALTER TABLE on $dir lost the snapshot race $attempt times")
@@ -147,9 +242,16 @@ class ManifestCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE is not supported — delete the table directory to drop a manifest table")
+  /** `DROP TABLE` (and CTAS-failure cleanup): removes the table directory. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) return false
+    val walk = Files.walk(Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported on manifest tables")

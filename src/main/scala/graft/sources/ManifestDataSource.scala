@@ -126,6 +126,24 @@ object ManifestDataSource {
     case other => throw new IllegalArgumentException(s"unsupported partition type $other")
   }
 
+  /** Equality-delete key types (narrow on purpose: the realistic upsert/erasure
+    * keys) and their canonical-string codecs.
+    */
+  private[sources] def eqTypeNameOf(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"unsupported equality-delete key type $other (long|int|string)")
+  }
+
+  private[sources] def eqDataTypeOf(ctype: String): DataType = ctype match {
+    case "long" => LongType
+    case "int" => IntegerType
+    case "string" => StringType
+    case other => throw new IllegalArgumentException(s"unknown equality-delete key type $other")
+  }
+
   private[sources] def partTypeNameOf(name: String, dt: DataType): String = dt match {
     case StringType => "string"
     case IntegerType => "int"
@@ -294,7 +312,8 @@ object ManifestDataSource {
     // empty range: nothing appended — no guards needed, serve zero files
     if (start == endRefs.snapshot) return endPaths
     val startRefs = ManifestTables.readSnapshotRefs(dir, Some(start))
-    require(startRefs.deletes.toSet == endRefs.deletes.toSet,
+    require(startRefs.deletes.toSet == endRefs.deletes.toSet &&
+        startRefs.eqDeletes.toSet == endRefs.eqDeletes.toSet,
       s"incremental read over ($start, ${endRefs.snapshot}] is not append-only: " +
         "merge-on-read delete segments changed in the range (row removals cannot " +
         "be represented as a file-level delta) — compact first or read full snapshots")
@@ -326,6 +345,13 @@ object ManifestDataSource {
       s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
         "delete segments vanished in the range (a rewrite folded them) — " +
         "read full snapshots instead")
+    // equality deletes carry no positions — surfacing them as delete rows would
+    // need a key-match scan of every older file, which is exactly the cost the
+    // format avoids; a changelog over an eq-delete range refuses instead
+    require(startRefs.eqDeletes.toSet == endRefs.eqDeletes.toSet,
+      s"changelog read over ($start, ${endRefs.snapshot}] is not representable: " +
+        "equality-delete segments changed in the range (key deletes carry no row " +
+        "positions) — compact first or read full snapshots")
     val baseline = ManifestTables.entriesOf(dir, startRefs).map(_.path).toSet
     val removed = baseline -- endPaths
     require(removed.isEmpty,
@@ -561,10 +587,13 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       }.flatten
       // pin the target id from the refs already read (see ManifestReplaceBatchWrite)
       val next = refs.snapshot + 1
+      val survivors = inlineSurvivors ++ perSeg.flatMap(_._2).filterNot(matches)
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         inlineSurvivors, newSegs, next,
         partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes)
+        deletes = refs.deletes,
+        eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, survivors),
+        colIds = refs.colIds)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -613,6 +642,9 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
   //     can never change answers.
   private var acceptedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
+  // fm_count patterns whose fingerprint test prunes files — applied per-entry by
+  // the scan against its pinned snapshot (never resolved against 'latest' here)
+  private val fmPats = scala.collection.mutable.ArrayBuffer.empty[String]
 
   override def pushPredicates(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -661,9 +693,12 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       else {
         fmPattern(p).foreach { pattern =>
           if (ShardIndexTable.isShardLayout(partCols)) {
-            val passing = ShardIndexTable.passingHexPairs(dir, pattern)
-            intersect(ShardIndexTable.HexCols(0), passing.map(_._1).toSet)
-            intersect(ShardIndexTable.HexCols(1), passing.map(_._2).toSet)
+            // recorded as a PER-ENTRY fingerprint test the scan applies against its
+            // OWN pinned snapshot's entries — resolving passing hex pairs from the
+            // LATEST snapshot here (the round-4 shape) could race a concurrent
+            // overwrite or disagree with a VERSION AS OF pin, silently pruning a
+            // file the pinned snapshot still serves
+            fmPats += pattern
             absorbed += p // visible in explain; ALSO kept residual below
           }
         }
@@ -742,12 +777,12 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    // merge-on-read: footer statistics predate positional deletes (COUNT would
-    // overcount, MIN/MAX might be a deleted row) — compute honestly until
-    // compaction folds the deletes away. The validated refs' snapshot id pins the
-    // eventual agg scan (see aggValidatedSnapshot).
+    // merge-on-read: footer statistics predate positional AND equality deletes
+    // (COUNT would overcount, MIN/MAX might be a deleted row) — compute honestly
+    // until compaction folds the deletes away. The validated refs' snapshot id
+    // pins the eventual agg scan (see aggValidatedSnapshot).
     val guardRefs = ManifestTables.readSnapshotRefs(dir, snapshot)
-    if (guardRefs.deletes.nonEmpty) return false
+    if (guardRefs.deletes.nonEmpty || guardRefs.eqDeletes.nonEmpty) return false
     aggValidatedSnapshot = Some(guardRefs.snapshot)
     // changelog reads keep aggregates plan-side (the footer-stat scan has no
     // change-view path); plain INCREMENTAL reads push fine — the delta is whole
@@ -759,12 +794,18 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
           partCols.exists(_.name == f.fieldNames.head) => Some(f.fieldNames.head)
         case _ => None
       }
+    // Float/Double are REFUSED for pushed MIN/MAX: parquet-mr's footer statistics
+    // propagate NaN through Math.min/max, so a file containing one NaN reports
+    // min=NaN — and under Spark's NaN-is-greatest ordering the pushed MIN would
+    // silently return NaN instead of the true minimum. The live stats accumulator
+    // (ManifestStats.Acc) refuses NaN bounds for data-skipping for the same
+    // reason; here the honest answer is to compute the aggregate plan-side.
     def statColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
             !partCols.exists(_.name == f.fieldNames.head) =>
           tschema.fields.find(_.name == f.fieldNames.head).collect {
-            case sf if Seq(IntegerType, LongType, DoubleType, FloatType, BooleanType,
+            case sf if Seq(IntegerType, LongType, BooleanType,
               DateType, TimestampType, TimestampNTZType).contains(sf.dataType) =>
               (sf.name, sf.dataType)
           }
@@ -792,7 +833,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
-        streamSkipRewrites)
+        streamSkipRewrites, fmPatterns = fmPats.toSeq)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -805,7 +846,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     partCols: Seq[ManifestTables.PartCol], partitionValues: Map[String, Set[String]],
     snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
     statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
-    changelog: Boolean = false, streamSkipRewrites: Boolean = false)
+    changelog: Boolean = false, streamSkipRewrites: Boolean = false,
+    fmPatterns: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -818,6 +860,23 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // contain rows matching the DELETE/UPDATE/MERGE condition (In(_file, ...) computed
   // by Spark's group-filter subquery) — only these files are read and rewritten
   private var runtimeFiles: Option[Set[String]] = None
+
+  /** fm_count fingerprint pruning, applied PER ENTRY of this scan's own pinned
+    * snapshot: a shard file passes iff every pushed pattern's fingerprint test says
+    * the shard MAY contain it (false proves fm_count == 0 for the whole shard).
+    * Evaluating against the pinned entries — not the latest snapshot's distinct
+    * pairs — keeps time-travel reads and concurrent-overwrite races exact.
+    */
+  private def fmAllowed(e: ManifestTables.Entry): Boolean =
+    fmPatterns.isEmpty || {
+      val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
+      val i0 = partCols.indexWhere(_.name == ShardIndexTable.HexCols(0))
+      val i1 = partCols.indexWhere(_.name == ShardIndexTable.HexCols(1))
+      i0 < 0 || i1 < 0 || {
+        val fp = ShardIndexTable.parseHexPair(vals(i0), vals(i1))
+        fmPatterns.forall(p => graft.functions.AlphaFingerprint.mayContain(fp, p))
+      }
+    }
 
   private def allowed(e: ManifestTables.Entry): Boolean =
     ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
@@ -870,15 +929,30 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     pinnedAll
       .filter(e => !baselinePaths.contains(e.path))
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+      .filter(fmAllowed)
   // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
   // sorted deleted positions, applied by the readers
   private lazy val pinnedDeletes: Map[String, Array[Long]] =
     ManifestTables.deletedPositions(dir, pinnedRefs)
+  /** Merge-on-read EQUALITY deletes of the pinned snapshot, key columns RESOLVED
+    * to their CURRENT names through the column-id registry (a rename landing after
+    * the delete must not orphan it); a delete keyed on a dropped column refuses
+    * loudly (its rows could no longer be addressed).
+    */
+  private lazy val pinnedEqDels: Seq[ManifestTables.EqDelete] =
+    ManifestTables.resolvedEqDeletes(dir, pinnedRefs)
+  /** Equality deletes applicable to one file: those sequenced strictly AFTER it. */
+  private def applicableEq(e: ManifestTables.Entry): Seq[ManifestTables.EqDelete] =
+    pinnedEqDels.filter(d => ManifestTables.seqOf(e) < d.seq)
+  private lazy val eqRowMode: Boolean =
+    pinnedEqDels.nonEmpty && pinned.exists(e => applicableEq(e).nonEmpty)
   /** Delete-segment refs this scan planned against — a row-level replace commit
     * compares them with commit-time refs to detect a concurrent merge-on-read
     * DELETE it would otherwise silently undo.
     */
   private[sources] def planningDeleteRefs: Seq[String] = pinnedRefs.deletes
+  /** Equality-delete refs at planning time (same conflict rule). */
+  private[sources] def planningEqDeleteRefs: Seq[String] = pinnedRefs.eqDeletes
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
     require(!changelog || startSnapshot.isDefined,
@@ -964,7 +1038,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
         pinnedDeletes.getOrElse(e.path, Array.emptyLongArray),
-        changeType = if (changelog) "insert" else ""): InputPartition)
+        changeType = if (changelog) "insert" else "",
+        eqDels = applicableEq(e)): InputPartition)
     if (!changelog) return inserts.toArray
     // delete rows: baseline files whose positions were newly deleted in the range —
     // the reader emits ONLY those positions, with their pre-delete column values
@@ -1003,9 +1078,12 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     val fields = required.fields.map(f => (f.name, f.dataType))
     // changelog delete parts emit selected positions row-by-row, so any range with
     // delete activity puts the whole scan in row mode (same all-partitions-agree
-    // rule as pending deletes)
+    // rule as pending deletes); pending EQUALITY deletes likewise (readers must
+    // decode the key column and filter)
     new ManifestDataReaderFactory(fields, partCols, limit,
-      forceRows = pinnedDeletes.nonEmpty || (changelog && rangeDeletes.nonEmpty))
+      forceRows = pinnedDeletes.nonEmpty || eqRowMode ||
+        (changelog && rangeDeletes.nonEmpty),
+      colIds = pinnedRefs.colIds)
   }
   override def description(): String = {
     val parts =
@@ -1063,12 +1141,15 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     ManifestStreamOffset(m.group(1).toInt)
   }
 
-  /** (entry, net-out deleted positions, emit-only positions, change type) — turned
-    * into InputPartitions only once the BATCH-WIDE row-mode decision is known
-    * (Spark requires every partition of one batch to agree columnar-vs-row).
+  /** (entry, net-out deleted positions, emit-only positions, change type,
+    * applicable equality deletes) — turned into InputPartitions only once the
+    * BATCH-WIDE row-mode decision is known (Spark requires every partition of one
+    * batch to agree columnar-vs-row).
     */
-  private type Planned = (ManifestTables.Entry, Array[Long], Array[Long], String)
+  private type Planned = (ManifestTables.Entry, Array[Long], Array[Long], String,
+    Seq[ManifestTables.EqDelete])
   private val NoPos = Array.emptyLongArray
+  private val NoEq = Nil: Seq[ManifestTables.EqDelete]
   private def insertCT = if (changelog) "insert" else ""
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset)
@@ -1079,12 +1160,14 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val endRefs = ManifestTables.readSnapshotRefs(dir, Some(s1))
     val endEntries = ManifestTables.entriesOf(dir, endRefs)
     // initial offset -1 is a STATE load of the end snapshot, not a transition:
-    // pending merge-on-read deletes APPLY (removed rows must not enter the stream);
-    // a changelog stream serves the state as insert rows
+    // pending merge-on-read deletes (positional AND equality) APPLY — removed rows
+    // must not enter the stream; a changelog stream serves the state as insert rows
     if (s0 < 0) {
       val dels = ManifestTables.deletedPositions(dir, endRefs)
+      val eq = ManifestTables.eqDeletesOf(dir, endRefs)
       return build(endEntries.map(e =>
-        (e, dels.getOrElse(e.path, NoPos), NoPos, insertCT)))
+        (e, dels.getOrElse(e.path, NoPos), NoPos, insertCT,
+          eq.filter(d => ManifestTables.seqOf(e) < d.seq))))
     }
     val planned: Seq[Planned] =
       try {
@@ -1096,16 +1179,18 @@ private[sources] class ManifestMicroBatchStream(dir: String,
           val endDels = ManifestTables.deletedPositions(dir, endRefs)
           val (baseline, rangeDels) =
             ManifestDataSource.changelogDiff(dir, s0, endRefs, endPaths, endDels)
+          // guard proved eq deletes unchanged in range; files appended in the range
+          // sequence after every pre-range eq delete, so none applies
           endEntries.filterNot(e => baseline.contains(e.path)).map(e =>
-            (e, endDels.getOrElse(e.path, NoPos), NoPos, "insert")) ++
+            (e, endDels.getOrElse(e.path, NoPos), NoPos, "insert", NoEq)) ++
             endEntries.filter(e =>
               baseline.contains(e.path) && rangeDels.contains(e.path)).map(e =>
-              (e, NoPos, rangeDels(e.path), "delete"))
+              (e, NoPos, rangeDels(e.path), "delete", NoEq))
         } else {
           val baseline =
             ManifestDataSource.incrementalBaseline(dir, s0, endRefs, endPaths)
           endEntries.filterNot(e => baseline.contains(e.path))
-            .map(e => (e, NoPos, NoPos, ""))
+            .map(e => (e, NoPos, NoPos, "", NoEq))
         }
       } catch {
         case _: IllegalArgumentException if skipRewrites => transitionWalk(s0, s1)
@@ -1147,7 +1232,10 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val s0Entries = ManifestTables.entriesOf(dir, startRefs)
     val s0Paths = s0Entries.map(_.path).toSet
     var prevPaths = s0Paths
-    var prevDelNames = startRefs.deletes.toSet
+    // equality-delete activity folds into the skip rule like any other
+    // non-append: its row removals carry no positions, so a transition that grows
+    // eq deletes is skipped whole (documented-lossy, same as rewrites)
+    var prevDelNames = startRefs.deletes.toSet ++ startRefs.eqDeletes
     var prevDels: Map[String, Array[Long]] =
       if (changelog) ManifestTables.deletedPositions(dir, startRefs) else Map.empty
     // accumulated over the walk, netted at the end
@@ -1156,17 +1244,19 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val inserted = scala.collection.mutable.LinkedHashMap[String, ManifestTables.Entry]()
     val insertDels = scala.collection.mutable.Map[String, Vector[Long]]()   // net-out
     val baselineDels = scala.collection.mutable.Map[String, Vector[Long]]() // delete rows
+    var prevEqNames = startRefs.eqDeletes.toSet
     for (id <- ids) {
       val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
       val entries = ManifestTables.entriesOf(dir, refs)
       val paths = entries.map(_.path).toSet
-      val delNames = refs.deletes.toSet
+      val delNames = refs.deletes.toSet ++ refs.eqDeletes
+      val eqNames = refs.eqDeletes.toSet
       val filesGrew = prevPaths.subsetOf(paths)
       if (!changelog) {
         if (filesGrew && delNames == prevDelNames)
           entries.filterNot(e => prevPaths.contains(e.path))
             .foreach(e => inserted(e.path) = e)
-      } else if (filesGrew && prevDelNames.subsetOf(delNames)) {
+      } else if (filesGrew && prevDelNames.subsetOf(delNames) && eqNames == prevEqNames) {
         entries.foreach(e => entryOf(e.path) = e)
         entries.filterNot(e => prevPaths.contains(e.path))
           .foreach(e => inserted(e.path) = e)
@@ -1187,28 +1277,29 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       }
       prevPaths = paths
       prevDelNames = delNames
+      prevEqNames = eqNames
     }
     inserted.values.toSeq.map(e =>
       (e, insertDels.get(e.path).map(_.sorted.toArray).getOrElse(NoPos), NoPos,
-        insertCT)) ++
+        insertCT, NoEq)) ++
       baselineDels.toSeq.sortBy(_._1).map { case (path, poss) =>
-        (entryOf(path), NoPos, poss.sorted.toArray, "delete") }
+        (entryOf(path), NoPos, poss.sorted.toArray, "delete", NoEq) }
   }
 
   private def build(planned: Seq[Planned]): Array[InputPartition] = {
     val kept = planned
-      .filter { case (e, _, _, _) =>
+      .filter { case (e, _, _, _, _) =>
         ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) }
-      .filter { case (e, _, _, _) => ManifestStats.allows(e.stats, statBounds) }
+      .filter { case (e, _, _, _, _) => ManifestStats.allows(e.stats, statBounds) }
     // batch-uniform row mode, decided over the SURVIVING partitions: deletes
     // confined to pruned-away files must not tax the rest of the batch
-    val rowMode = kept.exists(p => p._2.nonEmpty || p._3.nonEmpty)
-    kept.map { case (e, dels, only, ct) =>
+    val rowMode = kept.exists(p => p._2.nonEmpty || p._3.nonEmpty || p._5.nonEmpty)
+    kept.map { case (e, dels, only, ct, eq) =>
       ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
         if (partCols.isEmpty) Array.empty
         else ManifestDataSource.keyDatums(partCols, e),
         deleted = dels, changeType = ct, emitOnly = only,
-        rowMode = rowMode): InputPartition }
+        rowMode = rowMode, eqDels = eq): InputPartition }
       .toArray
   }
 
@@ -1218,7 +1309,8 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     // positions (initial state loads, changelog delete views) flip to row mode
     // via the PER-PARTITION rowMode flag that build() sets batch-uniformly —
     // remove that flag and columnar readers would silently ignore the positions
-    new ManifestDataReaderFactory(fields, partCols, None, forceRows = false)
+    new ManifestDataReaderFactory(fields, partCols, None, forceRows = false,
+      colIds = ManifestTables.readSnapshotRefs(dir, None).colIds)
   }
 
   override def commit(end: StreamOffset): Unit = () // snapshots are immutable; nothing to release
@@ -1229,7 +1321,8 @@ private case class ManifestDataInputPartition(file: String, relPath: String,
     partition: String, keyDatums: Array[Any] = Array.empty,
     deleted: Array[Long] = Array.emptyLongArray,
     changeType: String = "", emitOnly: Array[Long] = Array.emptyLongArray,
-    rowMode: Boolean = false)
+    rowMode: Boolean = false,
+    eqDels: Seq[ManifestTables.EqDelete] = Nil)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   // typed partition-value tuple — the grouping key for storage-partitioned joins
   override def partitionKey(): InternalRow =
@@ -1391,8 +1484,17 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None,
-    forceRows: Boolean = false)
+    forceRows: Boolean = false, colIds: Option[String] = None)
     extends PartitionReaderFactory {
+
+  // column-id registry views (rename/drop evolution): current name -> field id,
+  // and current name -> full name history (for id-less legacy/maintenance files)
+  @transient private lazy val colIdReg: Seq[ManifestTables.ColId] =
+    colIds.map(ManifestTables.parseColIds).getOrElse(Nil)
+  @transient private lazy val idOf: Map[String, Int] =
+    colIdReg.filterNot(_.dropped).map(c => c.current -> c.id).toMap
+  @transient private lazy val historyOf: Map[String, Seq[String]] =
+    colIdReg.filterNot(_.dropped).map(c => c.current -> c.names).toMap
 
   private def partNames = partCols.map(_.name).toSet
   // per-file CONSTANT fields: partition columns, the _file provenance column, and
@@ -1429,7 +1531,8 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     // pending deletes); batch scans keep using the factory-level forceRows —
     // either way every partition of one scan/batch answers identically
     dataFields.nonEmpty && !hasPos && !forceRows &&
-      !partition.asInstanceOf[ManifestDataInputPartition].rowMode
+      !partition.asInstanceOf[ManifestDataInputPartition].rowMode &&
+      partition.asInstanceOf[ManifestDataInputPartition].eqDels.isEmpty
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1441,13 +1544,34 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
     val footerReader = ParquetFileReader.open(in)
     val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
-    val wanted = df.map(_._1).toSet
-    val readCols = fileSchema.getFields.asScala.map(_.getName).filter(wanted).toArray
+    val fileFields = fileSchema.getFields.asScala.toSeq
+    val fileHasIds = fileFields.exists(_.getId != null)
+    // requested data column -> the FILE-LOCAL field name serving it: by FIELD ID
+    // when both sides carry ids (rename-proof — the Iceberg resolution), else by
+    // the column's name HISTORY (id-less legacy and Spark-written maintenance
+    // files; unambiguous because name reuse is rejected at ALTER time).
+    // Unresolved -> constant null (schema evolution's null-fill).
+    val resolve: Map[String, String] = df.flatMap { case (n, _) =>
+      val viaId =
+        if (!fileHasIds) None
+        else idOf.get(n).flatMap(id => fileFields.find(f =>
+          f.getId != null && f.getId.intValue == id).map(_.getName))
+      // name-history fallback runs even when the file carries ids: the reuse ban
+      // makes a historical name unambiguous, and legacy files may carry ids in
+      // odd positions (e.g. list ELEMENT ids from older writers)
+      val viaName = {
+        val hist = historyOf.getOrElse(n, Seq(n))
+        fileFields.map(_.getName).find(hist.contains)
+      }
+      (viaId orElse viaName).map(n -> _)
+    }.toMap
+    val wantedLocal = resolve.values.toSet
+    val readCols = fileFields.map(_.getName).filter(wantedLocal).toArray
     // schema evolution: requested data columns ABSENT from this (pre-ALTER) file are
     // served as constant nulls through initBatch's appended-constant mechanism —
     // exactly how Spark's native scan serves partition values, so the null columns
     // cost no decode and stay columnar
-    val present = readCols.toSet
+    val present = resolve.keySet
     val missing = df.filter { case (n, _) => !present.contains(n) }
     if (readCols.isEmpty) return constantBatchReader(p, missing)
     val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
@@ -1466,7 +1590,8 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           appended.map { case (n, _) => if (constNames.contains(n)) partDatum(p, n) else null })
       reader.initBatch(partSchema, partRow)
-      val colIdx = readCols.zipWithIndex.toMap
+      val localIdx = readCols.zipWithIndex.toMap
+      val colIdx: Map[String, Int] = resolve.map { case (out, loc) => out -> localIdx(loc) }
       val appendedPos = appended.map(_._1).zipWithIndex.toMap
       val perm: Array[Int] =
         fields.map { case (n, _) =>
@@ -1501,7 +1626,10 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
-    if (dataFields.isEmpty && !hasPos && p.deleted.isEmpty && p.emitOnly.isEmpty)
+    // equality deletes require decoding the key column — footer-count shortcuts
+    // would overcount, so eq-carrying files always take the key-checking reader
+    if (p.eqDels.nonEmpty) deleteAwareRowReader(p)
+    else if (dataFields.isEmpty && !hasPos && p.deleted.isEmpty && p.emitOnly.isEmpty)
       emptyProjectionReader(p)
     // (a clean file in a deletes-carrying scan takes the same row wrapper with an
     // empty skip list — correctness identical, columnar returns after compaction)
@@ -1565,9 +1693,28 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     */
   private def deleteAwareRowReader(p: ManifestDataInputPartition)
       : PartitionReader[InternalRow] = {
-    val innerFields = fields.filter(_._1 != ManifestDataSource.PosCol)
-    val inner = new ManifestDataReaderFactory(innerFields, partCols, None)
+    val innerBase = fields.filter(_._1 != ManifestDataSource.PosCol)
+    // equality deletes: the key column(s) decode even when unprojected — appended
+    // to the inner read, consulted for filtering, never copied to the output
+    val eqExtras = p.eqDels.map(d => (d.column, ManifestDataSource.eqDataTypeOf(d.ctype)))
+      .distinct.filterNot { case (n, _) => innerBase.exists(_._1 == n) }
+    val innerFields = innerBase ++ eqExtras
+    val inner = new ManifestDataReaderFactory(innerFields, partCols, None, colIds = colIds)
       .createColumnarReader(p)
+    val eqChecks: Array[InternalRow => Boolean] = p.eqDels.map { d =>
+      val ord = innerFields.indexWhere(_._1 == d.column)
+      d.ctype match {
+        case "long" =>
+          val set = d.values.map(_.toLong).toSet
+          (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getLong(ord))
+        case "int" =>
+          val set = d.values.map(_.toInt).toSet
+          (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getInt(ord))
+        case _ =>
+          val set = d.values.toSet
+          (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getUTF8String(ord).toString)
+      }
+    }.toArray
     val posIdx = fields.indexWhere(_._1 == ManifestDataSource.PosCol)
     // output ordinal -> inner batch ordinal (identity until posIdx, then shifted)
     val srcIdx = fields.indices.filter(_ != posIdx).toArray
@@ -1596,7 +1743,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
                 while (delIdx < p.deleted.length && p.deleted(delIdx) < pos) delIdx += 1
                 delIdx < p.deleted.length && p.deleted(delIdx) == pos
               }
-            if (!dead) {
+            if (!dead && !eqChecks.exists(_(r))) {
               var i = 0
               while (i < srcIdx.length) {
                 val o = srcIdx(i)
@@ -1742,14 +1889,32 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       }
     }
     val note = Option(info.options.get("commitnote")).getOrElse("")
+    // EQUALITY-DELETE UPSERT: `.option("upsertkey", <col>)` on an append makes the
+    // commit carry one equality-delete segment over the batch's distinct key values
+    // alongside the fresh data files — older rows with those keys vanish at read
+    // time, the batch's own rows survive (they carry the same data sequence as the
+    // delete), and the WRITE side never opens a data file: the streaming-upsert
+    // primitive (Iceberg v2 / Flink CDC equality deletes).
+    val upsertKey: Option[(String, DataType)] =
+      Option(info.options.get("upsertkey")).map { k =>
+        val i = incoming.fieldNames.indexOf(k)
+        require(i >= 0, s"upsertkey '$k' is not a column of ${incoming.simpleString}")
+        require(!partColNames.contains(k),
+          s"upsertkey '$k' must be a data column, not a partition column")
+        require(Seq(LongType, IntegerType, StringType).contains(incoming(i).dataType),
+          s"upsertkey '$k' must be long|int|string, got ${incoming(i).dataType}")
+        (k, incoming(i).dataType)
+      }
     new Write {
       override def toBatch: BatchWrite =
-        new ManifestBatchWrite(dir, partCol, partTypes.mkString(","), incoming, replace, note)
+        new ManifestBatchWrite(dir, partCol, partTypes.mkString(","), incoming, replace,
+          note, upsertKey)
     }
   }
 }
 
-private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)])
+private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
+    upsertKeys: Seq[String] = Nil)
     extends WriterCommitMessage
 
 private object ManifestBatchWrite {
@@ -1761,15 +1926,37 @@ private object ManifestBatchWrite {
 }
 
 private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String,
-    schema: StructType, replace: Boolean, note: String = "") extends BatchWrite {
+    schema: StructType, replace: Boolean, note: String = "",
+    upsertKey: Option[(String, DataType)] = None) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
   // failed task's abort() delete another write's COMMITTED file
   private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
 
+  private val partColNames: Seq[String] = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
+
+  /** Column-id registry this write stamps into its parquet footers and records in
+    * the snapshot: a bootstrap/overwrite assigns fresh ids from the incoming
+    * schema; an append uses the table's existing registry (rename/drop preserve
+    * ids, so a concurrent ALTER cannot change a column's id under us). None keeps
+    * the legacy no-ids behavior (unsafe names, or a legacy table that never had
+    * ids) — its files resolve by name history.
+    */
+  private val writeColIds: Option[String] = {
+    val dataCols = schema.fields.map(_.name).filterNot(partColNames.contains).toSeq
+    if (replace || ManifestTables.latestSnapshotId(dir).isEmpty)
+      ManifestTables.colIdsBootstrap(dataCols)
+    else ManifestTables.readSnapshotRefs(dir, None).colIds
+  }
+
+  private def colIdOf: Map[String, Int] =
+    writeColIds.map(ManifestTables.parseColIds(_).filterNot(_.dropped)
+      .map(c => c.current -> c.id).toMap).getOrElse(Map.empty)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)), writeUid)
+    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)),
+      writeUid, colIdOf, upsertKey.map(_._1))
 
   /** The commit point: ONE atomic snapshot publication makes every task's files
     * visible. Until it lands, nothing the tasks wrote is visible to any reader (the
@@ -1779,15 +1966,14 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     * concurrent appends serialize, neither is lost.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.flatMap {
-      case ManifestWriteMessage(files) => files
+    val freshFiles = messages.flatMap {
+      case m: ManifestWriteMessage => m.files
       case _ => Nil
-    }.map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
-    // this write's entries become ONE immutable segment, written once OUTSIDE the
-    // retry loop (its content never changes across attempts); the snapshot then
-    // carries `previous segment names + this name` — commit cost is O(fresh files +
-    // segment count), never O(every file the table has ever absorbed
-    val freshSeg = if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
+    }
+    val upsertValues = messages.flatMap {
+      case m: ManifestWriteMessage => m.upsertKeys
+      case _ => Nil
+    }.distinct.toSeq
     var done = false
     var attempt = 0
     while (!done) {
@@ -1802,6 +1988,21 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
         done = true
       } else {
+        // this write's entries become ONE immutable segment carrying the claimed
+        // snapshot id as every file's DATA SEQUENCE (equality-delete ordering), so
+        // the segment is (re)written inside the loop — O(fresh files) per rare
+        // retry; commit cost stays O(fresh + segment count), never O(table)
+        val fresh = freshFiles.map { case (rel, bytes, part, st) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+        val freshSeg =
+          if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
+        // upsert: ONE equality-delete segment over the batch's distinct keys, at
+        // the same sequence — applies to every OLDER file, never to this batch's
+        val eqSeg = upsertKey.collect {
+          case (k, dt) if upsertValues.nonEmpty =>
+            ManifestTables.writeEqDeleteSegment(dir, ManifestTables.EqDelete(
+              k, ManifestDataSource.eqTypeNameOf(dt), next, upsertValues))
+        }
         val prev =
           if (replace || latest.isEmpty) ManifestTables.SnapshotRefs(0, Nil, Nil)
           else ManifestTables.readSnapshotRefs(dir, None)
@@ -1816,7 +2017,9 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         // redefines the schema from the incoming data, so it does NOT carry over
         done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
           prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes,
-          schemaDdl = prev.schemaDdl, deletes = prev.deletes)
+          schemaDdl = prev.schemaDdl, deletes = prev.deletes,
+          eqDeletes = prev.eqDeletes ++ eqSeg,
+          colIds = if (replace || latest.isEmpty) writeColIds else prev.colIds)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
@@ -1836,7 +2039,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort cleanup; an aborted write's files were never referenced anyway
     messages.foreach {
-      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _, _) =>
+      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -1884,6 +2087,10 @@ private[sources] class ManifestRowLevelOperation(dir: String,
     require(mainScan != null, s"row-level $cmd write committed before its scan was planned")
     mainScan.planningDeleteRefs
   }
+  private[sources] def planningEqDeletes: Seq[String] = {
+    require(mainScan != null, s"row-level $cmd write committed before its scan was planned")
+    mainScan.planningEqDeleteRefs
+  }
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"manifest copy-on-write $cmd($dir)"
@@ -1927,13 +2134,12 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
     new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)), writeUid)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.flatMap {
-      case ManifestWriteMessage(files) => files
+    val freshFiles = messages.flatMap {
+      case ManifestWriteMessage(files, _) => files
       case _ => Nil
-    }.map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
+    }
     val replaced = op.replacedEntries.map(_.path).toSet
-    if (replaced.isEmpty && fresh.isEmpty) return // no-match operation: no snapshot
-    val freshSeg = if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
+    if (replaced.isEmpty && freshFiles.isEmpty) return // no-match operation: no snapshot
     var done = false
     var attempt = 0
     while (!done) {
@@ -1957,27 +2163,41 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
           .keysIterator.exists(replaced.contains)),
         s"$cmdName on $dir conflicts with a concurrent merge-on-read DELETE against " +
           "a rewritten file — rerun the operation")
+      // an EQUALITY delete landing after planning targets every pre-existing file
+      // by definition — a rewrite would resurrect its rows with a newer sequence
+      require(refs.eqDeletes.forall(op.planningEqDeletes.contains),
+        s"$cmdName on $dir conflicts with a concurrent equality DELETE — rerun the operation")
       val keptSegs = perSeg.flatMap { case (seg, es) =>
         val keep = es.filterNot(e => replaced.contains(e.path))
         if (keep.length == es.length) Some(seg)
         else if (keep.isEmpty) None
         else Some(ManifestTables.writeSegment(dir, keep))
       }
-      // delete segments referencing only replaced (now-gone) paths fold away —
-      // carrying them would force row-mode scans and block footer aggregates
-      // table-wide for no live delete
-      val livePaths = (inlineKeep ++ perSeg.flatMap(_._2).filterNot(e =>
-        replaced.contains(e.path)) ++ fresh).map(_.path).toSet
-      val liveDels = refs.deletes.filter(d =>
-        ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
       // target id pinned from the refs ALREADY READ: any concurrent publication
       // claims this same id first, failing our CAS and routing us back through
       // the validations (a latest-id read here could see a NEWER commit and
       // silently build next from stale refs)
       val next = refs.snapshot + 1
+      // fresh files carry the claimed id as their data sequence: the operation's
+      // scan APPLIED every pending equality delete, so the rewritten rows must
+      // order after those deletes (rewritten inside the loop — rare retries)
+      val fresh = freshFiles.map { case (rel, bytes, part, st) =>
+        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+      val freshSeg =
+        if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
+      // delete segments referencing only replaced (now-gone) paths fold away —
+      // carrying them would force row-mode scans and block footer aggregates
+      // table-wide for no live delete
+      val liveEntries = inlineKeep ++ perSeg.flatMap(_._2).filterNot(e =>
+        replaced.contains(e.path)) ++ fresh
+      val livePaths = liveEntries.map(_.path).toSet
+      val liveDels = refs.deletes.filter(d =>
+        ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, inlineKeep,
         keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
-        deletes = liveDels)
+        deletes = liveDels,
+        eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, liveEntries),
+        colIds = refs.colIds)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -1990,7 +2210,7 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ManifestWriteMessage(files) => files.foreach { case (rel, _, _, _) =>
+      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -2066,10 +2286,15 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
 
   private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
   private val partCol = ManifestTables.readPartitionColumn(dir)
+  // id stamping for UPDATE's replacement rows (rename-proof like any append)
+  private val colIdOf: Map[String, Int] =
+    ManifestTables.readSnapshotRefs(dir, None).colIds
+      .map(ManifestTables.parseColIds(_).filterNot(_.dropped)
+        .map(c => c.current -> c.id).toMap).getOrElse(Map.empty)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new ManifestDeltaWriterFactory(dir, partCol, fileIdx, posIdx, rowFields,
-      writeUid, insertsAllowed)
+      writeUid, insertsAllowed, colIdOf)
 
   /** ONE delete segment (+ one data segment when inserts landed) for the whole
     * job, referenced by a CAS-published snapshot that carries everything else
@@ -2082,13 +2307,10 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
     val parts = messages.collect { case m: ManifestDeltaMessage => m }
     val byFile: Map[String, Seq[Long]] = parts.flatMap(_.byFile.toSeq)
       .groupBy(_._1).map { case (f, xs) => f -> xs.flatMap(_._2).toSeq }
-    val fresh = parts.flatMap(_.files)
-      .map { case (rel, bytes, part, st) => ManifestTables.Entry(rel, bytes, part, 0, st) }
-    if (byFile.isEmpty && fresh.isEmpty) return // no matches: no snapshot
+    val freshFiles = parts.flatMap(_.files)
+    if (byFile.isEmpty && freshFiles.isEmpty) return // no matches: no snapshot
     val delSeg = if (byFile.isEmpty) None
       else Some(ManifestTables.writeDeleteSegment(dir, byFile))
-    val freshSeg = if (fresh.isEmpty) None
-      else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
     val partTypes = ManifestTables.readPartitionTypes(dir)
     var done = false
     var attempt = 0
@@ -2100,9 +2322,15 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
           s"${(byFile.keySet -- present).take(3).mkString(", ")} — rerun the operation")
       // pin the target id from the refs already read (see ManifestReplaceBatchWrite)
       val next = refs.snapshot + 1
+      // UPDATE's replacement rows sequence at the claimed id (equality deletes that
+      // preceded them were applied by the operation's scan)
+      val fresh = freshFiles.map { case (rel, bytes, part, st) =>
+        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+      val freshSeg = if (fresh.isEmpty) None
+        else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline,
         refs.segments ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes ++ delSeg)
+        deletes = refs.deletes ++ delSeg, eqDeletes = refs.eqDeletes, colIds = refs.colIds)
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -2126,23 +2354,24 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
 
 private class ManifestDeltaWriterFactory(dir: String, partCol: String,
     fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
-    writeUid: String, insertsAllowed: Boolean)
+    writeUid: String, insertsAllowed: Boolean, colIdOf: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new ManifestDeltaRowWriter(dir, partCol, fileIdx, posIdx, rowFields,
-      partitionId, taskId, writeUid, insertsAllowed)
+      partitionId, taskId, writeUid, insertsAllowed, colIdOf)
 }
 
 private class ManifestDeltaRowWriter(dir: String, partCol: String,
     fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
-    partitionId: Int, taskId: Long, writeUid: String, insertsAllowed: Boolean)
+    partitionId: Int, taskId: Long, writeUid: String, insertsAllowed: Boolean,
+    colIdOf: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val acc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
   // UPDATE's replacement rows land through the SAME writer appends use (one open
   // parquet writer per partition tuple, stats accumulated live)
   private lazy val inserts =
-    new ManifestDataWriter(dir, partCol, rowFields, partitionId, taskId, writeUid)
+    new ManifestDataWriter(dir, partCol, rowFields, partitionId, taskId, writeUid, colIdOf)
   private var wroteAny = false
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
@@ -2158,7 +2387,7 @@ private class ManifestDeltaRowWriter(dir: String, partCol: String,
   override def commit(): WriterCommitMessage = {
     val files =
       if (!wroteAny) Nil
-      else inserts.commit() match { case ManifestWriteMessage(fs) => fs }
+      else inserts.commit() match { case ManifestWriteMessage(fs, _) => fs }
     ManifestDeltaMessage(acc.map { case (f, ps) => f -> ps.toSeq }.toMap, files)
   }
   override def abort(): Unit = if (wroteAny) inserts.abort()
@@ -2166,9 +2395,12 @@ private class ManifestDeltaRowWriter(dir: String, partCol: String,
 }
 
 private class ManifestWriterFactory(dir: String, partCol: String,
-    fields: Array[(String, DataType)], writeUid: String) extends DataWriterFactory {
+    fields: Array[(String, DataType)], writeUid: String,
+    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId, writeUid)
+    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId, writeUid,
+      colIdOf, upsertKey)
 }
 
 /** Per-task writer: one open parquet-mr writer per partition-value TUPLE seen
@@ -2176,7 +2408,8 @@ private class ManifestWriterFactory(dir: String, partCol: String,
   * but RAW — canonical-string, PartSep-joined — in the manifest).
   */
 private class ManifestDataWriter(dir: String, partCol: String,
-    fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String)
+    fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String,
+    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val partColNames: Seq[String] = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
@@ -2206,9 +2439,20 @@ private class ManifestDataWriter(dir: String, partCol: String,
   }
   private val messageType: MessageType = {
     val b = org.apache.parquet.schema.Types.buildMessage()
-    dataFields.foreach { case ((name, dt), _) => b.addField(ManifestDataWriter.parquetField(name, dt)) }
+    // field IDS stamped into the footer schema (when the table carries a column-id
+    // registry): the read path then resolves renamed columns by id, Iceberg-style
+    dataFields.foreach { case ((name, dt), _) =>
+      b.addField(ManifestDataWriter.parquetField(name, dt, colIdOf.get(name))) }
     b.named("graft_write")
   }
+
+  // equality-delete upsert: the batch's distinct key values, canonical strings
+  private val upsertSpec: Option[(DataType, Int)] = upsertKey.map { k =>
+    val i = fields.indexWhere(_._1 == k)
+    require(i >= 0, s"upsertkey '$k' missing from write schema")
+    (fields(i)._2, i)
+  }
+  private val seenKeys = scala.collection.mutable.LinkedHashSet.empty[String]
   private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
   private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[Group]]()
   private val paths = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -2280,6 +2524,16 @@ private class ManifestDataWriter(dir: String, partCol: String,
     }
     writerFor(joined, vals).write(g)
     stats.getOrElseUpdate(joined, new ManifestStats.Acc(statSpecs)).observe(row)
+    upsertSpec.foreach { case (dt, ord) =>
+      require(!row.isNullAt(ord),
+        s"upsertkey '${upsertKey.get}' may not be null — the equality delete could not address the row")
+      seenKeys += (dt match {
+        case LongType => row.getLong(ord).toString
+        case IntegerType => row.getInt(ord).toString
+        case StringType => row.getUTF8String(ord).toString
+        case other => throw new IllegalStateException(s"unreachable upsert key type $other")
+      })
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -2287,7 +2541,7 @@ private class ManifestDataWriter(dir: String, partCol: String,
     ManifestWriteMessage(paths.toSeq.map { case (v, rel) =>
       (rel, java.nio.file.Files.size(java.nio.file.Paths.get(dir, rel)), v,
         stats.get(v).map(_.encode()).getOrElse(""))
-    })
+    }, seenKeys.toSeq)
   }
 
   override def abort(): Unit = {
@@ -2305,42 +2559,53 @@ private object ManifestDataWriter {
   import org.apache.parquet.schema.Types
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
-  /** Spark field -> optional parquet primitive (the inverse of sparkFields). */
-  def parquetField(name: String, dt: DataType): Type = dt match {
-    case LongType => Types.optional(PrimitiveTypeName.INT64).named(name)
-    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
-    case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
-      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(name)
-    case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
-    case DateType => Types.optional(PrimitiveTypeName.INT32)
-      .as(LogicalTypeAnnotation.dateType()).named(name)
-    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
-    case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
-    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
-    case StringType => Types.optional(PrimitiveTypeName.BINARY)
-      .as(LogicalTypeAnnotation.stringType()).named(name)
-    case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
-    case ArrayType(et, containsNull) =>
-      // standard 3-level list layout — byte-compatible with Spark's own parquet writes
-      val lb = Types.optionalList()
-      val built = et match {
-        case FloatType => if (containsNull) lb.optionalElement(PrimitiveTypeName.FLOAT)
-          else lb.requiredElement(PrimitiveTypeName.FLOAT)
-        case DoubleType => if (containsNull) lb.optionalElement(PrimitiveTypeName.DOUBLE)
-          else lb.requiredElement(PrimitiveTypeName.DOUBLE)
-        case LongType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT64)
-          else lb.requiredElement(PrimitiveTypeName.INT64)
-        case IntegerType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT32)
-          else lb.requiredElement(PrimitiveTypeName.INT32)
-        case BooleanType => if (containsNull) lb.optionalElement(PrimitiveTypeName.BOOLEAN)
-          else lb.requiredElement(PrimitiveTypeName.BOOLEAN)
-        case StringType => (if (containsNull) lb.optionalElement(PrimitiveTypeName.BINARY)
-          else lb.requiredElement(PrimitiveTypeName.BINARY))
-          .as(LogicalTypeAnnotation.stringType())
-        case other => throw new IllegalArgumentException(s"unsupported array element $other for $name")
-      }
-      built.named(name)
-    case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
+  /** Spark field -> optional parquet primitive (the inverse of sparkFields), with
+    * the table's FIELD ID stamped into the footer schema when the column-id
+    * registry assigns one — the rename-proof identity the read path resolves by.
+    */
+  def parquetField(name: String, dt: DataType, id: Option[Int] = None): Type = {
+    def withId[B <: Types.Builder[_, _]](b: B): B = {
+      id.foreach(i => b.id(i)); b
+    }
+    dt match {
+      case LongType => withId(Types.optional(PrimitiveTypeName.INT64)).named(name)
+      case TimestampType => withId(Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))).named(name)
+      case TimestampNTZType => withId(Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))).named(name)
+      case IntegerType => withId(Types.optional(PrimitiveTypeName.INT32)).named(name)
+      case DateType => withId(Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType())).named(name)
+      case DoubleType => withId(Types.optional(PrimitiveTypeName.DOUBLE)).named(name)
+      case FloatType => withId(Types.optional(PrimitiveTypeName.FLOAT)).named(name)
+      case BooleanType => withId(Types.optional(PrimitiveTypeName.BOOLEAN)).named(name)
+      case StringType => withId(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType())).named(name)
+      case BinaryType => withId(Types.optional(PrimitiveTypeName.BINARY)).named(name)
+      case ArrayType(et, containsNull) =>
+        // standard 3-level list layout — byte-compatible with Spark's own parquet
+        // writes. The field id goes on the OUTER list group (withId here, on the
+        // list builder): chaining it after optionalElement would tag the ELEMENT,
+        // where top-level resolution never looks.
+        val lb = withId(Types.optionalList())
+        val built = et match {
+          case FloatType => if (containsNull) lb.optionalElement(PrimitiveTypeName.FLOAT)
+            else lb.requiredElement(PrimitiveTypeName.FLOAT)
+          case DoubleType => if (containsNull) lb.optionalElement(PrimitiveTypeName.DOUBLE)
+            else lb.requiredElement(PrimitiveTypeName.DOUBLE)
+          case LongType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT64)
+            else lb.requiredElement(PrimitiveTypeName.INT64)
+          case IntegerType => if (containsNull) lb.optionalElement(PrimitiveTypeName.INT32)
+            else lb.requiredElement(PrimitiveTypeName.INT32)
+          case BooleanType => if (containsNull) lb.optionalElement(PrimitiveTypeName.BOOLEAN)
+            else lb.requiredElement(PrimitiveTypeName.BOOLEAN)
+          case StringType => (if (containsNull) lb.optionalElement(PrimitiveTypeName.BINARY)
+            else lb.requiredElement(PrimitiveTypeName.BINARY))
+            .as(LogicalTypeAnnotation.stringType())
+          case other => throw new IllegalArgumentException(s"unsupported array element $other for $name")
+        }
+        built.named(name)
+      case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
+    }
   }
 }

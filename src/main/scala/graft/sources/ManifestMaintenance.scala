@@ -58,10 +58,13 @@ object ManifestMaintenance {
     val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
     val planRefs = ManifestTables.readSnapshotRefs(dir, None)
     val entries = ManifestTables.entriesOf(dir, planRefs)
-    // merge-on-read: positional deletes APPLY during the rewrite (a compaction that
-    // copied deleted rows into the replacement would resurrect them) and their
-    // segments fold away once no live file references them
+    // merge-on-read: positional AND equality deletes APPLY during the rewrite (a
+    // compaction that copied deleted rows into the replacement would resurrect
+    // them) and their segments fold away once no live file depends on them
     val deleted = ManifestTables.deletedPositions(dir, planRefs)
+    val eqDels = ManifestTables.resolvedEqDeletes(dir, planRefs)
+    def eqApplies(e: ManifestTables.Entry): Boolean =
+      eqDels.exists(d => ManifestTables.seqOf(e) < d.seq)
 
     // pack per partition, in manifest order (stable, deterministic given a snapshot);
     // a file with recorded deletes always packs (even alone): folding the delete is
@@ -69,9 +72,11 @@ object ManifestMaintenance {
     val rewrites: Seq[Rewrite] = entries.groupBy(_.partition).toSeq.sortBy(_._1)
       .flatMap { case (joined, es) =>
         packBins(es, targetBytes)
-          .filter(bin => bin.length >= 2 || bin.exists(e => deleted.contains(e.path)))
+          .filter(bin => bin.length >= 2 ||
+            bin.exists(e => deleted.contains(e.path) || eqApplies(e)))
           .map { bin =>
-            Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin, deleted))
+            Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin,
+              deleted, eqDels, planRefs.colIds))
           }
       }
     if (rewrites.isEmpty) return None
@@ -96,37 +101,44 @@ object ManifestMaintenance {
       }
       // serializable validation: a positional delete committed AFTER the bins were
       // read would be silently undone if its target file was rewritten from the
-      // stale read — abort and let the caller re-run on the fresh state
+      // stale read — abort and let the caller re-run on the fresh state. An
+      // EQUALITY delete landing after planning targets every pre-existing file by
+      // definition — same abort (conservative and correct).
       val newDels = refs.deletes.filterNot(planRefs.deletes.contains)
       if (newDels.exists(d => ManifestTables.readDeleteSegment(dir, d)
-          .keysIterator.exists(replaced.contains))) {
+          .keysIterator.exists(replaced.contains)) ||
+          refs.eqDeletes.exists(e => !planRefs.eqDeletes.contains(e))) {
         cleanup()
         return None
       }
-      // each source entry collapses into its bin's replacement, emitted once at the
-      // position of the bin's FIRST file; everything else carries unchanged
+      // pin the target id from the refs already read: a concurrent commit must
+      // claim this same id first, failing our CAS (a fresh latest-id read here
+      // could silently absorb a commit our entry list never saw)
+      val next = refs.snapshot + 1
+      // each source entry collapses into its bin's replacement (data sequence =
+      // the claimed id: the rewrite APPLIED every older delete), emitted once at
+      // the position of the bin's FIRST file; everything else carries unchanged
       val emitted = scala.collection.mutable.HashSet.empty[String]
       val newEntries = current.flatMap { e =>
         replaced.get(e.path) match {
           case None => Some(e)
-          case Some(rep) => if (emitted.add(rep.path)) Some(rep) else None
+          case Some(rep) => if (emitted.add(rep.path)) Some(rep.copy(seq = next)) else None
         }
       }
       val seg = ManifestTables.writeSegment(dir, newEntries)
       // delete segments fold away once every path they reference left the table
       // (their positions were APPLIED in the rewrites); segments still touching a
-      // live (un-rewritten) file carry forward
+      // live (un-rewritten) file carry forward. Equality-delete segments fold the
+      // same way once no live file is older than them.
       val livePaths = newEntries.map(_.path).toSet
       val liveDels = refs.deletes.filter(d =>
         ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
-      // pin the target id from the refs already read: a concurrent commit must
-      // claim this same id first, failing our CAS (a fresh latest-id read here
-      // could silently absorb a commit our entry list never saw)
-      val next = refs.snapshot + 1
       if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
           Nil, Seq(seg), next,
           partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
-          deletes = liveDels)) {
+          deletes = liveDels,
+          eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, newEntries),
+          colIds = refs.colIds)) {
         return Some(next)
       }
       attempt += 1
@@ -156,13 +168,89 @@ object ManifestMaintenance {
     */
   def clusterBy(spark: SparkSession, dir: String, sortCols: Seq[String],
       targetBytes: Long): Option[Int] = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(sortCols.nonEmpty, "clusterBy needs at least one sort column")
+    import org.apache.spark.sql.functions.col
+    clusterRewrite(spark, dir, sortCols, targetBytes, { (df, nOut) =>
+      df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    })
+  }
+
+  /** Z-ORDER clustering (multi-dimensional rewrite_data_files): each key column
+    * normalizes to a 16-bit rank over its GLOBAL [min, max] (one agg over the
+    * deletes-aware read), the ranks' bits INTERLEAVE into one BIGINT z-key, and the
+    * rewrite range-sorts on it — so files end up range-disjoint in z-space and
+    * range predicates on EVERY key column skip files, not just the first
+    * (lexicographic clusterBy gives the second column nothing). Integer key
+    * columns only (int/long/date); all-null or constant columns rank 0 and simply
+    * stop contributing bits. Answers never move — it is a pure layout rewrite.
+    */
+  def zorderBy(spark: SparkSession, dir: String, zCols: Seq[String],
+      targetBytes: Long): Option[Int] = {
+    require(zCols.length >= 2 && zCols.length <= 3,
+      s"zorderBy interleaves 2-3 columns, got ${zCols.length}")
+    import org.apache.spark.sql.functions.{col, expr}
+    val partCols = ManifestTables.readPartitionSpec(dir)
+    val schema = ManifestDataSource.tableSchema(dir)
+    require(schema.nonEmpty, s"no committed schema under $dir — nothing to cluster")
+    zCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' in ${schema.simpleString}"))
+      require(Seq(org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.DateType).contains(f.dataType),
+        s"zorder column '$c' must be int/long/date, got ${f.dataType}")
+      require(!partCols.exists(_.name == c), s"zorder column '$c' is a partition column")
+    }
+    // global per-column bounds from the live (deletes-applied) rows — the
+    // normalization denominators; 2 x |zCols| driver values, bounded
+    val planRefs = ManifestTables.readSnapshotRefs(dir, None)
+    val entries = ManifestTables.entriesOf(dir, planRefs)
+    if (entries.isEmpty) return None
+    val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
+    val boundsRow = readFilesWithDeletes(rewriteSession(spark), dir, dataSchema, entries,
+      ManifestTables.deletedPositions(dir, planRefs),
+      ManifestTables.resolvedEqDeletes(dir, planRefs), planRefs.colIds)
+      .selectExpr(zCols.flatMap(c =>
+        Seq(s"min(CAST($c AS BIGINT)) AS __mn_$c", s"max(CAST($c AS BIGINT)) AS __mx_$c")): _*)
+      .head()
+    val bounds: Seq[(String, Long, Long)] = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = if (boundsRow.isNullAt(2 * i)) 0L else boundsRow.getLong(2 * i)
+      val mx = if (boundsRow.isNullAt(2 * i + 1)) 0L else boundsRow.getLong(2 * i + 1)
+      (c, mn, mx)
+    }
+    val C = zCols.length
+    // 16-bit normalized rank per column (integer div — exact), then bit interleave:
+    // bit i of column c lands at z-bit i*C + c. Disjoint bits, so + assembles them.
+    val norms = bounds.map { case (c, mn, mx) =>
+      val range = math.max(1L, mx - mn)
+      s"least(65535L, greatest(0L, ((CAST($c AS BIGINT) - ${mn}L) * 65535L) div ${range}L))"
+    }
+    clusterRewrite(spark, dir, zCols, targetBytes, { (df, nOut) =>
+      val withNorms = norms.zipWithIndex.foldLeft(df) { case (d, (n, c)) =>
+        d.withColumn(s"__z_$c", expr(s"coalesce($n, 0L)"))
+      }
+      val zkey = (0 until 16).flatMap(i => (0 until C).map(c =>
+        s"shiftleft(shiftright(__z_$c, $i) & 1L, ${i * C + c})")).mkString(" + ")
+      withNorms.withColumn("__zkey", expr(zkey))
+        .repartitionByRange(nOut, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop((0 until C).map(c => s"__z_$c") :+ "__zkey": _*)
+    })
+  }
+
+  /** The shared clustering rewrite loop: per table partition, read every file
+    * (deletes applied, renamed columns resolved), re-land via `sorter` as
+    * ~targetBytes files, swap atomically under the CAS + serializable validation.
+    */
+  private def clusterRewrite(spark: SparkSession, dir: String, keyCols: Seq[String],
+      targetBytes: Long, sorter: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
+      : Option[Int] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val partCols = ManifestTables.readPartitionSpec(dir)
     val schema = ManifestDataSource.tableSchema(dir)
     require(schema.nonEmpty, s"no committed schema under $dir — nothing to cluster")
     val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
-    sortCols.foreach { c =>
+    keyCols.foreach { c =>
       require(dataSchema.fieldNames.contains(c),
         s"sort column '$c' is not a data column of ${dataSchema.simpleString}")
     }
@@ -170,12 +258,13 @@ object ManifestMaintenance {
     val entries = ManifestTables.entriesOf(dir, planRefs)
     if (entries.isEmpty) return None
     val deleted = ManifestTables.deletedPositions(dir, planRefs)
+    val eqDels = ManifestTables.resolvedEqDeletes(dir, planRefs)
 
     // one rewrite group per partition: all its files -> N range-disjoint files
     val groups: Seq[(Seq[ManifestTables.Entry], Seq[ManifestTables.Entry])] =
       entries.groupBy(_.partition).toSeq.sortBy(_._1).map { case (joined, es) =>
         (es, rewriteClustered(spark, dir, partCols, dataSchema, joined, es, deleted,
-          sortCols, targetBytes))
+          eqDels, planRefs.colIds, sorter, targetBytes))
       }
     val sourceToGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
       case ((srcs, _), g) => srcs.map(_.path -> g) }.toMap
@@ -193,25 +282,28 @@ object ManifestMaintenance {
       }
       val newDels = refs.deletes.filterNot(planRefs.deletes.contains)
       if (newDels.exists(d => ManifestTables.readDeleteSegment(dir, d)
-          .keysIterator.exists(allSources.contains))) {
+          .keysIterator.exists(allSources.contains)) ||
+          refs.eqDeletes.exists(e => !planRefs.eqDeletes.contains(e))) {
         cleanup(); return None // a delete we did not apply landed on a source
       }
+      val next = refs.snapshot + 1 // pin from the refs already read (CAS ordering rule)
       val emitted = scala.collection.mutable.HashSet.empty[Int]
       val newEntries = current.flatMap { e =>
         sourceToGroup.get(e.path) match {
           case None => Seq(e)
-          case Some(g) => if (emitted.add(g)) groups(g)._2 else Nil
+          case Some(g) => if (emitted.add(g)) groups(g)._2.map(_.copy(seq = next)) else Nil
         }
       }
       val seg = ManifestTables.writeSegment(dir, newEntries)
       val livePaths = newEntries.map(_.path).toSet
       val liveDels = refs.deletes.filter(d =>
         ManifestTables.readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
-      val next = refs.snapshot + 1 // pin from the refs already read (CAS ordering rule)
       if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
           Nil, Seq(seg), next,
           partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
-          deletes = liveDels)) {
+          deletes = liveDels,
+          eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, newEntries),
+          colIds = refs.colIds)) {
         return Some(next)
       }
       attempt += 1
@@ -225,21 +317,20 @@ object ManifestMaintenance {
     None // unreachable
   }
 
-  /** One partition's clustered rewrite: global range sort into ~targetBytes
-    * files; per-file stats from the written parquet footers.
+  /** One partition's clustered rewrite: global sort (via `sorter`) into
+    * ~targetBytes files; per-file stats from the written parquet footers.
     */
   private def rewriteClustered(spark: SparkSession, dir: String,
       partCols: Seq[ManifestTables.PartCol], dataSchema: StructType, joined: String,
       files: Seq[ManifestTables.Entry], deleted: Map[String, Array[Long]],
-      sortCols: Seq[String], targetBytes: Long): Seq[ManifestTables.Entry] = {
-    import org.apache.spark.sql.functions.col
+      eqDels: Seq[ManifestTables.EqDelete], colIds: Option[String],
+      sorter: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame,
+      targetBytes: Long): Seq[ManifestTables.Entry] = {
     val uid = java.util.UUID.randomUUID().toString
     val tmpOut = s"$dir/_compact_tmp/$uid"
     val s2 = rewriteSession(spark)
     val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    readFilesWithDeletes(s2, dir, dataSchema, files, deleted)
-      .repartitionByRange(nOut, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    sorter(readFilesWithDeletes(s2, dir, dataSchema, files, deleted, eqDels, colIds), nOut)
       .write.parquet(tmpOut)
     val w = Files.list(Paths.get(tmpOut))
     val parts = try {
@@ -294,26 +385,79 @@ object ManifestMaintenance {
     */
   /** Deletes-aware read of a set of committed files with the authoritative data
     * schema: positional deletes apply DURING the read via the native scan's
-    * `_metadata.row_index` — files with deletes read one-at-a-time (positions are
-    * per-file), clean files batch together. Shared by compaction and clustering:
-    * any maintenance rewrite that skipped this would resurrect deleted rows.
+    * `_metadata.row_index`, EQUALITY deletes as key filters on exactly the files
+    * they sequence after, and RENAMED columns resolve per file (footer field ids /
+    * name history) before aliasing to their current names — files needing any of
+    * those read one-at-a-time, clean files batch together. Shared by compaction
+    * and clustering: a maintenance rewrite that skipped any of this would
+    * resurrect deleted rows or null out renamed columns.
     */
   private def readFilesWithDeletes(s2: SparkSession, dir: String, dataSchema: StructType,
-      files: Seq[ManifestTables.Entry],
-      deleted: Map[String, Array[Long]]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (withDels, clean) = files.partition(e => deleted.get(e.path).exists(_.nonEmpty))
+      files: Seq[ManifestTables.Entry], deleted: Map[String, Array[Long]],
+      eqDels: Seq[ManifestTables.EqDelete] = Nil,
+      colIds: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val reg = colIds.map(ManifestTables.parseColIds).getOrElse(Nil)
+    // only a rename/drop history forces per-file name resolution; fresh registries
+    // (every name single-history) read by name exactly as before
+    val renamed = reg.exists(c => c.names.length > 1 || c.dropped)
+    def applicable(e: ManifestTables.Entry): Seq[ManifestTables.EqDelete] =
+      eqDels.filter(d => ManifestTables.seqOf(e) < d.seq)
+    def eqFilter(df: org.apache.spark.sql.DataFrame,
+        dels: Seq[ManifestTables.EqDelete]): org.apache.spark.sql.DataFrame =
+      dels.foldLeft(df) { (d, del) =>
+        val vals: Seq[org.apache.spark.sql.Column] = del.ctype match {
+          case "long" => del.values.map(v => lit(v.toLong))
+          case "int" => del.values.map(v => lit(v.toInt))
+          case _ => del.values.map(v => lit(v))
+        }
+        d.filter(col(del.column).isNull || !col(del.column).isin(vals: _*))
+      }
+    /** Per-file read with physical->current name resolution (the DSv2 reader's
+      * id/history rule, replayed for Spark's native scan).
+      */
+    def resolvedRead(e: ManifestTables.Entry): org.apache.spark.sql.DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/${e.path}"), ManifestDataSource.hadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val phys = try r.getFileMetaData.getSchema.getFields.asScala.toSeq finally r.close()
+      val hasIds = phys.exists(_.getId != null)
+      val idOf = reg.filterNot(_.dropped).map(c => c.current -> c.id).toMap
+      val histOf = reg.filterNot(_.dropped).map(c => c.current -> c.names).toMap
+      val cols = dataSchema.fields.toSeq.map { f =>
+        val viaId = if (!hasIds) None
+          else idOf.get(f.name).flatMap(id => phys.find(p =>
+            p.getId != null && p.getId.intValue == id).map(_.getName))
+        // history fallback even on id-stamped files (same rule as the DSv2 reader)
+        val viaName =
+          phys.map(_.getName).find(histOf.getOrElse(f.name, Seq(f.name)).contains)
+        (viaId orElse viaName)
+          .map(local => col(local).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }
+      s2.read.parquet(s"$dir/${e.path}")
+        .withColumn("__graft_ri", col("_metadata.row_index"))
+        .select(cols :+ col("__graft_ri"): _*)
+    }
+    val (special, clean) = files.partition(e =>
+      renamed || deleted.get(e.path).exists(_.nonEmpty) || applicable(e).nonEmpty)
     val cleanDf =
       if (clean.isEmpty) None
       else Some(s2.read.schema(dataSchema).parquet(clean.map(e => s"$dir/${e.path}"): _*))
-    val delDfs = withDels.map { e =>
-      val poss = deleted(e.path).map(java.lang.Long.valueOf).toSeq
-      s2.read.schema(dataSchema).parquet(s"$dir/${e.path}")
-        .withColumn("__graft_ri", col("_metadata.row_index"))
-        .filter(!col("__graft_ri").isin(poss: _*))
-        .drop("__graft_ri")
+    val specialDfs = special.map { e =>
+      val base =
+        if (renamed) resolvedRead(e)
+        else s2.read.schema(dataSchema).parquet(s"$dir/${e.path}")
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+      val posFiltered = deleted.get(e.path).filter(_.nonEmpty) match {
+        case None => base
+        case Some(poss) =>
+          base.filter(!col("__graft_ri").isin(poss.map(java.lang.Long.valueOf).toSeq: _*))
+      }
+      eqFilter(posFiltered, applicable(e)).drop("__graft_ri")
     }
-    (cleanDf.toSeq ++ delDfs).reduce(_ unionAll _)
+    (cleanDf.toSeq ++ specialDfs).reduce(_ unionAll _)
   }
 
   private def rewriteSession(spark: SparkSession): SparkSession = {
@@ -333,11 +477,13 @@ object ManifestMaintenance {
   private def rewriteBin(spark: SparkSession, dir: String,
       partCols: Seq[ManifestTables.PartCol], dataSchema: StructType,
       joined: String, bin: Seq[ManifestTables.Entry],
-      deleted: Map[String, Array[Long]] = Map.empty): ManifestTables.Entry = {
+      deleted: Map[String, Array[Long]] = Map.empty,
+      eqDels: Seq[ManifestTables.EqDelete] = Nil,
+      colIds: Option[String] = None): ManifestTables.Entry = {
     val uid = java.util.UUID.randomUUID().toString
     val tmpOut = s"$dir/_compact_tmp/$uid"
     val s2 = rewriteSession(spark)
-    readFilesWithDeletes(s2, dir, dataSchema, bin, deleted)
+    readFilesWithDeletes(s2, dir, dataSchema, bin, deleted, eqDels, colIds)
       .coalesce(1).write.parquet(tmpOut)
     val part = listOnly(Paths.get(tmpOut), p => {
       val n = p.getFileName.toString

@@ -126,16 +126,31 @@ object ManifestTables {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** `seq` is the file's DATA SEQUENCE NUMBER (Iceberg v2's ordering primitive):
+    * the snapshot id whose commit landed the file; -1 on legacy entries (older
+    * than everything — every equality delete applies to them). An equality-delete
+    * segment with sequence S applies to exactly the files with seq < S, which is
+    * what lets an upsert's own fresh rows survive the delete it rides with.
+    */
   private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int,
-      stats: String = "")
+      stats: String = "", seq: Int = -1)
+
+  /** Effective data sequence for delete ordering: legacy entries order before
+    * everything.
+    */
+  private[sources] def seqOf(e: Entry): Int = if (e.seq < 0) Int.MinValue else e.seq
 
   /** What a snapshot file REFERENCES, without expanding segments: inline entries
     * (legacy full-list commits) plus immutable segment-file names. The layered form
     * is what keeps DSv2 append commits O(fresh files + segment count) instead of
     * O(every file ever appended) — Iceberg's manifest-list discipline on this layout.
+    * `eqDeletes` are equality-delete segment names (merge-on-read by KEY VALUE);
+    * `colIds` is the column-id registry ALTER rename/drop maintain (None on tables
+    * that never evolved names).
     */
   private[sources] case class SnapshotRefs(snapshot: Int, inline: Seq[Entry], segments: Seq[String],
-      schemaDdl: Option[String] = None, deletes: Seq[String] = Nil)
+      schemaDdl: Option[String] = None, deletes: Seq[String] = Nil,
+      eqDeletes: Seq[String] = Nil, colIds: Option[String] = None)
 
   /** Multi-column partition values ride in ONE entry field, joined by the unit
     * separator (a control char: always \\u-escaped in the manifest JSON, never legal
@@ -225,11 +240,13 @@ object ManifestTables {
     val entry =
       (s"\\{\"path\":\\s*\"$JStr\",\\s*\"bytes\":\\s*(\\d+)" +
         s"(?:,\\s*\"partition\":\\s*\"$JStr\")?" +
-        s"(?:,\\s*\"stats\":\\s*\"$JStr\")?\\}").r
+        s"(?:,\\s*\"stats\":\\s*\"$JStr\")?" +
+        s"(?:,\\s*\"seq\":\\s*(\\d+))?\\}").r
     val out = entry.findAllMatchIn(txt)
       .map(m => Entry(jsonUnescape(m.group(1)), m.group(2).toLong,
         jsonUnescape(Option(m.group(3)).getOrElse("")), snap,
-        jsonUnescape(Option(m.group(4)).getOrElse(""))))
+        jsonUnescape(Option(m.group(4)).getOrElse("")),
+        Option(m.group(5)).map(_.toInt).getOrElse(-1)))
       .toSeq
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
@@ -252,9 +269,19 @@ object ManifestTables {
         s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
     }
 
-  /** Positional-DELETE segment names referenced by a snapshot (merge-on-read). */
+  /** Positional-DELETE segment names referenced by a snapshot (merge-on-read).
+    * The leading quote in the pattern keeps it from matching inside "eqdeletes".
+    */
   private def parseDeleteRefs(txt: String): Seq[String] =
     "\"deletes\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
+      case None => Nil
+      case Some(m) =>
+        s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+    }
+
+  /** Equality-DELETE segment names referenced by a snapshot (merge-on-read by key). */
+  private def parseEqDeleteRefs(txt: String): Seq[String] =
+    "\"eqdeletes\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt) match {
       case None => Nil
       case Some(m) =>
         s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
@@ -268,8 +295,10 @@ object ManifestTables {
     // TABLE; absent on tables that never evolved (schema then derives from files)
     val ddl = s"\"schema\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
       .map(m => jsonUnescape(m.group(1)))
+    val colIds = s"\"colids\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1)))
     SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt), ddl,
-      parseDeleteRefs(txt))
+      parseDeleteRefs(txt), parseEqDeleteRefs(txt), colIds)
   }
 
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
@@ -306,7 +335,8 @@ object ManifestTables {
     */
   private def entryJson(e: Entry): String = {
     val statsField = if (e.stats.isEmpty) "" else s""", "stats": "${jsonEscape(e.stats)}""""
-    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField}"""
+    val seqField = if (e.seq < 0) "" else s""", "seq": ${e.seq}"""
+    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField$seqField}"""
   }
 
   private[sources] def writeSegment(dir: String, entries: Seq[Entry]): String = {
@@ -343,6 +373,143 @@ object ManifestTables {
     } finally Files.deleteIfExists(tmp)
     name
   }
+
+  /** One EQUALITY-delete segment (Iceberg v2 equality delete files on this layout):
+    * every row whose `column` value is in `values` is deleted from every data file
+    * with data sequence < `seq` — applied at read time against the key column, so
+    * the WRITE side never opens a data file (O(keys) commit: the streaming-upsert /
+    * GDPR-erasure-by-key primitive). `ctype` is the key's narrow type (long | int |
+    * string); values ride as canonical strings.
+    */
+  private[sources] case class EqDelete(column: String, ctype: String, seq: Int,
+      values: Seq[String]) {
+    require(ctype == "long" || ctype == "int" || ctype == "string",
+      s"unsupported equality-delete key type '$ctype' (long|int|string)")
+  }
+
+  /** Writes an immutable equality-delete segment; same unique-name + temp-then-link
+    * publication as data segments. Re-written per CAS attempt (the seq must equal
+    * the claimed snapshot id) — O(keys) content, rare retries.
+    */
+  private[sources] def writeEqDeleteSegment(dir: String, d: EqDelete): String = {
+    val body = d.values.sorted.distinct.map(v => s"""    "${jsonEscape(v)}"""")
+    val json =
+      s"""{
+         |  "column": "${jsonEscape(d.column)}",
+         |  "ctype": "${d.ctype}",
+         |  "seq": ${d.seq},
+         |  "values": [
+         |${body.mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val name = s"eqd-${java.util.UUID.randomUUID().toString}.json"
+    val tmp = Files.createTempFile(mdir, ".tmp-eqd-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.createLink(mdir.resolve(name), tmp)
+    } finally Files.deleteIfExists(tmp)
+    name
+  }
+
+  private[sources] def readEqDeleteSegment(dir: String, name: String): EqDelete = {
+    val p = Paths.get(dir, "_manifests", name)
+    require(Files.exists(p), s"snapshot references missing equality-delete segment $name")
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def str(k: String): String = s"\"$k\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1)))
+      .getOrElse(throw new IllegalStateException(s"equality-delete segment $name lacks $k"))
+    val seq = "\"seq\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"equality-delete segment $name lacks seq"))
+    val values = "\"values\"\\s*:\\s*\\[([\\s\\S]*)\\]".r.findFirstMatchIn(txt) match {
+      case None => Nil
+      case Some(m) =>
+        s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
+    }
+    EqDelete(str("column"), str("ctype"), seq, values)
+  }
+
+  /** All equality deletes a snapshot references, segment order preserved. */
+  private[sources] def eqDeletesOf(dir: String, refs: SnapshotRefs): Seq[EqDelete] =
+    refs.eqDeletes.map(readEqDeleteSegment(dir, _))
+
+  /** Equality deletes with key columns RESOLVED to their CURRENT names through the
+    * column-id registry (a rename landing after the delete must not orphan it);
+    * a delete keyed on a dropped column refuses loudly. THE one resolver the scan
+    * and the maintenance rewrites share.
+    */
+  private[sources] def resolvedEqDeletes(dir: String, refs: SnapshotRefs): Seq[EqDelete] = {
+    val dels = eqDeletesOf(dir, refs)
+    if (dels.isEmpty) dels
+    else {
+      val reg = refs.colIds.map(parseColIds).getOrElse(Nil)
+      dels.map { d =>
+        reg.find(_.names.contains(d.column)) match {
+          case Some(c) =>
+            require(!c.dropped,
+              s"equality delete keyed on dropped column '${d.column}' — compact before dropping delete keys")
+            if (c.current == d.column) d else d.copy(column = c.current)
+          case None => d
+        }
+      }
+    }
+  }
+
+  /** Equality-delete segment names still APPLICABLE over `entries`: a segment whose
+    * every live file has data sequence >= its own is spent (rewrites stamped those
+    * files with a newer seq after applying it) and folds away.
+    */
+  private[sources] def liveEqDeletes(dir: String, names: Seq[String],
+      entries: Seq[Entry]): Seq[String] =
+    if (names.isEmpty) Nil
+    else {
+      val minSeq = if (entries.isEmpty) Int.MaxValue else entries.map(seqOf).min
+      names.filter(n => readEqDeleteSegment(dir, n).seq > minSeq)
+    }
+
+  // ------------------------------------------------------------- column-id registry
+  // Iceberg's field-id indirection on this layout: every DATA column owns a stable
+  // integer id; new parquet files stamp the id into their footer schema, so RENAME
+  // and DROP are pure metadata edits — the reader resolves a requested id to
+  // whatever NAME the column had when each file was written. Files without ids
+  // (legacy, or Spark-written maintenance rewrites) resolve through the id's NAME
+  // HISTORY instead, which is unambiguous because name REUSE is rejected at ALTER
+  // time (a re-added name gets a new id, and id-less files could not tell the two
+  // apart). Grammar: comma-joined `<id>:<'!' if dropped><name1>|<name2>|...`,
+  // names oldest-to-newest (last = current).
+
+  private[sources] case class ColId(id: Int, dropped: Boolean, names: Seq[String]) {
+    def current: String = names.last
+  }
+
+  private[sources] val SafeColName = "[A-Za-z_][A-Za-z0-9_]*"
+
+  private[sources] def parseColIds(s: String): Seq[ColId] =
+    s.split(',').toSeq.filter(_.nonEmpty).map { part =>
+      val i = part.indexOf(':')
+      require(i > 0, s"malformed colids entry '$part'")
+      val id = part.substring(0, i).toInt
+      val rest = part.substring(i + 1)
+      val dropped = rest.startsWith("!")
+      val names = (if (dropped) rest.substring(1) else rest).split('|').toSeq
+      require(names.nonEmpty && names.forall(_.matches(SafeColName)),
+        s"malformed colids names in '$part'")
+      ColId(id, dropped, names)
+    }
+
+  private[sources] def renderColIds(cols: Seq[ColId]): String =
+    cols.map(c => s"${c.id}:${if (c.dropped) "!" else ""}${c.names.mkString("|")}").mkString(",")
+
+  /** Fresh id assignment for a table's data columns (bootstrap: the first time ids
+    * are needed). None when any name falls outside the safe grammar — the table
+    * then simply keeps the legacy no-ids behavior and rename/drop stay rejected.
+    */
+  private[sources] def colIdsBootstrap(dataCols: Seq[String]): Option[String] =
+    if (dataCols.isEmpty || !dataCols.forall(_.matches(SafeColName))) None
+    else Some(renderColIds(dataCols.zipWithIndex.map { case (n, i) =>
+      ColId(i + 1, dropped = false, Seq(n)) }))
 
   // ------------------------------------------------------------------ snapshot TAGS
   // Named immutable refs to snapshot ids (Iceberg tag analog): `VERSION AS OF
@@ -474,7 +641,8 @@ object ManifestTables {
   private[sources] def tryWriteSnapshotRefs(dir: String, partCol: String,
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
       partTypes: String = "", schemaDdl: Option[String] = None,
-      deletes: Seq[String] = Nil): Boolean = {
+      deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
+      colIds: Option[String] = None): Boolean = {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
@@ -493,6 +661,13 @@ object ManifestTables {
     val delLine =
       if (deletes.isEmpty) ""
       else s"""  "deletes": [${deletes.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
+    // merge-on-read EQUALITY-delete segment references (applied at read time
+    // against key columns; folded away once every older file is rewritten)
+    val eqDelLine =
+      if (eqDeletes.isEmpty) ""
+      else s"""  "eqdeletes": [${eqDeletes.map(s => s""""${jsonEscape(s)}"""").mkString(", ")}],\n"""
+    // column-id registry (rename/drop schema evolution); rides next to the DDL
+    val colIdsLine = colIds.fold("")(c => s"""  "colids": "${jsonEscape(c)}",\n""")
     // multi-column/typed partitions: names stay comma-joined in partition_column
     // (back-compat: a single untyped name reads as one string column), value types
     // ride in partition_types
@@ -509,7 +684,7 @@ object ManifestTables {
          |  "snapshot": $id,
          |  "ts": ${System.currentTimeMillis()},
          |$noteLine  "partition_column": "${jsonEscape(partCol)}",
-         |$typesLine$schemaLine$segLine$delLine  "files": [
+         |$typesLine$schemaLine$colIdsLine$segLine$delLine$eqDelLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -556,7 +731,8 @@ object ManifestTables {
         val next = latest.get + 1
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
             partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
-            deletes = liveDels)) {
+            deletes = liveDels, eqDeletes = liveEqDeletes(dir, refs.eqDeletes, entries),
+            colIds = refs.colIds)) {
           result = Some(next); done = true
         } else {
           // CAS loss: a concurrent commit advanced the table — back off, re-read and
@@ -606,22 +782,23 @@ object ManifestTables {
     val (retained, expired) = snaps.partition(f =>
       keepTail.contains(f) || tagged.contains(idOf(f)))
     if (expired.isEmpty) return (0, 0, 0)
-    def refsOf(files: Seq[String]): (Set[String], Set[String], Set[String]) = {
+    def refsOf(files: Seq[String]): (Set[String], Set[String], Set[String], Set[String]) = {
       val all = files.map { f =>
         val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
         (parseSegmentRefs(txt).toSet, parseEntries(txt, f, 0).map(_.path).toSet,
-          parseDeleteRefs(txt).toSet)
+          parseDeleteRefs(txt).toSet, parseEqDeleteRefs(txt).toSet)
       }
-      (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet, all.flatMap(_._3).toSet)
+      (all.flatMap(_._1).toSet, all.flatMap(_._2).toSet, all.flatMap(_._3).toSet,
+        all.flatMap(_._4).toSet)
     }
     // a sink's EXACTLY-ONCE replay dedup depends on its newest commit note being
     // findable; if expiry would delete the snapshot carrying a sink's newest note,
     // persist that high-water mark to a sidecar BEFORE any deletion (hasCommittedNote
     // consults the sidecar first)
     preserveSinkWatermarks(dir, expired, retained)
-    val (retainedSegs, retainedInline, retainedDels) = refsOf(retained)
-    val (expiredSegs, expiredInline, expiredDels) = refsOf(expired)
-    val deadDels = expiredDels -- retainedDels
+    val (retainedSegs, retainedInline, retainedDels, retainedEq) = refsOf(retained)
+    val (expiredSegs, expiredInline, expiredDels, expiredEq) = refsOf(expired)
+    val deadDels = (expiredDels -- retainedDels) ++ (expiredEq -- retainedEq)
     // data files referenced by retained snapshots = their inline entries + every
     // entry of every retained segment
     val retainedData = retainedInline ++ retainedSegs.flatMap { seg =>
@@ -661,7 +838,8 @@ object ManifestTables {
     val snapTxt = snapshotFiles(dir).map(f =>
       new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8))
     val referencedSegs = snapTxt.flatMap(parseSegmentRefs).toSet
-    val referencedDels = snapTxt.flatMap(parseDeleteRefs).toSet
+    val referencedDels = snapTxt.flatMap(parseDeleteRefs).toSet ++
+      snapTxt.flatMap(parseEqDeleteRefs)
     val referenced = snapTxt.flatMap(txt => parseEntries(txt, dir, 0).map(_.path)).toSet ++
       referencedSegs.flatMap { seg =>
         parseEntries(new String(Files.readAllBytes(Paths.get(dir, "_manifests", seg)),
@@ -681,6 +859,8 @@ object ManifestTables {
         (name.startsWith("seg-") && name.endsWith(".json") &&
           p.getParent.getFileName.toString == "_manifests" && !referencedSegs.contains(name)) ||
         (name.startsWith("del-") && name.endsWith(".json") &&
+          p.getParent.getFileName.toString == "_manifests" && !referencedDels.contains(name)) ||
+        (name.startsWith("eqd-") && name.endsWith(".json") &&
           p.getParent.getFileName.toString == "_manifests" && !referencedDels.contains(name))
       }
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
@@ -693,7 +873,12 @@ object ManifestTables {
   /** Before deleting expired snapshots, persist each sink's newest committed batch
     * id if that note would otherwise vanish — `hasCommittedNote`'s monotone rule then
     * answers from the sidecar, keeping streaming replay dedup EXACT across expiry.
-    * Values only grow, so a replace-write is safe.
+    * Values only grow, so a replace-write is safe. NON-stream notes have no monotone
+    * rule to compress under, so each one whose every carrying snapshot expires is
+    * persisted verbatim into a second sidecar (expired-notes) — without it a
+    * replayed noted batch would publish TWICE once its snapshot aged out. The
+    * sidecar grows one line per expired note: bounded by actual noted commits, the
+    * same metadata scale as the snapshots themselves.
     */
   private def preserveSinkWatermarks(dir: String,
       expired: Seq[String], retained: Seq[String]): Unit = {
@@ -704,7 +889,26 @@ object ManifestTables {
           case _ => m
         }
       }
+    val allExpired = expired.flatMap(noteOf)
     val exp = newestNotes(expired)
+    // non-stream notes vanishing with their snapshots -> the expired-notes sidecar
+    val plain = allExpired.filter {
+      case StreamNote(_, _) => false
+      case _ => true
+    }.toSet -- retained.flatMap(noteOf).toSet
+    if (plain.nonEmpty) {
+      val f = Paths.get(dir, "_manifests", "expired-notes.json")
+      val have = expiredNotes(dir)
+      val merged = (have ++ plain).toSeq.sorted
+      val tmp = Files.createTempFile(f.getParent, ".tmp-notes-", ".inprogress")
+      try {
+        Files.write(tmp, merged.map(n => s""""${jsonEscape(n)}"""")
+          .mkString("{\n  \"notes\": [\n    ", ",\n    ", "\n  ]\n}")
+          .getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
     if (exp.isEmpty) return
     val ret = newestNotes(retained)
     exp.foreach { case (sink, wm) =>
@@ -717,6 +921,24 @@ object ManifestTables {
           Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } finally Files.deleteIfExists(tmp)
+      }
+    }
+  }
+
+  /** Non-stream notes whose carrying snapshots were all expired (dedup stays exact
+    * across expiry — see preserveSinkWatermarks).
+    */
+  private def expiredNotes(dir: String): Set[String] = {
+    val f = Paths.get(dir, "_manifests", "expired-notes.json")
+    if (!Files.exists(f)) Set.empty
+    else {
+      val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      // parse only the bracketed list body, so a note literally named "notes"
+      // survives the round-trip
+      "\"notes\"\\s*:\\s*\\[([\\s\\S]*)\\]".r.findFirstMatchIn(txt) match {
+        case None => Set.empty
+        case Some(m) =>
+          s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSet
       }
     }
   }
@@ -827,6 +1049,9 @@ object ManifestTables {
           case StreamNote(`sink`, b2) => b2.toLong >= b.toLong
         }.getOrElse(false)
       case _ =>
+        // the expired-notes sidecar keeps dedup exact once a note's every carrying
+        // snapshot has been expired (see preserveSinkWatermarks)
+        expiredNotes(dir).contains(note) ||
         snapshotFiles(dir).reverseIterator.exists(f => noteOf(f).contains(note))
     }
   }

@@ -38,9 +38,15 @@ object ManifestStreamSink {
 
   /** Commits one micro-batch of one logical stream exactly once. Returns false when
     * (sinkId, batchId) was already committed (restart replay) — a pure no-op then.
+    * `upsertKey`: MERGE-BY-KEY semantics per micro-batch — the commit additionally
+    * carries ONE equality-delete segment over the batch's distinct key values, so
+    * earlier rows with those keys vanish at read time while the batch's own rows
+    * survive; the write side never opens a data file (O(keys) commit — the Iceberg
+    * v2 / Flink-CDC streaming-upsert shape). Exactly-once composes unchanged: the
+    * note, the data segment and the delete segment publish in one atomic snapshot.
     */
   def commitBatch(batch: Dataset[Row], batchId: Long, dir: String, partCol: String,
-      sinkId: String): Boolean = {
+      sinkId: String, upsertKey: Option[String] = None): Boolean = {
     val note = s"stream-$sinkId-batch-$batchId"
     if (ManifestTables.hasCommittedNote(dir, note)) false
     // empty micro-batches (idle restarts, no-data watermark flush rounds that emit
@@ -50,21 +56,22 @@ object ManifestStreamSink {
     else {
       // the note travels into the atomic publication; the commit loop re-checks it
       // under contention, so a concurrent duplicate of this call publishes once
-      batch.write.format(classOf[ManifestDataSource].getName)
+      val w = batch.write.format(classOf[ManifestDataSource].getName)
         .option("partcol", partCol)
         .option("commitnote", note)
         .mode("append")
-        .save(dir)
+      upsertKey.fold(w)(k => w.option("upsertkey", k)).save(dir)
       true
     }
   }
 
   /** foreachBatch writer wiring; caller picks the trigger and starts the query. */
   def start(stream: DataFrame, dir: String, partCol: String,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String, upsertKey: Option[String] = None): DataStreamWriter[Row] = {
     val sinkId = sinkIdFor(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: Dataset[Row], id: Long) => { commitBatch(b, id, dir, partCol, sinkId); () })
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        { commitBatch(b, id, dir, partCol, sinkId, upsertKey); () })
   }
 }

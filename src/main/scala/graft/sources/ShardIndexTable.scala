@@ -59,12 +59,20 @@ object ShardIndexTable {
     Array.tabulate(16)(i => java.lang.Long.parseUnsignedLong(hex.substring(16 * i, 16 * i + 16), 16))
   }
 
-  /** Distinct (alpha_hex0, alpha_hex1) pairs of the latest snapshot whose
-    * fingerprint MAY contain `pattern` — shared by readPruned and the V2-predicate
-    * pushdown path in ManifestDataScanBuilder.
+  /** The 16-long fingerprint of one entry's split hex partition values — the
+    * per-entry decode the scan's fm_count pruning tests against its own pinned
+    * snapshot (ManifestDataScan.fmAllowed).
     */
-  private[sources] def passingHexPairs(dir: String, pattern: String): Seq[(String, String)] =
-    ManifestTables.readLatest(dir)
+  private[sources] def parseHexPair(h0: String, h1: String): Array[Long] =
+    parseHex(h0 + h1)
+
+  /** Distinct (alpha_hex0, alpha_hex1) pairs of one PINNED snapshot whose
+    * fingerprint MAY contain `pattern` (used by readPruned; the V2-predicate path
+    * prunes per-entry inside the scan instead).
+    */
+  private[sources] def passingHexPairs(dir: String, pattern: String,
+      snapshot: Option[Int] = None): Seq[(String, String)] =
+    ManifestTables.readSnapshot(dir, snapshot)
       .map { e =>
         val vals = ManifestDataSource.splitPartValues(e.partition, 3)
         (vals(1), vals(2))
@@ -84,8 +92,14 @@ object ShardIndexTable {
     * pattern provably cannot match cost zero I/O.
     */
   def readPruned(s: SparkSession, dir: String, pattern: String): DataFrame = {
-    val passing = passingHexPairs(dir, pattern)
-    val df = s.read.format(classOf[ManifestDataSource].getName).load(dir)
+    // pin ONE snapshot for both the passing-pair resolution and the scan — two
+    // independent 'latest' reads could straddle a concurrent commit, pruning a
+    // file the scanned snapshot serves (the pruning must be a pure I/O win)
+    val snap = ManifestTables.latestSnapshotId(dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val passing = passingHexPairs(dir, pattern, Some(snap))
+    val df = s.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", snap.toString).load(dir)
     if (passing.isEmpty) df.where(lit(false)) // folds to an empty relation — no scan
     else
       // per-column In pushdown prunes files at the manifest; cross-pairings of the

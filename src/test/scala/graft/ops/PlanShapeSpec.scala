@@ -104,6 +104,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partitionless Window (single-task global sort) in: $winOffenders")
   }
 
+  test("q56 packing: no window over raw document rows partitions by lang alone") {
+    // the round-4 hot-partition fix: the heavy prefix window must partition by
+    // (lang, bucket) — a lang-only window may exist ONLY over the aggregated
+    // one-row-per-bucket frame (an Aggregate must sit between it and the scan)
+    val df = SparkEntry.queries("q56_sequence_pack")(spark, dir)
+    df.collect() // AQE: executedPlan is final only after execution
+    val wins = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "the packing prefix window must partition by (lang, bucket)")
+    wins.filter(_.partitionSpec.size == 1).foreach { w =>
+      val hasAgg = allNodes(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+      assert(hasAgg,
+        s"lang-only window over unaggregated rows (one task per language): $w")
+    }
+  }
+
   test("q18 as-of join: pure window composition, no join operator at all") {
     val p = plan("q18_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(1500)}")

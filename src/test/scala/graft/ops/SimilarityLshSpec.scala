@@ -130,6 +130,29 @@ class SimilarityLshSpec extends AnyFunSuite {
     info(s"uncapped=$uncapped capped=$capped honest=$honest")
   }
 
+  test("uncapped fan-out guard fires loudly on the adversarial corpus, stays quiet on honest ones") {
+    val planes = SimilarityLsh.planeWeights(nPlanes = 8, dim = 4)
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, Array(1f, 2f, 3f, 4f))) ++
+      (400L until 420L).map(i => (i, Array.tabulate(4)(j => (i % 13 + j).toFloat)))
+    val bands = SimilarityLsh.bands(rows.toDF("id", "embedding"), "id", "embedding",
+      planes, bandBits = 4)
+    // degenerate bucket of 400 rows > threshold 100 -> the warning fires and names
+    // the remedy knob (a deployment that forgot the cap cannot die silently)
+    val warned = SimilarityLsh.fanoutWarning(bands, Seq("band_idx", "band_val"), 100L)
+    assert(warned.isDefined, "guard must fire on a 400-row bucket at threshold 100")
+    assert(warned.get.contains("SPARK_GRAFT_LSH_MAXBUCKET"), warned.get)
+    // honest corpus (real embeddings, small buckets): no warning at the default
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val honest = SimilarityLsh.bands(emb, "vec_id", "embedding", CorpusQueries.EmbedPlanes, 4)
+    assert(SimilarityLsh.fanoutWarning(honest, Seq("band_idx", "band_val"),
+      SimilarityLsh.fanoutGuardThreshold).isEmpty,
+      "guard must stay quiet on the fixture corpus at the default threshold")
+    // and the oracle gate stays byte-identical: the guard only ever LOGS
+    val before = SimilarityLsh.candidatePairs(bands, "id").count()
+    assert(before >= 79800L)
+  }
+
   test("ShardCache keys by content: equal-hashCode inputs cannot alias") {
     // two different corpora -> different shards; cache must hold BOTH and answer each
     ShardCache.clear()

@@ -1063,11 +1063,18 @@ class ManifestSourceSpec extends AnyFunSuite {
       .schema.fieldNames.contains("score"))
     assert(spark.sql("SELECT CAST(sum(score) AS DOUBLE) FROM graft_evo.ns.t")
       .head().getDouble(0) == 0.5)
-    // unsupported evolutions fail loudly
+    // RENAME is a metadata-only registry edit as of round 5 (see the dedicated
+    // rename battery); TYPE CHANGES still fail loudly
+    spark.sql("ALTER TABLE graft_evo.ns.t RENAME COLUMN txt TO body")
+    val cnt = spark.sql("SELECT count(*) FROM graft_evo.ns.t").head().getLong(0)
+    assert(spark.sql("SELECT count(body) FROM graft_evo.ns.t").head().getLong(0) == cnt)
     val bad = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_evo.ns.t RENAME COLUMN txt TO body")
+      spark.sql("ALTER TABLE graft_evo.ns.t ALTER COLUMN body TYPE INT")
     }
-    assert(bad.getMessage.contains("ADD COLUMN"), bad.getMessage)
+    // Spark's analyzer refuses the type change before our catalog even sees it
+    // (NOT_SUPPORTED_CHANGE_COLUMN); our own guard names ADD/RENAME/DROP
+    assert(bad.getMessage.contains("ADD/RENAME/DROP") ||
+      bad.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), bad.getMessage)
     val dup = intercept[Exception] {
       spark.sql("ALTER TABLE graft_evo.ns.t ADD COLUMN score DOUBLE")
     }
@@ -2046,5 +2053,148 @@ class ManifestSourceSpec extends AnyFunSuite {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("cannot " + "be read as a stream")),
       chain(e).mkString(" | "))
+  }
+
+  // ------------------------------------------------------------ round-5 additions
+
+  test("equality-delete upsert: O(keys) commit, last-writer-wins read, pushdown refusal, compaction folds") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_eqdel").toString
+    def write(df: org.apache.spark.sql.DataFrame, mode: String, upsert: Boolean): Unit = {
+      val w = df.write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode)
+      (if (upsert) w.option("upsertkey", "id") else w).save(tbl)
+    }
+    write((0L until 40L).map(i => (i, i * 10, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "v", "lang_p"), "overwrite", upsert = false)
+    val files0 = ManifestMaintenance.liveDataFiles(tbl).map(_._1).toSet
+    // upsert batch: ids 0,5,10,... replaced with v = id*10 + 1
+    write((0L until 40L by 5).map(i => (i, i * 10 + 1, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "v", "lang_p"), "append", upsert = true)
+    val files1 = ManifestMaintenance.liveDataFiles(tbl).map(_._1).toSet
+    assert(files0.subsetOf(files1), "upsert must not remove or rewrite data files")
+    def tableDf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    def expect: Map[Long, Long] =
+      (0L until 40L).map(i => i -> (if (i % 5 == 0) i * 10 + 1 else i * 10)).toMap
+    val got = tableDf.select("id", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"upsert read diverged: ${got.toSeq.sorted.take(8)}")
+    // the batch's own rows survived its delete (data-sequence ordering)
+    assert(tableDf.count() == 40)
+    // aggregate pushdown REFUSES while the eq delete is pending (footer counts
+    // would overcount); the plan must not carry a manifest_data_agg scan
+    val agg = tableDf.groupBy("lang_p").agg(count(lit(1)))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "pushed aggregate must refuse while equality deletes are pending")
+    // incremental read over the upsert range refuses (not representable)
+    ManifestTables.createTag(tbl, "preup", 0)
+    val inc = intercept[Exception] {
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("startSnapshot", "preup").load(tbl).collect()
+    }
+    assert(Iterator.iterate(inc: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("delete segments changed"))))
+    // compaction APPLIES the eq delete, folds the segment away, columnar returns
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, 64L << 20).isDefined)
+    assert(ManifestTables.readSnapshotRefs(tbl, None).eqDeletes.isEmpty,
+      "compaction must fold spent equality-delete segments")
+    val got2 = tableDf.select("id", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == expect, "compaction changed the upsert answer")
+    // after fold, pushed aggregates come back
+    val agg2 = tableDf.groupBy("lang_p").agg(count(lit(1)))
+    agg2.collect()
+    assert(agg2.queryExecution.executedPlan.toString.contains("manifest_data_agg"))
+    // expiry reclaims the now-unreferenced eqd segment
+    ManifestTables.deleteTag(tbl, "preup")
+    ManifestTables.expireSnapshots(tbl, keepLast = 1)
+    val leftover = Files.list(Paths.get(tbl, "_manifests"))
+    val eqd = try {
+      val it = leftover.iterator(); var n = 0
+      while (it.hasNext) if (it.next().getFileName.toString.startsWith("eqd-")) n += 1
+      n
+    } finally leftover.close()
+    assert(eqd == 0, s"expiry left $eqd orphan equality-delete segments")
+  }
+
+  test("rename/drop evolution: field-id resolution across files, history ban, time travel, compaction composes") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_rename").toString
+    val cat = "graft_ren_" + wh.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    (0L until 10L).map(i => (i, i * 2, s"s$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "n", "junk", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN n TO m")
+    spark.sql(s"ALTER TABLE $cat.ns.t DROP COLUMN junk")
+    // post-rename append carries the new name
+    (10L until 20L).map(i => (i, i * 2, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "m", "p")
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(tbl)
+    def df = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "m", "p"))
+    assert(df.agg(sum("m")).head().getLong(0) == (0L until 20L).map(_ * 2).sum)
+    // pre-rename snapshot serves the ORIGINAL names
+    val tt = spark.sql(s"SELECT sum(n) FROM $cat.ns.t VERSION AS OF 0").head().getLong(0)
+    assert(tt == (0L until 10L).map(_ * 2).sum)
+    // historical-name reuse is banned (id-less files could not disambiguate)
+    val reuse = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN n BIGINT") }
+    assert(Iterator.iterate(reuse: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("used before"))))
+    val reuse2 = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN junk STRING") }
+    assert(Iterator.iterate(reuse2: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("used before"))))
+    // compaction after the rename resolves old physical names per file (a by-name
+    // read would silently null the renamed column)
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, 64L << 20).isDefined)
+    assert(df.agg(sum("m")).head().getLong(0) == (0L until 20L).map(_ * 2).sum,
+      "compaction nulled a renamed column")
+    assert(df.filter(col("m").isNull).count() == 0)
+    // rename after compaction still works (compacted files are id-less: history)
+    spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN m TO k")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.ns.t").head().getLong(0)
+      == (0L until 20L).map(_ * 2).sum)
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE through the catalog") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_create").toString
+    val cat = "graft_ct_" + wh.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, v BIGINT, p STRING) PARTITIONED BY (p)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) == 0)
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a')")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.t WHERE p = 'a'").head().getLong(0) == 40)
+    // creating over an existing table refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.t (x BIGINT) PARTITIONED BY (x)")
+    }
+    // CTAS
+    spark.sql(s"CREATE TABLE $cat.ns.t2 AS SELECT id, v FROM $cat.ns.t")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.t2").head().getLong(0) == 60)
+    // DROP TABLE removes it
+    assert(spark.sql(s"DROP TABLE $cat.ns.t2") != null)
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.ns.t2").collect() }
+  }
+
+  test("expired-notes sidecar: non-stream commit-note dedup survives snapshot expiry") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_notes").toString
+    def noted(ids: Range, note: String): Unit =
+      ids.map(i => (i.toLong, "x")).toDF("id", "p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").option("commitnote", note).mode("append").save(tbl)
+    noted(0 until 5, "job-A")
+    noted(5 until 8, "job-B")
+    // expire everything but the latest: job-A's carrying snapshot is gone
+    ManifestTables.expireSnapshots(tbl, keepLast = 1)
+    assert(ManifestTables.hasCommittedNote(tbl, "job-A"),
+      "expiry voided a non-stream commit note - replay would double-publish")
+    // the replay is a no-op: row count unchanged
+    noted(0 until 5, "job-A")
+    assert(spark.read.format(classOf[ManifestDataSource].getName).load(tbl).count() == 8)
   }
 }
