@@ -60,8 +60,11 @@ object ManifestDmlProbe {
           .option("partcol", "part").mode("append").save(dir))._2
       }
       def avg(xs: Seq[Double]) = xs.sum / xs.length
-      val firstAvg = avg(commitSecs.take(math.min(10, appends)))
-      val lastAvg = avg(commitSecs.takeRight(math.min(10, appends)))
+      // disjoint head/tail windows so growth in per-commit cost is visible even
+      // at small append counts
+      val window = math.max(1, math.min(10, appends / 2))
+      val firstAvg = avg(commitSecs.take(window))
+      val lastAvg = avg(commitSecs.takeRight(window))
 
       def tbl = spark.read.format("graft.sources.ManifestDataSource").load(dir)
       val (_, countSec) = time(tbl.count())

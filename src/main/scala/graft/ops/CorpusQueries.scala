@@ -373,8 +373,10 @@ object CorpusQueries {
     val capped = maxBucket match {
       case None =>
         // loud guard: an uncapped run whose worst bucket exceeds the budget warns
-        // with the remedy knob named (SimilarityLshSpec pins the adversarial case)
-        if (SimilarityLsh.fanoutGuardThreshold > 0)
+        // with the remedy knob named (SimilarityLshSpec pins the adversarial case);
+        // memoized per corpus dir — q41/q44/q44b share these bands, one probe covers all
+        if (SimilarityLsh.fanoutGuardThreshold > 0 &&
+            SimilarityLsh.guardOnce(s"minhash:$dir"))
           SimilarityLsh.fanoutWarning(bands, Seq("band_idx", "band"),
             SimilarityLsh.fanoutGuardThreshold)
         bands
@@ -850,7 +852,8 @@ object CorpusQueries {
         tWide(s, dir, "embeddings")
           .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
         EmbedPlanes, bandBits = 4)
-      val cand = SimilarityLsh.candidatePairs(bands, "__id", maxBucket = lshMaxBucket)
+      val cand = SimilarityLsh.candidatePairs(bands, "__id", maxBucket = lshMaxBucket,
+        guardKey = Some(s"embed:$dir"))
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       val joined = cand
         .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

@@ -100,11 +100,23 @@ object SimilarityLsh {
   private[graft] def fanoutGuardThreshold: Long =
     sys.env.get("SPARK_GRAFT_LSH_FANOUT_WARN").map(_.toLong).getOrElse(4096L)
 
+  // one guard run per (corpus key, threshold) per JVM: the guard is an extra agg
+  // job, and a catalog running several queries over the SAME immutable corpus
+  // (q41/q44/q44b share the minhash bands) should pay it once, not per query
+  private val guarded = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
+  /** True the FIRST time `key` is seen at the current threshold (callers with a
+    * stable corpus key run the guard once per JVM).
+    */
+  private[graft] def guardOnce(key: String): Boolean =
+    guarded.add((key, fanoutGuardThreshold))
+
   def candidatePairs(bandsDf: DataFrame, idCol: String, matchCols: Seq[String] = Nil,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None, guardKey: Option[String] = None): DataFrame = {
     val keys = Seq("band_idx", "band_val") ++ matchCols
     maxBucket match {
-      case None if fanoutGuardThreshold > 0 =>
+      case None if fanoutGuardThreshold > 0 &&
+          guardKey.forall(k => guarded.add((k, fanoutGuardThreshold))) =>
         fanoutWarning(bandsDf, keys, fanoutGuardThreshold)
       case _ =>
     }

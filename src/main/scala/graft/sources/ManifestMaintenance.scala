@@ -440,12 +440,21 @@ object ManifestMaintenance {
         .withColumn("__graft_ri", col("_metadata.row_index"))
         .select(cols :+ col("__graft_ri"): _*)
     }
-    val (special, clean) = files.partition(e =>
-      renamed || deleted.get(e.path).exists(_.nonEmpty) || applicable(e).nonEmpty)
-    val cleanDf =
-      if (clean.isEmpty) None
-      else Some(s2.read.schema(dataSchema).parquet(clean.map(e => s"$dir/${e.path}"): _*))
-    val specialDfs = special.map { e =>
+    // per-FILE isolation only where unavoidable: positional deletes (positions are
+    // per file) and rename resolution (physical schemas differ). Files whose only
+    // specialness is an applicable EQUALITY-delete set batch into ONE read per
+    // distinct set — the filter is identical across the group, and a union of one
+    // DataFrame per file would put O(files) parquet relations into a single plan
+    // (measured: 12 min to compact 1000 tiny files; grouped, it is one job).
+    val (perFile, batchable) = files.partition(e =>
+      renamed || deleted.get(e.path).exists(_.nonEmpty))
+    val batched = batchable.groupBy(e => applicable(e).map(_.seq)).toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (_, es) =>
+        eqFilter(s2.read.schema(dataSchema).parquet(es.map(e => s"$dir/${e.path}"): _*),
+          applicable(es.head))
+      }
+    val perFileDfs = perFile.map { e =>
       val base =
         if (renamed) resolvedRead(e)
         else s2.read.schema(dataSchema).parquet(s"$dir/${e.path}")
@@ -457,7 +466,7 @@ object ManifestMaintenance {
       }
       eqFilter(posFiltered, applicable(e)).drop("__graft_ri")
     }
-    (cleanDf.toSeq ++ specialDfs).reduce(_ unionAll _)
+    (batched ++ perFileDfs).reduce(_ unionAll _)
   }
 
   private def rewriteSession(spark: SparkSession): SparkSession = {

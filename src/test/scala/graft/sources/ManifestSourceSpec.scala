@@ -2197,4 +2197,77 @@ class ManifestSourceSpec extends AnyFunSuite {
     noted(0 until 5, "job-A")
     assert(spark.read.format(classOf[ManifestDataSource].getName).load(tbl).count() == 8)
   }
+
+  test("fm_count pruning resolves against the scan's PINNED snapshot, not latest (overwrite race)") {
+    // the round-4 shape intersected hex pairs from the LATEST snapshot: a pinned
+    // VERSION AS OF read racing an overwrite would silently lose rows (a pruned
+    // file cannot be resurrected by the residual re-check). Round 5 applies the
+    // fingerprint PER ENTRY of the scan's own pinned snapshot.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val wh = Files.createTempDirectory("fm_pinned").toString
+    val tbl = s"$wh/fm/shards"
+    val shards = graft.ops.ShardTableCache.docShards(spark, dir, numShards = 8)
+    ShardIndexTable.publish(shards.toDF(), tbl)
+    val pinned = ManifestTables.latestSnapshotId(tbl).get
+    val cat = "graft_fmpin_" + wh.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.functions.FmFunctions.register(spark)
+    val expected = shards.toDF().selectExpr("fm_count(shard, 'the ') AS c")
+      .agg(sum("c")).head().getLong(0)
+    assert(expected > 0)
+    // OVERWRITE the table with one alien shard whose fingerprint matches nothing —
+    // the latest snapshot now shares NO hex pairs with the pinned one
+    val alien = new graft.core.FmIndexBuilder().build("zzzz qqqq".toCharArray)
+    Seq((999, alien.serialize(), Array(999L), Array(0), Array(9), Array.fill(16)(0L)))
+      .toDF("shard_id", "shard", "doc_ids", "offsets", "lens", "alpha_fp")
+      .withColumn("alpha_hex0",
+        concat_ws("", transform(slice(col("alpha_fp"), 1, 8), x => lpad(hex(x), 16, "0"))))
+      .withColumn("alpha_hex1",
+        concat_ws("", transform(slice(col("alpha_fp"), 9, 8), x => lpad(hex(x), 16, "0"))))
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", s"shard_id,${ShardIndexTable.HexCols.mkString(",")}")
+      .mode("overwrite").save(tbl)
+    // the CATALOG-resolved fm_count predicate over VERSION AS OF must still see
+    // every pinned row (latest-pair intersection would have pruned them all)
+    val got = spark.sql(
+      s"SELECT CAST(sum($cat.fm_count(shard, 'the ')) AS BIGINT) FROM " +
+        s"$cat.fm.shards VERSION AS OF $pinned WHERE $cat.fm_count(shard, 'the ') > 0")
+      .head().getLong(0)
+    assert(got == expected, s"pinned read lost rows under the overwrite: $got vs $expected")
+    // and on the LATEST snapshot the alien fingerprint prunes every file
+    val latest = spark.sql(s"SELECT shard_id FROM $cat.fm.shards " +
+      s"WHERE $cat.fm_count(shard, 'the ') > 0")
+    latest.collect()
+    val planned = latest.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    assert(planned == 0, s"alien snapshot should prune every file, planned $planned")
+  }
+
+  test("pushed MIN/MAX refuses float/double columns (NaN footer stats would corrupt MIN)") {
+    // parquet-mr propagates NaN through footer min/max; under Spark's
+    // NaN-is-greatest ordering a pushed MIN would return NaN instead of the true
+    // minimum. The refusal keeps the aggregate plan-side and therefore exact.
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_nan").toString
+    Seq((1L, 2.5, "a"), (2L, Double.NaN, "a"), (3L, -7.5, "b"))
+      .toDF("id", "x", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    def tblDf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    val agg = tblDf.agg(min("x").as("mn"), max("x").as("mx"))
+    val row = agg.head()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "MIN/MAX over a double column must not push to footer statistics")
+    assert(row.getDouble(0) == -7.5, s"true minimum lost: ${row.getDouble(0)}")
+    // long columns still push
+    val ok = tblDf.agg(count(lit(1)), min("id"), max("id"))
+    ok.collect()
+    assert(ok.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "integer MIN/MAX should still push to the footer scan")
+  }
 }
