@@ -1602,6 +1602,48 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- TYPE WIDENING evolution under the gate (Iceberg type promotion):
+    //     generation-1 files carry the NARROW physical types (int32 doc_id, float
+    //     weight); ALTER COLUMN ... TYPE widens the table to bigint/double as a
+    //     pure metadata snapshot; generation-2 appends land wide, with doc_id
+    //     values past Int.MaxValue. The straddling scan upcasts old vectors at
+    //     read time (WideningColumnVector), the FOOTER aggregate merges Integer
+    //     and Long partials (require-pinned past 2^31), and VERSION AS OF 0 still
+    //     serves the historical narrow int (require-pinned). ---
+    "q63v_type_widening" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63v", dir)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("int").as("doc_id"),
+          col("n_chars").cast("float").as("weight"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      val cat = s"graft_q63v_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"ALTER TABLE $cat.corpus.docs ALTER COLUMN doc_id TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.corpus.docs ALTER COLUMN weight TYPE DOUBLE")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + lit(10000000000L)).as("doc_id"),
+          col("n_chars").cast("double").as("weight"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(s"$wh/corpus/docs")
+      // footer-aggregate path over MIXED physical types: the per-file partials are
+      // Integer (gen 1) and Long (gen 2) — the merged max proves the wide rows
+      val mx = s.sql(s"SELECT max(doc_id) FROM $cat.corpus.docs").head().getLong(0)
+      require(mx > Int.MaxValue.toLong,
+        s"widened footer max must exceed 2^31 (mixed int32/int64 files), got $mx")
+      // time travel to the pre-widening snapshot serves the NARROW type
+      val tt = s.sql(s"SELECT max(doc_id) FROM $cat.corpus.docs VERSION AS OF 0").head()
+      require(tt.get(0).isInstanceOf[Int],
+        s"pre-widening snapshot must serve int, got ${tt.get(0).getClass.getSimpleName}")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_id, max(doc_id) AS max_id,
+           |  max(weight) AS max_weight
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2503,6 +2545,17 @@ object CorpusQueries {
     // SAME rows the un-renamed relation holds
     "q63u_rename_evolution" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63v: widening is metadata-only — the straddling scan aggregates the same
+    // rows the relational derivation produces (odd ids shifted past 2^31; the
+    // float->double weight path stays exact because n_chars < 2^24)
+    "q63v_type_widening" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id
+        |                ELSE doc_id + 10000000000 END) AS BIGINT) AS sum_id,
+        |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN doc_id
+        |                ELSE doc_id + 10000000000 END) AS BIGINT) AS max_id,
+        |  CAST(max(CAST(n_chars AS FLOAT)) AS DOUBLE) AS max_weight
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->

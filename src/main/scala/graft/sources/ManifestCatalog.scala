@@ -126,25 +126,29 @@ class ManifestCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** Schema evolution, Iceberg-style metadata-only: ADD / RENAME / DROP COLUMN
-    * each publish a NEW snapshot carrying the same file references plus the edited
-    * schema DDL and the column-id registry — no data file is touched. ADD
-    * null-fills pre-ALTER files at read time (constant vectors); RENAME and DROP
-    * are pure registry edits: files written with field IDS resolve by id, id-less
-    * files (legacy tables, Spark-written maintenance rewrites) resolve through the
-    * id's NAME HISTORY — unambiguous because historical names may never be reused.
-    * Type changes stay rejected (they would need per-file value conversion).
+  /** Schema evolution, Iceberg-style metadata-only: ADD / RENAME / DROP COLUMN and
+    * lossless TYPE WIDENING (int->bigint, float->double) each publish a NEW snapshot
+    * carrying the same file references plus the edited schema DDL and the column-id
+    * registry — no data file is touched. ADD null-fills pre-ALTER files at read time
+    * (constant vectors); RENAME and DROP are pure registry edits: files written with
+    * field IDS resolve by id, id-less files (legacy tables, Spark-written maintenance
+    * rewrites) resolve through the id's NAME HISTORY — unambiguous because historical
+    * names may never be reused. Widened columns keep each file's PHYSICAL type:
+    * readers upcast int32/float vectors at scan time (Iceberg's type-promotion rule),
+    * so a scan straddling the ALTER serves one coherent wide column. Lossy or
+    * re-ordering type changes stay rejected (they would need per-file value rewrite).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val partNames = ManifestTables.readPartitionSpec(dir).map(_.name).toSet
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn => ()
+           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => ()
       case other => throw new UnsupportedOperationException(
-        s"manifest tables support ADD/RENAME/DROP COLUMN only, got ${other.getClass.getSimpleName}")
+        s"manifest tables support ADD/RENAME/DROP COLUMN and int->bigint / " +
+          s"float->double widening only, got ${other.getClass.getSimpleName}")
     }
     // optimistic-concurrency publication, same discipline as the write path: the
     // ALTER races cleanly with concurrent appends (losers retarget latest+1)
@@ -223,6 +227,30 @@ class ManifestCatalog extends TableCatalog
           // column would get a new id, so dropped data can never resurrect
           reg = reg.map(c =>
             if (!c.dropped && c.current == n) c.copy(dropped = true) else c)
+        case u: TableChange.UpdateColumnType =>
+          require(u.fieldNames().length == 1,
+            s"ALTER COLUMN TYPE supports top-level columns only, got ${u.fieldNames().mkString(".")}")
+          val n = u.fieldNames().head
+          require(!partNames.contains(n),
+            s"cannot widen partition column '$n' — partition directories encode its values")
+          require(schema.fieldNames.contains(n), s"no column '$n' in ${schema.simpleString}")
+          val from = schema(schema.fieldIndex(n)).dataType
+          val to = u.newDataType()
+          require((from, to) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => from == to
+          }, s"unsupported type change ${from.simpleString} -> ${to.simpleString} on '$n' — " +
+            "only int->bigint and float->double widen losslessly (files keep their " +
+            "physical type; readers upcast)")
+          // a live equality-delete segment keyed on this column carries values
+          // encoded at the OLD type — compaction folds it away first
+          require(!ManifestTables.eqDeletesOf(dir, refs).exists(e =>
+              e.column == n || reg.exists(c =>
+                !c.dropped && c.names.contains(e.column) && c.current == n)),
+            s"column '$n' keys a live equality-delete segment — compact the table first")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == n) f.copy(dataType = to) else f))
         case _ => ()
       }
       // pin the target id from the refs already read (CAS ordering rule)

@@ -1349,8 +1349,9 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
     extends Scan with Batch {
   import ManifestAggScan._
 
+  private lazy val pinnedRefs = ManifestTables.readSnapshotRefs(dir, snapshot)
   private lazy val pinned: Seq[ManifestTables.Entry] = {
-    val refs = ManifestTables.readSnapshotRefs(dir, snapshot)
+    val refs = pinnedRefs
     val entries = ManifestTables.entriesOf(dir, refs)
     // incremental aggregate: a delta is WHOLE appended files (guards enforce it),
     // so footer statistics over exactly those files answer "count/min/max of
@@ -1393,7 +1394,7 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
     else files
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestAggReaderFactory(partCols, groupCols, aggs)
+    new ManifestAggReaderFactory(partCols, groupCols, aggs, pinnedRefs.colIds)
   override def description(): String = {
     val a = aggs.map {
       case AggCountStar => "count(*)"
@@ -1406,9 +1407,19 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
 }
 
 private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
-    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec])
+    groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec],
+    colIds: Option[String] = None)
     extends PartitionReaderFactory {
   import ManifestAggScan._
+
+  // same id/name-history resolution as the data reader: footer chunks of a
+  // pre-rename file carry the OLD physical name
+  @transient private lazy val colIdReg: Seq[ManifestTables.ColId] =
+    colIds.map(ManifestTables.parseColIds).getOrElse(Nil)
+  @transient private lazy val idOf: Map[String, Int] =
+    colIdReg.filterNot(_.dropped).map(c => c.current -> c.id).toMap
+  @transient private lazy val historyOf: Map[String, Seq[String]] =
+    colIdReg.filterNot(_.dropped).map(c => c.current -> c.names).toMap
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestDataInputPartition]
@@ -1432,24 +1443,41 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
           // per-column merged (min, max) across row groups; None when any chunk
           // lacks usable stats (then the answer cannot come from the footer — fail
           // loudly rather than silently mis-aggregate)
+          val fileFields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+          val fileHasIds = fileFields.exists(_.getId != null)
+          // requested column -> this file's physical name: by FIELD ID, else name
+          // history (pre-rename files carry the old name); None = the column did
+          // not exist when this file was written (all its rows are null here), so
+          // the per-file MIN/MAX partial is null — not an error
+          def localNameOf(c: String): Option[String] = {
+            val viaId = if (!fileHasIds) None
+              else idOf.get(c).flatMap(id => fileFields.find(f =>
+                f.getId != null && f.getId.intValue == id).map(_.getName))
+            val viaName = fileFields.map(_.getName).find(historyOf.getOrElse(c, Seq(c)).contains)
+            viaId orElse viaName
+          }
           val wanted = aggs.collect { case AggMin(c, _) => c; case AggMax(c, _) => c }.distinct
           val merged = wanted.map { c =>
-            val chunks = blocks.map { b =>
-              b.getColumns.asScala.find(_.getPath.toDotString == c).getOrElse(
-                throw new IllegalStateException(s"column $c missing from ${p.file}"))
+            localNameOf(c) match {
+              case None => c -> (null: Any, null: Any) // pre-ADD file: all rows null
+              case Some(local) =>
+                val chunks = blocks.map { b =>
+                  b.getColumns.asScala.find(_.getPath.toDotString == local).getOrElse(
+                    throw new IllegalStateException(s"column $c ($local) missing from ${p.file}"))
+                }
+                val sts = chunks.map(_.getStatistics)
+                require(sts.forall(s => s != null && !s.isEmpty),
+                  s"parquet footer statistics unavailable for column $c in ${p.file} — " +
+                    "cannot serve the pushed aggregate from metadata")
+                val nonNull = sts.filter(_.hasNonNullValue)
+                lazy val ord: Ordering[Any] = scala.math.Ordering.comparatorToOrdering(
+                  nonNull.head.comparator.asInstanceOf[java.util.Comparator[Any]])
+                val mn = if (nonNull.isEmpty) null
+                  else nonNull.map(_.genericGetMin.asInstanceOf[Any]).min(ord)
+                val mx = if (nonNull.isEmpty) null
+                  else nonNull.map(_.genericGetMax.asInstanceOf[Any]).max(ord)
+                c -> (mn, mx)
             }
-            val sts = chunks.map(_.getStatistics)
-            require(sts.forall(s => s != null && !s.isEmpty),
-              s"parquet footer statistics unavailable for column $c in ${p.file} — " +
-                "cannot serve the pushed aggregate from metadata")
-            val nonNull = sts.filter(_.hasNonNullValue)
-            lazy val ord: Ordering[Any] = scala.math.Ordering.comparatorToOrdering(
-              nonNull.head.comparator.asInstanceOf[java.util.Comparator[Any]])
-            val mn = if (nonNull.isEmpty) null
-              else nonNull.map(_.genericGetMin.asInstanceOf[Any]).min(ord)
-            val mx = if (nonNull.isEmpty) null
-              else nonNull.map(_.genericGetMax.asInstanceOf[Any]).max(ord)
-            c -> (mn, mx)
           }.toMap
           (rc, merged)
         } finally reader.close()
@@ -1458,9 +1486,12 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
         def datum(v: Any, dt: DataType): Any = v match {
           case null => null
           case other => dt match {
-            case LongType | TimestampType | TimestampNTZType => other.asInstanceOf[java.lang.Long].longValue()
+            // Number, not Long/Double: a pre-widening file's footer carries the
+            // NARROW boxed type (Integer under a bigint column) — upcast losslessly
+            case LongType | TimestampType | TimestampNTZType =>
+              other.asInstanceOf[java.lang.Number].longValue()
             case IntegerType | DateType => other.asInstanceOf[java.lang.Integer].intValue()
-            case DoubleType => other.asInstanceOf[java.lang.Double].doubleValue()
+            case DoubleType => other.asInstanceOf[java.lang.Number].doubleValue()
             case FloatType => other.asInstanceOf[java.lang.Float].floatValue()
             case BooleanType => other.asInstanceOf[java.lang.Boolean].booleanValue()
             case o => throw new IllegalStateException(s"unreachable stat type $o")
@@ -1480,6 +1511,37 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
       override def close(): Unit = ()
     }
   }
+}
+
+/** Read-time upcasting view over a decoded vector: serves a WIDENED table type
+  * (bigint over an int32 file, double over a float file) without copying — the
+  * scan-time half of metadata-only type widening. Only the wide accessor is ever
+  * invoked (codegen reads by the scan's declared type); the child vector is owned
+  * and closed by the parquet reader, so close() here is a no-op.
+  */
+private[sources] final class WideningColumnVector(
+    child: org.apache.spark.sql.vectorized.ColumnVector, target: DataType)
+  extends org.apache.spark.sql.vectorized.ColumnVector(target) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls: Int = child.numNulls
+  override def isNullAt(i: Int): Boolean = child.isNullAt(i)
+  override def getLong(i: Int): Long = child.getInt(i).toLong
+  override def getDouble(i: Int): Double = child.getFloat(i).toDouble
+  private def refuse(what: String): Nothing = throw new UnsupportedOperationException(
+    s"$what on a widened ${target.simpleString} vector")
+  override def getBoolean(i: Int): Boolean = refuse("getBoolean")
+  override def getByte(i: Int): Byte = refuse("getByte")
+  override def getShort(i: Int): Short = refuse("getShort")
+  override def getInt(i: Int): Int = refuse("getInt")
+  override def getFloat(i: Int): Float = refuse("getFloat")
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    refuse("getDecimal")
+  override def getUTF8String(i: Int): UTF8String = refuse("getUTF8String")
+  override def getBinary(i: Int): Array[Byte] = refuse("getBinary")
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = refuse("getArray")
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = refuse("getMap")
+  override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector = refuse("getChild")
 }
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
@@ -1567,6 +1629,24 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     }.toMap
     val wantedLocal = resolve.values.toSet
     val readCols = fileFields.map(_.getName).filter(wantedLocal).toArray
+    // type widening (int->bigint / float->double ALTERs): a pre-widening file keeps
+    // its narrow PHYSICAL type — decode it natively, then serve the scan's wide type
+    // through an upcasting vector view (Iceberg's type-promotion read rule); an
+    // INT32/FLOAT column requested as long/double can only arise from such an ALTER
+    val widen: Set[String] = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      df.flatMap { case (n, dt) =>
+        resolve.get(n).flatMap { loc =>
+          val ft = fileFields.find(_.getName == loc).get
+          if (!ft.isPrimitive) None
+          else (ft.asPrimitiveType.getPrimitiveTypeName, dt) match {
+            case (PrimitiveTypeName.INT32, LongType) => Some(n)
+            case (PrimitiveTypeName.FLOAT, DoubleType) => Some(n)
+            case _ => None
+          }
+        }
+      }.toSet
+    }
     // schema evolution: requested data columns ABSENT from this (pre-ALTER) file are
     // served as constant nulls through initBatch's appended-constant mechanism —
     // exactly how Spark's native scan serves partition values, so the null columns
@@ -1596,7 +1676,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       val perm: Array[Int] =
         fields.map { case (n, _) =>
           if (colIdx.contains(n)) colIdx(n) else readCols.length + appendedPos(n) }
-      val identity = perm.sameElements(perm.indices)
+      val identity = perm.sameElements(perm.indices) && widen.isEmpty
       ok = true
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var permuted: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -1611,10 +1691,15 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
           if (identity) rb
           else {
             // the reader reuses its vectors across batches — build the permuted view
-            // once, only the row count changes per batch
+            // once, only the row count changes per batch (widened columns wrap in
+            // the upcasting view at the same point)
             if (permuted == null)
               permuted = new org.apache.spark.sql.vectorized.ColumnarBatch(
-                perm.map(i => rb.column(i)), rb.numRows())
+                fields.zipWithIndex.map { case ((n, dt), j) =>
+                  val src = rb.column(perm(j))
+                  if (widen.contains(n)) new WideningColumnVector(src, dt)
+                  else src
+                }, rb.numRows())
             permuted.setNumRows(rb.numRows())
             permuted
           }

@@ -2158,6 +2158,63 @@ class ManifestSourceSpec extends AnyFunSuite {
       == (0L until 20L).map(_ * 2).sum)
   }
 
+  test("type widening: int->bigint/float->double straddle, footer aggs, refusals, eq-delete guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val wh = Files.createTempDirectory("manifest_widen").toString
+    val cat = "graft_wide_" + wh.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    (0 until 10).map(i => (i, i.toFloat / 2f, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "w", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    // non-widening changes refuse (lossy / re-interpreting)
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN id TYPE STRING") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN w TYPE INT") }
+    spark.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN w TYPE DOUBLE")
+    // narrowing back refuses
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN id TYPE INT") }
+    // gen-2 append lands wide, past 2^31
+    (0 until 10).map(i => (i + 5000000000L, i + 0.25d, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "w", "p")
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(tbl)
+    def df = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    assert(df.schema("id").dataType == LongType && df.schema("w").dataType == DoubleType)
+    val wantSum = (0 until 10).map(_.toLong).sum + (0 until 10).map(i => i + 5000000000L).sum
+    assert(df.agg(sum("id")).head().getLong(0) == wantSum)
+    // predicates hit BOTH physical generations: the long filter (int32 files all
+    // skip by 'l'-kind stats), and the double filter over float-widened vectors
+    assert(df.filter(col("id") >= 5000000000L).count() == 10)
+    assert(df.filter(col("w") < 2.0d).count() == 6) // gen1 i/2<2 -> 4, gen2 i+0.25<2 -> 2
+    // footer aggregate merges Integer (gen-1) and Long (gen-2) partials
+    val mm = spark.sql(s"SELECT min(id), max(id) FROM $cat.ns.t").head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 5000000009L)
+    // time travel to the pre-widening snapshot serves the narrow int
+    assert(spark.sql(s"SELECT max(id) FROM $cat.ns.t VERSION AS OF 0").head().get(0)
+      .isInstanceOf[Int])
+    // compaction rewrites old files at the WIDE type; answers unchanged
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, 64L << 20).isDefined)
+    assert(df.agg(sum("id")).head().getLong(0) == wantSum, "compaction changed a widened column")
+    // a live equality-delete segment keyed on the column blocks widening until compaction
+    val tbl2 = s"$wh/ns/t2"
+    (0 until 6).map(i => (i, i.toLong, "a")).toDF("k", "v", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl2)
+    (0 until 3).map(i => (i, i + 100L, "a")).toDF("k", "v", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("upsertkey", "k").mode("append").save(tbl2)
+    val blocked = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.t2 ALTER COLUMN k TYPE BIGINT") }
+    assert(Iterator.iterate(blocked: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("equality-delete"))))
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl2, 64L << 20).isDefined)
+    spark.sql(s"ALTER TABLE $cat.ns.t2 ALTER COLUMN k TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.t2 WHERE k < 3").head().getLong(0) == 303L)
+  }
+
   test("CREATE TABLE / CTAS / DROP TABLE through the catalog") {
     import spark.implicits._
     val wh = Files.createTempDirectory("manifest_create").toString
