@@ -1644,6 +1644,45 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- HIDDEN PARTITIONING under the gate (Iceberg partition transforms):
+    //     the events stream lands partitioned by `days(ts), bucket(4, user_id)` —
+    //     neither column exists in the schema; the writer derives both from the
+    //     row (UTC day, murmur3 bucket of the big-endian key bytes). The query's
+    //     ordinary `ts >=` range and `user_id =` equality then prune whole FILES
+    //     through the SAME transform definitions (the require proves a strict
+    //     subset planned), while both predicates stay residual — lossy transforms
+    //     (bucket collisions, many timestamps per day) can never replace the row
+    //     filter, so answers are exact by construction. This is the partitioning
+    //     a 10^12-turn transcript table actually ships: nobody litters queries
+    //     with a derived day column, the table routes and prunes by itself. ---
+    "q63w_hidden_partitioning" -> ((s, dir) => {
+      val wh = freshTmpTable("q63w", dir)
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "days(ts),bucket(4,user_id)").mode("overwrite").save(s"$wh/ev")
+      val tbl = s.read.format("graft.sources.ManifestDataSource").load(s"$wh/ev")
+      require(tbl.schema.fieldNames.toSet ==
+        Set("event_id", "ts", "user_id", "event_type", "value"),
+        s"hidden partition columns leaked into ${tbl.schema.simpleString}")
+      val filtered = tbl.filter(
+        col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 16, 0, 0)) &&
+          col("user_id") === 7L)
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/ev").length
+      val probe = filtered.select("event_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total && planned > 0,
+        s"hidden-partition pruning planned nothing out: $planned of $total files")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2557,6 +2596,14 @@ object CorpusQueries {
         |                ELSE doc_id + 10000000000 END) AS BIGINT) AS max_id,
         |  CAST(max(CAST(n_chars AS FLOAT)) AS DOUBLE) AS max_weight
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63w: hidden partitioning is pure file ROUTING + pruning — the relational
+    // answer is the plain filtered rollup (integer-cents sum, q67's dsum pattern)
+    "q63w_hidden_partitioning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

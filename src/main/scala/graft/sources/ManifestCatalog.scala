@@ -94,29 +94,50 @@ class ManifestCatalog extends TableCatalog
 
   /** `CREATE TABLE` / CTAS: publishes an EMPTY schema-carrying snapshot 0 (the
     * same DDL + partition-spec machinery ALTER uses), so `INSERT INTO` and CTAS's
-    * follow-up write resolve against the declared schema immediately. Identity
-    * partition transforms only (the manifest layout's partitioning); partition
-    * columns must be string|int|date. The column-id registry bootstraps here, so
-    * created tables are rename/drop-evolvable from birth.
+    * follow-up write resolve against the declared schema immediately. Partitioning
+    * accepts identity columns (string|int|date) and the HIDDEN transforms
+    * `bucket(n, col)` / `days(ts)` / `truncate(w, col)` — SQL `PARTITIONED BY
+    * (days(ts), bucket(8, user_id))` works directly. The column-id registry
+    * bootstraps here, so created tables are rename/drop-evolvable from birth.
     */
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
     val dir = dirOf(ident)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(ident)
-    val partNames = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        t.references.head.fieldNames.head
-      case other => throw new UnsupportedOperationException(
-        s"manifest tables support identity partitioning only, got $other")
+    // render each Spark Transform as a `partcol` option token and reuse the ONE
+    // parser/validator the write path uses (a drifted copy would accept a spec the
+    // writer then refuses)
+    def ref1(t: org.apache.spark.sql.connector.expressions.Transform): String = {
+      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"partition transform $t must reference exactly one top-level column")
+      t.references.head.fieldNames.head
     }
-    partNames.foreach(n => require(schema.fieldNames.contains(n),
-      s"partition column '$n' is not in the declared schema"))
-    val partTypes = partNames.map(n =>
-      ManifestDataSource.partTypeNameOf(n, schema(schema.fieldIndex(n)).dataType))
-    val dataCols = schema.fieldNames.toSeq.filterNot(partNames.contains)
+    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
+      t.arguments.collectFirst {
+        case l: Literal[_] if l.value().isInstanceOf[java.lang.Integer] =>
+          l.value().asInstanceOf[java.lang.Integer].intValue()
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform $t needs an integer parameter"))
+    val tokens = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => ref1(t)
+        case "bucket" => s"bucket(${intArg(t)},${ref1(t)})"
+        case "days" => s"days(${ref1(t)})"
+        case "truncate" => s"truncate(${intArg(t)},${ref1(t)})"
+        case other => throw new UnsupportedOperationException(
+          s"manifest tables support identity/bucket/days/truncate partitioning, got $other")
+      }
+    }
+    val spec =
+      if (tokens.isEmpty) Nil
+      else ManifestDataSource.parsePartColOption(tokens.mkString(","), schema)
+    val partNames = spec.map(_.name)
+    val partTypes = spec.map(ManifestTables.typeTokenOf)
+    val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
+    val dataCols = schema.fieldNames.toSeq.filterNot(identityNames.contains)
     java.nio.file.Files.createDirectories(Paths.get(dir))
     val ok = ManifestTables.tryWriteSnapshotRefs(dir, partNames.mkString(","), Nil, Nil, 0,
       partTypes = partTypes.mkString(","), schemaDdl = Some(schema.toDDL),
@@ -142,7 +163,12 @@ class ManifestCatalog extends TableCatalog
     import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val partNames = ManifestTables.readPartitionSpec(dir).map(_.name).toSet
+    val alterSpec = ManifestTables.readPartitionSpec(dir)
+    val partNames = alterSpec.map(_.name).toSet
+    // hidden-transform SOURCE columns: the recorded partition spec names them, so
+    // rename/drop would orphan the spec (type WIDENING stays fine — int sources
+    // widen to long before hashing, so bucket values are unchanged)
+    val partSrcs = alterSpec.flatMap(_.transform.map(_.src)).toSet
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.RenameColumn |
            _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => ()
@@ -196,6 +222,9 @@ class ManifestCatalog extends TableCatalog
           val to = r.newName()
           require(!partNames.contains(from),
             s"cannot rename partition column '$from' — partition directories are laid out by name")
+          require(!partSrcs.contains(from),
+            s"cannot rename '$from' — it is the source of a hidden partition transform " +
+              "(the recorded partition spec names it)")
           require(schema.fieldNames.contains(from), s"no column '$from' in ${schema.simpleString}")
           require(!schema.fieldNames.contains(to), s"column '$to' already exists")
           require(to.matches(ManifestTables.SafeColName), s"unsupported column name '$to'")
@@ -214,6 +243,8 @@ class ManifestCatalog extends TableCatalog
             s"DROP COLUMN supports top-level columns only, got ${d.fieldNames().mkString(".")}")
           val n = d.fieldNames().head
           require(!partNames.contains(n), s"cannot drop partition column '$n'")
+          require(!partSrcs.contains(n),
+            s"cannot drop '$n' — it is the source of a hidden partition transform")
           require(schema.fieldNames.contains(n), s"no column '$n' in ${schema.simpleString}")
           require(reg.nonEmpty,
             "DROP COLUMN needs the column-id registry — bootstrap failed on unsafe names")

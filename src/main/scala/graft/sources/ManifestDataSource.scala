@@ -115,7 +115,10 @@ object ManifestDataSource {
     val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
     val base = sparkFields(fileSchema)
     val spec = ManifestTables.readPartitionSpec(dir)
-    StructType(base ++ spec.map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
+    // hidden partitioning: transform columns never surface in the table schema —
+    // their SOURCE columns are ordinary data columns already present in `base`
+    StructType(base ++ spec.filter(_.transform.isEmpty)
+      .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
   }
 
   /** Narrow partition-value types (the production partition-key set). */
@@ -150,6 +153,66 @@ object ManifestDataSource {
     case DateType => "date"
     case other => throw new IllegalArgumentException(
       s"partition column '$name' has unsupported type $other (string|int|date)")
+  }
+
+  /** `.option("partcol", ...)` grammar: comma-joined tokens, each a plain column
+    * NAME (identity) or a hidden transform `bucket(n,col)` / `days(col)` /
+    * `truncate(w,col)`. Transform partition columns get deterministic synthetic
+    * names (`col_bucketN`, `col_day`, `col_truncW`) that live only in manifests and
+    * directory layouts — never in the table schema.
+    */
+  private[sources] def parsePartColOption(opt: String,
+      incoming: StructType): Seq[ManifestTables.PartCol] = {
+    val Bucket = """bucket\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val Days = """days\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val Trunc = """truncate\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    def srcType(src: String, what: String): DataType = {
+      val i = incoming.fieldNames.indexOf(src)
+      require(i >= 0, s"$what source column '$src' missing from write schema")
+      incoming(i).dataType
+    }
+    // split on TOP-LEVEL commas only (transform arguments contain commas)
+    val tokens = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      val cur = new StringBuilder
+      opt.foreach { c =>
+        if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
+        else { if (c == '(') depth += 1 else if (c == ')') depth -= 1; cur += c }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val spec = tokens.map {
+      case Bucket(n, src) =>
+        val dt = srcType(src, "bucket")
+        require(Seq(LongType, IntegerType, StringType).contains(dt),
+          s"bucket source '$src' must be long|int|string, got $dt")
+        ManifestTables.PartCol(s"${src}_bucket$n", "int",
+          Some(ManifestTables.PartTransform("bucket", n.toInt, src)))
+      case Days(src) =>
+        val dt = srcType(src, "days")
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"days source '$src' must be a timestamp, got $dt")
+        ManifestTables.PartCol(s"${src}_day", "date",
+          Some(ManifestTables.PartTransform("days", 0, src)))
+      case Trunc(w, src) =>
+        val dt = srcType(src, "truncate")
+        require(dt == StringType, s"truncate source '$src' must be string, got $dt")
+        ManifestTables.PartCol(s"${src}_trunc$w", "string",
+          Some(ManifestTables.PartTransform("trunc", w.toInt, src)))
+      case name =>
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"malformed partcol token '$name' (name | bucket(n,col) | days(col) | truncate(w,col))")
+        ManifestTables.PartCol(name, partTypeNameOf(name, srcType(name, "partition")))
+    }
+    require(spec.map(_.name).distinct.length == spec.length,
+      s"duplicate partition column names in '$opt'")
+    spec.filter(_.transform.nonEmpty).foreach { pc =>
+      require(!incoming.fieldNames.contains(pc.name),
+        s"hidden partition column '${pc.name}' collides with a schema column — rename it")
+    }
+    spec
   }
 
   /** Canonical manifest string -> the internal datum InternalRow/ColumnVector carry. */
@@ -274,6 +337,146 @@ object ManifestDataSource {
         bounds.get(pc.name).forall(_.contains(vals(i)))
       }
     }
+
+  /** Does an entry's partition value satisfy every DAY-RANGE bound (hidden `days`
+    * partitioning: a residual `ts >= T` predicate prunes files whose day lies
+    * wholly before T's day)? Bounds are (column name, ">="|"<=", epoch day); a
+    * malformed recorded value answers true (never prune on doubt).
+    */
+  private[sources] def entryWithinDayRanges(partCols: Seq[ManifestTables.PartCol],
+      ranges: Seq[(String, String, Long)])(e: ManifestTables.Entry): Boolean =
+    ranges.isEmpty || {
+      val vals = splitPartValues(e.partition, partCols.length)
+      ranges.forall { case (name, op, day) =>
+        val i = partCols.indexWhere(_.name == name)
+        if (i < 0) true
+        else try {
+          val d = java.time.LocalDate.parse(vals(i)).toEpochDay
+          op match { case ">=" => d >= day; case "<=" => d <= day; case _ => true }
+        } catch { case _: java.time.format.DateTimeParseException => true }
+      }
+    }
+
+  /** Canonical partition value a hidden transform maps one SOURCE-column literal
+    * to, across every encoding Spark hands us: catalyst-internal V2 literal values
+    * (UTF8String, Long micros) and external V1 runtime-filter values (String,
+    * java.sql.Timestamp/Instant). None = the value's type doesn't fit the
+    * transform — contribute no bound (never prune on doubt).
+    */
+  private[sources] def transformCanonOf(pc: ManifestTables.PartCol, value: Any): Option[String] = {
+    import ManifestTables.PartTransforms._
+    pc.transform.flatMap { t =>
+      t.kind match {
+        case "bucket" => value match {
+          case l: java.lang.Long => Some(bucketLong(l.longValue(), t.param).toString)
+          case i: java.lang.Integer => Some(bucketLong(i.longValue(), t.param).toString)
+          case s: String => Some(bucketString(s, t.param).toString)
+          case u: UTF8String => Some(bucketString(u.toString, t.param).toString)
+          case _ => None
+        }
+        case "days" =>
+          epochDayOfValue(value).map(d => java.time.LocalDate.ofEpochDay(d).toString)
+        case "trunc" => value match {
+          case s: String => Some(truncString(s, t.param))
+          case u: UTF8String => Some(truncString(u.toString, t.param))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+  }
+
+  /** UTC epoch day of a timestamp literal: catalyst micros (V2), Timestamp/Instant
+    * (V1 runtime filters), LocalDateTime (NTZ externals). days() buckets by UTC day
+    * on both the write and prune sides, so session timezones never skew pruning.
+    */
+  private[sources] def epochDayOfValue(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(ManifestTables.PartTransforms.epochDayOfMicros(l.longValue()))
+    case ts: java.sql.Timestamp => Some(Math.floorDiv(ts.getTime, 86400000L))
+    case i: java.time.Instant => Some(Math.floorDiv(i.toEpochMilli, 86400000L))
+    case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate.toEpochDay)
+    case _ => None
+  }
+
+  /** `=`/`IN` over a hidden transform's SOURCE column -> exact partition-value
+    * bounds on the TRANSFORM column (one per transform fed by that source). The
+    * predicate itself stays RESIDUAL — the transform is lossy (bucket collisions,
+    * shared truncation prefixes, many timestamps per day), so this only ever
+    * REMOVES files that provably hold no matching row.
+    */
+  private[sources] def hiddenEqBounds(partCols: Seq[ManifestTables.PartCol])(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Seq[(String, Set[String])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
+    val bySrc = partCols.filter(_.transform.nonEmpty).groupBy(_.transform.get.src)
+    if (bySrc.isEmpty) return Nil
+    def boundsOf(col: String, values: Seq[Any]): Seq[(String, Set[String])] =
+      bySrc.getOrElse(col, Nil).flatMap { pc =>
+        val canoned = values.map(v => transformCanonOf(pc, v))
+        // a single untransformable literal voids the whole IN bound for this column
+        if (canoned.nonEmpty && canoned.forall(_.isDefined))
+          Some(pc.name -> canoned.flatten.toSet)
+        else None
+      }
+    (p.name(), p.children()) match {
+      case ("=", Array(r: NamedReference, l: LV[_]))
+          if r.fieldNames.length == 1 && l.value() != null =>
+        boundsOf(r.fieldNames.head, Seq(l.value()))
+      case ("=", Array(l: LV[_], r: NamedReference))
+          if r.fieldNames.length == 1 && l.value() != null =>
+        boundsOf(r.fieldNames.head, Seq(l.value()))
+      case ("IN", children) if children.length >= 2 =>
+        children.head match {
+          case r: NamedReference if r.fieldNames.length == 1 &&
+              children.tail.forall(c => c.isInstanceOf[LV[_]] &&
+                c.asInstanceOf[LV[_]].value() != null) =>
+            boundsOf(r.fieldNames.head, children.tail.map(_.asInstanceOf[LV[_]].value()).toSeq)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Range comparisons over a `days()` transform's timestamp source -> day-range
+    * bounds on the hidden date column: `ts >= T` prunes files whose day lies wholly
+    * before T's day (`>` likewise — rows above T can only live on day(T) or later),
+    * `ts <[=] T` prunes days after T's. Also residual-only, same lossiness rule.
+    */
+  private[sources] def hiddenDayRanges(partCols: Seq[ManifestTables.PartCol])(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
+    val dayCols = partCols.filter(_.transform.exists(_.kind == "days"))
+    if (dayCols.isEmpty) return Nil
+    def refOf(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    def mk(col: String, op: String, v: Any): Seq[(String, String, Long)] =
+      epochDayOfValue(v).toSeq.flatMap { d =>
+        dayCols.filter(_.transform.get.src == col).map { pc =>
+          val dayOp = op match { case ">" | ">=" => ">="; case _ => "<=" }
+          (pc.name, dayOp, d)
+        }
+      }
+    (p.name(), p.children()) match {
+      case (op @ ("<" | "<=" | ">" | ">="), Array(a, b)) =>
+        (refOf(a), b) match {
+          case (Some(c), l: LV[_]) if l.value() != null => mk(c, op, l.value())
+          case _ => (a, refOf(b)) match {
+            case (l: LV[_], Some(c)) if l.value() != null =>
+              val flipped = op match {
+                case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+              }
+              mk(c, flipped, l.value())
+            case _ => Nil
+          }
+        }
+      case _ => Nil
+    }
+  }
 
   /** The snapshot pin a reader's options request: `snapshot` (id or tag) or
     * `asOfTimestamp` (epoch ms, latest snapshot at or before it); both at once is
@@ -710,11 +913,24 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // answers), but a file whose recorded min/max provably excludes every row is
     // skipped before its footer ever opens
     statBounds = residual.flatMap(statBoundOf).toSeq
+    // HIDDEN-PARTITIONING pruning: predicates on a transform's SOURCE column map
+    // through the transform (bucket hash / UTC day / prefix) to bounds on the
+    // hidden partition column. They stay residual — lossy transforms can't replace
+    // the row filter — so this is pure file pruning, never an answer change. Note
+    // aggregate pushdown can never coexist with these bounds: Spark only pushes
+    // aggregates when NO residual filters remain, and hidden bounds only arise
+    // from residuals.
+    residual.foreach { p =>
+      ManifestDataSource.hiddenEqBounds(partCols)(p).foreach { case (c, vs) =>
+        intersect(c, vs) }
+    }
+    dayRanges = residual.flatMap(p => ManifestDataSource.hiddenDayRanges(partCols)(p)).toSeq
     acceptedV2 = absorbed.toArray
     residual
   }
 
   private var statBounds: Seq[ManifestStats.Bound] = Nil
+  private var dayRanges: Seq[(String, String, Long)] = Nil
 
   /** One residual predicate -> a min/max-testable bound, when it is a plain
     * comparison between a single DATA column and non-null literal(s). Anything
@@ -833,7 +1049,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
-        streamSkipRewrites, fmPatterns = fmPats.toSeq)
+        streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -847,7 +1063,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
     statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
     changelog: Boolean = false, streamSkipRewrites: Boolean = false,
-    fmPatterns: Seq[String] = Nil)
+    fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -880,6 +1096,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
 
   private def allowed(e: ManifestTables.Entry): Boolean =
     ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
+      ManifestDataSource.entryWithinDayRanges(partCols, dayRanges)(e) &&
       ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e) &&
       runtimeFiles.forall(_.contains(e.path)) &&
       ManifestStats.allows(e.stats, statBounds)
@@ -929,6 +1146,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     pinnedAll
       .filter(e => !baselinePaths.contains(e.path))
       .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+      .filter(ManifestDataSource.entryWithinDayRanges(partCols, dayRanges))
       .filter(fmAllowed)
   // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
   // sorted deleted positions, applied by the readers
@@ -994,8 +1212,15 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     if (rowLevel)
       Array(org.apache.spark.sql.connector.expressions.Expressions.column(
         ManifestDataSource.FileCol)).filter(c => out.contains(ManifestDataSource.FileCol))
-    else partCols.collect { case pc if out.contains(pc.name) =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(pc.name) }.toArray
+    else {
+      // hidden transforms advertise their SOURCE column (the one actually in the
+      // output): a join-side In(src, ...) runtime filter then prunes through the
+      // transform — bucket-level DPP. Safe because DPP only reduces the file list;
+      // the join itself still evaluates the real equality on every row.
+      val names = partCols.map(pc => pc.transform.map(_.src).getOrElse(pc.name))
+        .distinct.filter(out.contains)
+      names.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    }
   }
 
   /** Runtime (dynamic partition pruning / row-level group) filters: same
@@ -1007,22 +1232,30 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       ManifestDataSource.canonPartValue(partCols)(colName, v)
     def intersectFiles(vs: Set[String]): Unit =
       runtimeFiles = Some(runtimeFiles.map(_ intersect vs).getOrElse(vs))
+    def intersectValues(col: String, vs: Set[String]): Unit =
+      runtimeValues = runtimeValues.updated(col,
+        runtimeValues.get(col).map(_ intersect vs).getOrElse(vs))
+    // runtime values on a hidden transform's SOURCE column prune through the
+    // transform: every value must map (one unmappable value voids the bound —
+    // the file list must stay a superset of the true answer)
+    def hiddenIntersect(c: String, vs: Seq[Any]): Unit =
+      partCols.filter(_.transform.exists(_.src == c)).foreach { pc =>
+        val canoned = vs.map(v => ManifestDataSource.transformCanonOf(pc, v))
+        if (canoned.nonEmpty && canoned.forall(_.isDefined))
+          intersectValues(pc.name, canoned.flatten.toSet)
+      }
     filters.foreach {
       case EqualTo(c, v: String) if c == ManifestDataSource.FileCol =>
         intersectFiles(Set(v))
       case In(c, vs) if c == ManifestDataSource.FileCol =>
         intersectFiles(vs.collect { case s: String => s }.toSet)
-      case EqualTo(c, v) => canon(c, v).foreach { s =>
-        runtimeValues = runtimeValues.updated(c,
-          runtimeValues.get(c).map(_ intersect Set(s)).getOrElse(Set(s)))
-      }
+      case EqualTo(c, v) =>
+        canon(c, v).foreach(s => intersectValues(c, Set(s)))
+        if (v != null) hiddenIntersect(c, Seq(v))
       case In(c, vs) =>
         val canoned = vs.flatMap(v => canon(c, v))
-        if (canoned.length == vs.length && vs.nonEmpty) {
-          val s = canoned.toSet
-          runtimeValues = runtimeValues.updated(c,
-            runtimeValues.get(c).map(_ intersect s).getOrElse(s))
-        }
+        if (canoned.length == vs.length && vs.nonEmpty) intersectValues(c, canoned.toSet)
+        if (vs.nonEmpty && !vs.contains(null)) hiddenIntersect(c, vs.toSeq)
       case _ =>
     }
   }
@@ -1060,8 +1293,11 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     // a changelog scan mixes insert and delete views of one range — it stays a
-    // plain read and never claims key-grouped storage partitioning
-    if (partCols.isEmpty || changelog)
+    // plain read and never claims key-grouped storage partitioning. Hidden
+    // transforms likewise: their identity(name) wouldn't resolve against the scan
+    // output (the column isn't in the schema), so a transform-partitioned table
+    // reports Unknown — conservative, never wrong
+    if (partCols.isEmpty || changelog || partCols.exists(_.transform.nonEmpty))
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         pinned.count(allowed))
     else
@@ -1941,23 +2177,34 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       require(!incoming.fieldNames.contains(r),
         s"'$r' is a reserved metadata column name on manifest tables")
     }
-    // comma-joined partition column NAMES (multi-column layouts nest Hive dirs in
-    // this order); types are derived from the written schema and recorded alongside
-    val partCol = {
+    // partition SPEC: comma-joined tokens — a plain NAME (identity partitioning,
+    // the column is a real partition column) or a HIDDEN transform `bucket(n,col)` /
+    // `days(col)` / `truncate(w,col)` whose source stays a stored data column;
+    // multi-column layouts nest Hive dirs in spec order
+    val partSpec: Seq[ManifestTables.PartCol] = {
       val opt = Option(info.options.get("partcol")).getOrElse("")
       val recorded =
-        if (ManifestTables.latestSnapshotId(dir).isDefined) ManifestTables.readPartitionColumn(dir)
-        else ""
-      if (opt.nonEmpty && recorded.nonEmpty)
-        require(opt == recorded, s"table records partition columns '$recorded', write asked '$opt'")
-      if (opt.nonEmpty) opt else recorded
+        if (ManifestTables.latestSnapshotId(dir).isDefined) ManifestTables.readPartitionSpec(dir)
+        else Nil
+      val fromOpt =
+        if (opt.isEmpty) Nil else ManifestDataSource.parsePartColOption(opt, incoming)
+      if (fromOpt.nonEmpty && recorded.nonEmpty)
+        require(fromOpt == recorded,
+          s"table records partition columns '${recorded.map(ManifestTables.specTokenOf).mkString(",")}', " +
+            s"write asked '${fromOpt.map(ManifestTables.specTokenOf).mkString(",")}'")
+      if (fromOpt.nonEmpty) fromOpt else recorded
     }
-    val partColNames = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
-    partColNames.foreach { n =>
-      require(incoming.fieldNames.contains(n), s"write is missing the partition column '$n'")
+    val partCol = partSpec.map(_.name).mkString(",")
+    val partColNames = partSpec.map(_.name)
+    partSpec.filter(_.transform.isEmpty).foreach { pc =>
+      require(incoming.fieldNames.contains(pc.name),
+        s"write is missing the partition column '${pc.name}'")
     }
-    val partTypes = partColNames.map(n =>
-      ManifestDataSource.partTypeNameOf(n, incoming(incoming.fieldIndex(n)).dataType))
+    partSpec.flatMap(_.transform).foreach { t =>
+      require(incoming.fieldNames.contains(t.src),
+        s"write is missing the hidden-partition source column '${t.src}'")
+    }
+    val partTypes = partSpec.map(ManifestTables.typeTokenOf)
     // Append compatibility against the AUTHORITATIVE manifest schema, re-read here:
     // the `tschema` this builder was constructed with is the incoming DF's own
     // schema on the path-based write API (Spark hands TableProvider.getTable the
@@ -2040,7 +2287,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       .map(c => c.current -> c.id).toMap).getOrElse(Map.empty)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)),
+    new ManifestWriterFactory(dir, partCol, partTypes, schema.fields.map(f => (f.name, f.dataType)),
       writeUid, colIdOf, upsertKey.map(_._1))
 
   /** The commit point: ONE atomic snapshot publication makes every task's files
@@ -2216,7 +2463,8 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
   private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(dir, partCol, schema.fields.map(f => (f.name, f.dataType)), writeUid)
+    new ManifestWriterFactory(dir, partCol, partTypes,
+      schema.fields.map(f => (f.name, f.dataType)), writeUid)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val freshFiles = messages.flatMap {
@@ -2371,6 +2619,7 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
 
   private val writeUid = java.util.UUID.randomUUID().toString.substring(0, 8)
   private val partCol = ManifestTables.readPartitionColumn(dir)
+  private val partTypes0 = ManifestTables.readPartitionTypes(dir)
   // id stamping for UPDATE's replacement rows (rename-proof like any append)
   private val colIdOf: Map[String, Int] =
     ManifestTables.readSnapshotRefs(dir, None).colIds
@@ -2378,7 +2627,7 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
         .map(c => c.current -> c.id).toMap).getOrElse(Map.empty)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(dir, partCol, fileIdx, posIdx, rowFields,
+    new ManifestDeltaWriterFactory(dir, partCol, partTypes0, fileIdx, posIdx, rowFields,
       writeUid, insertsAllowed, colIdOf)
 
   /** ONE delete segment (+ one data segment when inserts landed) for the whole
@@ -2437,17 +2686,17 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
     }
 }
 
-private class ManifestDeltaWriterFactory(dir: String, partCol: String,
+private class ManifestDeltaWriterFactory(dir: String, partCol: String, partTypes: String,
     fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
     writeUid: String, insertsAllowed: Boolean, colIdOf: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new ManifestDeltaRowWriter(dir, partCol, fileIdx, posIdx, rowFields,
+    new ManifestDeltaRowWriter(dir, partCol, partTypes, fileIdx, posIdx, rowFields,
       partitionId, taskId, writeUid, insertsAllowed, colIdOf)
 }
 
-private class ManifestDeltaRowWriter(dir: String, partCol: String,
+private class ManifestDeltaRowWriter(dir: String, partCol: String, partTypes: String,
     fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
     partitionId: Int, taskId: Long, writeUid: String, insertsAllowed: Boolean,
     colIdOf: Map[String, Int] = Map.empty)
@@ -2456,7 +2705,8 @@ private class ManifestDeltaRowWriter(dir: String, partCol: String,
   // UPDATE's replacement rows land through the SAME writer appends use (one open
   // parquet writer per partition tuple, stats accumulated live)
   private lazy val inserts =
-    new ManifestDataWriter(dir, partCol, rowFields, partitionId, taskId, writeUid, colIdOf)
+    new ManifestDataWriter(dir, partCol, partTypes, rowFields, partitionId, taskId,
+      writeUid, colIdOf)
   private var wroteAny = false
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
@@ -2479,48 +2729,78 @@ private class ManifestDeltaRowWriter(dir: String, partCol: String,
   override def close(): Unit = ()
 }
 
-private class ManifestWriterFactory(dir: String, partCol: String,
+private class ManifestWriterFactory(dir: String, partCol: String, partTypes: String,
     fields: Array[(String, DataType)], writeUid: String,
     colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(dir, partCol, fields, partitionId, taskId, writeUid,
+    new ManifestDataWriter(dir, partCol, partTypes, fields, partitionId, taskId, writeUid,
       colIdOf, upsertKey)
 }
 
 /** Per-task writer: one open parquet-mr writer per partition-value TUPLE seen
   * (nested Hive-style `a=x/b=y/` layout in spec order, values %XX-escaped on disk
-  * but RAW — canonical-string, PartSep-joined — in the manifest).
+  * but RAW — canonical-string, PartSep-joined — in the manifest). Hidden transform
+  * columns derive their value from the SOURCE data column via PartTransforms (the
+  * one definition the scan's pruning shares); the source itself stays stored.
   */
-private class ManifestDataWriter(dir: String, partCol: String,
+private class ManifestDataWriter(dir: String, partCol: String, partTypes: String,
     fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String,
     colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
     extends DataWriter[InternalRow] {
 
-  private val partColNames: Seq[String] = if (partCol.isEmpty) Nil else partCol.split(',').toSeq
-  // (name, type, row ordinal) per partition column, in layout order
-  private val partFields: Seq[(String, DataType, Int)] = partColNames.map { n =>
-    val i = fields.indexWhere(_._1 == n)
-    require(i >= 0, s"partition column '$n' missing from write schema")
-    (n, fields(i)._2, i)
+  private val partSpec: Seq[ManifestTables.PartCol] =
+    ManifestTables.parsePartSpec(partCol, partTypes)
+  // (spec column, source row type, source row ordinal) per partition column, in
+  // layout order — a transform's source ordinal is its SOURCE data column's
+  private val partFields: Seq[(ManifestTables.PartCol, DataType, Int)] = partSpec.map { pc =>
+    val src = pc.transform.map(_.src).getOrElse(pc.name)
+    val i = fields.indexWhere(_._1 == src)
+    require(i >= 0, s"partition ${if (pc.transform.isEmpty) "column" else "source column"} " +
+      s"'$src' missing from write schema")
+    (pc, fields(i)._2, i)
   }
-  private val dataFields = fields.zipWithIndex.filter { case ((n, _), _) => !partColNames.contains(n) }
+  // identity partition columns live in the directory layout only; transform
+  // SOURCES are ordinary stored data columns
+  private val identityNames = partSpec.filter(_.transform.isEmpty).map(_.name)
+  private val dataFields = fields.zipWithIndex.filter { case ((n, _), _) => !identityNames.contains(n) }
+
+  private def requireNoSep(v: String): String = {
+    // the unit separator joins multi-column values in the manifest; a value
+    // containing it would commit fine and then make EVERY subsequent scan fail on
+    // the value-count check — reject the row loudly instead of poisoning the table
+    require(v.indexOf(ManifestTables.PartSep) < 0,
+      s"partition value contains the reserved \\u001f separator: '$v'")
+    v
+  }
 
   /** Canonical manifest string of one partition value (the inverse of
-    * ManifestDataSource.internalPartValue).
+    * ManifestDataSource.internalPartValue); transform columns compute it from the
+    * source datum.
     */
-  private def canonical(row: InternalRow, dt: DataType, ord: Int): String = dt match {
-    case StringType =>
-      val v = row.getUTF8String(ord).toString
-      // the unit separator joins multi-column values in the manifest; a value
-      // containing it would commit fine and then make EVERY subsequent scan fail on
-      // the value-count check — reject the row loudly instead of poisoning the table
-      require(v.indexOf(ManifestTables.PartSep) < 0,
-        s"partition value contains the reserved \\u001f separator: '$v'")
-      v
-    case IntegerType => row.getInt(ord).toString
-    case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong).toString
-    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  private def canonical(row: InternalRow, pc: ManifestTables.PartCol,
+      srcType: DataType, ord: Int): String = pc.transform match {
+    case None => srcType match {
+      case StringType => requireNoSep(row.getUTF8String(ord).toString)
+      case IntegerType => row.getInt(ord).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong).toString
+      case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+    }
+    case Some(t) =>
+      import ManifestTables.PartTransforms._
+      t.kind match {
+        case "bucket" => srcType match {
+          case LongType => bucketLong(row.getLong(ord), t.param).toString
+          case IntegerType => bucketLong(row.getInt(ord).toLong, t.param).toString
+          case StringType => bucketString(row.getUTF8String(ord).toString, t.param).toString
+          case other => throw new IllegalArgumentException(s"unsupported bucket source $other")
+        }
+        case "days" =>
+          java.time.LocalDate.ofEpochDay(epochDayOfMicros(row.getLong(ord))).toString
+        case "trunc" =>
+          requireNoSep(truncString(row.getUTF8String(ord).toString, t.param))
+        case other => throw new IllegalArgumentException(s"unknown transform $other")
+      }
   }
   private val messageType: MessageType = {
     val b = org.apache.parquet.schema.Types.buildMessage()
@@ -2552,8 +2832,8 @@ private class ManifestDataWriter(dir: String, partCol: String,
       // writeUid makes names globally unique — and the path is recorded only AFTER
       // the writer opened successfully, so abort() can never delete a pre-existing
       // file it merely collided with
-      val rel = partFields.zip(vals).map { case ((n, _, _), v) =>
-        s"$n=${ManifestTables.hiveEscape(v)}/" }.mkString +
+      val rel = partFields.zip(vals).map { case ((pc, _, _), v) =>
+        s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString +
         f"part-$partitionId%05d-$taskId-$writeUid-${writers.size}.parquet"
       val p = new Path(s"$dir/$rel")
       val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -2566,10 +2846,12 @@ private class ManifestDataWriter(dir: String, partCol: String,
     })
 
   override def write(row: InternalRow): Unit = {
-    val vals = partFields.map { case (n, dt, ord) =>
+    val vals = partFields.map { case (pc, dt, ord) =>
       require(!row.isNullAt(ord),
-        s"partition column '$n' may not be null (the table schema declares it non-null)")
-      canonical(row, dt, ord)
+        if (pc.transform.isEmpty)
+          s"partition column '${pc.name}' may not be null (the table schema declares it non-null)"
+        else s"hidden-partition source column '${pc.transform.get.src}' may not be null")
+      canonical(row, pc, dt, ord)
     }
     val joined = vals.mkString(ManifestTables.PartSep.toString)
     val g = factory.newGroup()

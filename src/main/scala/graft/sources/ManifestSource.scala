@@ -159,11 +159,87 @@ object ManifestTables {
   private[sources] val PartSep = '\u001f'
 
   /** Partition COLUMN spec: names + narrow value types (string | int | date — the
-    * production partition-key types; everything else stays a data column).
+    * production partition-key types; everything else stays a data column). A
+    * TRANSFORM makes the column HIDDEN (Iceberg hidden partitioning): its value
+    * derives from a source DATA column — `bucket(n, src)` (int), `days(src)` over a
+    * timestamp (date), `truncate(w, src)` over a string (string) — the source stays
+    * a stored data column, the partition column never appears in the table schema,
+    * and predicates on the SOURCE column prune files through the transform.
     */
-  private[sources] case class PartCol(name: String, tpe: String) {
+  private[sources] case class PartCol(name: String, tpe: String,
+      transform: Option[PartTransform] = None) {
     require(tpe == "string" || tpe == "int" || tpe == "date",
       s"unsupported partition type '$tpe' for column '$name' (string|int|date)")
+  }
+
+  /** kind: bucket (param = bucket count) | days (param unused) | trunc (param =
+    * prefix width); src = the DATA column the value derives from.
+    */
+  private[sources] case class PartTransform(kind: String, param: Int, src: String) {
+    require(kind == "bucket" || kind == "days" || kind == "trunc",
+      s"unknown partition transform '$kind' (bucket|days|trunc)")
+    require(kind != "bucket" || param >= 2, s"bucket($param) needs >= 2 buckets")
+    require(kind != "trunc" || param >= 1, s"truncate($param) needs width >= 1")
+  }
+
+  /** partition_types token codec: plain `tpe` for identity columns,
+    * `tpe:kind:param:src` for transforms (colons never appear in type names and the
+    * safe-name grammar bans them in column names, so the split is unambiguous).
+    */
+  private[sources] def typeTokenOf(pc: PartCol): String = pc.transform match {
+    case None => pc.tpe
+    case Some(t) => s"${pc.tpe}:${t.kind}:${t.param}:${t.src}"
+  }
+
+  /** The `.option("partcol", ...)` grammar token a spec column round-trips to —
+    * for error messages a user can paste back.
+    */
+  private[sources] def specTokenOf(pc: PartCol): String = pc.transform match {
+    case None => pc.name
+    case Some(t) => t.kind match {
+      case "bucket" => s"bucket(${t.param},${t.src})"
+      case "days" => s"days(${t.src})"
+      case _ => s"truncate(${t.param},${t.src})"
+    }
+  }
+  private[sources] def parseTypeToken(name: String, token: String): PartCol =
+    token.split(':') match {
+      case Array(tpe) => PartCol(name, tpe)
+      case Array(tpe, kind, param, src) =>
+        PartCol(name, tpe, Some(PartTransform(kind, param.toInt, src)))
+      case _ => throw new IllegalArgumentException(
+        s"malformed partition type token '$token' for column '$name'")
+    }
+
+  /** Writer/reader-side spec reconstruction from the two recorded strings. */
+  private[sources] def parsePartSpec(names: String, types: String): Seq[PartCol] = {
+    if (names.isEmpty) return Nil
+    val nameSeq = names.split(',').toSeq
+    val typeSeq = if (types.isEmpty) nameSeq.map(_ => "string") else types.split(',').toSeq
+    require(typeSeq.length == nameSeq.length,
+      s"partition spec records ${nameSeq.length} columns but ${typeSeq.length} types")
+    nameSeq.zip(typeSeq).map { case (n, t) => parseTypeToken(n, t) }
+  }
+
+  /** The transform value functions — the ONE definition the writer and the scan's
+    * pruning share (a drifted copy would prune files the writer routed elsewhere).
+    * The bucket hash is Scala's MurmurHash3 over canonical bytes (big-endian for
+    * longs, UTF-8 for strings) — stable across JVMs, part of this table format.
+    */
+  private[sources] object PartTransforms {
+    import scala.util.hashing.MurmurHash3
+    private def bucketOfBytes(b: Array[Byte], n: Int): Int =
+      Math.floorMod(MurmurHash3.bytesHash(b, 0), n)
+    def bucketLong(v: Long, n: Int): Int = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+      bucketOfBytes(b, n)
+    }
+    def bucketString(s: String, n: Int): Int =
+      bucketOfBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), n)
+    def epochDayOfMicros(us: Long): Long = Math.floorDiv(us, 86400000000L)
+    def truncString(s: String, w: Int): String = if (s.length <= w) s else s.substring(0, w)
   }
 
   // escape-aware JSON string body: any run of non-quote/non-backslash chars or \x pairs
@@ -1081,12 +1157,12 @@ object ManifestTables {
       else types.split(',').toSeq
     require(typeSeq.length == nameSeq.length,
       s"manifest under $dir records ${nameSeq.length} partition columns but ${typeSeq.length} types")
-    nameSeq.zip(typeSeq).map { case (n, t) => PartCol(n, t) }
+    nameSeq.zip(typeSeq).map { case (n, t) => parseTypeToken(n, t) }
   }
 
   private[sources] def readPartitionTypes(dir: String): String = {
     val spec = readPartitionSpec(dir)
-    if (spec.isEmpty) "" else spec.map(_.tpe).mkString(",")
+    if (spec.isEmpty) "" else spec.map(typeTokenOf).mkString(",")
   }
 
   private[sources] def readPartitionColumn(dir: String): String = {

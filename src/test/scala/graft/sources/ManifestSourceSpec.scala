@@ -2327,4 +2327,200 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ok.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
       "integer MIN/MAX should still push to the footer scan")
   }
+
+  // ------------------------------------------------- HIDDEN PARTITIONING (round 5)
+
+  /** events-shaped frame: 4 UTC days x 40 users, deterministic. */
+  private def hiddenEventsDf = {
+    import spark.implicits._
+    spark.range(400).select(
+      expr("timestamp_seconds(86400 * cast(id % 4 as bigint) + id)").as("ts"),
+      (col("id") % 40).as("user_id"),
+      concat(lit("m"), col("id")).as("msg"))
+  }
+
+  test("hidden partitioning: days(ts) + bucket(n,user_id) route files, stay out of " +
+      "the schema, and round-trip every row") {
+    val tbl = Files.createTempDirectory("manifest_hidden").toString
+    hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "days(ts),bucket(4,user_id)").mode("overwrite").save(tbl)
+    val df = dataTable(tbl)
+    // hidden columns never surface in the table schema
+    assert(df.schema.fieldNames.toSet == Set("ts", "user_id", "msg"),
+      s"hidden partition columns leaked into ${df.schema.simpleString}")
+    // the directory layout IS day/bucket nested
+    val dirs = Files.list(Paths.get(tbl)).iterator()
+    var sawDay = false
+    dirs.forEachRemaining(p => if (p.getFileName.toString.startsWith("ts_day=")) sawDay = true)
+    assert(sawDay, "expected ts_day=... directories")
+    // full fidelity
+    val got = df.orderBy("msg").collect()
+    val want = hiddenEventsDf.orderBy("msg").collect()
+    assert(got.toSeq == want.toSeq)
+    // 4 days x up to 4 buckets worth of files
+    val parts = ManifestTables.readLatest(tbl).map(_.partition).distinct
+    assert(parts.forall(_.split(ManifestTables.PartSep).length == 2))
+    assert(parts.map(_.split(ManifestTables.PartSep).head).distinct.size == 4, s"expected 4 days: $parts")
+  }
+
+  test("hidden partitioning: bucket equality and day ranges prune whole FILES; " +
+      "answers stay exact (residual predicate re-checks rows)") {
+    val tbl = Files.createTempDirectory("manifest_hidden_prune").toString
+    hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "days(ts),bucket(4,user_id)").mode("overwrite").save(tbl)
+    val total = inputPartitionCount(dataTable(tbl).select("msg"))
+    // bucket equality: user_id = 7 maps through the SAME hash the writer used
+    val byUser = dataTable(tbl).filter(col("user_id") === 7L)
+    val userFiles = inputPartitionCount(byUser.select("msg"))
+    assert(userFiles < total && userFiles > 0,
+      s"bucket pruning expected: total=$total user=$userFiles")
+    assert(byUser.count() == hiddenEventsDf.filter(col("user_id") === 7L).count())
+    // IN-list maps every value
+    val inTwo = dataTable(tbl).filter(col("user_id").isin(7L, 8L))
+    assert(inTwo.count() == hiddenEventsDf.filter(col("user_id").isin(7L, 8L)).count())
+    // day range: ts >= day 2 prunes days 0-1's files entirely
+    val t2 = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2 * 86400))
+    val byDay = dataTable(tbl).filter(col("ts") >= lit(t2))
+    val dayFiles = inputPartitionCount(byDay.select("msg"))
+    assert(dayFiles < total && dayFiles > 0,
+      s"day-range pruning expected: total=$total range=$dayFiles")
+    assert(byDay.count() == hiddenEventsDf.filter(col("ts") >= lit(t2)).count())
+    // both at once compound
+    val both = dataTable(tbl).filter(col("ts") >= lit(t2) && col("user_id") === 7L)
+    assert(inputPartitionCount(both.select("msg")) <= math.min(userFiles, dayFiles))
+    assert(both.count() ==
+      hiddenEventsDf.filter(col("ts") >= lit(t2) && col("user_id") === 7L).count())
+  }
+
+  test("hidden partitioning: truncate(w,col) prunes by prefix bucket; values with " +
+      "shared prefixes stay exact") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_hidden_trunc").toString
+    val df = Seq(("alpha", 1L), ("alps", 2L), ("beta", 3L), ("bet", 4L), ("gamma", 5L))
+      .toDF("word", "n")
+    df.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "truncate(2,word)").mode("overwrite").save(tbl)
+    val total = inputPartitionCount(dataTable(tbl).select("n"))
+    val q = dataTable(tbl).filter(col("word") === "alpha")
+    assert(inputPartitionCount(q.select("n")) < total)
+    assert(q.select("n").head().getLong(0) == 1L)
+    // prefix-sharing value routed to the same file is filtered by the residual
+    assert(dataTable(tbl).filter(col("word") === "alps").count() == 1)
+  }
+
+  test("hidden partitioning: copy-on-write UPDATE re-derives transform routing for " +
+      "rewritten rows; reads stay exact") {
+    val wh = Files.createTempDirectory("manifest_hidden_dml").toString
+    val tbl = s"$wh/ns/ev"
+    hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "days(ts),bucket(4,user_id)").mode("overwrite").save(tbl)
+    spark.conf.set("spark.sql.catalog.hiddml", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.hiddml.warehouse", wh)
+    try spark.sql("UPDATE hiddml.ns.ev SET msg = concat(msg, '!') WHERE user_id = 7")
+    finally {
+      spark.conf.unset("spark.sql.catalog.hiddml")
+      spark.conf.unset("spark.sql.catalog.hiddml.warehouse")
+    }
+    val df = dataTable(tbl)
+    assert(df.filter(col("user_id") === 7L).collect().forall(_.getAs[String]("msg").endsWith("!")))
+    assert(df.count() == 400)
+    // rewritten rows still prune by bucket (routing survived the rewrite)
+    val total = inputPartitionCount(dataTable(tbl).select("msg"))
+    val pruned = inputPartitionCount(dataTable(tbl).filter(col("user_id") === 7L).select("msg"))
+    assert(pruned < total, s"post-UPDATE bucket pruning lost: $pruned vs $total")
+  }
+
+  test("hidden partitioning: CREATE TABLE PARTITIONED BY (days(ts), bucket(n, id)) " +
+      "+ INSERT INTO prune like the option path; ALTER protects transform sources") {
+    val wh = Files.createTempDirectory("manifest_hidden_cat").toString
+    spark.conf.set("spark.sql.catalog.hidcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.hidcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE hidcat.ev (ts timestamp, user_id bigint, msg string) " +
+        "PARTITIONED BY (days(ts), bucket(4, user_id))")
+      hiddenEventsDf.createOrReplaceTempView("hidden_src")
+      spark.sql("INSERT INTO hidcat.ev SELECT * FROM hidden_src")
+      val df = spark.table("hidcat.ev")
+      assert(df.schema.fieldNames.toSet == Set("ts", "user_id", "msg"))
+      assert(df.count() == 400)
+      val total = inputPartitionCount(df.select("msg"))
+      val pruned = inputPartitionCount(
+        spark.sql("SELECT msg FROM hidcat.ev WHERE user_id = 7"))
+      assert(pruned < total && pruned > 0, s"catalog bucket pruning: $pruned vs $total")
+      // the transform SOURCE column is pinned: rename/drop would orphan the spec
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE hidcat.ev RENAME COLUMN user_id TO uid"))
+      assert(e1.getMessage.contains("hidden partition transform"))
+      val e2 = intercept[Exception](spark.sql("ALTER TABLE hidcat.ev DROP COLUMN ts"))
+      assert(e2.getMessage.contains("hidden partition transform"))
+      // renaming an unrelated column still works
+      spark.sql("ALTER TABLE hidcat.ev RENAME COLUMN msg TO message")
+      assert(spark.table("hidcat.ev").schema.fieldNames.contains("message"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.hidcat")
+      spark.conf.unset("spark.sql.catalog.hidcat.warehouse")
+    }
+  }
+
+  test("hidden partitioning: an append asking a DIFFERENT partition spec is rejected") {
+    val tbl = Files.createTempDirectory("manifest_hidden_spec").toString
+    hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "days(ts),bucket(4,user_id)").mode("overwrite").save(tbl)
+    val e = intercept[Exception] {
+      hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "days(ts),bucket(8,user_id)").mode("append").save(tbl)
+    }
+    assert(e.getMessage.contains("partition columns") &&
+      e.getMessage.contains("bucket(8,user_id)"))
+    // an append with NO partcol option inherits the recorded spec
+    hiddenEventsDf.limit(10).write.format(classOf[ManifestDataSource].getName)
+      .mode("append").save(tbl)
+    assert(dataTable(tbl).count() == 410)
+  }
+
+  test("hidden partitioning: DPP — a join's runtime filter on the bucket SOURCE " +
+      "prunes manifest files at execution") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_hidden_dpp").toString
+    hiddenEventsDf.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "bucket(4,user_id)").mode("overwrite").save(tbl)
+    val total = ManifestTables.readLatest(tbl).size
+    assert(total >= 3, s"need several bucket files for the probe, got $total")
+    // same staging as the identity-DPP test: source-backed selective dim, fact must
+    // not broadcast (a broadcast fact has no scan exchange to prune)
+    val dimDir = Files.createTempDirectory("manifest_hidden_dpp_dim").toString
+    Seq((7L, 1), (900L, 2)).toDF("uid", "grp").write.mode("overwrite").parquet(dimDir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      val fact = dataTable(tbl)
+      val dim = spark.read.parquet(dimDir)
+      val joined = fact.join(dim.filter(col("grp") === 1), fact("user_id") === dim("uid"))
+      val want = hiddenEventsDf.filter(col("user_id") === 7L).count()
+      assert(joined.count() == want)
+      joined.collect()
+      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => all(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => all(r.child)
+          case _ => Nil
+        }
+        p +: (p.children.flatMap(all) ++ inner)
+      }
+      val scans = all(joined.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains("manifest_data") => b
+      }
+      assert(scans.nonEmpty)
+      val planned = scans.map(_.inputRDD.partitions.map {
+        case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          d.inputPartitions.length
+        case _ => 1
+      }.sum).sum
+      assert(planned < total && planned > 0,
+        s"expected runtime bucket pruning: planned=$planned of $total files " +
+          s"(runtime filters: ${scans.map(_.runtimeFilters).mkString(";")})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
