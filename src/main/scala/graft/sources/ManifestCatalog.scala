@@ -322,15 +322,21 @@ class ManifestCatalog extends TableCatalog
   // the function is catalog-global, not per-table)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "fm_count"))
+    ("fm_count" +: PartitionTransformFunctions.all.keys.toSeq.sorted)
+      .map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "fm_count" => graft.functions.FmCountV2
+      // partition-transform functions: how a clustered-distribution write's
+      // bucket/days/truncate expressions bind (RequiresDistributionAndOrdering)
+      case n if PartitionTransformFunctions.all.contains(n) =>
+        PartitionTransformFunctions.all(n)
       case other =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
 
-  override def functionExists(ident: Identifier): Boolean = ident.name() == "fm_count"
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name() == "fm_count" || PartitionTransformFunctions.all.contains(ident.name())
 }

@@ -1289,22 +1289,36 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     * partition columns (each InputPartition carries its typed partition-value tuple
     * via HasPartitionKey), so two manifest tables partitioned the same way join
     * WITHOUT any shuffle when spark.sql.sources.v2.bucketing.enabled is set — the
-    * DSv2 analog of bucketed co-located joins.
+    * DSv2 analog of bucketed co-located joins. HIDDEN transform columns report
+    * their V2 TRANSFORM over the source column (`bucket(4, user_id)`): for a
+    * catalog-loaded table Spark binds it through ManifestCatalog's FunctionCatalog
+    * (canonical names match across tables, so two bucket(4)-partitioned tables
+    * joined on the SOURCE key shuffle NOTHING — Iceberg's bucket-SPJ story); a
+    * path-based load has no function catalog, so Spark's own resolution declines
+    * the partitioning and plans a plain shuffle — conservative, never wrong.
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     // a changelog scan mixes insert and delete views of one range — it stays a
-    // plain read and never claims key-grouped storage partitioning. Hidden
-    // transforms likewise: their identity(name) wouldn't resolve against the scan
-    // output (the column isn't in the schema), so a transform-partitioned table
-    // reports Unknown — conservative, never wrong
-    if (partCols.isEmpty || changelog || partCols.exists(_.transform.nonEmpty))
+    // plain read and never claims key-grouped storage partitioning
+    if (partCols.isEmpty || changelog)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         pinned.count(allowed))
-    else
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+      val exprs: Seq[Expression] = partCols.map { pc =>
+        pc.transform match {
+          case None => Expressions.identity(pc.name)
+          case Some(t) => t.kind match {
+            case "bucket" => Expressions.bucket(t.param, t.src)
+            case "days" => Expressions.days(t.src)
+            case _ => Expressions.apply("truncate",
+              Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
+          }
+        }
+      }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partCols.map(pc => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(pc.name): org.apache.spark.sql.connector.expressions.Expression).toArray,
-        pinned.filter(allowed).map(_.partition).distinct.size)
+        exprs.toArray, pinned.filter(allowed).map(_.partition).distinct.size)
+    }
   override def createReaderFactory(): PartitionReaderFactory = {
     // serializable projection spec: (name, dataType) of required fields + the
     // partition-column spec for typed constant columns. Spark requires every
@@ -2237,12 +2251,56 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
           s"upsertkey '$k' must be long|int|string, got ${incoming(i).dataType}")
         (k, incoming(i).dataType)
       }
-    new Write {
-      override def toBatch: BatchWrite =
-        new ManifestBatchWrite(dir, partCol, partTypes.mkString(","), incoming, replace,
-          note, upsertKey)
-    }
+    // `.option("distribute", "true")` requests CLUSTERED distribution over the
+    // partition expressions (Iceberg's write.distribution-mode=hash analog)
+    val distribute = Option(info.options.get("distribute")).exists(_.toBoolean)
+    new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
+      replace, note, upsertKey, distribute)
   }
+}
+
+/** The append/overwrite Write. With `.option("distribute", "true")` on a
+  * PARTITIONED table it requires CLUSTERED distribution over the partition
+  * expressions, so Spark shuffles rows until each partition tuple lives in ONE
+  * task — one output file per tuple instead of per (task x tuple), THE
+  * small-files guard for wide writes at scale (a 1000-task ingest into 400
+  * day-bucket partitions would otherwise strand up to 400k tiny files per
+  * commit). Identity columns resolve as plain references; hidden transforms
+  * resolve through ManifestCatalog's bucket/days/truncate FunctionCatalog
+  * entries — which delegate to the writer's own PartTransforms, so the shuffle
+  * key IS the file-routing key. Off by default: deliberate small-file layouts
+  * (bin-pack fixtures, per-task shard routing) stay exactly as written.
+  */
+private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
+    partCol: String, partTypes: String, schema: StructType, replace: Boolean,
+    note: String, upsertKey: Option[(String, DataType)], distribute: Boolean)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+
+  private def v2ExpressionOf(pc: ManifestTables.PartCol): Expression =
+    pc.transform match {
+      case None => Expressions.column(pc.name)
+      case Some(t) => t.kind match {
+        case "bucket" => Expressions.bucket(t.param, t.src)
+        case "days" => Expressions.days(t.src)
+        case _ => Expressions.apply("truncate",
+          Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
+      }
+    }
+
+  override def requiredDistribution(): Distribution =
+    if (!distribute || partSpec.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partSpec.map(v2ExpressionOf).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+  // 0 = no fixed width: the session's shuffle-partition count (and AQE coalescing)
+  // decides, so tiny writes don't pay a 1000-way shuffle
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: BatchWrite =
+    new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],

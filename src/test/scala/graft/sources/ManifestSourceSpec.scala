@@ -2478,6 +2478,115 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(dataTable(tbl).count() == 410)
   }
 
+  test("clustered-distribution write: distribute=true collapses per-task small " +
+      "files to one file per partition tuple (identity, path-based)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      .repartition(8)
+    val tblA = Files.createTempDirectory("manifest_dist_a").toString
+    docs.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tblA)
+    val defaultFiles = ManifestTables.readLatest(tblA).size
+    val tblB = Files.createTempDirectory("manifest_dist_b").toString
+    docs.write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").option("distribute", "true")
+      .mode("overwrite").save(tblB)
+    val clusteredFiles = ManifestTables.readLatest(tblB).size
+    // 5 languages: the clustered write lands exactly one file per partition value;
+    // the default per-task layout strands (tasks x values) files
+    assert(clusteredFiles == 5, s"expected 5 clustered files, got $clusteredFiles")
+    assert(defaultFiles > clusteredFiles,
+      s"expected per-task fan-out without distribution: $defaultFiles vs $clusteredFiles")
+    // same rows either way
+    assert(dataTable(tblB).orderBy("doc_id").collect().toSeq ==
+      dataTable(tblA).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("clustered-distribution write: hidden transforms shuffle through the " +
+      "catalog's bucket/days functions — one file per (day, bucket) tuple") {
+    val wh = Files.createTempDirectory("manifest_dist_hidden").toString
+    spark.conf.set("spark.sql.catalog.distcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.distcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE distcat.ev (ts timestamp, user_id bigint, msg string) " +
+        "PARTITIONED BY (days(ts), bucket(4, user_id))")
+      hiddenEventsDf.repartition(8)
+        .writeTo("distcat.ev").option("distribute", "true").append()
+      // expected file count = distinct (UTC day, murmur3 bucket) tuples of the data
+      val expect = hiddenEventsDf.collect().map { r =>
+        val micros = r.getAs[Any]("ts") match {
+          case i: java.time.Instant => i.toEpochMilli * 1000L
+          case t: java.sql.Timestamp => t.getTime * 1000L
+          case other => fail(s"unexpected ts external type ${other.getClass}")
+        }
+        val day = ManifestTables.PartTransforms.epochDayOfMicros(micros)
+        val bucket = ManifestTables.PartTransforms.bucketLong(r.getAs[Long]("user_id"), 4)
+        (day, bucket)
+      }.distinct.length
+      val files = ManifestTables.readLatest(s"$wh/ev").size
+      assert(files == expect,
+        s"clustered transform write should land one file per tuple: $files vs $expect")
+      assert(spark.table("distcat.ev").count() == 400)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.distcat")
+      spark.conf.unset("spark.sql.catalog.distcat.warehouse")
+    }
+  }
+
+  test("bucket SPJ: two bucket(4,user_id)-partitioned catalog tables join on the " +
+      "SOURCE key with NO shuffle (storage-partitioned join through the transform)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_spj_bucket").toString
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    val prev = (spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE spjcat.ev (ts timestamp, user_id bigint, msg string) " +
+        "PARTITIONED BY (bucket(4, user_id))")
+      spark.sql("CREATE TABLE spjcat.users (user_id bigint, tier string) " +
+        "PARTITIONED BY (bucket(4, user_id))")
+      hiddenEventsDf.writeTo("spjcat.ev").option("distribute", "true").append()
+      (0L until 40L).map(u => (u, if (u % 2 == 0) "free" else "pro")).toDF("user_id", "tier")
+        .writeTo("spjcat.users").option("distribute", "true").append()
+      val joined = spark.sql(
+        """SELECT u.tier, count(*) AS n FROM spjcat.ev e JOIN spjcat.users u
+          |ON e.user_id = u.user_id GROUP BY u.tier ORDER BY u.tier""".stripMargin)
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("free", 200L), ("pro", 200L)), s"wrong join answer: $got")
+      // the JOIN subtree must be exchange-free (the later GROUP BY tier / ORDER BY
+      // legitimately shuffle — tier is not the partition key)
+      def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => all(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => all(r.child)
+          case _ => Nil
+        }
+        p +: (p.children.flatMap(all) ++ inner)
+      }
+      val join = all(joined.queryExecution.executedPlan).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.nonEmpty, "plan lost its join")
+      val sub = all(join.get)
+      assert(!sub.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"expected a shuffle-free bucket storage-partitioned join:\n${join.get.toString.take(2000)}")
+    } finally {
+      prev._1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._2)
+      spark.conf.unset("spark.sql.catalog.spjcat")
+      spark.conf.unset("spark.sql.catalog.spjcat.warehouse")
+    }
+  }
+
   test("hidden partitioning: DPP — a join's runtime filter on the bucket SOURCE " +
       "prunes manifest files at execution") {
     import spark.implicits._
