@@ -1683,6 +1683,38 @@ object CorpusQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- CLUSTERED-DISTRIBUTION WRITE under the gate (Iceberg
+    //     write.distribution-mode=hash): an 8-task ingest into a days+bucket
+    //     hidden-partitioned table would strand up to (tasks x tuples) small
+    //     files; `.option("distribute", "true")` makes the write REQUIRE clustered
+    //     distribution over the partition expressions — Spark shuffles rows
+    //     through the catalog's bucket/days functions (the writer's own transform
+    //     definitions) so each tuple lands in ONE task. The require proves the
+    //     invariant exactly: files committed == distinct partition tuples. ---
+    "q63x_clustered_write" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63x", dir)
+      val cat = s"graft_q63x_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.ev
+               |  (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+               |   event_type STRING, value DOUBLE)
+               |  PARTITIONED BY (days(ts), bucket(4, user_id))""".stripMargin)
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .repartition(8, col("event_id"))
+        .writeTo(s"$cat.ev").option("distribute", "true").append()
+      val entries = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/ev")
+      val tuples = entries.map(_._3).distinct.length
+      require(entries.length == tuples && tuples > 0,
+        s"clustered write must land ONE file per partition tuple: " +
+          s"${entries.length} files over $tuples tuples")
+      s.sql(s"""SELECT user_id, event_type, count(*) AS n,
+               |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+               |FROM $cat.ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2604,6 +2636,12 @@ object CorpusQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND user_id = 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63x: distribution only changes the FILE layout — the relational answer is
+    // the plain per-user/type rollup
+    "q63x_clustered_write" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
