@@ -1715,6 +1715,28 @@ object CorpusQueries {
                |FROM $cat.ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    // --- METADATA TABLES under the gate (Iceberg's inspection surface): three
+    //     coalesce(1) appends make the table's history fully DERIVABLE — snapshot
+    //     r holds one segment per append so far and one file per (append,
+    //     distinct lang) — so `cat.ns.docs.snapshots` itself is oracle-checked
+    //     against the relational derivation of the history. ---
+    "q63y_snapshots_meta" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63y", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      (0 until 3).foreach { r =>
+        docs.filter(col("doc_id") % 3 === r).coalesce(1)
+          .write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")
+      }
+      val cat = s"graft_q63y_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""SELECT snapshot_id, segments, data_files
+               |FROM $cat.corpus.docs.snapshots ORDER BY snapshot_id""".stripMargin)
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2642,6 +2664,15 @@ object CorpusQueries {
       """SELECT user_id, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q63y: the snapshots metadata table == the relational derivation of the
+    // history — snapshot r carries r+1 one-per-append segments and cumulatively
+    // one file per (append, distinct lang)
+    "q63y_snapshots_meta" ->
+      """WITH per AS (
+        |  SELECT doc_id % 3 AS r, count(DISTINCT lang) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(p.r AS BIGINT) AS snapshot_id, CAST(p.r + 1 AS INT) AS segments,
+        |  CAST((SELECT sum(n) FROM per p2 WHERE p2.r <= p.r) AS BIGINT) AS data_files
+        |FROM per p ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -62,8 +62,52 @@ class ManifestCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir))
+      return metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
     new ManifestDataTable(dir, ManifestDataSource.tableSchema(dir))
+  }
+
+  /** Iceberg-style METADATA tables by name suffix: `cat.ns.t.files` (live data
+    * files + partition values), `cat.ns.t.snapshots` (history: id, commit time,
+    * note, segment counts, live file count), `cat.ns.t.tags` (named refs). Served
+    * only when the suffix does NOT shadow a real table directory (a genuine table
+    * named `files` wins; list it the normal way).
+    */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    import org.apache.spark.sql.types._
+    if (ident.namespace().isEmpty) return None
+    val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
+    if (!isTable(parent)) return None
+    ident.name() match {
+      case "files" => Some(new ManifestFilesTable(parent))
+      case "snapshots" =>
+        val schema = new StructType()
+          .add("snapshot_id", LongType, nullable = false)
+          .add("committed_at", TimestampType, nullable = false)
+          .add("note", StringType, nullable = true)
+          .add("segments", IntegerType, nullable = false)
+          .add("delete_segments", IntegerType, nullable = false)
+          .add("eq_delete_segments", IntegerType, nullable = false)
+          .add("data_files", LongType, nullable = false)
+        Some(new ManifestMetaTable(s"manifest_snapshots($parent)", schema, () =>
+          ManifestTables.snapshotIds(parent).map { id =>
+            val refs = ManifestTables.readSnapshotRefs(parent, Some(id))
+            // data_files reads the snapshot's full entry list — an explicitly
+            // O(history x segments) introspection column, priced here, not hidden
+            Seq[Any](id.toLong, ManifestTables.snapshotTimestamp(parent, id) * 1000L,
+              ManifestTables.noteOfSnapshot(parent, id).orNull,
+              refs.segments.length, refs.deletes.length, refs.eqDeletes.length,
+              ManifestTables.readSnapshot(parent, Some(id)).size.toLong)
+          }))
+      case "tags" =>
+        val schema = new StructType()
+          .add("tag", StringType, nullable = false)
+          .add("snapshot_id", LongType, nullable = false)
+        Some(new ManifestMetaTable(s"manifest_tags($parent)", schema, () =>
+          ManifestTables.listTags(parent).map { case (n, id) =>
+            Seq[Any](n, id.toLong) }))
+      case _ => None
+    }
   }
 
   /** SQL `VERSION AS OF <n>` — serves the pinned committed snapshot. */

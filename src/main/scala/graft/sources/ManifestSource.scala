@@ -1036,6 +1036,11 @@ object ManifestTables {
     s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head).map(m => jsonUnescape(m.group(1)))
   }
 
+  /** Commit note of one snapshot by id (the `.snapshots` metadata table's column). */
+  private[sources] def noteOfSnapshot(dir: String, id: Int): Option[String] =
+    noteOf(Paths.get(dir, "_manifests", f"snapshot-$id%05d.json").toString)
+      .filter(_.nonEmpty)
+
   /** The fixed-size head of a snapshot file — THE probe both the note reader and
     * the timestamp reader share; every head field must stay inside it.
     */
@@ -1221,6 +1226,54 @@ private class ManifestFilesTable(dir: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(dir)
+}
+
+/** Driver-computed METADATA tables served by NAME through ManifestCatalog
+  * (`cat.ns.t.snapshots`, `cat.ns.t.tags`; `cat.ns.t.files` reuses
+  * ManifestFilesTable) — Iceberg's table-inspection surface. Row counts are
+  * bounded by table HISTORY, so one InputPartition computed at plan time (the
+  * same snapshot-pinning rule every other scan follows) is the right shape.
+  * Values ship as external scalars (String/Long/Int/null) and convert to
+  * catalyst form in the reader.
+  */
+private[sources] class ManifestMetaTable(tableName: String, tschema: StructType,
+    compute: () => Seq[Seq[Any]]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private lazy val rows = compute() // pinned at plan time, on the driver
+        override def readSchema(): StructType = tschema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MetaRowsPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new MetaRowsReaderFactory(tschema)
+        override def description(): String = tableName
+      }
+    }
+}
+
+private case class MetaRowsPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+private class MetaRowsReaderFactory(tschema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = partition.asInstanceOf[MetaRowsPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        cur.zip(tschema.fields.toSeq).map {
+          case (null, _) => null
+          case (v: String, f) if f.dataType == StringType => UTF8String.fromString(v)
+          case (v, _) => v
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private class ManifestScanBuilder(dir: String)

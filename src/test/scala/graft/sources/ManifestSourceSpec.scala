@@ -2533,6 +2533,47 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables by name: cat.ns.t.files / .snapshots / .tags serve the " +
+      "table's inspection surface in plain SQL") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_meta_tbl").toString
+    val tbl = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode("append").save(tbl)
+    append((1L, "a"), (2L, "b")) // snapshot 0: 2 files
+    append((3L, "a"))            // snapshot 1: +1 file
+    ManifestTables.tagLatest(tbl, "v1")
+    append((4L, "c"))            // snapshot 2: +1 file
+    spark.conf.set("spark.sql.catalog.metacat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metacat.warehouse", wh)
+    try {
+      val files = spark.sql("SELECT path, partition FROM metacat.ns.t.files ORDER BY path")
+        .collect()
+      assert(files.length == 4)
+      assert(files.map(_.getString(1)).sorted.toSeq == Seq("a", "a", "b", "c"))
+      val snaps = spark.sql(
+        "SELECT snapshot_id, segments, data_files, note FROM metacat.ns.t.snapshots " +
+          "ORDER BY snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.isNullAt(3)))
+      assert(snaps.toSeq == Seq((0L, 1, 2L, true), (1L, 2, 3L, true), (2L, 3, 4L, true)),
+        s"snapshots metadata mismatch: ${snaps.toSeq}")
+      // committed_at is a real, non-decreasing timestamp
+      val ts = spark.sql("SELECT committed_at FROM metacat.ns.t.snapshots ORDER BY snapshot_id")
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(ts.length == 3 && ts.sorted.toSeq == ts.toSeq && ts.head > 0L)
+      val tags = spark.sql("SELECT tag, snapshot_id FROM metacat.ns.t.tags").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(tags.toSeq == Seq(("v1", 1L)))
+      // a missing suffix still errors like a missing table
+      intercept[Exception](spark.sql("SELECT * FROM metacat.ns.t.nope").collect())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.metacat")
+      spark.conf.unset("spark.sql.catalog.metacat.warehouse")
+    }
+  }
+
   test("bucket SPJ: two bucket(4,user_id)-partitioned catalog tables join on the " +
       "SOURCE key with NO shuffle (storage-partitioned join through the transform)") {
     import spark.implicits._
