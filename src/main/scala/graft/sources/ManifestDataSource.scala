@@ -1376,14 +1376,32 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
     statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false,
     changelog: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => StreamOffset}
 
   override def initialOffset(): StreamOffset =
     ManifestStreamOffset(startSnapshot.getOrElse(-1))
 
-  override def latestOffset(): StreamOffset =
-    ManifestStreamOffset(ManifestTables.latestSnapshotId(dir).getOrElse(-1))
+  // Trigger.AvailableNow: the end snapshot is PINNED when the trigger prepares —
+  // the run drains exactly the table as it stood then and terminates, no matter
+  // what concurrent committers append meanwhile (the native semantics; without
+  // this Spark warned and fell back to one unguarded batch)
+  @volatile private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ManifestTables.latestSnapshotId(dir).getOrElse(-1))
+
+  private def currentEnd: StreamOffset =
+    ManifestStreamOffset(availableNowEnd.getOrElse(
+      ManifestTables.latestSnapshotId(dir).getOrElse(-1)))
+
+  override def latestOffset(): StreamOffset = currentEnd
+  // admission-control form (what Spark actually calls once
+  // SupportsTriggerAvailableNow is implemented); snapshots are the offset unit,
+  // so allAvailable is the only meaningful limit
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset =
+    currentEnd
 
   override def deserializeOffset(json: String): StreamOffset = {
     val m = """"snapshot"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
