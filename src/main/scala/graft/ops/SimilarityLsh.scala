@@ -115,9 +115,15 @@ object SimilarityLsh {
       maxBucket: Option[Int] = None, guardKey: Option[String] = None): DataFrame = {
     val keys = Seq("band_idx", "band_val") ++ matchCols
     maxBucket match {
-      case None if fanoutGuardThreshold > 0 &&
-          guardKey.forall(k => guarded.add((k, fanoutGuardThreshold))) =>
-        fanoutWarning(bandsDf, keys, fanoutGuardThreshold)
+      case None if fanoutGuardThreshold > 0 => {
+        // callers without a stable corpus key memoize on the band frame's semantic
+        // plan hash — a repeated identical call (bench min-of-N reruns, shared
+        // bands across queries) must not re-pay the guard's aggregation each time
+        val gk = guardKey.getOrElse(
+          s"plan:${bandsDf.queryExecution.logical.semanticHash()}")
+        if (guarded.add((gk, fanoutGuardThreshold)))
+          fanoutWarning(bandsDf, keys, fanoutGuardThreshold)
+      }
       case _ =>
     }
     val capped = maxBucket match {

@@ -275,6 +275,14 @@ class ManifestCatalog extends TableCatalog
           require(reg.nonEmpty,
             s"RENAME COLUMN needs the column-id registry — table columns carry names " +
               "outside the safe grammar, so files could not be resolved after a rename")
+          // an in-schema column the registry never tracked (ADDed under a name
+          // outside the safe grammar) must refuse too: the rename would "succeed"
+          // as a pure DDL edit, but reads of the new name could never resolve the
+          // old physical field — every pre-rename row would null-fill silently
+          require(reg.exists(c => !c.dropped && c.current == from),
+            s"column '$from' is not tracked in the column-id registry (it was added " +
+              "under a name outside the safe grammar) — renaming it would orphan its " +
+              "existing data; copy it into a fresh safely-named column instead")
           require(!allHistoricNames.contains(to),
             s"column name '$to' was used before (renamed or dropped) — reuse would be " +
               "ambiguous for data files without field ids; pick a fresh name")
@@ -292,6 +300,13 @@ class ManifestCatalog extends TableCatalog
           require(schema.fieldNames.contains(n), s"no column '$n' in ${schema.simpleString}")
           require(reg.nonEmpty,
             "DROP COLUMN needs the column-id registry — bootstrap failed on unsafe names")
+          // same rule as RENAME: an untracked column has no retired id to record,
+          // so the name-reuse ban could not protect it — a later same-name ADD
+          // would silently resurrect the dropped data from old files
+          require(reg.exists(c => !c.dropped && c.current == n),
+            s"column '$n' is not tracked in the column-id registry (it was added " +
+              "under a name outside the safe grammar) — dropping it could not be " +
+              "protected against name reuse; leave it in place")
           // a live equality delete keyed on this column could no longer address
           // its rows — compaction folds it away first
           require(!ManifestTables.eqDeletesOf(dir, refs).exists(e =>

@@ -794,7 +794,11 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         inlineSurvivors, newSegs, next,
         partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes,
+        // a positional segment whose every referenced file this DELETE just removed
+        // is dangling — carrying it would pin scans in row mode and block footer
+        // aggregates until some compaction happens by (same fold rule as eqDeletes)
+        deletes = ManifestTables.livePositionalDeletes(dir, refs.deletes,
+          survivors.map(_.path).toSet),
         eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, survivors),
         colIds = refs.colIds)
       if (!done) {
@@ -2064,8 +2068,10 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
           val set = d.values.map(_.toInt).toSet
           (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getInt(ord))
         case _ =>
-          val set = d.values.toSet
-          (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getUTF8String(ord).toString)
+          // probe with UTF8String's own equals/hashCode: a per-row
+          // UTF8String -> String copy in this hot loop is pure GC pressure
+          val set = d.values.map(UTF8String.fromString).toSet
+          (r: InternalRow) => !r.isNullAt(ord) && set.contains(r.getUTF8String(ord))
       }
     }.toArray
     val posIdx = fields.indexWhere(_._1 == ManifestDataSource.PosCol)
@@ -2405,9 +2411,12 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         val freshSeg =
           if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
         // upsert: ONE equality-delete segment over the batch's distinct keys, at
-        // the same sequence — applies to every OLDER file, never to this batch's
+        // the same sequence — applies to every OLDER file, never to this batch's.
+        // A bootstrap or overwrite upsert has no older file to apply to: writing
+        // the segment anyway would publish it SPENT at birth, pinning scans in row
+        // mode and blocking footer aggregates until a compaction folds it.
         val eqSeg = upsertKey.collect {
-          case (k, dt) if upsertValues.nonEmpty =>
+          case (k, dt) if upsertValues.nonEmpty && !(replace || latest.isEmpty) =>
             ManifestTables.writeEqDeleteSegment(dir, ManifestTables.EqDelete(
               k, ManifestDataSource.eqTypeNameOf(dt), next, upsertValues))
         }

@@ -219,11 +219,27 @@ object ManifestMaintenance {
       (c, mn, mx)
     }
     val C = zCols.length
-    // 16-bit normalized rank per column (integer div — exact), then bit interleave:
-    // bit i of column c lands at z-bit i*C + c. Disjoint bits, so + assembles them.
+    // 16-bit normalized rank per column, then bit interleave: bit i of column c
+    // lands at z-bit i*C + c. Disjoint bits, so + assembles them.
     val norms = bounds.map { case (c, mn, mx) =>
-      val range = math.max(1L, mx - mn)
-      s"least(65535L, greatest(0L, ((CAST($c AS BIGINT) - ${mn}L) * 65535L) div ${range}L))"
+      // range computed in BigInt: mx - mn itself overflows a long when mn is
+      // deeply negative
+      val range = BigInt(mx) - BigInt(mn)
+      if (range <= (BigInt(1) << 47)) {
+        // exact integer path: range < 2^47 keeps (v - mn) * 65535 inside a long
+        val r = math.max(1L, range.toLong)
+        s"least(65535L, greatest(0L, ((CAST($c AS BIGINT) - ${mn}L) * 65535L) div ${r}L))"
+      } else {
+        // astronomic ranges (snowflake-style ids, epoch-micros-as-bigint): the
+        // integer multiply would WRAP and silently destroy the layout (ranks
+        // clamp to 0, files end up unclustered while the rewrite reports
+        // success) — rank in double space instead. Precision loss moves bucket
+        // edges by ~1 ulp of the range; the z-key only drives LAYOUT, answers
+        // never depend on it.
+        val step = (range.toDouble max 1.0) / 65536.0
+        s"least(65535L, greatest(0L, CAST(floor((CAST($c AS DOUBLE) - " +
+          s"CAST(${mn}L AS DOUBLE)) / CAST($step AS DOUBLE)) AS BIGINT)))"
+      }
     }
     clusterRewrite(spark, dir, zCols, targetBytes, { (df, nOut) =>
       val withNorms = norms.zipWithIndex.foldLeft(df) { case (d, (n, c)) =>

@@ -545,6 +545,16 @@ object ManifestTables {
       names.filter(n => readEqDeleteSegment(dir, n).seq > minSeq)
     }
 
+  /** Positional-delete segment names still referencing at least one LIVE path — a
+    * segment whose every referenced file left the table (whole-file DELETE,
+    * copy-on-write rewrite) is dangling, and carrying it would pin every scan in
+    * row mode and block footer aggregates indefinitely on a table compaction never
+    * happens to touch.
+    */
+  private[sources] def livePositionalDeletes(dir: String, names: Seq[String],
+      livePaths: Set[String]): Seq[String] =
+    names.filter(d => readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
+
   // ------------------------------------------------------------- column-id registry
   // Iceberg's field-id indirection on this layout: every DATA column owns a stable
   // integer id; new parquet files stamp the id into their footer schema, so RENAME
@@ -802,8 +812,7 @@ object ManifestTables {
         // referenced path has left the table (dangling after copy-on-write
         // rewrites or whole-file deletes)
         val livePaths = entries.map(_.path).toSet
-        val liveDels = refs.deletes.filter(d =>
-          readDeleteSegment(dir, d).keysIterator.exists(livePaths.contains))
+        val liveDels = livePositionalDeletes(dir, refs.deletes, livePaths)
         val next = latest.get + 1
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
             partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl,

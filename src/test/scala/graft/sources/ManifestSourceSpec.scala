@@ -2533,6 +2533,111 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata DELETE folds positional-delete segments left dangling by the " +
+      "removed files; bootstrap/overwrite upserts publish no spent eq segment") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_fold_dangling").toString
+    val tbl = s"$wh/ns/t"
+    Seq((1L, "a"), (2L, "a")).toDF("id", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(tbl)
+    Seq((3L, "b")).toDF("id", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(tbl)
+    spark.conf.set("spark.sql.catalog.foldcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.foldcat.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM foldcat.ns.t WHERE id = 1") // positional delta in p=a
+      assert(ManifestTables.readSnapshotRefs(tbl, None).deletes.nonEmpty)
+      spark.conf.unset("spark.graft.manifest.deleteMode")
+      // metadata-only partition DELETE removes every file the delta references
+      spark.sql("DELETE FROM foldcat.ns.t WHERE p = 'a'")
+      val refs = ManifestTables.readSnapshotRefs(tbl, None)
+      assert(refs.deletes.isEmpty,
+        s"dangling positional segment must fold with its files: ${refs.deletes}")
+      // ...so the footer-aggregate fast path is back immediately
+      val agg = dataTable(tbl).agg(count(lit(1)), min("id"))
+      agg.collect()
+      assert(agg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+        "aggregate should push to footers once no delete segment is live")
+      assert(dataTable(tbl).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    } finally {
+      spark.conf.unset("spark.graft.manifest.deleteMode")
+      spark.conf.unset("spark.sql.catalog.foldcat")
+      spark.conf.unset("spark.sql.catalog.foldcat.warehouse")
+    }
+    // a FIRST (bootstrap) upsert has no older file to delete from: no segment
+    val tbl2 = s"$wh/ns/u"
+    Seq((1L, "x", "a")).toDF("id", "v", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").option("upsertkey", "id").mode("append").save(tbl2)
+    assert(ManifestTables.readSnapshotRefs(tbl2, None).eqDeletes.isEmpty,
+      "bootstrap upsert must not publish a spent-at-birth eq-delete segment")
+    // the second upsert targets real older files and does
+    Seq((1L, "y", "a")).toDF("id", "v", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").option("upsertkey", "id").mode("append").save(tbl2)
+    assert(ManifestTables.readSnapshotRefs(tbl2, None).eqDeletes.length == 1)
+    assert(dataTable(tbl2).select("v").collect().map(_.getString(0)).toSeq == Seq("y"))
+  }
+
+  test("RENAME/DROP of a column the registry never tracked (unsafe name) refuses " +
+      "instead of orphaning its data") {
+    val wh = Files.createTempDirectory("manifest_untracked").toString
+    spark.conf.set("spark.sql.catalog.regcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.regcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE regcat.ns.t (id BIGINT, p STRING) PARTITIONED BY (p)")
+      spark.sql("ALTER TABLE regcat.ns.t ADD COLUMN `bad name` INT")
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE regcat.ns.t RENAME COLUMN `bad name` TO good"))
+      assert(e1.getMessage.contains("not tracked"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE regcat.ns.t DROP COLUMN `bad name`"))
+      assert(e2.getMessage.contains("not tracked"), e2.getMessage)
+      // tracked columns still rename fine
+      spark.sql("ALTER TABLE regcat.ns.t RENAME COLUMN id TO ident")
+      assert(spark.table("regcat.ns.t").schema.fieldNames.contains("ident"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.regcat")
+      spark.conf.unset("spark.sql.catalog.regcat.warehouse")
+    }
+  }
+
+  test("zorderBy survives astronomic column ranges: ranks stay spread (no integer " +
+      "wrap) and range predicates still skip files") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_zorder_wide").toString
+    // ids span ~9.2e17 — (v - mn) * 65535 would wrap a long and clamp every rank
+    // to the SAME value, silently destroying the layout
+    val df = spark.range(512).select(
+      (col("id") * 1800000000000000L).as("wide_id"),
+      (col("id") % 17).as("k"),
+      lit("x").as("p"))
+    df.orderBy(expr("hash(wide_id)")) // adversarial ingest order
+      .repartition(8)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    val total = ManifestTables.readLatest(tbl).size
+    ManifestMaintenance.zorderBy(spark, tbl, Seq("wide_id", "k"), targetBytes = 2048L)
+    val afterFiles = ManifestTables.readLatest(tbl).size
+    assert(afterFiles > 1, s"need multiple clustered files for a skipping probe")
+    val q = dataTable(tbl)
+      .filter(col("wide_id") >= 100000000000000000L && col("wide_id") < 300000000000000000L)
+      .select("k")
+    q.collect()
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+    assert(planned < afterFiles && planned > 0,
+      s"wide-range z-order must still skip: planned=$planned of $afterFiles files")
+    assert(q.count() ==
+      df.filter(col("wide_id") >= 100000000000000000L &&
+        col("wide_id") < 300000000000000000L).count())
+  }
+
   test("metadata tables by name: cat.ns.t.files / .snapshots / .tags serve the " +
       "table's inspection surface in plain SQL") {
     import spark.implicits._

@@ -20,8 +20,17 @@ def load(path):
 
 def main():
     runs = [load(p) for p in sys.argv[1:]]
-    names = set(runs[0])
-    minima = {q: min(r[q] for r in runs if q in r and r[q] >= 0) for q in names}
+    # union across runs (a query present only in later runs still counts), and a
+    # query with no usable (>= 0) time anywhere is reported, not a min() crash
+    names = set().union(*runs)
+    minima = {}
+    for q in sorted(names):
+        vals = [r[q] for r in runs if q in r and r[q] >= 0]
+        if vals:
+            minima[q] = min(vals)
+        else:
+            print(f"WARNING: {q} has no usable time in any run (skipped/failed)")
+    names = set(minima)
 
     r3 = load("bench/bench_round3_76q_full.json")
     r4 = load("bench/bench_round4_102q_catalog.json")
