@@ -101,7 +101,12 @@ object ManifestDataSource {
     // falls through (refs with no inline entries and no segments) — a snapshot whose
     // referenced segment is missing is corruption and must fail loudly here, not be
     // silently served from older data
-    val entries = ManifestTables.snapshotIds(dir).reverseIterator
+    // only the PINNED history: a pinned read must derive its schema (and its
+    // first-file sample) from snapshots at or before the pin — an overwrite that
+    // later redefined the partition spec would otherwise leak its data layout
+    // into the time-travel schema (duplicate/mislabeled partition columns)
+    val entries = ManifestTables.snapshotIds(dir)
+      .filter(id => snapshot.forall(id <= _)).reverseIterator
       .map { id =>
         val refs = ManifestTables.readSnapshotRefs(dir, Some(id))
         if (refs.inline.isEmpty && refs.segments.isEmpty) Nil
@@ -114,7 +119,7 @@ object ManifestDataSource {
     val reader = ParquetFileReader.open(in)
     val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
     val base = sparkFields(fileSchema)
-    val spec = ManifestTables.readPartitionSpec(dir)
+    val spec = ManifestTables.readPartitionSpec(dir, snapshot)
     // hidden partitioning: transform columns never surface in the table schema —
     // their SOURCE columns are ordinary data columns already present in `base`
     StructType(base ++ spec.filter(_.transform.isEmpty)
@@ -719,7 +724,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // A BATCH changelog needs startSnapshot (checked at toBatch); a STREAMING
     // changelog without one starts with a state load and follows changes forever.
     val changelog = options.getBoolean("changelog", false)
-    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir),
+    // the PINNED snapshot's own partition spec: an overwrite may have redefined
+    // the partitioning since — interpreting old entries with the new spec would
+    // mislabel every partition value the time-travel read serves
+    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir, snapshot),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
       streamSkipRewrites = options.getBoolean("streamSkipRewrites", false))
   }
@@ -2226,7 +2234,11 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
         else Nil
       val fromOpt =
         if (opt.isEmpty) Nil else ManifestDataSource.parsePartColOption(opt, incoming)
-      if (fromOpt.nonEmpty && recorded.nonEmpty)
+      // an APPEND must match the recorded spec (its files join an existing
+      // layout); an OVERWRITE replaces every file, so it may REDEFINE the spec —
+      // Iceberg's REPLACE TABLE semantics (old snapshots stay readable through
+      // time travel with their own layout)
+      if (!replace && fromOpt.nonEmpty && recorded.nonEmpty)
         require(fromOpt == recorded,
           s"table records partition columns '${recorded.map(ManifestTables.specTokenOf).mkString(",")}', " +
             s"write asked '${fromOpt.map(ManifestTables.specTokenOf).mkString(",")}'")

@@ -1158,11 +1158,17 @@ object ManifestTables {
     * partition_column, value types from partition_types (absent = all string, the
     * pre-typed-partition format). Empty when the table is unpartitioned.
     */
-  private[sources] def readPartitionSpec(dir: String): Seq[PartCol] = {
-    val names = readPartitionColumn(dir)
+  /** Partition spec AT A SNAPSHOT (latest when None): every snapshot records its
+    * own partition_column/partition_types, so a pinned (time-travel) scan of a
+    * table whose OVERWRITE redefined the partitioning still interprets its own
+    * entries with the layout they were written under.
+    */
+  private[sources] def readPartitionSpec(dir: String,
+      snapshot: Option[Int] = None): Seq[PartCol] = {
+    val names = readPartitionColumn(dir, snapshot)
     if (names.isEmpty) return Nil
-    val snaps = snapshotFiles(dir)
-    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    val txt = new String(
+      Files.readAllBytes(Paths.get(snapshotFileFor(dir, snapshot))), StandardCharsets.UTF_8)
     val types = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
       .map(m => jsonUnescape(m.group(1))).getOrElse("")
     val nameSeq = names.split(',').toSeq
@@ -1179,12 +1185,12 @@ object ManifestTables {
     if (spec.isEmpty) "" else spec.map(typeTokenOf).mkString(",")
   }
 
-  private[sources] def readPartitionColumn(dir: String): String = {
-    // snapshotFiles applies the strict SnapshotName filter — a `.tmp-snapshot-*`
+  private[sources] def readPartitionColumn(dir: String,
+      snapshot: Option[Int] = None): String = {
+    // snapshotFileFor applies the strict SnapshotName filter — a `.tmp-snapshot-*`
     // in-flight temp must never be selected as the latest snapshot here either
-    val snaps = snapshotFiles(dir)
-    require(snaps.nonEmpty, s"empty _manifests under $dir — commit a snapshot first")
-    val txt = new String(Files.readAllBytes(Paths.get(snaps.last)), StandardCharsets.UTF_8)
+    val txt = new String(
+      Files.readAllBytes(Paths.get(snapshotFileFor(dir, snapshot))), StandardCharsets.UTF_8)
     s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
       .map(m => jsonUnescape(m.group(1))).getOrElse("")
   }

@@ -2533,6 +2533,34 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite may REDEFINE the partition spec; time travel reads each " +
+      "snapshot under its own layout; appends still pin to the recorded spec") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_respec").toString
+    Seq((1L, "en", 10L), (2L, "fr", 20L)).toDF("id", "lang_p", "score")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tbl)
+    // REPLACE with bucket partitioning on id — a different spec entirely
+    Seq((3L, "de", 30L), (4L, "de", 40L)).toDF("id", "lang_p", "score")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "bucket(4,id)").mode("overwrite").save(tbl)
+    assert(dataTable(tbl).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // the pinned pre-respec snapshot still serves ITS layout (lang_p a real
+    // partition column with its own values, not the new bucket spec)
+    val old = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("snapshot", "0").load(tbl)
+    assert(old.select("id", "lang_p").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((1L, "en"), (2L, "fr")))
+    // an APPEND asking yet another spec refuses (it must join the current layout)
+    val e = intercept[Exception] {
+      Seq((5L, "zh", 50L)).toDF("id", "lang_p", "score")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("metadata DELETE folds positional-delete segments left dangling by the " +
       "removed files; bootstrap/overwrite upserts publish no spent eq segment") {
     import spark.implicits._
