@@ -1737,6 +1737,30 @@ object CorpusQueries {
                |FROM $cat.corpus.docs.snapshots ORDER BY snapshot_id""".stripMargin)
     }),
 
+    // --- MERGE-SCHEMA APPEND under the gate (Delta/Iceberg schema-merge): the
+    //     second generation of a corpus arrives with a NEW column; the append
+    //     publishes the widened DDL + registry ids inside its own commit (no
+    //     separate ALTER), generation-1 files null-fill the column at read time,
+    //     and a straddling aggregate counts exactly the generation-2 values. ---
+    "q63z_merge_schema" -> ((s, dir) => {
+      val wh = freshTmpTable("q63z", dir)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/docs")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("source"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("mergeSchema", "true").mode("append").save(s"$wh/docs")
+      s.read.format("graft.sources.ManifestDataSource").load(s"$wh/docs")
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          count(col("source")).as("n_sourced"))
+        .orderBy(col("lang"))
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2673,6 +2697,12 @@ object CorpusQueries {
         |SELECT CAST(p.r AS BIGINT) AS snapshot_id, CAST(p.r + 1 AS INT) AS segments,
         |  CAST((SELECT sum(n) FROM per p2 WHERE p2.r <= p.r) AS BIGINT) AS data_files
         |FROM per p ORDER BY 1""".stripMargin,
+    // q63z: merge-schema == the relational view where gen-1 (even doc_id) rows
+    // have NULL source and gen-2 rows carry theirs
+    "q63z_merge_schema" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sourced
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63o: the incremental read == the relational complement of the first append
     "q63o_incremental_read" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

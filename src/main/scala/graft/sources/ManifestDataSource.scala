@@ -69,8 +69,11 @@ class ManifestDataSource extends TableProvider {
     else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ManifestDataTable(properties.get("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    val mergeWrite = Seq("mergeSchema", "mergeschema")
+      .exists(k => Option(properties.get(k)).exists(_.toBoolean))
+    new ManifestDataTable(properties.get("path"), schema, mergeSchemaWrite = mergeWrite)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -633,7 +636,7 @@ object ManifestDataSource {
 }
 
 private[sources] class ManifestDataTable(dir: String, tschema: StructType,
-    pinnedSnapshot: Option[Int] = None)
+    pinnedSnapshot: Option[Int] = None, mergeSchemaWrite: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -697,7 +700,10 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
-    if (tschema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // ...and for an explicit mergeSchema write (path API): Spark's arity check
+    // would reject the NEW column before the builder can turn it into an ADD;
+    // the builder still requires every existing column to match exactly
+    if (tschema.isEmpty || mergeSchemaWrite) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -2261,15 +2267,38 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // frame's schema for writes), so comparing against it would be vacuous — an
     // append missing an ALTER-added column would silently commit. Overwrites are
     // exempt: they legitimately redefine the schema from the incoming data.
-    if (!replace) {
-      val authoritative = ManifestDataSource.tableSchema(dir)
-      if (authoritative.nonEmpty) {
-        val want = authoritative.fields.map(f => (f.name, f.dataType)).toSet
-        val got = incoming.fields.map(f => (f.name, f.dataType)).toSet
-        require(want == got,
-          s"write schema ${incoming.simpleString} does not match table ${authoritative.simpleString}")
-      }
-    }
+    // `.option("mergeSchema", "true")` on an APPEND turns NEW incoming columns
+    // into metadata-only ADD COLUMNs inside the same commit (Delta/Iceberg
+    // schema-merge): old files null-fill them at read time via the evolution
+    // machinery; existing columns must still match exactly (merge is ADDITIVE —
+    // a type change stays an ALTER). The new columns land in the commit's
+    // published DDL and get fresh registry ids there (this batch's own files
+    // resolve them by name history, like every Spark-written maintenance file).
+    val mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean)
+    val mergedCols: Seq[StructField] =
+      if (!replace) {
+        val authoritative = ManifestDataSource.tableSchema(dir)
+        if (authoritative.isEmpty) Nil
+        else {
+          val want = authoritative.fields.map(f => (f.name, f.dataType)).toSet
+          val got = incoming.fields.map(f => (f.name, f.dataType)).toSet
+          if (!mergeSchema) {
+            require(want == got,
+              s"write schema ${incoming.simpleString} does not match table ${authoritative.simpleString}")
+            Nil
+          } else {
+            require(want.subsetOf(got),
+              s"mergeSchema append may only ADD columns: write schema " +
+                s"${incoming.simpleString} is missing or retypes columns of " +
+                s"table ${authoritative.simpleString}")
+            // nullable in the TABLE regardless of the frame: pre-merge files
+            // null-fill it (the ALTER ADD rule)
+            incoming.fields.toSeq
+              .filterNot(f => authoritative.fieldNames.contains(f.name))
+              .map(_.copy(nullable = true))
+          }
+        }
+      } else Nil
     val note = Option(info.options.get("commitnote")).getOrElse("")
     // EQUALITY-DELETE UPSERT: `.option("upsertkey", <col>)` on an append makes the
     // commit carry one equality-delete segment over the batch's distinct key values
@@ -2291,7 +2320,7 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // partition expressions (Iceberg's write.distribution-mode=hash analog)
     val distribute = Option(info.options.get("distribute")).exists(_.toBoolean)
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
-      replace, note, upsertKey, distribute)
+      replace, note, upsertKey, distribute, mergedCols)
   }
 }
 
@@ -2309,7 +2338,8 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
   */
 private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     partCol: String, partTypes: String, schema: StructType, replace: Boolean,
-    note: String, upsertKey: Option[(String, DataType)], distribute: Boolean)
+    note: String, upsertKey: Option[(String, DataType)], distribute: Boolean,
+    mergedCols: Seq[StructField] = Nil)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2336,7 +2366,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite =
-    new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey)
+    new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
+      mergedCols)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
@@ -2353,7 +2384,8 @@ private object ManifestBatchWrite {
 
 private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String,
     schema: StructType, replace: Boolean, note: String = "",
-    upsertKey: Option[(String, DataType)] = None) extends BatchWrite {
+    upsertKey: Option[(String, DataType)] = None,
+    mergedCols: Seq[StructField] = Nil) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -2443,12 +2475,39 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
           else Some(ManifestTables.writeSegment(dir, prev.inline))
         // an ALTER-recorded schema survives every later append (dropping it would
         // silently revert the table to its oldest file's schema); an overwrite
-        // redefines the schema from the incoming data, so it does NOT carry over
+        // redefines the schema from the incoming data, so it does NOT carry over.
+        // mergeSchema appends publish the ADDed columns' widened DDL + fresh
+        // registry ids INSIDE this commit — derived from the loop's own `prev`
+        // read, so a concurrent ALTER's column is never dropped from the merge
+        val (mergedDdl, mergedIds) =
+          if (mergedCols.isEmpty || replace || latest.isEmpty)
+            (prev.schemaDdl, if (replace || latest.isEmpty) writeColIds else prev.colIds)
+          else {
+            val base = ManifestDataSource.tableSchema(dir, Some(prev.snapshot))
+            val adds = mergedCols.filterNot(c => base.fieldNames.contains(c.name))
+            val ddl = Some(StructType(base.fields ++ adds).toDDL)
+            val ids = prev.colIds.map { s =>
+              var reg = ManifestTables.parseColIds(s)
+              adds.foreach { c =>
+                // the ALTER rules, verbatim: historic-name reuse is ambiguous for
+                // id-less files; unsafe names stay unregistered (and then refuse
+                // rename/drop later, same as ALTER ADD)
+                require(!reg.exists(r => r.names.contains(c.name)),
+                  s"mergeSchema column '${c.name}' was used before (renamed or " +
+                    "dropped) — reuse would be ambiguous; pick a fresh name")
+                if (c.name.matches(ManifestTables.SafeColName))
+                  reg = reg :+ ManifestTables.ColId(
+                    (reg.map(_.id) :+ 0).max + 1, dropped = false, Seq(c.name))
+              }
+              ManifestTables.renderColIds(reg)
+            }
+            (ddl, ids)
+          }
         done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, Nil,
           prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes,
-          schemaDdl = prev.schemaDdl, deletes = prev.deletes,
+          schemaDdl = mergedDdl, deletes = prev.deletes,
           eqDeletes = prev.eqDeletes ++ eqSeg,
-          colIds = if (replace || latest.isEmpty) writeColIds else prev.colIds)
+          colIds = mergedIds)
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)

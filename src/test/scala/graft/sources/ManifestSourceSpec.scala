@@ -2533,6 +2533,56 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSchema append: new columns become metadata-only ADDs inside the " +
+      "same commit; old rows null-fill; the widened schema then binds appends") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_mergeschema").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(tbl)
+    // an extra-column append WITHOUT the option still refuses
+    val e = intercept[Exception] {
+      Seq((3L, "x", "a")).toDF("id", "extra", "p")
+        .write.format(classOf[ManifestDataSource].getName).mode("append").save(tbl)
+    }
+    assert(e.getMessage.contains("does not match table") ||
+      e.getMessage.contains("TOO_MANY_DATA_COLUMNS"), e.getMessage)
+    Seq((3L, "x", "a")).toDF("id", "extra", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("mergeSchema", "true").mode("append").save(tbl)
+    val df = dataTable(tbl)
+    assert(df.schema.fieldNames.toSet == Set("id", "extra", "p"))
+    assert(df.schema("extra").nullable, "merged column must be nullable (old rows null-fill)")
+    val rows = df.select("id", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // the widened schema is now authoritative: a narrow append NULL-FILLS the
+    // nullable merged column via Spark's own output resolution (exactly how
+    // appends behave after an explicit ALTER ADD)
+    Seq((4L, "a")).toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(tbl)
+    assert(dataTable(tbl).filter(col("id") === 4L).select("extra").head().isNullAt(0))
+    // ...and the merged column got a registry id: it renames like any ALTER ADD
+    val wh = Files.createTempDirectory("manifest_mergeschema_wh").toString
+    val t2 = s"$wh/ns/t"
+    Seq((1L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(t2)
+    Seq((2L, 7L, "a")).toDF("id", "w", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("mergeSchema", "true").mode("append").save(t2)
+    spark.conf.set("spark.sql.catalog.mscat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mscat.warehouse", wh)
+    try {
+      spark.sql("ALTER TABLE mscat.ns.t RENAME COLUMN w TO weight")
+      val got = spark.sql("SELECT id, weight FROM mscat.ns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got == Seq((1L, -1L), (2L, 7L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mscat")
+      spark.conf.unset("spark.sql.catalog.mscat.warehouse")
+    }
+  }
+
   test("overwrite may REDEFINE the partition spec; time travel reads each " +
       "snapshot under its own layout; appends still pin to the recorded spec") {
     import spark.implicits._
