@@ -118,7 +118,11 @@ object SimilarityLsh {
       case None if fanoutGuardThreshold > 0 => {
         // callers without a stable corpus key memoize on the band frame's semantic
         // plan hash — a repeated identical call (bench min-of-N reruns, shared
-        // bands across queries) must not re-pay the guard's aggregation each time
+        // bands across queries) must not re-pay the guard's aggregation each time.
+        // KNOWN TRADE: the hash captures the PLAN, not the data — the same plan
+        // re-run after the underlying table changed skips the re-check. The guard
+        // is advisory (the cap is the real protection); long-lived production
+        // sessions should pass an explicit per-corpus guardKey or set the cap.
         val gk = guardKey.getOrElse(
           s"plan:${bandsDf.queryExecution.logical.semanticHash()}")
         if (guarded.add((gk, fanoutGuardThreshold)))

@@ -91,13 +91,14 @@ class ManifestCatalog extends TableCatalog
           .add("data_files", LongType, nullable = false)
         Some(new ManifestMetaTable(s"manifest_snapshots($parent)", schema, () =>
           ManifestTables.snapshotIds(parent).map { id =>
-            val refs = ManifestTables.readSnapshotRefs(parent, Some(id))
-            // data_files reads the snapshot's full entry list — an explicitly
+            // per row: one full refs read + one head probe (ts + note together)
+            // + the segment entry lists for data_files — an explicitly
             // O(history x segments) introspection column, priced here, not hidden
-            Seq[Any](id.toLong, ManifestTables.snapshotTimestamp(parent, id) * 1000L,
-              ManifestTables.noteOfSnapshot(parent, id).orNull,
+            val refs = ManifestTables.readSnapshotRefs(parent, Some(id))
+            val (ts, note) = ManifestTables.snapshotTsAndNote(parent, id)
+            Seq[Any](id.toLong, ts * 1000L, note.orNull,
               refs.segments.length, refs.deletes.length, refs.eqDeletes.length,
-              ManifestTables.readSnapshot(parent, Some(id)).size.toLong)
+              ManifestTables.entriesOf(parent, refs).size.toLong)
           }))
       case "tags" =>
         val schema = new StructType()

@@ -1443,6 +1443,16 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val s0 = start.asInstanceOf[ManifestStreamOffset].snapshot
     val s1 = end.asInstanceOf[ManifestStreamOffset].snapshot
     if (s1 <= s0 || s1 < 0) return Array.empty
+    // the stream resolved its partition spec ONCE at start; an overwrite that
+    // REDEFINED the spec mid-stream would make this batch parse the new layout's
+    // partition values under the old one (garbage values or a crash mid-batch,
+    // well beyond skipRewrites' documented lossiness) — refuse loudly instead
+    val endSpec = ManifestTables.readPartitionSpec(dir, Some(s1))
+    require(endSpec == partCols,
+      s"partition spec of $dir changed mid-stream (stream started under " +
+        s"'${partCols.map(ManifestTables.specTokenOf).mkString(",")}', snapshot $s1 " +
+        s"records '${endSpec.map(ManifestTables.specTokenOf).mkString(",")}') — " +
+        "restart the stream to adopt the new layout")
     val endRefs = ManifestTables.readSnapshotRefs(dir, Some(s1))
     val endEntries = ManifestTables.entriesOf(dir, endRefs)
     // initial offset -1 is a STATE load of the end snapshot, not a transition:
@@ -2443,6 +2453,18 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       // and we'd still claim the NEXT id, publishing the batch twice (duplicate rows).
       val latest = ManifestTables.latestSnapshotId(dir)
       val next = latest.map(_ + 1).getOrElse(0)
+      // an overwrite may REDEFINE the partition spec: an append racing one would
+      // republish its builder-time spec over the new layout's segments, silently
+      // relabeling every partition value — refuse instead. Checked inside the
+      // loop: a respec landing after this read claims our target id, our CAS
+      // fails, and the retry re-checks against the new truth.
+      if (!replace && latest.isDefined) {
+        val curCols = ManifestTables.readPartitionColumn(dir)
+        val curTypes = ManifestTables.readPartitionTypes(dir)
+        require(curCols == partCol && curTypes == partTypes,
+          s"partition spec of $dir changed concurrently (now '$curCols') — this " +
+            s"append's files were laid out under '$partCol'; rerun the append")
+      }
       if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
         done = true
       } else {
@@ -2484,7 +2506,21 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
             (prev.schemaDdl, if (replace || latest.isEmpty) writeColIds else prev.colIds)
           else {
             val base = ManifestDataSource.tableSchema(dir, Some(prev.snapshot))
-            val adds = mergedCols.filterNot(c => base.fieldNames.contains(c.name))
+            // a concurrent evolution may have added the SAME name: dedup only on
+            // type agreement — silently dropping a type-conflicted add would
+            // commit THIS batch's files with a physical type contradicting the
+            // published DDL (a read-time landmine, not an error)
+            val adds = mergedCols.filterNot { c =>
+              base.fields.find(_.name == c.name) match {
+                case None => false
+                case Some(existing) =>
+                  require(existing.dataType == c.dataType,
+                    s"mergeSchema column '${c.name}' was added concurrently with type " +
+                      s"${existing.dataType.simpleString}, this batch wrote " +
+                      s"${c.dataType.simpleString} — conflicting evolution; rerun the append")
+                  true
+              }
+            }
             val ddl = Some(StructType(base.fields ++ adds).toDDL)
             val ids = prev.colIds.map { s =>
               var reg = ManifestTables.parseColIds(s)

@@ -1050,6 +1050,20 @@ object ManifestTables {
     noteOf(Paths.get(dir, "_manifests", f"snapshot-$id%05d.json").toString)
       .filter(_.nonEmpty)
 
+  /** (commit ts ms, note) of one snapshot from ONE head probe — both fields live
+    * in the fixed-size head; the `.snapshots` metadata table reads each snapshot
+    * head once instead of twice.
+    */
+  private[sources] def snapshotTsAndNote(dir: String, id: Int): (Long, Option[String]) = {
+    val p = Paths.get(dir, "_manifests", f"snapshot-$id%05d.json")
+    val head = headOf(p)
+    val ts = "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+    val note = s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head)
+      .map(m => jsonUnescape(m.group(1))).filter(_.nonEmpty)
+    (ts, note)
+  }
+
   /** The fixed-size head of a snapshot file — THE probe both the note reader and
     * the timestamp reader share; every head field must stay inside it.
     */

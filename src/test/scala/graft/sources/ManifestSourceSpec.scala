@@ -2533,6 +2533,25 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a mid-stream partition-spec redefinition refuses the crossing micro-batch " +
+      "(a long-running stream must not parse the new layout under its stale spec)") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_stream_respec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    // the stream pins its spec at start (what a long-running query holds)
+    val stream = new ManifestMicroBatchStream(tbl, dataTable(tbl).schema,
+      ManifestTables.readPartitionSpec(tbl), Map.empty, None, Nil)
+    // a concurrent overwrite redefines the partitioning
+    Seq((3L, "c")).toDF("id", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "bucket(4,id)").mode("overwrite").save(tbl)
+    val e = intercept[IllegalArgumentException](
+      stream.planInputPartitions(ManifestStreamOffset(0), ManifestStreamOffset(1)))
+    assert(e.getMessage.contains("changed mid-stream"), e.getMessage)
+  }
+
   test("mergeSchema append: new columns become metadata-only ADDs inside the " +
       "same commit; old rows null-fill; the widened schema then binds appends") {
     import spark.implicits._
