@@ -643,6 +643,22 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
 
+  /** `SHOW TBLPROPERTIES` / DESCRIBE surface: format, snapshot ids, and the
+    * partition spec in the `partcol` option grammar (paste-able back into a write).
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("format", "graft-manifest/parquet")
+    ManifestTables.latestSnapshotId(dir).foreach { id =>
+      m.put("current-snapshot-id", id.toString)
+      val spec = ManifestTables.readPartitionSpec(dir, pinnedSnapshot)
+      if (spec.nonEmpty)
+        m.put("partition-spec", spec.map(ManifestTables.specTokenOf).mkString(","))
+    }
+    pinnedSnapshot.foreach(id => m.put("pinned-snapshot-id", id.toString))
+    m
+  }
+
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(

@@ -2533,6 +2533,28 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW TBLPROPERTIES surfaces format, snapshot id and the partition spec " +
+      "in the partcol grammar") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_props").toString
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L)), "a"))
+      .toDF("id", "ts", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p,days(ts)").mode("overwrite").save(s"$wh/ns/t")
+    spark.conf.set("spark.sql.catalog.propcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.propcat.warehouse", wh)
+    try {
+      val props = spark.sql("SHOW TBLPROPERTIES propcat.ns.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("format").contains("graft-manifest/parquet"))
+      assert(props.get("current-snapshot-id").contains("0"))
+      assert(props.get("partition-spec").contains("p,days(ts)"), props.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.propcat")
+      spark.conf.unset("spark.sql.catalog.propcat.warehouse")
+    }
+  }
+
   test("a mid-stream partition-spec redefinition refuses the crossing micro-batch " +
       "(a long-running stream must not parse the new layout under its stale spec)") {
     import spark.implicits._
