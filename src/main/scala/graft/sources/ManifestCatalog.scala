@@ -107,6 +107,24 @@ class ManifestCatalog extends TableCatalog
         Some(new ManifestMetaTable(s"manifest_tags($parent)", schema, () =>
           ManifestTables.listTags(parent).map { case (n, id) =>
             Seq[Any](n, id.toLong) }))
+      case "partitions" =>
+        // per-partition file/byte rollup (Iceberg `.partitions` analog): one
+        // canonical-string column per partition column (hidden transforms
+        // included — this is where their values ARE visible), from the live
+        // manifest entries alone — zero data files opened
+        val spec = ManifestTables.readPartitionSpec(parent)
+        val schema = StructType(
+          spec.map(pc => StructField(pc.name, StringType, nullable = false)) ++
+            Seq(StructField("files", LongType, nullable = false),
+              StructField("bytes", LongType, nullable = false)))
+        Some(new ManifestMetaTable(s"manifest_partitions($parent)", schema, () =>
+          ManifestTables.readLatest(parent).groupBy(_.partition).toSeq.sortBy(_._1)
+            .map { case (p, es) =>
+              val vals: Seq[Any] =
+                if (spec.isEmpty) Nil
+                else ManifestDataSource.splitPartValues(p, spec.length)
+              vals ++ Seq(es.size.toLong, es.map(_.bytes).sum)
+            }))
       case _ => None
     }
   }

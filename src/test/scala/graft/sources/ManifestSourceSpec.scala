@@ -2790,6 +2790,12 @@ class ManifestSourceSpec extends AnyFunSuite {
       val tags = spark.sql("SELECT tag, snapshot_id FROM metacat.ns.t.tags").collect()
         .map(r => (r.getString(0), r.getLong(1)))
       assert(tags.toSeq == Seq(("v1", 1L)))
+      // .partitions: per-partition file/byte rollup from manifest entries alone
+      val parts = spark.sql("SELECT p, files FROM metacat.ns.t.partitions ORDER BY p")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(parts.toSeq == Seq(("a", 2L), ("b", 1L), ("c", 1L)), parts.toSeq.toString)
+      assert(spark.sql("SELECT sum(bytes) FROM metacat.ns.t.partitions").head().getLong(0) ==
+        ManifestTables.readLatest(tbl).map(_.bytes).sum)
       // a missing suffix still errors like a missing table
       intercept[Exception](spark.sql("SELECT * FROM metacat.ns.t.nope").collect())
     } finally {
