@@ -2533,6 +2533,33 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction composes with hidden partitioning: bin-packed files keep their " +
+      "(day,bucket) routing; transform pruning and answers survive") {
+    val tbl = Files.createTempDirectory("manifest_hidden_compact").toString
+    // three appends of the same tuples -> >= 3 small files per (day, bucket)
+    (0 until 3).foreach { r =>
+      hiddenEventsDf.filter(col("user_id") % 3 === r).coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "days(ts),bucket(4,user_id)").mode("append").save(tbl)
+    }
+    val before = ManifestTables.readLatest(tbl).size
+    val compacted = ManifestMaintenance.compactDataFiles(spark, tbl, targetBytes = 512 * 1024L)
+    assert(compacted.nonEmpty, "expected a compaction snapshot")
+    val after = ManifestTables.readLatest(tbl).size
+    assert(after < before, s"compaction should shrink the file count: $before -> $after")
+    // routing survived: partition values still split as (day, bucket) tuples...
+    val parts = ManifestTables.readLatest(tbl).map(_.partition).distinct
+    assert(parts.forall(_.split(ManifestTables.PartSep).length == 2))
+    // ...and transform pruning still works on the compacted files
+    val total = inputPartitionCount(dataTable(tbl).select("msg"))
+    val pruned = inputPartitionCount(
+      dataTable(tbl).filter(col("user_id") === 7L).select("msg"))
+    assert(pruned < total && pruned > 0, s"post-compaction pruning: $pruned of $total")
+    assert(dataTable(tbl).count() == 400)
+    assert(dataTable(tbl).filter(col("user_id") === 7L).count() ==
+      hiddenEventsDf.filter(col("user_id") === 7L).count())
+  }
+
   test("SHOW TBLPROPERTIES surfaces format, snapshot id and the partition spec " +
       "in the partcol grammar") {
     import spark.implicits._
