@@ -84,6 +84,7 @@ class ManifestCatalog extends TableCatalog
         val schema = new StructType()
           .add("snapshot_id", LongType, nullable = false)
           .add("committed_at", TimestampType, nullable = false)
+          .add("operation", StringType, nullable = true)
           .add("note", StringType, nullable = true)
           .add("segments", IntegerType, nullable = false)
           .add("delete_segments", IntegerType, nullable = false)
@@ -91,12 +92,12 @@ class ManifestCatalog extends TableCatalog
           .add("data_files", LongType, nullable = false)
         Some(new ManifestMetaTable(s"manifest_snapshots($parent)", schema, () =>
           ManifestTables.snapshotIds(parent).map { id =>
-            // per row: one full refs read + one head probe (ts + note together)
-            // + the segment entry lists for data_files — an explicitly
+            // per row: one full refs read + one head probe (ts + op + note
+            // together) + the segment entry lists for data_files — an explicitly
             // O(history x segments) introspection column, priced here, not hidden
             val refs = ManifestTables.readSnapshotRefs(parent, Some(id))
-            val (ts, note) = ManifestTables.snapshotTsAndNote(parent, id)
-            Seq[Any](id.toLong, ts * 1000L, note.orNull,
+            val (ts, op, note) = ManifestTables.snapshotTsAndNote(parent, id)
+            Seq[Any](id.toLong, ts * 1000L, op.orNull, note.orNull,
               refs.segments.length, refs.deletes.length, refs.eqDeletes.length,
               ManifestTables.entriesOf(parent, refs).size.toLong)
           }))
@@ -204,7 +205,7 @@ class ManifestCatalog extends TableCatalog
     java.nio.file.Files.createDirectories(Paths.get(dir))
     val ok = ManifestTables.tryWriteSnapshotRefs(dir, partNames.mkString(","), Nil, Nil, 0,
       partTypes = partTypes.mkString(","), schemaDdl = Some(schema.toDDL),
-      colIds = ManifestTables.colIdsBootstrap(dataCols))
+      colIds = ManifestTables.colIdsBootstrap(dataCols), operation = "create")
     if (!ok) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(ident)
     loadTable(ident)
@@ -368,7 +369,8 @@ class ManifestCatalog extends TableCatalog
         refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
         schemaDdl = Some(schema.toDDL), deletes = refs.deletes,
         eqDeletes = refs.eqDeletes,
-        colIds = if (reg.isEmpty) refs.colIds else Some(ManifestTables.renderColIds(reg)))
+        colIds = if (reg.isEmpty) refs.colIds else Some(ManifestTables.renderColIds(reg)),
+        operation = "alter")
       if (!done) {
         attempt += 1
         require(attempt < 16, s"ALTER TABLE on $dir lost the snapshot race $attempt times")

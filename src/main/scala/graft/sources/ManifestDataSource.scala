@@ -830,7 +830,7 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
         deletes = ManifestTables.livePositionalDeletes(dir, refs.deletes,
           survivors.map(_.path).toSet),
         eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, survivors),
-        colIds = refs.colIds)
+        colIds = refs.colIds, operation = "delete")
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -2559,7 +2559,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
           prev.segments ++ inlineSeg ++ freshSeg, next, note, partTypes,
           schemaDdl = mergedDdl, deletes = prev.deletes,
           eqDeletes = prev.eqDeletes ++ eqSeg,
-          colIds = mergedIds)
+          colIds = mergedIds,
+          operation = if (replace) "overwrite" else if (eqSeg.nonEmpty) "upsert" else "append")
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
@@ -2738,7 +2739,7 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
         keptSegs ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
         deletes = liveDels,
         eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, liveEntries),
-        colIds = refs.colIds)
+        colIds = refs.colIds, operation = s"replace-${cmdName.toLowerCase}")
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,
@@ -2872,7 +2873,8 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
         else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline,
         refs.segments ++ freshSeg, next, partTypes = partTypes, schemaDdl = refs.schemaDdl,
-        deletes = refs.deletes ++ delSeg, eqDeletes = refs.eqDeletes, colIds = refs.colIds)
+        deletes = refs.deletes ++ delSeg, eqDeletes = refs.eqDeletes, colIds = refs.colIds,
+        operation = s"delta-${cmdName.toLowerCase}")
       if (!done) {
         attempt += 1
         require(attempt < ManifestBatchWrite.MaxCommitAttempts,

@@ -138,7 +138,7 @@ object ManifestMaintenance {
           partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
           deletes = liveDels,
           eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, newEntries),
-          colIds = refs.colIds)) {
+          colIds = refs.colIds, operation = "compact")) {
         return Some(next)
       }
       attempt += 1
@@ -319,7 +319,7 @@ object ManifestMaintenance {
           partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
           deletes = liveDels,
           eqDeletes = ManifestTables.liveEqDeletes(dir, refs.eqDeletes, newEntries),
-          colIds = refs.colIds)) {
+          colIds = refs.colIds, operation = "cluster")) {
         return Some(next)
       }
       attempt += 1

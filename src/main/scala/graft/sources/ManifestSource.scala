@@ -728,10 +728,14 @@ object ManifestTables {
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
       partTypes: String = "", schemaDdl: Option[String] = None,
       deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
-      colIds: Option[String] = None): Boolean = {
+      colIds: Option[String] = None, operation: String = ""): Boolean = {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
+    // the operation tag is introspection (the `.snapshots` metadata table), part
+    // of the FIXED-SIZE head: a short token from a closed set, never user data
+    require(operation.matches("[a-z-]{0,24}"),
+      s"snapshot operation tag must be a short lowercase token, got '$operation'")
     val fileList = inline.map(entryJson)
     // `note` rides INSIDE the atomic publication — the exactly-once hook: a streaming
     // sink stamps its micro-batch id here, so "was batch B committed?" and "commit
@@ -765,11 +769,12 @@ object ManifestTables {
     val schemaLine = schemaDdl.fold("")(d => s"""  "schema": "${jsonEscape(d)}",\n""")
     // commit timestamp (ms): TIMESTAMP AS OF resolution; lives in the fixed-size
     // head (short + before the growing lists, so the note probe still holds)
+    val opLine = if (operation.isEmpty) "" else s"""  "op": "$operation",\n"""
     val json =
       s"""{
          |  "snapshot": $id,
          |  "ts": ${System.currentTimeMillis()},
-         |$noteLine  "partition_column": "${jsonEscape(partCol)}",
+         |$opLine$noteLine  "partition_column": "${jsonEscape(partCol)}",
          |$typesLine$schemaLine$colIdsLine$segLine$delLine$eqDelLine  "files": [
          |${fileList.mkString(",\n")}
          |  ]
@@ -817,7 +822,7 @@ object ManifestTables {
         if (tryWriteSnapshotRefs(dir, readPartitionColumn(dir), Nil, Seq(folded), next,
             partTypes = readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
             deletes = liveDels, eqDeletes = liveEqDeletes(dir, refs.eqDeletes, entries),
-            colIds = refs.colIds)) {
+            colIds = refs.colIds, operation = "fold")) {
           result = Some(next); done = true
         } else {
           // CAS loss: a concurrent commit advanced the table — back off, re-read and
@@ -1050,18 +1055,20 @@ object ManifestTables {
     noteOf(Paths.get(dir, "_manifests", f"snapshot-$id%05d.json").toString)
       .filter(_.nonEmpty)
 
-  /** (commit ts ms, note) of one snapshot from ONE head probe — both fields live
-    * in the fixed-size head; the `.snapshots` metadata table reads each snapshot
-    * head once instead of twice.
+  /** (commit ts ms, operation tag, note) of one snapshot from ONE head probe —
+    * all three live in the fixed-size head; the `.snapshots` metadata table reads
+    * each snapshot head once. Pre-tag snapshots answer operation None.
     */
-  private[sources] def snapshotTsAndNote(dir: String, id: Int): (Long, Option[String]) = {
+  private[sources] def snapshotTsAndNote(dir: String, id: Int)
+      : (Long, Option[String], Option[String]) = {
     val p = Paths.get(dir, "_manifests", f"snapshot-$id%05d.json")
     val head = headOf(p)
     val ts = "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toLong)
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
+    val op = "\"op\"\\s*:\\s*\"([a-z-]+)\"".r.findFirstMatchIn(head).map(_.group(1))
     val note = s"\"note\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(head)
       .map(m => jsonUnescape(m.group(1))).filter(_.nonEmpty)
-    (ts, note)
+    (ts, op, note)
   }
 
   /** The fixed-size head of a snapshot file — THE probe both the note reader and

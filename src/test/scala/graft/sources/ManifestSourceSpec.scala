@@ -2810,6 +2810,10 @@ class ManifestSourceSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.isNullAt(3)))
       assert(snaps.toSeq == Seq((0L, 1, 2L, true), (1L, 2, 3L, true), (2L, 3, 4L, true)),
         s"snapshots metadata mismatch: ${snaps.toSeq}")
+      // every commit carries its operation tag
+      val ops = spark.sql("SELECT operation FROM metacat.ns.t.snapshots ORDER BY snapshot_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("append", "append", "append"), ops.toString)
       // committed_at is a real, non-decreasing timestamp
       val ts = spark.sql("SELECT committed_at FROM metacat.ns.t.snapshots ORDER BY snapshot_id")
         .collect().map(_.getTimestamp(0).getTime)
