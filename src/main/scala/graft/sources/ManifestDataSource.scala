@@ -2475,10 +2475,11 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       // loop: a respec landing after this read claims our target id, our CAS
       // fails, and the retry re-checks against the new truth.
       if (!replace && latest.isDefined) {
-        val curCols = ManifestTables.readPartitionColumn(dir)
-        val curTypes = ManifestTables.readPartitionTypes(dir)
-        require(curCols == partCol && curTypes == partTypes,
-          s"partition spec of $dir changed concurrently (now '$curCols') — this " +
+        val cur = ManifestTables.readPartitionSpec(dir) // one snapshot read
+        require(cur.map(_.name).mkString(",") == partCol &&
+            cur.map(ManifestTables.typeTokenOf).mkString(",") == partTypes,
+          s"partition spec of $dir changed concurrently (now " +
+            s"'${cur.map(ManifestTables.specTokenOf).mkString(",")}') — this " +
             s"append's files were laid out under '$partCol'; rerun the append")
       }
       if (note.nonEmpty && ManifestTables.hasCommittedNote(dir, note)) {
