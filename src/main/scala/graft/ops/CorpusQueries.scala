@@ -1761,6 +1761,53 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- SNAPSHOT ROLLBACK under the gate (Iceberg rollback_to_snapshot): a bad
+    //     overwrite — negated values AND a redefined partition spec — is undone by
+    //     publishing a new head that re-references snapshot 0's metadata verbatim
+    //     (O(metadata), no file copied). The bad snapshot stays time-travelable
+    //     (VERSION AS OF 1 still sums negative, require-pinned), the head's
+    //     `.snapshots` operation reads 'rollback' (require-pinned), and the
+    //     post-rollback append lays out under the RESTORED lang_p spec — the
+    //     append's own spec-check would refuse under the bad bucket(4,doc_id)
+    //     spec, so the final straddling aggregate passing the oracle proves the
+    //     whole table state (files, spec, schema) reverted. ---
+    "q76_rollback" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q76", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      // snapshot 0: generation-1 rows (even ids)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
+      // snapshot 1: the bad batch — corrupt values, respec'd layout
+      docs.withColumn("n_chars", -col("n_chars"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "bucket(4,doc_id)").mode("overwrite").save(s"$wh/corpus/docs")
+      val head = graft.sources.ManifestTables.rollbackTo(s"$wh/corpus/docs", 0)
+      require(head == 2, s"rollback must publish a NEW head (got snapshot $head)")
+      val cat = s"graft_q76_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val badSum = s.sql(s"SELECT CAST(sum(n_chars) AS BIGINT) " +
+        s"FROM $cat.corpus.docs VERSION AS OF 1").head().getLong(0)
+      require(badSum < 0,
+        s"the rolled-back snapshot must stay time-travelable: VERSION AS OF 1 " +
+          s"summed $badSum, want the bad batch's negative sum")
+      val headOp = s.sql(s"SELECT operation FROM $cat.corpus.docs.snapshots " +
+        s"WHERE snapshot_id = $head").head().getString(0)
+      require(headOp == "rollback", s"head operation must read 'rollback', got '$headOp'")
+      // generation 3: the corrected batch appends under the RESTORED spec
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")
+      s.read.format("graft.sources.ManifestDataSource").load(s"$wh/corpus/docs")
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2656,6 +2703,11 @@ object CorpusQueries {
         |) ORDER BY probe, lang""".stripMargin,
     // q63t: CREATE TABLE + INSERT INTO round-trip == the plain aggregate
     "q63t_create_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q64: rollback restores snapshot 0 (even ids) and the corrected odd batch
+    // appends after it — the final table holds exactly all documents
+    "q76_rollback" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63u: rename/drop are metadata-only — the straddling scan aggregates the

@@ -793,6 +793,49 @@ object ManifestTables {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Roll the table back to `target`'s state by publishing a NEW head whose refs
+    * are the target snapshot's refs verbatim (Iceberg's rollback_to_snapshot): the
+    * rolled-back snapshots stay in history — time travel still serves them, and
+    * reclamation belongs to expireSnapshots — the head's operation tag reads
+    * "rollback" (surfaced by the `.snapshots` metadata table), and the commit uses
+    * the same optimistic hard-link CAS as every write. Cost is O(target's
+    * METADATA): inline entries and segment NAMES are re-referenced, never copied
+    * or rewritten. The partition spec, schema DDL, column-id registry, and both
+    * delete-segment lists revert with the files, so a rollback across a respec /
+    * rename / widening restores the WHOLE table state, and later appends lay out
+    * under the restored spec. Restored equality/positional deletes stay correct
+    * for post-rollback appends because fresh files commit with fresh (higher)
+    * sequence numbers — an old delete segment never applies to them. Returns the
+    * new head id, or `target` itself when the table is already there.
+    */
+  def rollbackTo(dir: String, target: Int): Int = {
+    var attempt = 0
+    while (true) {
+      val latest = latestSnapshotId(dir)
+      require(latest.isDefined, s"no committed snapshot under $dir — nothing to roll back")
+      require(target <= latest.get,
+        s"cannot roll back $dir to snapshot $target: latest is ${latest.get}")
+      if (target == latest.get) return target
+      val refs = readSnapshotRefs(dir, Some(target)) // throws on unknown/expired ids
+      val spec = readPartitionSpec(dir, Some(target))
+      val next = latest.get + 1
+      if (tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","), refs.inline,
+          refs.segments, next, partTypes = spec.map(typeTokenOf).mkString(","),
+          schemaDdl = refs.schemaDdl, deletes = refs.deletes,
+          eqDeletes = refs.eqDeletes, colIds = refs.colIds,
+          operation = "rollback")) return next
+      // CAS loss: a concurrent commit took our id. Like compaction, rollback is
+      // maintenance — retry briefly, then defer to live traffic.
+      attempt += 1
+      require(attempt < 8,
+        s"rollbackTo($dir, $target) lost the snapshot race $attempt times — " +
+          "table under sustained write traffic; quiesce writers and re-run")
+      Thread.sleep(50L * attempt +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 50))
+    }
+    -1 // unreachable
+  }
+
   /** Maintenance: fold the latest snapshot's inline entries + every segment into ONE
     * fresh segment and publish it as a new snapshot (Iceberg's rewrite_manifests
     * analog). Appends stay O(metadata) forever; compaction is the explicitly-paid

@@ -2934,4 +2934,33 @@ class ManifestSourceSpec extends AnyFunSuite {
           s"(runtime filters: ${scans.map(_.runtimeFilters).mkString(";")})")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("rollbackTo publishes a new head with the target's state; history, spec, " +
+      "and the reverse roll all survive") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_rollback").toString
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)               // snapshot 0
+    Seq((9L, -99L, "z")).toDF("id", "v", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "bucket(4,id)").mode("overwrite").save(tbl)    // snapshot 1 (bad, respec'd)
+    // unknown target refuses loudly; rollback to the current head is a no-op
+    intercept[IllegalArgumentException](ManifestTables.rollbackTo(tbl, 7))
+    assert(ManifestTables.rollbackTo(tbl, 1) == 1)
+    assert(ManifestTables.rollbackTo(tbl, 0) == 2)                      // snapshot 2 = state 0
+    assert(dataTable(tbl).as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    // the spec reverted with the files: an append under 'p' commits again
+    Seq((3L, 30L, "c")).toDF("id", "v", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("append").save(tbl)                  // snapshot 3
+    assert(dataTable(tbl).count() == 3)
+    // the bad snapshot stays addressable — and rollback can roll FORWARD to it
+    // (set-current-snapshot semantics), restoring ITS spec and file set
+    assert(ManifestTables.rollbackTo(tbl, 1) == 4)
+    assert(dataTable(tbl).as[(Long, Long, String)].collect().toSeq == Seq((9L, -99L, "z")))
+    assert(ManifestTables.readPartitionSpec(tbl).map(ManifestTables.specTokenOf) ==
+      Seq("bucket(4,id)"))
+  }
 }
