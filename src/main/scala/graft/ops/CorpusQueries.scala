@@ -1761,9 +1761,10 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
-    // --- SNAPSHOT ROLLBACK under the gate (Iceberg rollback_to_snapshot): a bad
-    //     overwrite — negated values AND a redefined partition spec — is undone by
-    //     publishing a new head that re-references snapshot 0's metadata verbatim
+    // --- SNAPSHOT ROLLBACK under the gate, driven through the Iceberg-procedure
+    //     SQL surface (CALL cat.system.rollback_to_snapshot): a bad overwrite —
+    //     negated values AND a redefined partition spec — is undone by publishing
+    //     a new head that re-references snapshot 0's metadata verbatim
     //     (O(metadata), no file copied). The bad snapshot stays time-travelable
     //     (VERSION AS OF 1 still sums negative, require-pinned), the head's
     //     `.snapshots` operation reads 'rollback' (require-pinned), and the
@@ -1784,11 +1785,14 @@ object CorpusQueries {
       docs.withColumn("n_chars", -col("n_chars"))
         .write.format("graft.sources.ManifestDataSource")
         .option("partcol", "bucket(4,doc_id)").mode("overwrite").save(s"$wh/corpus/docs")
-      val head = graft.sources.ManifestTables.rollbackTo(s"$wh/corpus/docs", 0)
-      require(head == 2, s"rollback must publish a NEW head (got snapshot $head)")
       val cat = s"graft_q76_$tag"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // the Iceberg-procedure SQL surface drives the rollback itself
+      val rb = s.sql(s"CALL $cat.system.rollback_to_snapshot('corpus.docs', 0)").head()
+      val head = rb.getLong(1)
+      require(rb.getLong(0) == 1 && head == 2,
+        s"rollback must step head 1 -> 2, got ${rb.getLong(0)} -> $head")
       val badSum = s.sql(s"SELECT CAST(sum(n_chars) AS BIGINT) " +
         s"FROM $cat.corpus.docs VERSION AS OF 1").head().getLong(0)
       require(badSum < 0,

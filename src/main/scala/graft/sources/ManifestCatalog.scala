@@ -28,7 +28,8 @@ import scala.jdk.CollectionConverters._
   * files null-fill); everything else is unsupported rather than half-implemented.
   */
 class ManifestCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -400,6 +401,15 @@ class ManifestCatalog extends TableCatalog
   // ApplyFunctionExpression translates to a V2 UserDefinedScalarFunc predicate that
   // the manifest scan recognizes for fingerprint file pruning (any namespace depth —
   // the function is catalog-global, not per-table)
+
+  // Iceberg-style SQL maintenance procedures: CALL cat.system.<proc>(...) —
+  // thin bindings over ManifestTables/ManifestMaintenance (ManifestProcedures)
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ManifestProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    ManifestProcedures.list(warehouse, namespace)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     ("fm_count" +: PartitionTransformFunctions.all.keys.toSeq.sorted)

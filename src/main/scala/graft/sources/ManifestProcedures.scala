@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style SQL maintenance procedures on the manifest catalog —
+  * `CALL cat.system.rollback_to_snapshot('ns.tbl', 0)` and friends (the
+  * stored-procedure surface Iceberg ships as `system.*`; reference capability
+  * analog: index maintenance entry points, e.g. `fm/FmIndexBuilder.java`'s
+  * rebuild knobs, lifted to the table-format layer). Each procedure is a thin
+  * SQL binding over the SAME public maintenance entry points
+  * (ManifestTables / ManifestMaintenance) — no second code path — and returns
+  * its outcome as one driver-local row (bounded metadata, never
+  * data-proportional). Spark 4's DSv2 `ProcedureCatalog` drives resolution:
+  * the analyzer binds and coerces arguments against `parameters()`, then
+  * `call` yields one `LocalScan` whose rows ARE the procedure result.
+  */
+private[sources] object ManifestProcedures {
+
+  /** One-row driver-local result relation. */
+  private final class ResultScan(schema: StructType, row: Seq[Any]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(row))
+    override def description(): String = s"manifest_procedure_result$schema"
+  }
+
+  /** A procedure with a fixed signature: bind is identity (no overloads), the
+    * result is one row. `warehouse` anchors table-name resolution to the OWNING
+    * catalog — `CALL a.system.p('t')` can never touch catalog b's tables.
+    */
+  private abstract class Proc(warehouse: String, procName: String, doc: String,
+      params: Seq[ProcedureParameter], out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // mutates / inspects live table state
+    protected def run(args: InternalRow): Seq[Any]
+    override def call(input: InternalRow): JIterator[Scan] =
+      Collections.singletonList[Scan](new ResultScan(out, run(input))).iterator()
+    /** `'ns.tbl'` (or `'tbl'`) under THIS catalog's warehouse; requires a
+      * committed table so typos fail with a named error, not an empty dir scan.
+      */
+    protected def dirOf(table: String): String = {
+      val dir = (warehouse +: table.split('.').toSeq).mkString("/")
+      require(ManifestTables.latestSnapshotId(dir).isDefined,
+        s"$procName: no committed manifest table at '$table' (resolved $dir)")
+      dir
+    }
+  }
+
+  private def in(name: String, tpe: DataType) = ProcedureParameter.in(name, tpe).build()
+  private val tableParam = in("table", StringType)
+
+  private def procs(warehouse: String): Map[String, UnboundProcedure] = Seq(
+    new Proc(warehouse, "rollback_to_snapshot",
+        "Publish a new head re-referencing the target snapshot's state verbatim; " +
+          "history stays time-travelable",
+        Seq(tableParam, in("snapshot_id", LongType)),
+        new StructType().add("previous_snapshot_id", LongType, nullable = false)
+          .add("current_snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val dir = dirOf(args.getUTF8String(0).toString)
+        val prev = ManifestTables.latestSnapshotId(dir).get.toLong
+        Seq(prev, ManifestTables.rollbackTo(dir, args.getLong(1).toInt).toLong)
+      }
+    },
+    new Proc(warehouse, "expire_snapshots",
+        "Remove all but the newest keep_last snapshots (tagged ones always stay), " +
+          "then delete segments and data files no retained snapshot references",
+        Seq(tableParam, ProcedureParameter.in("keep_last", IntegerType)
+          .defaultValue("1").build()),
+        new StructType().add("expired_snapshots", IntegerType, nullable = false)
+          .add("deleted_segments", IntegerType, nullable = false)
+          .add("deleted_data_files", IntegerType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val (s, seg, d) = ManifestTables.expireSnapshots(
+          dirOf(args.getUTF8String(0).toString), args.getInt(1))
+        Seq(s, seg, d)
+      }
+    },
+    new Proc(warehouse, "compact_manifests",
+        "Fold inline entries + every segment into one fresh segment (appends stay " +
+          "O(metadata); this is the explicitly-paid O(total files) pass)",
+        Seq(tableParam),
+        new StructType().add("snapshot_id", LongType, nullable = true)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.compact(dirOf(args.getUTF8String(0).toString))
+          .map(_.toLong).orNull)
+    },
+    new Proc(warehouse, "rewrite_data_files",
+        "Bin-pack small data files up to target_bytes per partition, applying " +
+          "pending positional/equality deletes; no-op returns NULL",
+        Seq(tableParam, in("target_bytes", LongType)),
+        new StructType().add("snapshot_id", LongType, nullable = true)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestMaintenance.compactDataFiles(SparkSession.active,
+          dirOf(args.getUTF8String(0).toString), args.getLong(1)).map(_.toLong).orNull)
+    },
+    new Proc(warehouse, "remove_orphan_files",
+        "Delete data/segment files under the table that NO retained snapshot " +
+          "references and that are older than older_than_ms (crash debris)",
+        Seq(tableParam, in("older_than_ms", LongType)),
+        new StructType().add("deleted_files", IntegerType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.removeOrphans(
+          dirOf(args.getUTF8String(0).toString), args.getLong(1)))
+    }
+  ).map(p => p.name() -> (p: UnboundProcedure)).toMap
+
+  private[sources] val Namespace = "system"
+
+  private[sources] def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array(Namespace)),
+      s"procedures live under the '$Namespace' namespace, got " +
+        s"'${ident.namespace().mkString(".")}.${ident.name()}'")
+    procs(warehouse).getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"unknown procedure '${ident.name()}' " +
+        s"(have: ${procs(warehouse).keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  private[sources] def list(warehouse: String, namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array(Namespace)))
+      procs(warehouse).keys.toSeq.sorted
+        .map(n => Identifier.of(Array(Namespace), n)).toArray
+    else Array.empty
+}

@@ -2963,4 +2963,50 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ManifestTables.readPartitionSpec(tbl).map(ManifestTables.specTokenOf) ==
       Seq("bucket(4,id)"))
   }
+
+  test("CALL cat.system.* procedures: rollback, expire, compact, rewrite, orphans " +
+      "run through plain SQL and return their outcome rows") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_proc").toString
+    val cat = "graft_proc_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    def write(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode).save(s"$wh/ns/t")
+    write(Seq((1L, "a"), (2L, "b")), "overwrite")         // snapshot 0
+    write(Seq((9L, "z")), "overwrite")                    // snapshot 1 (bad)
+    // rollback through SQL; result row names the previous and new head
+    val rb = spark.sql(s"CALL $cat.system.rollback_to_snapshot('ns.t', 0)").head()
+    assert((rb.getLong(0), rb.getLong(1)) == (1L, 2L))
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 2L))
+    // three tiny appends -> compact_manifests folds them into one segment
+    write(Seq((3L, "a")), "append"); write(Seq((4L, "b")), "append")
+    val folded = spark.sql(s"CALL $cat.system.compact_manifests('ns.t')").head()
+    assert(!folded.isNullAt(0))
+    assert(ManifestTables.readSnapshotRefs(s"$wh/ns/t", None).segments.length == 1)
+    // rewrite_data_files bin-packs the small per-partition files
+    val rw = spark.sql(s"CALL $cat.system.rewrite_data_files('ns.t', ${8L << 20})").head()
+    assert(!rw.isNullAt(0))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) == 4L)
+    // expire everything but the head (named-arg form; keep_last has a default)
+    val ex = spark.sql(
+      s"CALL $cat.system.expire_snapshots(table => 'ns.t', keep_last => 1)").head()
+    assert(ex.getInt(0) > 0)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 0").collect())
+    // orphan sweep with a future cutoff finds nothing on a clean table
+    assert(spark.sql(s"CALL $cat.system.remove_orphan_files('ns.t', ${1L << 62})")
+      .head().getInt(0) == 0)
+    // unknown procedure and unknown table both refuse loudly
+    val e1 = intercept[Exception](spark.sql(s"CALL $cat.system.nope('ns.t')").collect())
+    assert(e1.getMessage.contains("unknown procedure") ||
+      Option(e1.getCause).exists(_.getMessage.contains("unknown procedure")), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.compact_manifests('ns.ghost')").collect())
+    assert(e2.getMessage.contains("no committed manifest table") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no committed manifest table")),
+      e2.getMessage)
+  }
 }
