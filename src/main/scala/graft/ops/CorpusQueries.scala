@@ -1812,6 +1812,48 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- CHERRY-PICK under the gate (Iceberg cherrypick_snapshot, the rollback's
+    //     companion): a bad append lands BETWEEN two good commits; rolling back to
+    //     the last good baseline also discards the good commit that followed, so
+    //     the recovery is rollback + CALL cherrypick_snapshot of the good append —
+    //     its files re-reference from the new head with FRESH sequence numbers, no
+    //     data read or copied. A corrected batch then replaces the bad one, and
+    //     the final aggregate equals the plain relational answer; the head chain's
+    //     op tags (rollback, cherrypick) are require-pinned off `.snapshots`. ---
+    "q77_cherrypick" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q77", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def gen(r: Int) = docs.filter(col("doc_id") % 3 === r)
+      gen(0).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs") // snap 0
+      gen(1).withColumn("n_chars", -col("n_chars"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")    // snap 1: bad
+      gen(2).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")    // snap 2: good
+      val cat = s"graft_q77_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      require(s.sql(s"CALL $cat.system.rollback_to_snapshot('corpus.docs', 0)")
+        .head().getLong(1) == 3, "rollback must publish head 3")
+      require(s.sql(s"CALL $cat.system.cherrypick_snapshot('corpus.docs', 2)")
+        .head().getLong(0) == 4, "cherry-pick must publish head 4")
+      val ops = s.sql(s"SELECT snapshot_id, operation FROM $cat.corpus.docs.snapshots " +
+        "WHERE snapshot_id >= 3 ORDER BY snapshot_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      require(ops == Seq(3L -> "rollback", 4L -> "cherrypick"),
+        s"head chain must read rollback then cherrypick, got $ops")
+      gen(1).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("append").save(s"$wh/corpus/docs")    // snap 5: fixed
+      s.read.format("graft.sources.ManifestDataSource").load(s"$wh/corpus/docs")
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- INCREMENTAL batch read (Iceberg incremental-scan analog): three appends
     //     land as three snapshots; .option("startSnapshot", <id-after-first>) must
     //     serve EXACTLY the rows appended after that snapshot — the scan plans
@@ -2712,6 +2754,12 @@ object CorpusQueries {
     // q64: rollback restores snapshot 0 (even ids) and the corrected odd batch
     // appends after it — the final table holds exactly all documents
     "q76_rollback" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q77: rollback discards the bad append AND the good one after it; the
+    // cherry-pick restores the good commit and the corrected batch lands — the
+    // final table holds exactly all documents
+    "q77_cherrypick" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63u: rename/drop are metadata-only — the straddling scan aggregates the

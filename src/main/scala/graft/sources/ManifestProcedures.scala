@@ -73,6 +73,16 @@ private[sources] object ManifestProcedures {
         Seq(prev, ManifestTables.rollbackTo(dir, args.getLong(1).toInt).toLong)
       }
     },
+    new Proc(warehouse, "cherrypick_snapshot",
+        "Re-apply one snapshot's append delta onto the current head with fresh " +
+          "sequence numbers; refuses non-append snapshots, spec drift, double " +
+          "applies, and GC'd files",
+        Seq(tableParam, in("snapshot_id", LongType)),
+        new StructType().add("current_snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.cherrypick(dirOf(args.getUTF8String(0).toString),
+          args.getLong(1).toInt).toLong)
+    },
     new Proc(warehouse, "expire_snapshots",
         "Remove all but the newest keep_last snapshots (tagged ones always stay), " +
           "then delete segments and data files no retained snapshot references",

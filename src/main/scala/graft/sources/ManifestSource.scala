@@ -836,6 +836,75 @@ object ManifestTables {
     -1 // unreachable
   }
 
+  /** Re-apply one snapshot's APPEND delta onto the current head (Iceberg's
+    * cherrypick_snapshot) — the natural companion of rollbackTo: roll past a bad
+    * commit, then cherry-pick the good commits that followed it. The files
+    * `target` added relative to its parent (id target-1: history is linear in
+    * this format) are re-referenced from the head with FRESH sequence numbers —
+    * like a new append, so current equality-delete segments never retroactively
+    * apply to them — and the head's spec/schema/registry/delete lists carry
+    * unchanged. Refuses loudly unless the pick is provably safe: the target must
+    * be a pure append (no removals, no delete-segment changes vs its parent), its
+    * partition spec must match the CURRENT head's (its files' layout must route
+    * under the live spec), none of its added paths may already be live (double
+    * apply), and the files must still exist on disk (not yet GC'd). O(target +
+    * parent + head metadata); no data file is read or copied.
+    */
+  def cherrypick(dir: String, target: Int): Int = {
+    var attempt = 0
+    while (true) {
+      val latest = latestSnapshotId(dir)
+      require(latest.isDefined, s"no committed snapshot under $dir — nothing to cherry-pick")
+      require(target >= 1 && target <= latest.get,
+        s"cannot cherry-pick snapshot $target of $dir: need 1..${latest.get} " +
+          "(snapshot 0 has no parent — roll back to it instead)")
+      val tRefs = readSnapshotRefs(dir, Some(target))
+      val pRefs = readSnapshotRefs(dir, Some(target - 1)) // loud error if expired
+      val tEntries = entriesOf(dir, tRefs)
+      val tPaths = tEntries.map(_.path).toSet
+      val pPaths = entriesOf(dir, pRefs).map(_.path).toSet
+      val removed = pPaths.toSeq.filterNot(tPaths)
+      require(removed.isEmpty,
+        s"snapshot $target of $dir is not a pure append (removed ${removed.length} " +
+          "files vs its parent) — only append snapshots cherry-pick cleanly")
+      require(tRefs.deletes == pRefs.deletes && tRefs.eqDeletes == pRefs.eqDeletes,
+        s"snapshot $target of $dir changed delete segments vs its parent — " +
+          "row-level commits do not cherry-pick")
+      val tSpec = readPartitionSpec(dir, Some(target)).map(typeTokenOf)
+      val headSpec = readPartitionSpec(dir, Some(latest.get))
+      require(tSpec == headSpec.map(typeTokenOf),
+        s"snapshot $target of $dir was laid out under spec '${tSpec.mkString(",")}' " +
+          s"but the head records '${headSpec.map(typeTokenOf).mkString(",")}' — " +
+          "files cannot re-route under a different spec")
+      val added = tEntries.filterNot(e => pPaths.contains(e.path))
+      require(added.nonEmpty, s"snapshot $target of $dir added no files — nothing to pick")
+      val headRefs = readSnapshotRefs(dir, Some(latest.get))
+      val live = entriesOf(dir, headRefs).map(_.path).toSet
+      val dup = added.map(_.path).filter(live)
+      require(dup.isEmpty,
+        s"cherry-pick of snapshot $target would double-apply ${dup.length} files " +
+          s"already live at the head (e.g. ${dup.head})")
+      val gone = added.map(_.path).filterNot(p => Files.exists(Paths.get(dir, p)))
+      require(gone.isEmpty,
+        s"snapshot $target's files were already garbage-collected " +
+          s"(e.g. ${gone.head}) — nothing left to re-reference")
+      val next = latest.get + 1
+      if (tryWriteSnapshotRefs(dir, headSpec.map(_.name).mkString(","),
+          headRefs.inline ++ added.map(_.copy(seq = next)), headRefs.segments, next,
+          partTypes = headSpec.map(typeTokenOf).mkString(","),
+          schemaDdl = headRefs.schemaDdl, deletes = headRefs.deletes,
+          eqDeletes = headRefs.eqDeletes, colIds = headRefs.colIds,
+          operation = "cherrypick")) return next
+      attempt += 1
+      require(attempt < 8,
+        s"cherrypick($dir, $target) lost the snapshot race $attempt times — " +
+          "table under sustained write traffic; re-run later")
+      Thread.sleep(50L * attempt +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 50))
+    }
+    -1 // unreachable
+  }
+
   /** Maintenance: fold the latest snapshot's inline entries + every segment into ONE
     * fresh segment and publish it as a new snapshot (Iceberg's rewrite_manifests
     * analog). Appends stay O(metadata) forever; compaction is the explicitly-paid

@@ -2964,6 +2964,38 @@ class ManifestSourceSpec extends AnyFunSuite {
       Seq("bucket(4,id)"))
   }
 
+  test("cherrypick re-applies an append delta after a rollback; non-appends, " +
+      "double applies, and spec drift refuse") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_cherrypick").toString
+    def write(rows: Seq[(Long, String)], mode: String, partcol: String = "p"): Unit =
+      rows.toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", partcol).mode(mode).save(tbl)
+    write(Seq((1L, "a")), "overwrite")   // snapshot 0
+    write(Seq((2L, "b")), "append")      // snapshot 1 (the bad one, pretend)
+    write(Seq((3L, "a")), "append")      // snapshot 2 (good, lands after the bad)
+    assert(ManifestTables.rollbackTo(tbl, 0) == 3)
+    // re-apply the GOOD commit on top of the rolled-back state
+    assert(ManifestTables.cherrypick(tbl, 2) == 4)
+    assert(dataTable(tbl).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (3L, "a")))
+    // double apply refuses (snapshot 2's file is live again)
+    assert(intercept[IllegalArgumentException](ManifestTables.cherrypick(tbl, 2))
+      .getMessage.contains("double-apply"))
+    // the skipped commit can be picked too — order-independent recovery
+    assert(ManifestTables.cherrypick(tbl, 1) == 5)
+    assert(dataTable(tbl).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // an overwrite (removal) snapshot refuses: snapshot 3 is the rollback itself
+    // (removed snapshot 1 and 2's files vs its parent)
+    assert(intercept[IllegalArgumentException](ManifestTables.cherrypick(tbl, 3))
+      .getMessage.contains("not a pure append"))
+    // spec drift refuses: respec the head, then try to pick an old append
+    write(Seq((9L, "z")), "overwrite", partcol = "bucket(4,id)") // snapshot 6
+    assert(intercept[IllegalArgumentException](ManifestTables.cherrypick(tbl, 2))
+      .getMessage.contains("spec"))
+  }
+
   test("CALL cat.system.* procedures: rollback, expire, compact, rewrite, orphans " +
       "run through plain SQL and return their outcome rows") {
     import spark.implicits._
@@ -2996,6 +3028,15 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ex.getInt(0) > 0)
     intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 0").collect())
+    // files restored by the rollback survive the GC: the head references them
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) == 4L)
+    // the procedure surface is introspectable through plain SQL
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(listed.contains("rollback_to_snapshot") && listed.size == 6, listed)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.expire_snapshots")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("expire_snapshots"), desc)
     // orphan sweep with a future cutoff finds nothing on a clean table
     assert(spark.sql(s"CALL $cat.system.remove_orphan_files('ns.t', ${1L << 62})")
       .head().getInt(0) == 0)
