@@ -2751,7 +2751,7 @@ object CorpusQueries {
     "q63t_create_table" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q64: rollback restores snapshot 0 (even ids) and the corrected odd batch
+    // q76: rollback restores snapshot 0 (even ids) and the corrected odd batch
     // appends after it — the final table holds exactly all documents
     "q76_rollback" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -8,7 +8,6 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Iceberg-style SQL maintenance procedures on the manifest catalog —
   * `CALL cat.system.rollback_to_snapshot('ns.tbl', 0)` and friends (the
@@ -55,12 +54,31 @@ private[sources] object ManifestProcedures {
         s"$procName: no committed manifest table at '$table' (resolved $dir)")
       dir
     }
+    /** SQL-side snapshot ids are BIGINT; this format's ids are Int — refuse
+      * out-of-range values instead of letting .toInt wrap (4294967296.toInt == 0
+      * would silently roll back to snapshot 0, a destructive head change).
+      */
+    protected def snapshotIdArg(args: InternalRow, i: Int): Int = {
+      val id = args.getLong(i)
+      require(id >= 0 && id <= Int.MaxValue,
+        s"$procName: snapshot_id $id out of range (this table format numbers " +
+          s"snapshots 0..${Int.MaxValue})")
+      id.toInt
+    }
   }
 
   private def in(name: String, tpe: DataType) = ProcedureParameter.in(name, tpe).build()
   private val tableParam = in("table", StringType)
 
-  private def procs(warehouse: String): Map[String, UnboundProcedure] = Seq(
+  // one immutable procedure set per warehouse: CALL / SHOW PROCEDURES resolve
+  // against the cache instead of re-allocating six Proc objects per statement
+  private val procCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, UnboundProcedure]]()
+
+  private def procs(warehouse: String): Map[String, UnboundProcedure] =
+    procCache.computeIfAbsent(warehouse, buildProcs)
+
+  private def buildProcs(warehouse: String): Map[String, UnboundProcedure] = Seq(
     new Proc(warehouse, "rollback_to_snapshot",
         "Publish a new head re-referencing the target snapshot's state verbatim; " +
           "history stays time-travelable",
@@ -68,9 +86,13 @@ private[sources] object ManifestProcedures {
         new StructType().add("previous_snapshot_id", LongType, nullable = false)
           .add("current_snapshot_id", LongType, nullable = false)) {
       override protected def run(args: InternalRow): Seq[Any] = {
-        val dir = dirOf(args.getUTF8String(0).toString)
-        val prev = ManifestTables.latestSnapshotId(dir).get.toLong
-        Seq(prev, ManifestTables.rollbackTo(dir, args.getLong(1).toInt).toLong)
+        val target = snapshotIdArg(args, 1)
+        val cur = ManifestTables.rollbackTo(dirOf(args.getUTF8String(0).toString), target)
+        // the CAS guarantees the published head is exactly prior-latest + 1, so
+        // the reported previous head is race-free (a separate 'latest' read here
+        // could straddle a concurrent commit); a no-op reports prev == cur
+        val prev = if (cur == target) cur else cur - 1
+        Seq(prev.toLong, cur.toLong)
       }
     },
     new Proc(warehouse, "cherrypick_snapshot",
@@ -81,7 +103,7 @@ private[sources] object ManifestProcedures {
         new StructType().add("current_snapshot_id", LongType, nullable = false)) {
       override protected def run(args: InternalRow): Seq[Any] =
         Seq(ManifestTables.cherrypick(dirOf(args.getUTF8String(0).toString),
-          args.getLong(1).toInt).toLong)
+          snapshotIdArg(args, 1)).toLong)
     },
     new Proc(warehouse, "expire_snapshots",
         "Remove all but the newest keep_last snapshots (tagged ones always stay), " +
@@ -132,14 +154,16 @@ private[sources] object ManifestProcedures {
     require(ident.namespace().sameElements(Array(Namespace)),
       s"procedures live under the '$Namespace' namespace, got " +
         s"'${ident.namespace().mkString(".")}.${ident.name()}'")
-    procs(warehouse).getOrElse(ident.name(), throw new IllegalArgumentException(
+    val all = procs(warehouse)
+    all.getOrElse(ident.name(), throw new IllegalArgumentException(
       s"unknown procedure '${ident.name()}' " +
-        s"(have: ${procs(warehouse).keys.toSeq.sorted.mkString(", ")})"))
+        s"(have: ${all.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   private[sources] def list(warehouse: String, namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array(Namespace)))
       procs(warehouse).keys.toSeq.sorted
         .map(n => Identifier.of(Array(Namespace), n)).toArray
-    else Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace) // the DSv2 contract: a typo'd namespace errors, never reads empty
 }

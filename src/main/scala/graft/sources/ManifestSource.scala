@@ -870,11 +870,15 @@ object ManifestTables {
       require(tRefs.deletes == pRefs.deletes && tRefs.eqDeletes == pRefs.eqDeletes,
         s"snapshot $target of $dir changed delete segments vs its parent — " +
           "row-level commits do not cherry-pick")
-      val tSpec = readPartitionSpec(dir, Some(target)).map(typeTokenOf)
+      // full PartCol equality — names, types, AND transforms: an identity-column
+      // rename keeps the same type token but re-routes every value to a
+      // different column, exactly the silent-wrong-results class this refusal exists for
+      val tSpec = readPartitionSpec(dir, Some(target))
       val headSpec = readPartitionSpec(dir, Some(latest.get))
-      require(tSpec == headSpec.map(typeTokenOf),
-        s"snapshot $target of $dir was laid out under spec '${tSpec.mkString(",")}' " +
-          s"but the head records '${headSpec.map(typeTokenOf).mkString(",")}' — " +
+      require(tSpec == headSpec,
+        s"snapshot $target of $dir was laid out under spec " +
+          s"'${tSpec.map(specTokenOf).mkString(",")}' but the head records " +
+          s"'${headSpec.map(specTokenOf).mkString(",")}' — " +
           "files cannot re-route under a different spec")
       val added = tEntries.filterNot(e => pPaths.contains(e.path))
       require(added.nonEmpty, s"snapshot $target of $dir added no files — nothing to pick")

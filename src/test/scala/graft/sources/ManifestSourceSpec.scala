@@ -2994,6 +2994,18 @@ class ManifestSourceSpec extends AnyFunSuite {
     write(Seq((9L, "z")), "overwrite", partcol = "bucket(4,id)") // snapshot 6
     assert(intercept[IllegalArgumentException](ManifestTables.cherrypick(tbl, 2))
       .getMessage.contains("spec"))
+    // an identity-column RENAME keeps the same type token — the spec check must
+    // still refuse (the old files' values would re-route to the wrong column)
+    val tbl2 = Files.createTempDirectory("manifest_cherrypick2").toString
+    def w2(rows: Seq[(Long, String, String)], mode: String, pc: String): Unit =
+      rows.toDF("id", "p", "q").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", pc).mode(mode).save(tbl2)
+    w2(Seq((1L, "a", "x")), "overwrite", "p")                   // snapshot 0
+    w2(Seq((2L, "b", "y")), "append", "p")                      // snapshot 1
+    assert(ManifestTables.rollbackTo(tbl2, 0) == 2)
+    w2(Seq((3L, "c", "z")), "overwrite", "q")                   // snapshot 3: same TYPE, new name
+    assert(intercept[IllegalArgumentException](ManifestTables.cherrypick(tbl2, 1))
+      .getMessage.contains("spec"))
   }
 
   test("CALL cat.system.* procedures: rollback, expire, compact, rewrite, orphans " +
@@ -3049,5 +3061,11 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed manifest table") ||
       Option(e2.getCause).exists(_.getMessage.contains("no committed manifest table")),
       e2.getMessage)
+    // a BIGINT snapshot id past Int.MaxValue refuses instead of wrapping to a
+    // small id (4294967296.toInt == 0 would silently roll back to snapshot 0)
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('ns.t', ${1L << 32})").collect())
+    assert(e3.getMessage.contains("out of range") ||
+      Option(e3.getCause).exists(_.getMessage.contains("out of range")), e3.getMessage)
   }
 }
