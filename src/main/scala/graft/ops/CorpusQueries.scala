@@ -1083,6 +1083,41 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- EXACT substring dedup (the "ExactSubstr" operator of Lee et al. 2021,
+    //     "Deduplicating Training Data Makes Language Models Better"): every
+    //     character span of length >= 20 that occurs more than once ANYWHERE in the
+    //     corpus, merged per doc into maximal duplicated spans. The published
+    //     implementation builds one corpus-wide suffix array; the Spark-native shape
+    //     fingerprints every length-L window (md5: 16 bytes on the wire regardless
+    //     of L), finds duplicated fingerprints with a partial+final count (map-side
+    //     combine absorbs hot windows), equi-joins positions back, and merges runs
+    //     of duplicated starts into maximal spans with a per-doc gaps-and-islands
+    //     window. Shuffle is LINEAR in corpus characters — one fp per position, no
+    //     all-pairs step, no corpus-wide sort — and the only Window partitions by
+    //     doc_id (bounded by one document's length). Per-shard maximal-match lookups
+    //     can use the real suffix structures (graft.core.SuffixArrays / FmIndex);
+    //     corpus-level detection stays in hashed-window space so it scales out.
+    "q57_substring_dedup" -> ((s, dir) => {
+      val L = 20
+      val w = tWide(s, dir, "documents")
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (L - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5s(expr(s"substring(text, pos, $L)")).as("fp"))
+      val dup = w.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("fp"))
+      val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      w.join(dup, "fp")
+        .withColumn("isl", col("pos") - row_number().over(wD))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + lit(L - 1)).cast("long").as("span_end"),
+          (max(col("pos")) - min(col("pos")) + lit(L)).cast("long").as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q54_ivf_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -2631,6 +2666,18 @@ object CorpusQueries {
         |  CAST(sum(toks) AS BIGINT) AS total_toks,
         |  CAST(max(prefix // 2048) AS BIGINT) AS last_seq
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_substring_dedup" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS p
+        |    FROM documents WHERE length(text) >= 20),
+        |w AS (SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 20)) AS fp FROM pos),
+        |dup AS (SELECT fp FROM w GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |  FROM w JOIN dup USING (fp))
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 19 AS BIGINT) AS span_end,
+        |  CAST(max(p) - min(p) + 20 AS BIGINT) AS span_len
+        |FROM d GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "q54_ivf_pq" -> {
       val dotQC = duckDot("qe", "ce")
       val nQ = duckDot("qe", "qe")

@@ -36,6 +36,36 @@ class ModulesSpec extends AnyFunSuite {
       s"approx p50 drifted: approx=$approxP exact=$exactP")
   }
 
+  test("q57 exact substring dedup equals the brute-force span oracle") {
+    // differential gate for the hashed-window shape: the brute force counts every
+    // length-20 window in a HashMap and merges duplicated runs per doc — if the
+    // distributed fingerprint/count/join/island pipeline drops or splits a span,
+    // the sets differ
+    val dir = "/root/testdata/sf0.001"
+    val L = 20
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    for ((_, text) <- docs; p <- 0 to text.length - L)
+      counts.updateWith(text.substring(p, p + L))(c => Some(c.getOrElse(0) + 1))
+    val want = docs.flatMap { case (id, text) =>
+      val dupStarts = (0 to text.length - L).filter(p => counts(text.substring(p, p + L)) >= 2)
+      // merge consecutive duplicated starts into maximal spans (1-based, inclusive)
+      dupStarts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s0, e0, _) :: rest, p) if p + 1 == e0 - L + 2 =>
+          (s0, (p + L).toLong, (p + L) - s0 + 1) :: rest
+        case (acc, p) =>
+          ((p + 1).toLong, (p + L).toLong, L.toLong) :: acc
+      }.map { case (s0, e0, _) => (id, s0, e0, e0 - s0 + 1) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q57_substring_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"span sets differ: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture must contain duplicated spans for the gate to bite")
+  }
+
   test("rankedIds: distributed range-partitioned ranking equals a global sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
