@@ -1601,6 +1601,49 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
+    //     commits): a candidate batch lands as a staged head NO reader sees (the
+    //     require pins invisibility), an audit read (`wapId` option) serves
+    //     parent+delta for quality checks, an UNRELATED append advances the head
+    //     in between — the situation WAP exists for — and CALL publish_wap
+    //     re-applies the audited delta onto the live head with fresh sequence
+    //     numbers. A leaked stage, a lost delta, or a double apply all break
+    //     either the in-query requires or the final oracle comparison. ---
+    "q78_wap_publish" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q78", dir)
+      val tbl = s"$wh/corpus/docs"
+      val cat = s"graft_q78_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def part(r: Int) = docs.filter(col("doc_id") % 3 === r)
+      part(0).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(tbl)
+      // stage the candidate batch: invisible until audited and published
+      part(1).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").option("wapId", "cand")
+        .mode("append").save(tbl)
+      val baseN = part(0).count()
+      val plainN = s.read.format("graft.sources.ManifestDataSource").load(tbl).count()
+      require(plainN == baseN, s"staged rows leaked into a plain read: $plainN != $baseN")
+      // audit: the combined view must hold the delta, no duplicate doc ids
+      val audit = s.read.format("graft.sources.ManifestDataSource")
+        .option("wapId", "cand").load(tbl)
+      val auditN = audit.count()
+      val auditDistinct = audit.select("doc_id").distinct().count()
+      require(auditN == baseN + part(1).count() && auditDistinct == auditN,
+        s"audit view wrong: rows=$auditN distinct=$auditDistinct base=$baseN")
+      // an unrelated append lands between stage and publish — WAP's raison d'etre
+      part(2).write.format("graft.sources.ManifestDataSource").mode("append").save(tbl)
+      s.sql(s"CALL $cat.system.publish_wap('corpus.docs', 'cand')").collect()
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- RENAME / DROP COLUMN evolution under the gate: pre-rename files carry the
     //     OLD physical name (resolved by the footer FIELD IDS the writer stamps),
     //     post-rename appends carry the new one, and a scan straddling the rename
@@ -2796,6 +2839,9 @@ object CorpusQueries {
         |) ORDER BY probe, lang""".stripMargin,
     // q63t: CREATE TABLE + INSERT INTO round-trip == the plain aggregate
     "q63t_create_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_wap_publish" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q76: rollback restores snapshot 0 (even ids) and the corrected odd batch

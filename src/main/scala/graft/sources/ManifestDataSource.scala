@@ -494,10 +494,22 @@ object ManifestDataSource {
       options: CaseInsensitiveStringMap): Option[Int] = {
     val byVersion = Option(options.get("snapshot"))
     val byTime = Option(options.get("asOfTimestamp"))
+    val byWap = Option(options.get("wapId"))
     require(byVersion.isEmpty || byTime.isEmpty,
       "set either snapshot or asOfTimestamp, not both")
+    require(byWap.isEmpty || (byVersion.isEmpty && byTime.isEmpty),
+      "a wapId audit read pins its OWN parent snapshot — do not also set " +
+        "snapshot/asOfTimestamp")
     byVersion.map(ManifestTables.resolveVersion(dir, _))
       .orElse(byTime.map(t => ManifestTables.requireTimestampMs(dir, t.toLong)))
+      // AUDIT read (WAP): pin the staged write's recorded parent, so the view is
+      // "the table as the publish would make it" and stays REPEATABLE even while
+      // unrelated commits land between stage and audit. Tolerant of a MISSING
+      // staged head because the WRITE path's options flow through here too
+      // (inferSchema runs before the stage exists); a typo'd wapId on a read
+      // still fails loudly in newScanBuilder's strict readStaged.
+      .orElse(byWap.filter(ManifestTables.stagedExists(dir, _))
+        .map(ManifestTables.readStaged(dir, _).parent))
   }
 
   /** An entry's typed partition-value tuple (storage-partitioned-join grouping key). */
@@ -746,12 +758,26 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // A BATCH changelog needs startSnapshot (checked at toBatch); a STREAMING
     // changelog without one starts with a state load and follows changes forever.
     val changelog = options.getBoolean("changelog", false)
+    // AUDIT read of a staged (WAP) write: the pinned snapshot is the staged
+    // parent (pinFromOptions), and the delta entries ride as EXTRA inline
+    // entries of the pinned refs — stamped one sequence past the parent so the
+    // parent's equality-delete segments never apply to them (they are logically
+    // the next commit). File-diff views are undefined over an unpublished delta,
+    // so incremental/changelog reads refuse the combination.
+    val stagedExtra: Seq[ManifestTables.Entry] =
+      Option(options.get("wapId")).map { w =>
+        require(startSnapshot.isEmpty && !changelog,
+          "incremental/changelog reads cannot combine with a wapId audit read")
+        val st = ManifestTables.readStaged(dir, w)
+        st.entries.map(e => e.copy(snapshot = st.parent + 1, seq = st.parent + 1))
+      }.getOrElse(Nil)
     // the PINNED snapshot's own partition spec: an overwrite may have redefined
     // the partitioning since — interpreting old entries with the new spec would
     // mislabel every partition value the time-travel read serves
     new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir, snapshot),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
-      streamSkipRewrites = options.getBoolean("streamSkipRewrites", false))
+      streamSkipRewrites = options.getBoolean("streamSkipRewrites", false),
+      stagedExtra = stagedExtra)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, tschema, info)
@@ -846,7 +872,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     partCols: Seq[ManifestTables.PartCol], snapshot: Option[Int],
     rowLevel: Option[ManifestRowLevelOperation] = None,
     startSnapshot: Option[Int] = None, changelog: Boolean = false,
-    streamSkipRewrites: Boolean = false)
+    streamSkipRewrites: Boolean = false,
+    stagedExtra: Seq[ManifestTables.Entry] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1031,6 +1058,10 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // (COUNT would overcount, MIN/MAX might be a deleted row) — compute honestly
     // until compaction folds the deletes away. The validated refs' snapshot id
     // pins the eventual agg scan (see aggValidatedSnapshot).
+    // audit (WAP) reads keep aggregates plan-side: the footer-stat scan resolves
+    // its file list from the SNAPSHOT refs and would silently answer parent-only,
+    // dropping the staged delta's rows from COUNT/MIN/MAX
+    if (stagedExtra.nonEmpty) return false
     val guardRefs = ManifestTables.readSnapshotRefs(dir, snapshot)
     if (guardRefs.deletes.nonEmpty || guardRefs.eqDeletes.nonEmpty) return false
     aggValidatedSnapshot = Some(guardRefs.snapshot)
@@ -1083,7 +1114,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
-        streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges)
+        streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges,
+        stagedExtra = stagedExtra)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -1097,7 +1129,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     snapshot: Option[Int], limit: Option[Int] = None, rowLevel: Boolean = false,
     statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
     changelog: Boolean = false, streamSkipRewrites: Boolean = false,
-    fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil)
+    fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil,
+    stagedExtra: Seq[ManifestTables.Entry] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1146,8 +1179,13 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // ONE refs read feeds entries AND deletes: two independent 'latest' reads could
   // straddle a concurrent compaction (new files + empty deletes vs old files +
   // no skip list = resurrected rows)
-  private lazy val pinnedRefs: ManifestTables.SnapshotRefs =
-    ManifestTables.readSnapshotRefs(dir, snapshot)
+  private lazy val pinnedRefs: ManifestTables.SnapshotRefs = {
+    val base = ManifestTables.readSnapshotRefs(dir, snapshot)
+    // audit read (WAP): the staged delta joins the pinned snapshot's entry list
+    // as extra inline entries — every downstream view (pruning, stats, deletes,
+    // size estimate) then serves "the table as the publish would make it"
+    if (stagedExtra.isEmpty) base else base.copy(inline = base.inline ++ stagedExtra)
+  }
   /** INCREMENTAL read (`startSnapshot` option): the paths already present at the
     * start snapshot, subtracted from the pinned file list — "rows appended strictly
     * after snapshot S". Only well-defined over an APPEND-ONLY history, so the read
@@ -2345,8 +2383,25 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // `.option("distribute", "true")` requests CLUSTERED distribution over the
     // partition expressions (Iceberg's write.distribution-mode=hash analog)
     val distribute = Option(info.options.get("distribute")).exists(_.toBoolean)
+    // `.option("wapId", <id>)` stages the append (write-audit-publish): the
+    // commit lands as a staged head no reader sees until publish_wap. Stage-only
+    // commits are plain appends by construction — the publish path re-applies
+    // them with cherry-pick's append-delta rules, which cannot represent an
+    // overwrite, an upsert's delete segment, a schema merge, or a commit note's
+    // exactly-once dedup — so those combinations refuse loudly here.
+    val wapId = Option(info.options.get("wapId"))
+    wapId.foreach { w =>
+      require(!replace, s"wapId '$w': only appends can stage — overwrite replaces " +
+        "the whole table state, which a staged delta cannot represent")
+      require(upsertKey.isEmpty, s"wapId '$w' cannot combine with upsertkey — a " +
+        "staged delta carries data files only, not delete segments")
+      require(mergedCols.isEmpty, s"wapId '$w' cannot combine with mergeSchema — " +
+        "evolve the table first, then stage")
+      require(note.isEmpty, s"wapId '$w' cannot combine with commitnote — staged " +
+        "heads are deduplicated by wap id, not by note")
+    }
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
-      replace, note, upsertKey, distribute, mergedCols)
+      replace, note, upsertKey, distribute, mergedCols, wapId)
   }
 }
 
@@ -2365,7 +2420,7 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     partCol: String, partTypes: String, schema: StructType, replace: Boolean,
     note: String, upsertKey: Option[(String, DataType)], distribute: Boolean,
-    mergedCols: Seq[StructField] = Nil)
+    mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2393,7 +2448,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
-      mergedCols)
+      mergedCols, wapId)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
@@ -2411,7 +2466,8 @@ private object ManifestBatchWrite {
 private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String,
     schema: StructType, replace: Boolean, note: String = "",
     upsertKey: Option[(String, DataType)] = None,
-    mergedCols: Seq[StructField] = Nil) extends BatchWrite {
+    mergedCols: Seq[StructField] = Nil,
+    wapId: Option[String] = None) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -2458,6 +2514,34 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       case m: ManifestWriteMessage => m.upsertKeys
       case _ => Nil
     }.distinct.toSeq
+    // STAGE-ONLY commit (write-audit-publish): the delta lands as a staged head
+    // outside the snapshot chain — no CAS loop, because the staged name itself is
+    // the create-once claim (a reused wap id is a coordination bug, refused
+    // loudly by writeStaged). Sequence numbers stay unassigned: publish_wap
+    // stamps the PUBLISHED snapshot's id, exactly like a fresh append, so
+    // equality deletes recorded while the write sat staged never retroactively
+    // apply to it. The spec check is stage-time UX only — publish re-validates
+    // against the live head, catching a respec that lands while staged.
+    wapId.foreach { w =>
+      val latest = ManifestTables.latestSnapshotId(dir)
+      require(latest.isDefined,
+        s"wapId '$w': no committed snapshot under $dir — a staged write needs an " +
+          "existing table to publish onto; bootstrap with a plain write first")
+      // spec read PINNED to the recorded parent: an independent 'latest' spec read
+      // could straddle a concurrent respec, recording parent=old + spec=new — the
+      // audit read would then interpret the delta's partition values under the
+      // parent's OLD spec while the files were laid out under the new one
+      val cur = ManifestTables.readPartitionSpec(dir, latest)
+      require(cur.map(_.name).mkString(",") == partCol &&
+          cur.map(ManifestTables.typeTokenOf).mkString(",") == partTypes,
+        s"partition spec of $dir changed concurrently (now " +
+          s"'${cur.map(ManifestTables.specTokenOf).mkString(",")}') — this staged " +
+          s"write's files were laid out under '$partCol'; rerun the write")
+      ManifestTables.writeStaged(dir, w, latest.get, partCol, partTypes,
+        freshFiles.map { case (rel, bytes, part, st) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st) }.toSeq)
+      return
+    }
     var done = false
     var attempt = 0
     while (!done) {

@@ -137,6 +137,24 @@ private[sources] object ManifestProcedures {
         Seq(ManifestMaintenance.compactDataFiles(SparkSession.active,
           dirOf(args.getUTF8String(0).toString), args.getLong(1)).map(_.toLong).orNull)
     },
+    new Proc(warehouse, "publish_wap",
+        "Publish a staged (write-audit-publish) append onto the current head with " +
+          "fresh sequence numbers; refuses spec drift, double applies, and GC'd files",
+        Seq(tableParam, in("wap_id", StringType)),
+        new StructType().add("current_snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.publishStaged(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString).toLong)
+    },
+    new Proc(warehouse, "discard_wap",
+        "Drop a staged (write-audit-publish) append without publishing; its data " +
+          "files become orphans for remove_orphan_files",
+        Seq(tableParam, in("wap_id", StringType)),
+        new StructType().add("discarded", BooleanType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.discardStaged(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString))
+    },
     new Proc(warehouse, "remove_orphan_files",
         "Delete data/segment files under the table that NO retained snapshot " +
           "references and that are older than older_than_ms (crash debris)",

@@ -909,6 +909,155 @@ object ManifestTables {
     -1 // unreachable
   }
 
+  // --------------------------------------------------- STAGED snapshots (WAP)
+  // Write-audit-publish (Iceberg's spark.wap.id stage-only commits): an append
+  // lands as `staged-<wapid>.json` OUTSIDE the snapshot-NNNNN namespace — no
+  // reader, committer, or CAS loop ever sees it — carrying its delta entries
+  // INLINE (self-contained: no segment a snapshot-driven GC could reclaim) plus
+  // the head id it was derived from. An audit read serves parent + delta through
+  // the normal scan; `publishStaged` re-applies the delta onto the LIVE head with
+  // cherry-pick's validation rules (fresh sequence numbers, spec equality, no
+  // double apply); `discardStaged` drops the staged head and leaves the data
+  // files to removeOrphans — which treats staged heads as reference roots, so an
+  // un-published audit candidate can sit for days without losing its files.
+
+  private[sources] case class Staged(wapId: String, parent: Int, partCol: String,
+      partTypes: String, entries: Seq[Entry])
+
+  private def stagedPath(dir: String, wapId: String) = {
+    require(wapId.matches(TagNamePattern),
+      s"wap id '$wapId' must match $TagNamePattern")
+    Paths.get(dir, "_manifests", s"staged-$wapId.json")
+  }
+
+  /** Stages an append delta under `wapId` (create-once: a reused id fails loudly
+    * — two writers staging the same audit id is a coordination bug, not a race to
+    * serialize). `parent` is the head the writer derived from; publication
+    * re-validates against the live head, so parent is provenance, not a lock.
+    */
+  private[sources] def writeStaged(dir: String, wapId: String, parent: Int,
+      partCol: String, partTypes: String, entries: Seq[Entry]): Unit = {
+    require(entries.nonEmpty, s"staged write '$wapId' added no files — nothing to audit")
+    val typesLine =
+      if (partTypes.isEmpty) "" else s"""  "partition_types": "${jsonEscape(partTypes)}",\n"""
+    val json =
+      s"""{
+         |  "wap": "${jsonEscape(wapId)}",
+         |  "parent": $parent,
+         |  "ts": ${System.currentTimeMillis()},
+         |  "partition_column": "${jsonEscape(partCol)}",
+         |$typesLine  "files": [
+         |${entries.map(entryJson).mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val tmp = Files.createTempFile(mdir, ".tmp-staged-", ".inprogress")
+    try {
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(stagedPath(dir, wapId), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"wap id '$wapId' is already staged on $dir — publish or discard it first")
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private[sources] def readStaged(dir: String, wapId: String): Staged = {
+    val p = stagedPath(dir, wapId)
+    require(Files.exists(p),
+      s"no staged write '$wapId' on $dir (staged: ${listStaged(dir).map(_._1).mkString(", ")})")
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val parent = "\"parent\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"staged head $p carries no parent id"))
+    val partCol = s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    val partTypes = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    Staged(wapId, parent, partCol, partTypes, parseEntries(txt, p.toString, parent))
+  }
+
+  private[sources] def listStaged(dir: String): Seq[(String, Int)] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val StagedFile = s"staged-($TagNamePattern)\\.json".r
+    val stream = Files.list(mdir)
+    val names = try stream.iterator().asScala.map(_.getFileName.toString).flatMap { n =>
+      StagedFile.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1))
+    }.toSeq finally stream.close()
+    names.sorted.map(n => n -> readStaged(dir, n).parent)
+  }
+
+  /** Cheap existence probe (no parse): the write path's schema-inference options
+    * flow through pinFromOptions before the stage exists.
+    */
+  private[sources] def stagedExists(dir: String, wapId: String): Boolean =
+    Files.exists(stagedPath(dir, wapId))
+
+  /** Drops a staged write without publishing (audit failed). The delta's data
+    * files become ordinary orphans — reclaimed by removeOrphans after its age
+    * guard, never eagerly (a concurrent audit reader may still be scanning them).
+    */
+  private[sources] def discardStaged(dir: String, wapId: String): Boolean =
+    Files.deleteIfExists(stagedPath(dir, wapId))
+
+  /** Publishes a staged write onto the CURRENT head (Iceberg's WAP publish,
+    * implemented with cherry-pick's append-delta rules): the staged entries are
+    * re-referenced with fresh sequence numbers — current equality-delete segments
+    * never retroactively apply to them — and the head's spec, schema, registry,
+    * and delete lists carry unchanged. Commits that landed between stage and
+    * publish are fine (that's the point of WAP); the refusals are the provable
+    * unsafeties: spec drift since stage time (files route under a different
+    * layout), a path already live at the head (double apply), or a delta file
+    * GC'd while staged (discard + restage instead). The staged head is deleted
+    * AFTER the snapshot lands; a crash in between leaves a harmless already-
+    * published staged file whose re-publish attempt refuses as a double apply.
+    */
+  private[sources] def publishStaged(dir: String, wapId: String): Int = {
+    val staged = readStaged(dir, wapId)
+    var attempt = 0
+    while (true) {
+      val latest = latestSnapshotId(dir)
+      require(latest.isDefined, s"no committed snapshot under $dir — nothing to publish onto")
+      val headSpec = readPartitionSpec(dir, Some(latest.get))
+      require(staged.partCol == headSpec.map(_.name).mkString(",") &&
+          staged.partTypes == headSpec.map(typeTokenOf).mkString(","),
+        s"staged write '$wapId' was laid out under spec '${staged.partCol}' but the " +
+          s"head records '${headSpec.map(specTokenOf).mkString(",")}' — " +
+          "files cannot re-route under a different spec; discard and restage")
+      val headRefs = readSnapshotRefs(dir, Some(latest.get))
+      val live = entriesOf(dir, headRefs).map(_.path).toSet
+      val dup = staged.entries.map(_.path).filter(live)
+      require(dup.isEmpty,
+        s"publishing staged write '$wapId' would double-apply ${dup.length} files " +
+          s"already live at the head (e.g. ${dup.head}) — was it published before?")
+      val gone = staged.entries.map(_.path).filterNot(p => Files.exists(Paths.get(dir, p)))
+      require(gone.isEmpty,
+        s"staged write '$wapId' references files no longer on disk (e.g. ${gone.head}) " +
+          "— garbage-collected while staged; discard and restage")
+      val next = latest.get + 1
+      if (tryWriteSnapshotRefs(dir, headSpec.map(_.name).mkString(","),
+          headRefs.inline ++ staged.entries.map(_.copy(snapshot = next, seq = next)),
+          headRefs.segments, next,
+          partTypes = headSpec.map(typeTokenOf).mkString(","),
+          schemaDdl = headRefs.schemaDdl, deletes = headRefs.deletes,
+          eqDeletes = headRefs.eqDeletes, colIds = headRefs.colIds,
+          operation = "publish")) {
+        discardStaged(dir, wapId)
+        return next
+      }
+      attempt += 1
+      require(attempt < 8,
+        s"publishStaged($dir, $wapId) lost the snapshot race $attempt times — " +
+          "table under sustained write traffic; re-run later")
+      Thread.sleep(50L * attempt +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 50))
+    }
+    -1 // unreachable
+  }
+
   /** Maintenance: fold the latest snapshot's inline entries + every segment into ONE
     * fresh segment and publish it as a new snapshot (Iceberg's rewrite_manifests
     * analog). Appends stay O(metadata) forever; compaction is the explicitly-paid
@@ -1041,8 +1190,15 @@ object ManifestTables {
     require(olderThanMillis >= 600000L,
       s"removeOrphans threshold ${olderThanMillis}ms is below the 10-minute floor — " +
         "it must exceed the longest concurrent write's duration, or live commits corrupt")
+    // staged (WAP) heads are reference roots too: their delta files belong to a
+    // write that PUBLISHED its intent — unbounded-age staging is the feature, so
+    // the age guard alone must never reclaim an audit candidate's data
+    val stagedTxt = listStaged(dir).map { case (w, _) =>
+      new String(Files.readAllBytes(Paths.get(dir, "_manifests", s"staged-$w.json")),
+        StandardCharsets.UTF_8)
+    }
     val snapTxt = snapshotFiles(dir).map(f =>
-      new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8))
+      new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)) ++ stagedTxt
     val referencedSegs = snapTxt.flatMap(parseSegmentRefs).toSet
     val referencedDels = snapTxt.flatMap(parseDeleteRefs).toSet ++
       snapTxt.flatMap(parseEqDeleteRefs)

@@ -3045,7 +3045,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     // the procedure surface is introspectable through plain SQL
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("rollback_to_snapshot") && listed.size == 6, listed)
+    assert(listed.contains("rollback_to_snapshot") && listed.size == 8, listed)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.expire_snapshots")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("expire_snapshots"), desc)
@@ -3067,5 +3067,125 @@ class ManifestSourceSpec extends AnyFunSuite {
       s"CALL $cat.system.rollback_to_snapshot('ns.t', ${1L << 32})").collect())
     assert(e3.getMessage.contains("out of range") ||
       Option(e3.getCause).exists(_.getMessage.contains("out of range")), e3.getMessage)
+  }
+
+  test("write-audit-publish: staged appends stay invisible, audit reads parent+delta, " +
+      "publish re-applies onto an advanced head, discard leaves orphans for GC") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_wap").toString
+    def write(rows: Seq[(Long, Long, String)], mode: String,
+        wap: Option[String] = None): Unit = {
+      val w = rows.toDF("id", "v", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode)
+      wap.fold(w)(w.option("wapId", _)).save(tbl)
+    }
+    def tableDf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+
+    write((0L until 10L).map(i => (i, i, if (i % 2 == 0) "en" else "fr")), "overwrite")
+    val head0 = ManifestTables.latestSnapshotId(tbl).get
+
+    // stage a delta under wap id "cand1": no snapshot lands, reads see nothing
+    write((10L until 15L).map(i => (i, i, "en")), "append", wap = Some("cand1"))
+    assert(ManifestTables.latestSnapshotId(tbl).contains(head0),
+      "a staged write must not advance the snapshot chain")
+    assert(ids(tableDf) == (0L until 10L).toSet, "staged rows leaked into a plain read")
+    assert(ManifestTables.listStaged(tbl) == Seq(("cand1", head0)))
+
+    // reusing a staged id refuses loudly (coordination bug, not a race)
+    val dup = intercept[Exception](
+      write(Seq((99L, 99L, "en")), "append", wap = Some("cand1")))
+    assert(Iterator.iterate(dup: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("already staged"))), dup.getMessage)
+    // stage-only commits are appends: overwrite and upsertkey refuse
+    val ow = intercept[Exception](
+      write(Seq((99L, 99L, "en")), "overwrite", wap = Some("cand2")))
+    assert(Iterator.iterate(ow: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("only appends can stage"))))
+
+    // AUDIT read: parent + delta, repeatable, no pushed footer aggregate
+    val audit = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("wapId", "cand1").load(tbl)
+    assert(ids(audit) == (0L until 15L).toSet, "audit read must serve parent + delta")
+    val auditAgg = audit.groupBy("lang_p").agg(count(lit(1)).as("c"))
+    val auditCounts = auditAgg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auditCounts == Map("en" -> 10L, "fr" -> 5L), auditCounts)
+    assert(!auditAgg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "pushed aggregates must refuse on an audit read (footers would drop the delta)")
+    // partition pruning still works over the combined view
+    assert(ids(audit.filter(col("lang_p") === "en")) ===
+      (0L until 10L by 2).toSet ++ (10L until 15L))
+
+    // an unrelated append lands between stage and publish (the WAP point)
+    write(Seq((20L, 20L, "fr")), "append")
+    val head1 = ManifestTables.latestSnapshotId(tbl).get
+    assert(head1 == head0 + 1)
+    assert(ids(tableDf) == (0L until 10L).toSet + 20L)
+
+    // publish re-applies the staged delta onto the ADVANCED head
+    val pub = ManifestTables.publishStaged(tbl, "cand1")
+    assert(pub == head1 + 1)
+    assert(ids(tableDf) == (0L until 15L).toSet + 20L)
+    assert(ManifestTables.listStaged(tbl).isEmpty, "publish must consume the staged head")
+    // the head's operation tag reads "publish"
+    assert(ManifestTables.snapshotTsAndNote(tbl, pub)._2.contains("publish"))
+    // published rows carry FRESH sequence numbers: an upsert recorded while the
+    // write sat staged must not retroactively delete them
+    val again = intercept[Exception](ManifestTables.publishStaged(tbl, "cand1"))
+    assert(again.getMessage.contains("no staged write"), again.getMessage)
+
+    // discard path: stage, audit would pass, drop instead — data files survive
+    // until removeOrphans, and ONLY once the staged head is gone
+    write(Seq((30L, 30L, "en")), "append", wap = Some("cand3"))
+    val stagedPaths = ManifestTables.readStaged(tbl, "cand3").entries.map(_.path)
+    assert(stagedPaths.nonEmpty)
+    // backdate the staged data files past the GC age guard: the staged head must
+    // still protect them (an audit candidate may sit for days)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    stagedPaths.foreach(p => Files.setLastModifiedTime(Paths.get(tbl, p), old))
+    ManifestTables.removeOrphans(tbl, 600_000L)
+    assert(stagedPaths.forall(p => Files.exists(Paths.get(tbl, p))),
+      "removeOrphans deleted a staged write's data files")
+    assert(ManifestTables.discardStaged(tbl, "cand3"))
+    ManifestTables.removeOrphans(tbl, 600_000L)
+    assert(stagedPaths.forall(p => !Files.exists(Paths.get(tbl, p))),
+      "a discarded staged write's files must become reclaimable orphans")
+    assert(ids(tableDf) == (0L until 15L).toSet + 20L, "discard must not change the table")
+  }
+
+  test("write-audit-publish: spec drift while staged refuses at publish; " +
+      "CALL publish_wap/discard_wap drive the flow from SQL") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_wap_sql").toString
+    val cat = "graft_wap_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    def write(rows: Seq[(Long, String)], mode: String, wap: Option[String] = None,
+        part: String = "p"): Unit = {
+      val w = rows.toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", part).mode(mode)
+      wap.fold(w)(w.option("wapId", _)).save(tbl)
+    }
+    write(Seq((1L, "a"), (2L, "b")), "overwrite")
+    write(Seq((3L, "a")), "append", wap = Some("w1"))
+    // publish through SQL; the result row is the new head id
+    val pub = spark.sql(s"CALL $cat.system.publish_wap('ns.t', 'w1')").head()
+    assert(pub.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L))
+    // spec drift: stage under the current spec, overwrite-respec the table, publish refuses
+    write(Seq((4L, "b")), "append", wap = Some("w2"))
+    write(Seq((5L, "x")), "overwrite", part = "bucket(2,id)") // respec: hidden bucket now
+    val drift = intercept[Exception](
+      spark.sql(s"CALL $cat.system.publish_wap('ns.t', 'w2')").collect())
+    assert(Iterator.iterate(drift: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(t => Option(t.getMessage).exists(_.contains("cannot re-route"))), drift.getMessage)
+    // discard through SQL cleans it up
+    assert(spark.sql(s"CALL $cat.system.discard_wap('ns.t', 'w2')").head().getBoolean(0))
+    assert(ManifestTables.listStaged(tbl).isEmpty)
   }
 }
