@@ -1644,6 +1644,47 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- BRANCHES under the gate (Iceberg branch refs + fast_forward): a staging
+    //     branch forks from the live table, TWO candidate batches land on the
+    //     branch's own chain (requires pin that main never sees them and that the
+    //     branch view serves fork+delta), and CALL fast_forward publishes the
+    //     branch state onto the untouched head. A leaked branch commit, a lost
+    //     delta, or a mis-stamped sequence breaks the requires or the final
+    //     oracle comparison. ---
+    "q79_branch_ff" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q79", dir)
+      val tbl = s"$wh/corpus/docs"
+      val cat = s"graft_q79_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def part(r: Int) = docs.filter(col("doc_id") % 3 === r)
+      part(0).write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(tbl)
+      s.sql(s"CALL $cat.system.create_branch('corpus.docs', 'staging')").collect()
+      // two candidate batches land on the branch — invisible to main readers
+      Seq(1, 2).foreach { r =>
+        part(r).write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").option("branch", "staging")
+          .mode("append").save(tbl)
+      }
+      val baseN = part(0).count()
+      val plainN = s.read.format("graft.sources.ManifestDataSource").load(tbl).count()
+      require(plainN == baseN, s"branch rows leaked into a plain read: $plainN != $baseN")
+      val branchN = s.read.format("graft.sources.ManifestDataSource")
+        .option("branch", "staging").load(tbl).count()
+      require(branchN == docs.count(),
+        s"branch view must serve fork + both deltas: $branchN != ${docs.count()}")
+      // audited: publish the branch onto the (untouched) head
+      s.sql(s"CALL $cat.system.fast_forward('corpus.docs', 'staging')").collect()
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- RENAME / DROP COLUMN evolution under the gate: pre-rename files carry the
     //     OLD physical name (resolved by the footer FIELD IDS the writer stamps),
     //     post-rename appends carry the new one, and a scan straddling the rename
@@ -2842,6 +2883,9 @@ object CorpusQueries {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_wap_publish" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_branch_ff" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q76: rollback restores snapshot 0 (even ids) and the corrected odd batch

@@ -109,6 +109,24 @@ class ManifestCatalog extends TableCatalog
         Some(new ManifestMetaTable(s"manifest_tags($parent)", schema, () =>
           ManifestTables.listTags(parent).map { case (n, id) =>
             Seq[Any](n, id.toLong) }))
+      case "refs" =>
+        // every named ref (Iceberg `.refs` analog): main, tags, and branches.
+        // snapshot_id is the MAIN-chain anchor (head / tagged id / fork base);
+        // branch_head is the branch-LOCAL head id (0 = fork state, grows with
+        // every branch append; null for main and tags)
+        val schema = new StructType()
+          .add("name", StringType, nullable = false)
+          .add("type", StringType, nullable = false)
+          .add("snapshot_id", LongType, nullable = false)
+          .add("branch_head", LongType, nullable = true)
+        Some(new ManifestMetaTable(s"manifest_refs($parent)", schema, () =>
+          (Seq(Seq[Any]("main", "branch",
+            ManifestTables.latestSnapshotId(parent).getOrElse(-1).toLong, null)) ++
+            ManifestTables.listTags(parent).map { case (n, id) =>
+              Seq[Any](n, "tag", id.toLong, null) } ++
+            ManifestTables.listBranches(parent).map { case (n, base, head) =>
+              Seq[Any](n, "branch", base.toLong, head.toLong) }).sortBy(r =>
+            (r(1).toString, r(0).toString))))
       case "partitions" =>
         // per-partition file/byte rollup (Iceberg `.partitions` analog): one
         // canonical-string column per partition column (hidden transforms
@@ -131,11 +149,18 @@ class ManifestCatalog extends TableCatalog
     }
   }
 
-  /** SQL `VERSION AS OF <n>` — serves the pinned committed snapshot. */
+  /** SQL `VERSION AS OF <n>` — serves the pinned committed snapshot; a BRANCH
+    * name serves the branch head as a read view (Iceberg's branch time travel).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    // a decimal literal is a snapshot id; anything else resolves as a TAG name
+    // a decimal literal is a snapshot id; otherwise a TAG wins over a same-named
+    // branch (tags are immutable promises; shadowing one silently would move data)
+    if (version.toIntOption.isEmpty && ManifestTables.readTag(dir, version).isEmpty &&
+        ManifestTables.branchExists(dir, version))
+      return new ManifestDataTable(dir,
+        ManifestDataSource.branchSchema(dir, version), pinnedBranch = Some(version))
     val snap = ManifestTables.resolveVersion(dir, version)
     // Fail at resolution time if the pinned snapshot does not exist (readSnapshot
     // throws for an unknown id); a legitimately EMPTY snapshot (e.g. an empty

@@ -60,6 +60,13 @@ import scala.jdk.CollectionConverters._
   */
 class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // a BRANCH read serves the branch head's own schema (main may have evolved
+    // since the fork). Tolerant of a missing branch because the WRITE path's
+    // options flow through here too (a branch append onto a not-yet-created
+    // branch must reach appendToBranch's loud refusal, not die at inference)
+    Option(options.get("branch"))
+      .filter(ManifestTables.branchExists(options.get("path"), _))
+      .foreach { b => return ManifestDataSource.branchSchema(options.get("path"), b) }
     // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
     val base = ManifestDataSource.tableSchema(options.get("path"),
       ManifestDataSource.pinFromOptions(options.get("path"), options))
@@ -126,6 +133,25 @@ object ManifestDataSource {
     // hidden partitioning: transform columns never surface in the table schema —
     // their SOURCE columns are ordinary data columns already present in `base`
     StructType(base ++ spec.filter(_.transform.isEmpty)
+      .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
+  }
+
+  /** Branch-read schema: the branch head's carried DDL wins (fork-time evolution
+    * state); otherwise the first branch entry's parquet footer + the branch's own
+    * partition spec — never main's current schema, which may have evolved since
+    * the fork.
+    */
+  private[sources] def branchSchema(dir: String, name: String): StructType = {
+    val refs = ManifestTables.readBranchRefs(dir, name)
+    refs.schemaDdl.foreach { ddl => return StructType.fromDDL(ddl) }
+    val entries = ManifestTables.entriesOf(dir, refs)
+    if (entries.isEmpty) return new StructType() // fork of an empty snapshot
+    val conf = hadoopConf()
+    val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
+    val reader = ParquetFileReader.open(in)
+    val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
+    val spec = ManifestTables.readBranchPartitionSpec(dir, name)
+    StructType(sparkFields(fileSchema) ++ spec.filter(_.transform.isEmpty)
       .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
   }
 
@@ -648,7 +674,8 @@ object ManifestDataSource {
 }
 
 private[sources] class ManifestDataTable(dir: String, tschema: StructType,
-    pinnedSnapshot: Option[Int] = None, mergeSchemaWrite: Boolean = false)
+    pinnedSnapshot: Option[Int] = None, mergeSchemaWrite: Boolean = false,
+    pinnedBranch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -663,11 +690,14 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     m.put("format", "graft-manifest/parquet")
     ManifestTables.latestSnapshotId(dir).foreach { id =>
       m.put("current-snapshot-id", id.toString)
-      val spec = ManifestTables.readPartitionSpec(dir, pinnedSnapshot)
+      val spec = pinnedBranch
+        .map(b => ManifestTables.readBranchPartitionSpec(dir, b))
+        .getOrElse(ManifestTables.readPartitionSpec(dir, pinnedSnapshot))
       if (spec.nonEmpty)
         m.put("partition-spec", spec.map(ManifestTables.specTokenOf).mkString(","))
     }
     pinnedSnapshot.foreach(id => m.put("pinned-snapshot-id", id.toString))
+    pinnedBranch.foreach(b => m.put("pinned-branch", b))
     m
   }
 
@@ -700,8 +730,9 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(pinnedSnapshot.isEmpty,
-      "row-level operations are not allowed on a time-travel (VERSION AS OF) relation")
+    require(pinnedSnapshot.isEmpty && pinnedBranch.isEmpty,
+      "row-level operations are not allowed on a time-travel or branch " +
+        "(VERSION AS OF) relation — write to the branch with .option(\"branch\", name)")
     // session opt-in: DELETE/UPDATE as a merge-on-read delta (O(matches) commit,
     // no touched file rewritten — DELETE records positions only, UPDATE records
     // positions + lands replacement rows as ordinary appends) instead of the
@@ -771,16 +802,36 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
         val st = ManifestTables.readStaged(dir, w)
         st.entries.map(e => e.copy(snapshot = st.parent + 1, seq = st.parent + 1))
       }.getOrElse(Nil)
+    // BRANCH read: pin the branch head's refs and spec at plan time (branch
+    // snapshot files are immutable, so the pin is race-free). Time travel,
+    // audit, incremental, and changelog views are main-chain concepts — the
+    // combinations refuse loudly.
+    val branchPin: Option[(ManifestTables.SnapshotRefs, Seq[ManifestTables.PartCol])] =
+      Option(options.get("branch")).orElse(pinnedBranch).map { b =>
+        require(snapshot.isEmpty && startSnapshot.isEmpty && !changelog &&
+            stagedExtra.isEmpty,
+          "a branch read cannot combine with snapshot/asOfTimestamp/wapId/" +
+            "startSnapshot/changelog options")
+        (ManifestTables.readBranchRefs(dir, b),
+          ManifestTables.readBranchPartitionSpec(dir, b))
+      }
     // the PINNED snapshot's own partition spec: an overwrite may have redefined
     // the partitioning since — interpreting old entries with the new spec would
     // mislabel every partition value the time-travel read serves
-    new ManifestDataScanBuilder(dir, tschema, ManifestTables.readPartitionSpec(dir, snapshot),
+    new ManifestDataScanBuilder(dir, tschema,
+      branchPin.map(_._2).getOrElse(ManifestTables.readPartitionSpec(dir, snapshot)),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
       streamSkipRewrites = options.getBoolean("streamSkipRewrites", false),
-      stagedExtra = stagedExtra)
+      stagedExtra = stagedExtra, pinnedOverride = branchPin.map(_._1))
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a branch-pinned RELATION (VERSION AS OF '<branch>') is a read view; branch
+    // writes go through the writer option, which names its own target chain
+    require(pinnedBranch.isEmpty,
+      "cannot write to a branch-pinned (VERSION AS OF) relation — append with " +
+        ".option(\"branch\", name) instead")
     new ManifestWriteBuilder(dir, tschema, info)
+  }
 
   // ------------------------------------------------ metadata-only DELETE FROM
   // Iceberg's delete-by-partition-predicate analog: when every predicate is an
@@ -812,7 +863,7 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean =
-    pinnedSnapshot.isEmpty && deleteBounds(predicates).isDefined
+    pinnedSnapshot.isEmpty && pinnedBranch.isEmpty && deleteBounds(predicates).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -873,7 +924,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     rowLevel: Option[ManifestRowLevelOperation] = None,
     startSnapshot: Option[Int] = None, changelog: Boolean = false,
     streamSkipRewrites: Boolean = false,
-    stagedExtra: Seq[ManifestTables.Entry] = Nil)
+    stagedExtra: Seq[ManifestTables.Entry] = Nil,
+    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1058,10 +1110,10 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     // (COUNT would overcount, MIN/MAX might be a deleted row) — compute honestly
     // until compaction folds the deletes away. The validated refs' snapshot id
     // pins the eventual agg scan (see aggValidatedSnapshot).
-    // audit (WAP) reads keep aggregates plan-side: the footer-stat scan resolves
-    // its file list from the SNAPSHOT refs and would silently answer parent-only,
-    // dropping the staged delta's rows from COUNT/MIN/MAX
-    if (stagedExtra.nonEmpty) return false
+    // audit (WAP) and branch reads keep aggregates plan-side: the footer-stat
+    // scan resolves its file list from the MAIN-chain snapshot refs and would
+    // silently answer parent-only / main-only, dropping the delta's rows
+    if (stagedExtra.nonEmpty || pinnedOverride.nonEmpty) return false
     val guardRefs = ManifestTables.readSnapshotRefs(dir, snapshot)
     if (guardRefs.deletes.nonEmpty || guardRefs.eqDeletes.nonEmpty) return false
     aggValidatedSnapshot = Some(guardRefs.snapshot)
@@ -1115,7 +1167,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
         streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges,
-        stagedExtra = stagedExtra)
+        stagedExtra = stagedExtra, pinnedOverride = pinnedOverride)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -1130,7 +1182,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     statBounds: Seq[ManifestStats.Bound] = Nil, startSnapshot: Option[Int] = None,
     changelog: Boolean = false, streamSkipRewrites: Boolean = false,
     fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil,
-    stagedExtra: Seq[ManifestTables.Entry] = Nil)
+    stagedExtra: Seq[ManifestTables.Entry] = Nil,
+    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1179,11 +1232,13 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   // ONE refs read feeds entries AND deletes: two independent 'latest' reads could
   // straddle a concurrent compaction (new files + empty deletes vs old files +
   // no skip list = resurrected rows)
-  private lazy val pinnedRefs: ManifestTables.SnapshotRefs = {
+  private lazy val pinnedRefs: ManifestTables.SnapshotRefs = pinnedOverride.getOrElse {
     val base = ManifestTables.readSnapshotRefs(dir, snapshot)
     // audit read (WAP): the staged delta joins the pinned snapshot's entry list
     // as extra inline entries — every downstream view (pruning, stats, deletes,
-    // size estimate) then serves "the table as the publish would make it"
+    // size estimate) then serves "the table as the publish would make it".
+    // BRANCH reads bypass the main chain entirely (pinnedOverride): the branch
+    // head's refs were resolved race-free at plan time.
     if (stagedExtra.isEmpty) base else base.copy(inline = base.inline ++ stagedExtra)
   }
   /** INCREMENTAL read (`startSnapshot` option): the paths already present at the
@@ -1430,6 +1485,9 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     require(snapshot.isEmpty,
       "a time-travel (snapshot/VERSION AS OF) relation is immutable — it cannot " +
         "be read as a stream; use .option(\"startSnapshot\", n) for the initial offset")
+    require(stagedExtra.isEmpty && pinnedOverride.isEmpty,
+      "wapId audit and branch reads are batch views — the stream follows the " +
+        "main snapshot chain; publish or fast-forward first")
     new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
       startSnapshot, statBounds, streamSkipRewrites, changelog)
   }
@@ -2400,8 +2458,26 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       require(note.isEmpty, s"wapId '$w' cannot combine with commitnote — staged " +
         "heads are deduplicated by wap id, not by note")
     }
+    // `.option("branch", <name>)` appends onto the named branch's own chain
+    // instead of main (Iceberg branch writes). Branch commits are APPEND-ONLY —
+    // fastForward republishes them onto main with cherry-pick's append-delta
+    // rules, which cannot represent an overwrite, a delete segment, a schema
+    // merge, or a note's dedup — so those combinations refuse loudly here.
+    val branch = Option(info.options.get("branch"))
+    branch.foreach { b =>
+      require(wapId.isEmpty, s"branch '$b' cannot combine with wapId — a branch IS " +
+        "the multi-commit audit surface; stage onto the branch and fast-forward")
+      require(!replace, s"branch '$b': only appends can land on a branch — " +
+        "overwrite replaces whole-table state, which fast-forward cannot republish")
+      require(upsertKey.isEmpty, s"branch '$b' cannot combine with upsertkey — " +
+        "branch commits carry data files only, not delete segments")
+      require(mergedCols.isEmpty, s"branch '$b' cannot combine with mergeSchema — " +
+        "evolve the main table first, then re-fork")
+      require(note.isEmpty, s"branch '$b' cannot combine with commitnote — " +
+        "exactly-once notes are a main-chain protocol")
+    }
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
-      replace, note, upsertKey, distribute, mergedCols, wapId)
+      replace, note, upsertKey, distribute, mergedCols, wapId, branch)
   }
 }
 
@@ -2420,7 +2496,8 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
 private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     partCol: String, partTypes: String, schema: StructType, replace: Boolean,
     note: String, upsertKey: Option[(String, DataType)], distribute: Boolean,
-    mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None)
+    mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None,
+    branch: Option[String] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2448,7 +2525,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
-      mergedCols, wapId)
+      mergedCols, wapId, branch)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
@@ -2467,7 +2544,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     schema: StructType, replace: Boolean, note: String = "",
     upsertKey: Option[(String, DataType)] = None,
     mergedCols: Seq[StructField] = Nil,
-    wapId: Option[String] = None) extends BatchWrite {
+    wapId: Option[String] = None,
+    branch: Option[String] = None) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -2538,6 +2616,15 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
           s"'${cur.map(ManifestTables.specTokenOf).mkString(",")}') — this staged " +
           s"write's files were laid out under '$partCol'; rerun the write")
       ManifestTables.writeStaged(dir, w, latest.get, partCol, partTypes,
+        freshFiles.map { case (rel, bytes, part, st) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st) }.toSeq)
+      return
+    }
+    // BRANCH append: the commit lands on the named branch's own chain — its CAS,
+    // its sequence numbering (base + branch id), its spec check — and main never
+    // sees it until fastForward (ManifestTables.appendToBranch documents all three)
+    branch.foreach { b =>
+      ManifestTables.appendToBranch(dir, b, partCol, partTypes,
         freshFiles.map { case (rel, bytes, part, st) =>
           ManifestTables.Entry(rel, bytes, part, 0, st) }.toSeq)
       return

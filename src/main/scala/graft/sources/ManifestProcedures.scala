@@ -137,6 +137,36 @@ private[sources] object ManifestProcedures {
         Seq(ManifestMaintenance.compactDataFiles(SparkSession.active,
           dirOf(args.getUTF8String(0).toString), args.getLong(1)).map(_.toLong).orNull)
     },
+    new Proc(warehouse, "create_branch",
+        "Fork a writable branch from the current head (or snapshot_id): branch " +
+          "appends land on the branch's own chain until fast_forward publishes them",
+        Seq(tableParam, in("branch", StringType),
+          ProcedureParameter.in("snapshot_id", LongType).defaultValue("NULL").build()),
+        new StructType().add("base_snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val at = if (args.isNullAt(2)) None else Some(snapshotIdArg(args, 2))
+        Seq(ManifestTables.createBranch(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString, at).toLong)
+      }
+    },
+    new Proc(warehouse, "fast_forward",
+        "Publish a branch's appends onto main — valid only while main still sits " +
+          "at the branch's fork point — then advance the fork pointer",
+        Seq(tableParam, in("branch", StringType)),
+        new StructType().add("current_snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.fastForward(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString).toLong)
+    },
+    new Proc(warehouse, "drop_branch",
+        "Drop a branch and its chain; branch-appended data files become orphans " +
+          "for remove_orphan_files",
+        Seq(tableParam, in("branch", StringType)),
+        new StructType().add("dropped", BooleanType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.dropBranch(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString))
+    },
     new Proc(warehouse, "publish_wap",
         "Publish a staged (write-audit-publish) append onto the current head with " +
           "fresh sequence numbers; refuses spec drift, double applies, and GC'd files",

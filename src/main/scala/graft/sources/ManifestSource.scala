@@ -363,8 +363,13 @@ object ManifestTables {
         s"\"$JStr\"".r.findAllMatchIn(m.group(1)).map(g => jsonUnescape(g.group(1))).toSeq
     }
 
-  private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs = {
-    val chosen = snapshotFileFor(dir, id)
+  private[sources] def readSnapshotRefs(dir: String, id: Option[Int]): SnapshotRefs =
+    parseRefsFile(snapshotFileFor(dir, id))
+
+  /** One snapshot-format file → SnapshotRefs: the ONE parser the main chain and
+    * every branch chain share (same JSON layout, different filename namespace).
+    */
+  private def parseRefsFile(chosen: String): SnapshotRefs = {
     val txt = new String(Files.readAllBytes(Paths.get(chosen)), StandardCharsets.UTF_8)
     val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
     // schema evolution: an overriding full-table schema (DDL) recorded by ALTER
@@ -375,6 +380,19 @@ object ManifestTables {
       .map(m => jsonUnescape(m.group(1)))
     SnapshotRefs(snap, parseEntries(txt, chosen, snap), parseSegmentRefs(txt), ddl,
       parseDeleteRefs(txt), parseEqDeleteRefs(txt), colIds)
+  }
+
+  /** The partition spec recorded in one snapshot-format file (branch heads share
+    * the layout with main-chain snapshots).
+    */
+  private def partitionSpecOfFile(path: String): Seq[PartCol] = {
+    val txt = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    val names = s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    if (names.isEmpty) return Nil
+    val types = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    parsePartSpec(names, types)
   }
 
   /** Entries of a pinned snapshot id (time travel) or the latest when None: inline
@@ -668,7 +686,8 @@ object ManifestTables {
     version.toIntOption.getOrElse(
       readTag(dir, version).getOrElse(throw new IllegalArgumentException(
         s"'$version' is neither a snapshot id nor a tag on $dir " +
-          s"(tags: ${listTags(dir).map(_._1).mkString(", ")})")))
+          s"(tags: ${listTags(dir).map(_._1).mkString(", ")}; " +
+          s"branches: ${listBranches(dir).map(_._1).mkString(", ")})")))
 
   /** One delete segment's path -> positions map. */
   private[sources] def readDeleteSegment(dir: String, name: String): Map[String, Seq[Long]] = {
@@ -728,7 +747,8 @@ object ManifestTables {
       inline: Seq[Entry], segments: Seq[String], id: Int, note: String = "",
       partTypes: String = "", schemaDdl: Option[String] = None,
       deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
-      colIds: Option[String] = None, operation: String = ""): Boolean = {
+      colIds: Option[String] = None, operation: String = "",
+      fileName: Option[String] = None): Boolean = {
     require(jsonEscape(note).getBytes(StandardCharsets.UTF_8).length <= MaxNoteLength,
       s"commit note too long (escaped max $MaxNoteLength UTF-8 bytes) — " +
         "the note must fit the fixed-size head probe that keeps dedup O(1) bytes/snapshot")
@@ -785,7 +805,7 @@ object ManifestTables {
     try {
       Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
       try {
-        Files.createLink(mdir.resolve(f"snapshot-$id%05d.json"), tmp)
+        Files.createLink(mdir.resolve(fileName.getOrElse(f"snapshot-$id%05d.json")), tmp)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -1058,6 +1078,258 @@ object ManifestTables {
     -1 // unreachable
   }
 
+  // ------------------------------------------------------------------ BRANCHES
+  // Named WRITABLE refs (Iceberg branches): a branch forks from a main-chain
+  // snapshot and carries its own linear chain of commits in a parallel
+  // `branch-<name>-snapshot-NNNNN.json` namespace — the SAME snapshot file
+  // format, the same hard-link CAS, the same O(fresh + segments) append cost —
+  // while `branchref-<name>.json` records the fork point: the main snapshot id
+  // the branch state is based on. Reads and writes select a branch with
+  // `.option("branch", <name>)`; `fastForward` publishes the branch state back
+  // onto main when (and only when) main still sits at the fork point, then
+  // advances the fork pointer so the append → audit → fast-forward cycle
+  // repeats. Branch commits are APPEND-ONLY — the provably-safe republish set:
+  // a branch overwrite/upsert would need main-chain delete ordering that a
+  // fork-relative numbering cannot express. Branch appends stamp their fresh
+  // entries with data sequence base+K — strictly above every fork-carried
+  // sequence — so equality deletes carried from main never retroactively
+  // swallow branch-appended rows, and fast-forward can tell carried segments
+  // from branch-local ones by sequence alone, with no second bookkeeping file.
+
+  private def branchRefPath(dir: String, name: String) = {
+    require(name.matches(TagNamePattern),
+      s"branch name '$name' must match $TagNamePattern")
+    Paths.get(dir, "_manifests", s"branchref-$name.json")
+  }
+
+  private def branchSnapName(name: String, id: Int) =
+    f"branch-$name-snapshot-$id%05d.json"
+
+  /** Forks a branch from main snapshot `at` (default: the current head). The
+    * branch NAME is the create-once claim (hard link — two creators of one name
+    * is a coordination bug, refused loudly); branch snapshot 0 then re-references
+    * the fork state verbatim, O(metadata), nothing copied. A crash in between
+    * leaves a torn branch that reads loudly — drop_branch and recreate.
+    */
+  def createBranch(dir: String, name: String, at: Option[Int] = None): Int = {
+    val base = at.getOrElse(latestSnapshotId(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot under $dir — nothing to branch from")))
+    val refs = readSnapshotRefs(dir, Some(base)) // loud on an unknown id
+    val spec = readPartitionSpec(dir, Some(base))
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val tmp = Files.createTempFile(mdir, ".tmp-branchref-", ".inprogress")
+    try {
+      Files.write(tmp, branchRefJson(name, base).getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(branchRefPath(dir, name), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(s"branch '$name' already exists on $dir")
+      }
+    } finally Files.deleteIfExists(tmp)
+    val ok = tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","), refs.inline,
+      refs.segments, 0, partTypes = spec.map(typeTokenOf).mkString(","),
+      schemaDdl = refs.schemaDdl, deletes = refs.deletes, eqDeletes = refs.eqDeletes,
+      colIds = refs.colIds, operation = "fork",
+      fileName = Some(branchSnapName(name, 0)))
+    require(ok, s"branch '$name' left a torn chain on $dir — drop it and recreate")
+    base
+  }
+
+  private def branchRefJson(name: String, base: Int): String =
+    s"""{"branch": "${jsonEscape(name)}", "base": $base, "ts": ${System.currentTimeMillis()}}"""
+
+  private[sources] def branchExists(dir: String, name: String): Boolean =
+    Files.exists(branchRefPath(dir, name))
+
+  /** The branch's fork point: the main snapshot id its state is based on (advanced
+    * by each successful fastForward).
+    */
+  private[sources] def readBranchBase(dir: String, name: String): Int = {
+    val p = branchRefPath(dir, name)
+    require(Files.exists(p), s"no branch '$name' on $dir " +
+      s"(have: ${listBranches(dir).map(_._1).mkString(", ")})")
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    "\"base\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"branch ref $p carries no base id"))
+  }
+
+  private def branchSnapshotFiles(dir: String, name: String): Seq[(Int, String)] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val B = (java.util.regex.Pattern.quote(s"branch-$name-snapshot-") + "(\\d+)\\.json").r
+    val stream = Files.list(mdir)
+    try stream.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      B.findFirstMatchIn(n).filter(_.matched == n).map(m => (m.group(1).toInt, p.toString))
+    }.toSeq.sortBy(_._1) finally stream.close()
+  }
+
+  /** Highest branch-local snapshot id (0 = the fork state, K = K appends since). */
+  private[sources] def branchHeadId(dir: String, name: String): Option[Int] = {
+    val ids = branchSnapshotFiles(dir, name).map(_._1)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private[sources] def readBranchRefs(dir: String, name: String,
+      id: Option[Int] = None): SnapshotRefs = {
+    require(branchExists(dir, name), s"no branch '$name' on $dir " +
+      s"(have: ${listBranches(dir).map(_._1).mkString(", ")})")
+    val files = branchSnapshotFiles(dir, name)
+    require(files.nonEmpty,
+      s"branch '$name' on $dir has no snapshot 0 — torn create; drop it and recreate")
+    val chosen = id match {
+      case None => files.last._2
+      case Some(n) => files.find(_._1 == n).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $n on branch '$name' of $dir (have: ${files.map(_._1).mkString(", ")})"))
+    }
+    parseRefsFile(chosen)
+  }
+
+  private[sources] def readBranchPartitionSpec(dir: String, name: String,
+      id: Option[Int] = None): Seq[PartCol] = {
+    val files = branchSnapshotFiles(dir, name)
+    require(files.nonEmpty,
+      s"branch '$name' on $dir has no snapshot 0 — torn create; drop it and recreate")
+    val chosen = id match {
+      case None => files.last._2
+      case Some(n) => files.find(_._1 == n).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $n on branch '$name' of $dir"))
+    }
+    partitionSpecOfFile(chosen)
+  }
+
+  /** (name, fork base, branch head id) per branch, name-sorted. */
+  def listBranches(dir: String): Seq[(String, Int, Int)] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return Nil
+    val R = s"branchref-($TagNamePattern)\\.json".r
+    val stream = Files.list(mdir)
+    val names = try stream.iterator().asScala.map(_.getFileName.toString)
+      .flatMap(n => R.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1))).toSeq
+      finally stream.close()
+    names.sorted.map(n =>
+      (n, readBranchBase(dir, n), branchHeadId(dir, n).getOrElse(-1)))
+  }
+
+  /** Drops the ref and the branch's chain files. Fork-shared segments stay
+    * referenced by main snapshots; branch-appended segments and data files become
+    * ordinary orphans for removeOrphans (never reclaimed eagerly — a concurrent
+    * branch reader may still be scanning them).
+    */
+  def dropBranch(dir: String, name: String): Boolean = {
+    val had = Files.deleteIfExists(branchRefPath(dir, name))
+    branchSnapshotFiles(dir, name).foreach { case (_, f) =>
+      Files.deleteIfExists(Paths.get(f)) }
+    had
+  }
+
+  /** One branch append commit: the fresh entries land as a new segment on the
+    * branch chain under the branch's own CAS. Fresh entries are stamped data
+    * sequence base + K (K = the new branch snapshot id) — strictly above every
+    * fork-carried sequence, see the section comment. Returns the branch head id.
+    */
+  private[sources] def appendToBranch(dir: String, name: String, partCol: String,
+      partTypes: String, fresh: Seq[Entry]): Int = {
+    val base = readBranchBase(dir, name)
+    var attempt = 0
+    while (true) {
+      val head = branchHeadId(dir, name).getOrElse(throw new IllegalStateException(
+        s"branch '$name' on $dir has no snapshot 0 — torn create; drop it and recreate"))
+      val prev = readBranchRefs(dir, name, Some(head))
+      // the branch head's own spec, pinned to THIS attempt's head read: branch
+      // chains never respec (append-only), but the WRITER laid its files out under
+      // the MAIN table's current spec — if main redefined the layout after the
+      // fork, these files cannot join the branch
+      val spec = readBranchPartitionSpec(dir, name, Some(head))
+      require(spec.map(_.name).mkString(",") == partCol &&
+          spec.map(typeTokenOf).mkString(",") == partTypes,
+        s"branch '$name' records spec '${spec.map(specTokenOf).mkString(",")}' but " +
+          s"this write's files were laid out under '$partCol' (the main table's " +
+          "current spec) — main was respec'd after the fork; drop and re-fork")
+      val next = head + 1
+      val stamped = fresh.map(_.copy(snapshot = next, seq = base + next))
+      val freshSeg =
+        if (stamped.isEmpty) None else Some(writeSegment(dir, stamped))
+      // fold fork-carried inline entries into their own segment once, like main
+      val inlineSeg =
+        if (prev.inline.isEmpty) None else Some(writeSegment(dir, prev.inline))
+      if (tryWriteSnapshotRefs(dir, partCol, Nil,
+          prev.segments ++ inlineSeg ++ freshSeg, next, partTypes = partTypes,
+          schemaDdl = prev.schemaDdl, deletes = prev.deletes,
+          eqDeletes = prev.eqDeletes, colIds = prev.colIds, operation = "append",
+          fileName = Some(branchSnapName(name, next))))
+        return next
+      attempt += 1
+      require(attempt < 8,
+        s"append to branch '$name' of $dir lost the snapshot race $attempt times — " +
+          "sustained contention; rerun or reduce concurrent committers")
+      Thread.sleep(50L * attempt +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 50))
+    }
+    -1 // unreachable
+  }
+
+  /** Publishes the branch's state onto main — Iceberg's fast_forward. Valid only
+    * while main still sits at the branch's fork point; anything else is a genuine
+    * merge, which is cherrypick's job, commit by commit. Fork-carried segments
+    * (every entry's sequence ≤ base) are re-referenced by NAME; branch-appended
+    * entries are RESTAMPED to the new main sequence in one fresh segment —
+    * branch-local sequences (base+K) live in a numbering main will reuse, and a
+    * later main equality delete at sequence base+2 would skip a branch row still
+    * stamped base+3, resurrecting it. Restamping to `next` (= base+1, below every
+    * future main sequence) keeps delete ordering exact; the relative order WITHIN
+    * the branch collapses harmlessly — branches are append-only, so no
+    * intra-branch delete can distinguish them. After publishing, the fork pointer
+    * advances to the new head, so the append → fast-forward cycle repeats. A
+    * crash between publish and pointer advance leaves the branch refusing the
+    * next fastForward ("main advanced") — drop and re-fork. O(branch metadata).
+    */
+  def fastForward(dir: String, name: String): Int = {
+    val base = readBranchBase(dir, name)
+    val head = readBranchRefs(dir, name, None)
+    if (branchHeadId(dir, name).contains(0)) return base // nothing to publish
+    val mainLatest = latestSnapshotId(dir)
+    require(mainLatest.contains(base),
+      s"main is at snapshot ${mainLatest.getOrElse(-1)} but branch '$name' forked " +
+        s"from $base — not fast-forwardable; cherry-pick the branch commits instead")
+    val next = base + 1
+    val spec = readBranchPartitionSpec(dir, name)
+    // classify by SEQUENCE, segment-atomically: every segment was written by one
+    // commit, so it is either entirely fork-carried or entirely branch-appended —
+    // a mix is chain corruption and must fail loudly, not half-restamp
+    val segEntries = head.segments.map(s => s -> readSegmentEntries(dir, s, head.snapshot))
+    val (carriedSegs, freshSegs) = segEntries.partition {
+      case (_, es) => es.forall(e => seqOf(e) <= base)
+    }
+    freshSegs.foreach { case (s, es) =>
+      require(es.forall(e => seqOf(e) > base),
+        s"branch '$name' segment $s mixes fork-carried and branch-appended " +
+          "sequences — corrupt chain; drop the branch") }
+    val (carriedInline, freshInline) = head.inline.partition(e => seqOf(e) <= base)
+    val restamped = (freshSegs.flatMap(_._2) ++ freshInline)
+      .map(e => e.copy(snapshot = next, seq = next))
+    val freshSeg = if (restamped.isEmpty) None else Some(writeSegment(dir, restamped))
+    val ok = tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","), carriedInline,
+      carriedSegs.map(_._1) ++ freshSeg, next,
+      partTypes = spec.map(typeTokenOf).mkString(","), schemaDdl = head.schemaDdl,
+      deletes = head.deletes, eqDeletes = head.eqDeletes, colIds = head.colIds,
+      operation = "fastforward")
+    require(ok, s"main advanced while fast-forwarding branch '$name' — no longer " +
+      "at the fork point; cherry-pick the branch commits instead")
+    // advance the fork pointer (atomic replace — the ONLY mutation of a ref file)
+    val p = branchRefPath(dir, name)
+    val tmp = Files.createTempFile(p.getParent, ".tmp-branchref-", ".inprogress")
+    try {
+      Files.write(tmp, branchRefJson(name, next).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+    next
+  }
+
   /** Maintenance: fold the latest snapshot's inline entries + every segment into ONE
     * fresh segment and publish it as a new snapshot (Iceberg's rewrite_manifests
     * analog). Appends stay O(metadata) forever; compaction is the explicitly-paid
@@ -1151,7 +1423,15 @@ object ManifestTables {
     // persist that high-water mark to a sidecar BEFORE any deletion (hasCommittedNote
     // consults the sidecar first)
     preserveSinkWatermarks(dir, expired, retained)
-    val (retainedSegs, retainedInline, retainedDels, retainedEq) = refsOf(retained)
+    // branch chains and staged (WAP) heads are reference roots: a branch forked
+    // from an expired snapshot re-references its segments, and expiring main
+    // history must never pull data out from under a live branch or audit candidate
+    val protectedFiles = listBranches(dir).flatMap(b =>
+      branchSnapshotFiles(dir, b._1).map(_._2)) ++
+      listStaged(dir).map { case (w, _) =>
+        Paths.get(dir, "_manifests", s"staged-$w.json").toString }
+    val (retainedSegs, retainedInline, retainedDels, retainedEq) =
+      refsOf(retained ++ protectedFiles)
     val (expiredSegs, expiredInline, expiredDels, expiredEq) = refsOf(expired)
     val deadDels = (expiredDels -- retainedDels) ++ (expiredEq -- retainedEq)
     // data files referenced by retained snapshots = their inline entries + every
@@ -1197,8 +1477,14 @@ object ManifestTables {
       new String(Files.readAllBytes(Paths.get(dir, "_manifests", s"staged-$w.json")),
         StandardCharsets.UTF_8)
     }
+    // branch chains are reference roots too: their appended segments and data
+    // files belong to live (if unpublished) table states
+    val branchTxt = listBranches(dir).flatMap(b =>
+      branchSnapshotFiles(dir, b._1).map { case (_, f) =>
+        new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8) })
     val snapTxt = snapshotFiles(dir).map(f =>
-      new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)) ++ stagedTxt
+      new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)) ++
+      stagedTxt ++ branchTxt
     val referencedSegs = snapTxt.flatMap(parseSegmentRefs).toSet
     val referencedDels = snapTxt.flatMap(parseDeleteRefs).toSet ++
       snapTxt.flatMap(parseEqDeleteRefs)

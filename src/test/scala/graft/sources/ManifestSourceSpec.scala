@@ -3045,7 +3045,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     // the procedure surface is introspectable through plain SQL
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("rollback_to_snapshot") && listed.size == 8, listed)
+    assert(listed.contains("rollback_to_snapshot") && listed.size == 11, listed)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.expire_snapshots")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("expire_snapshots"), desc)
@@ -3187,5 +3187,187 @@ class ManifestSourceSpec extends AnyFunSuite {
     // discard through SQL cleans it up
     assert(spark.sql(s"CALL $cat.system.discard_wap('ns.t', 'w2')").head().getBoolean(0))
     assert(ManifestTables.listStaged(tbl).isEmpty)
+  }
+
+  test("branches: isolated appends, fork-carried eq-deletes skip branch rows, " +
+      "fast-forward republishes with restamped sequences, GC protects the chain") {
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("manifest_branch").toString
+    def write(rows: Seq[(Long, Long, String)], mode: String,
+        branch: Option[String] = None, upsert: Boolean = false): Unit = {
+      var w = rows.toDF("id", "v", "lang_p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode(mode)
+      branch.foreach(b => w = w.option("branch", b))
+      if (upsert) w = w.option("upsertkey", "id")
+      w.save(tbl)
+    }
+    def mainDf = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    def branchDf(b: String) = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("branch", b).load(tbl)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // snapshot 0: ids 0..9 v=0; snapshot 1: upsert id 5 -> v=1 (an equality-delete
+    // segment at sequence 1 now rides in the table state the branch will fork)
+    write((0L until 10L).map(i => (i, 0L, if (i % 2 == 0) "en" else "fr")), "overwrite")
+    write(Seq((5L, 1L, "fr")), "append", upsert = true)
+    val base = ManifestTables.latestSnapshotId(tbl).get
+    assert(base == 1)
+    assert(ManifestTables.createBranch(tbl, "dev") == base)
+
+    // two branch appends — one fresh id, one REUSING the upserted key: the carried
+    // equality delete (seq 1) must not swallow the branch row (stamped base+K > 1)
+    write(Seq((100L, 0L, "en")), "append", branch = Some("dev"))
+    write(Seq((5L, 2L, "fr")), "append", branch = Some("dev"))
+    val mainPairs = (0L until 10L).filterNot(_ == 5).map((_, 0L)).toSet + ((5L, 1L))
+    assert(pairs(mainDf) == mainPairs, "branch rows leaked into main")
+    assert(pairs(branchDf("dev")) == mainPairs + ((100L, 0L)) + ((5L, 2L)),
+      "branch read must serve fork + branch appends (incl. the re-appended upsert key)")
+    // partition pruning holds on the branch view; footer aggregates refuse
+    assert(pairs(branchDf("dev").filter(col("lang_p") === "fr")) ==
+      Set((1L, 0L), (3L, 0L), (7L, 0L), (9L, 0L), (5L, 1L), (5L, 2L)))
+    val agg = branchDf("dev").groupBy("lang_p").agg(count(lit(1)).as("c"))
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 6L, "fr" -> 6L))
+    assert(!agg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+      "pushed aggregates must refuse on a branch read (footers would answer main-only)")
+    assert(ManifestTables.listBranches(tbl) == Seq(("dev", base, 2)))
+
+    // fast-forward onto the untouched head; the fork pointer advances with it
+    val ff = ManifestTables.fastForward(tbl, "dev")
+    assert(ff == base + 1)
+    assert(pairs(mainDf) == mainPairs + ((100L, 0L)) + ((5L, 2L)))
+    assert(ManifestTables.snapshotTsAndNote(tbl, ff)._2.contains("fastforward"))
+    assert(ManifestTables.readBranchBase(tbl, "dev") == ff)
+    // the cycle repeats: another branch append, another fast-forward
+    write(Seq((101L, 0L, "en")), "append", branch = Some("dev"))
+    assert(pairs(mainDf).size == 12, "second-round branch append leaked into main")
+    assert(ManifestTables.fastForward(tbl, "dev") == ff + 1)
+    assert(pairs(mainDf) == mainPairs + ((100L, 0L)) + ((5L, 2L)) + ((101L, 0L)))
+    // restamped sequences sit BELOW every future main sequence: a post-ff upsert
+    // of the twice-written key must swallow BOTH id-5 rows (a surviving
+    // branch-local stamp would resurrect one past the new delete's sequence)
+    write(Seq((5L, 3L, "fr")), "append", upsert = true)
+    assert(pairs(mainDf).filter(_._1 == 5L) == Set((5L, 3L)),
+      "a fast-forwarded row escaped a later equality delete — restamping broke")
+
+    // a branch forked from an old snapshot survives main-history expiry
+    ManifestTables.createBranch(tbl, "keep")
+    write(Seq((200L, 0L, "en")), "append", branch = Some("keep"))
+    write(Seq((300L, 0L, "en")), "append")
+    write(Seq((301L, 0L, "en")), "append")
+    ManifestTables.expireSnapshots(tbl, keepLast = 1)
+    assert(pairs(branchDf("keep")).contains((200L, 0L)) &&
+      pairs(branchDf("keep")).contains((5L, 3L)),
+      "expiry pulled segments out from under a live branch")
+    val adv = intercept[Exception](ManifestTables.fastForward(tbl, "keep"))
+    assert(adv.getMessage.contains("not fast-forwardable"), adv.getMessage)
+
+    // dropped-branch data files become reclaimable orphans — and ONLY after the drop
+    ManifestTables.createBranch(tbl, "tmp")
+    write(Seq((400L, 0L, "en")), "append", branch = Some("tmp"))
+    val tmpPaths = ManifestTables.entriesOf(tbl, ManifestTables.readBranchRefs(tbl, "tmp"))
+      .map(_.path).toSet -- ManifestTables.readLatest(tbl).map(_.path).toSet
+    assert(tmpPaths.nonEmpty)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    tmpPaths.foreach(p => Files.setLastModifiedTime(Paths.get(tbl, p), old))
+    ManifestTables.removeOrphans(tbl, 600_000L)
+    assert(tmpPaths.forall(p => Files.exists(Paths.get(tbl, p))),
+      "removeOrphans deleted a live branch's data files")
+    assert(ManifestTables.dropBranch(tbl, "tmp"))
+    ManifestTables.removeOrphans(tbl, 600_000L)
+    assert(tmpPaths.forall(p => !Files.exists(Paths.get(tbl, p))),
+      "a dropped branch's files must become reclaimable orphans")
+  }
+
+  test("branches: SQL create_branch/fast_forward/drop_branch, the .refs metadata " +
+      "table, and the refusal surface") {
+    import spark.implicits._
+    def msgChain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+        .flatMap(t => Option(t.getMessage)).toSeq
+    val wh = Files.createTempDirectory("manifest_branch_sql").toString
+    val cat = "graft_branch_sql"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    def write(rows: Seq[(Long, String)], mode: String,
+        opts: Map[String, String] = Map.empty): Unit = {
+      var w = rows.toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode)
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(tbl)
+    }
+    write(Seq((1L, "a"), (2L, "b")), "overwrite")
+    assert(spark.sql(s"CALL $cat.system.create_branch('ns.t', 'dev')")
+      .head().getLong(0) == 0L)
+    write(Seq((3L, "a")), "append", Map("branch" -> "dev"))
+    // .refs lists main, tags, and branches with their anchors
+    ManifestTables.createTag(tbl, "v1", 0)
+    val refs = spark.sql(
+      s"SELECT name, type, snapshot_id, branch_head FROM $cat.ns.t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(refs == Set(("main", "branch", 0L, -1L), ("dev", "branch", 0L, 1L),
+      ("v1", "tag", 0L, -1L)), refs)
+    // the procedure surface is complete and introspectable
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(listed.contains("fast_forward") && listed.size == 11, listed)
+    // fast_forward through SQL; the published table answers by name
+    assert(spark.sql(s"CALL $cat.system.fast_forward('ns.t', 'dev')")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L))
+    // the refusal surface, each loud and named
+    val dup = intercept[Exception](
+      spark.sql(s"CALL $cat.system.create_branch('ns.t', 'dev')").collect())
+    assert(msgChain(dup).exists(_.contains("already exists")), dup.getMessage)
+    val ow = intercept[Exception](
+      write(Seq((9L, "a")), "overwrite", Map("branch" -> "dev")))
+    assert(msgChain(ow).exists(_.contains("only appends can land")), ow.getMessage)
+    val up = intercept[Exception](write(Seq((9L, "a")), "append",
+      Map("branch" -> "dev", "upsertkey" -> "id")))
+    assert(msgChain(up).exists(_.contains("cannot combine with upsertkey")))
+    val wap = intercept[Exception](write(Seq((9L, "a")), "append",
+      Map("branch" -> "dev", "wapId" -> "x")))
+    assert(msgChain(wap).exists(_.contains("cannot combine with wapId")))
+    val unknownW = intercept[Exception](
+      write(Seq((9L, "a")), "append", Map("branch" -> "nope")))
+    assert(msgChain(unknownW).exists(_.contains("no branch 'nope'")), unknownW.getMessage)
+    val combo = intercept[Exception](
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("branch", "dev").option("snapshot", "0").load(tbl).collect())
+    assert(msgChain(combo).exists(_.contains("cannot combine")), combo.getMessage)
+    val unknownR = intercept[Exception](
+      spark.read.format(classOf[ManifestDataSource].getName)
+        .option("branch", "nope").load(tbl).collect())
+    assert(msgChain(unknownR).exists(_.contains("no branch 'nope'")), unknownR.getMessage)
+    // fast-forward refuses once main advanced past the fork (from SQL too)
+    write(Seq((4L, "b")), "append", Map("branch" -> "dev"))
+    write(Seq((5L, "a")), "append")
+    val drift = intercept[Exception](
+      spark.sql(s"CALL $cat.system.fast_forward('ns.t', 'dev')").collect())
+    assert(msgChain(drift).exists(_.contains("not fast-forwardable")), drift.getMessage)
+    // SQL time travel to the branch head (Iceberg's VERSION AS OF '<branch>'):
+    // the branch view serves its pending append; main serves its own
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'dev' ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 5L))
+    // a DML attempt on the branch-pinned relation refuses loudly
+    val dml = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.ns.t VERSION AS OF 'dev' WHERE id = 4").collect())
+    assert(msgChain(dml).nonEmpty) // Spark rejects DML on time-travel relations
+    // drop through SQL cleans up the ref and the chain
+    assert(spark.sql(s"CALL $cat.system.drop_branch('ns.t', 'dev')").head().getBoolean(0))
+    assert(ManifestTables.listBranches(tbl).isEmpty)
+    // with the branch gone, the same VERSION AS OF resolves as neither tag nor branch
+    val gone = intercept[Exception](
+      spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'dev'").collect())
+    assert(msgChain(gone).exists(_.contains("neither a snapshot id nor a tag")),
+      gone.getMessage)
   }
 }
