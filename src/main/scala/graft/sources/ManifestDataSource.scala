@@ -63,8 +63,11 @@ class ManifestDataSource extends TableProvider {
     // a BRANCH read serves the branch head's own schema (main may have evolved
     // since the fork). Tolerant of a missing branch because the WRITE path's
     // options flow through here too (a branch append onto a not-yet-created
-    // branch must reach appendToBranch's loud refusal, not die at inference)
+    // branch must reach appendToBranch's loud refusal, not die at inference).
+    // The null-path guard runs FIRST: .load() with no dir must produce
+    // tableSchema's named error, not an NPE out of the branch probe
     Option(options.get("branch"))
+      .filter(_ => options.get("path") != null)
       .filter(ManifestTables.branchExists(options.get("path"), _))
       .foreach { b => return ManifestDataSource.branchSchema(options.get("path"), b) }
     // time travel serves the PINNED snapshot's schema (it may predate an ALTER)
@@ -124,15 +127,21 @@ object ManifestDataSource {
       }
       .find(_.nonEmpty).getOrElse(Nil)
     if (entries.isEmpty) return new StructType()
+    schemaFromFirstFile(dir, entries, ManifestTables.readPartitionSpec(dir, snapshot))
+  }
+
+  /** First data file's parquet footer + the spec's identity partition columns —
+    * the ONE schema assembly main-chain and branch reads share. Hidden-transform
+    * columns never surface (their SOURCE columns are ordinary data columns
+    * already present in the footer fields).
+    */
+  private def schemaFromFirstFile(dir: String, entries: Seq[ManifestTables.Entry],
+      spec: Seq[ManifestTables.PartCol]): StructType = {
     val conf = hadoopConf()
     val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
     val reader = ParquetFileReader.open(in)
     val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
-    val base = sparkFields(fileSchema)
-    val spec = ManifestTables.readPartitionSpec(dir, snapshot)
-    // hidden partitioning: transform columns never surface in the table schema —
-    // their SOURCE columns are ordinary data columns already present in `base`
-    StructType(base ++ spec.filter(_.transform.isEmpty)
+    StructType(sparkFields(fileSchema) ++ spec.filter(_.transform.isEmpty)
       .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
   }
 
@@ -146,13 +155,7 @@ object ManifestDataSource {
     refs.schemaDdl.foreach { ddl => return StructType.fromDDL(ddl) }
     val entries = ManifestTables.entriesOf(dir, refs)
     if (entries.isEmpty) return new StructType() // fork of an empty snapshot
-    val conf = hadoopConf()
-    val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
-    val reader = ParquetFileReader.open(in)
-    val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
-    val spec = ManifestTables.readBranchPartitionSpec(dir, name)
-    StructType(sparkFields(fileSchema) ++ spec.filter(_.transform.isEmpty)
-      .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
+    schemaFromFirstFile(dir, entries, ManifestTables.readBranchPartitionSpec(dir, name))
   }
 
   /** Narrow partition-value types (the production partition-key set). */
@@ -535,7 +538,7 @@ object ManifestDataSource {
       // (inferSchema runs before the stage exists); a typo'd wapId on a read
       // still fails loudly in newScanBuilder's strict readStaged.
       .orElse(byWap.filter(ManifestTables.stagedExists(dir, _))
-        .map(ManifestTables.readStaged(dir, _).parent))
+        .map(ManifestTables.readStagedParent(dir, _)))
   }
 
   /** An entry's typed partition-value tuple (storage-partitioned-join grouping key). */
@@ -2355,11 +2358,20 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // the column is a real partition column) or a HIDDEN transform `bucket(n,col)` /
     // `days(col)` / `truncate(w,col)` whose source stays a stored data column;
     // multi-column layouts nest Hive dirs in spec order
+    // a BRANCH append joins the BRANCH's table state: its spec, its schema, its
+    // column-id registry — main may have respec'd or evolved since the fork.
+    // Tolerant filter (an unknown branch still reaches appendToBranch's loud
+    // refusal rather than dying on a half-validated layout here).
+    val branchTarget = Option(info.options.get("branch"))
+      .filter(ManifestTables.branchExists(dir, _))
     val partSpec: Seq[ManifestTables.PartCol] = {
       val opt = Option(info.options.get("partcol")).getOrElse("")
-      val recorded =
-        if (ManifestTables.latestSnapshotId(dir).isDefined) ManifestTables.readPartitionSpec(dir)
-        else Nil
+      val recorded = branchTarget
+        .map(b => ManifestTables.readBranchPartitionSpec(dir, b))
+        .getOrElse(
+          if (ManifestTables.latestSnapshotId(dir).isDefined)
+            ManifestTables.readPartitionSpec(dir)
+          else Nil)
       val fromOpt =
         if (opt.isEmpty) Nil else ManifestDataSource.parsePartColOption(opt, incoming)
       // an APPEND must match the recorded spec (its files join an existing
@@ -2399,7 +2411,9 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     val mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean)
     val mergedCols: Seq[StructField] =
       if (!replace) {
-        val authoritative = ManifestDataSource.tableSchema(dir)
+        val authoritative = branchTarget
+          .map(b => ManifestDataSource.branchSchema(dir, b))
+          .getOrElse(ManifestDataSource.tableSchema(dir))
         if (authoritative.isEmpty) Nil
         else {
           val want = authoritative.fields.map(f => (f.name, f.dataType)).toSet
@@ -2565,7 +2579,11 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     val dataCols = schema.fields.map(_.name).filterNot(partColNames.contains).toSeq
     if (replace || ManifestTables.latestSnapshotId(dir).isEmpty)
       ManifestTables.colIdsBootstrap(dataCols)
-    else ManifestTables.readSnapshotRefs(dir, None).colIds
+    else branch.filter(ManifestTables.branchExists(dir, _))
+      // a branch append stamps the BRANCH's registry into its footers — main may
+      // have renamed/added columns since the fork, and those ids belong to main
+      .map(b => ManifestTables.readBranchRefs(dir, b).colIds)
+      .getOrElse(ManifestTables.readSnapshotRefs(dir, None).colIds)
   }
 
   private def colIdOf: Map[String, Int] =

@@ -999,6 +999,18 @@ object ManifestTables {
     Staged(wapId, parent, partCol, partTypes, parseEntries(txt, p.toString, parent))
   }
 
+  /** The staged parent id alone, from the FIXED-SIZE head (wap/parent/ts lead the
+    * JSON) — plan-time probes and listings never parse the delta's entry list.
+    */
+  private[sources] def readStagedParent(dir: String, wapId: String): Int = {
+    val p = stagedPath(dir, wapId)
+    require(Files.exists(p),
+      s"no staged write '$wapId' on $dir (staged: ${listStaged(dir).map(_._1).mkString(", ")})")
+    "\"parent\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(headOf(p))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"staged head $p carries no parent id"))
+  }
+
   private[sources] def listStaged(dir: String): Seq[(String, Int)] = {
     val mdir = Paths.get(dir, "_manifests")
     if (!Files.isDirectory(mdir)) return Nil
@@ -1007,7 +1019,7 @@ object ManifestTables {
     val names = try stream.iterator().asScala.map(_.getFileName.toString).flatMap { n =>
       StagedFile.findFirstMatchIn(n).filter(_.matched == n).map(_.group(1))
     }.toSeq finally stream.close()
-    names.sorted.map(n => n -> readStaged(dir, n).parent)
+    names.sorted.map(n => n -> readStagedParent(dir, n))
   }
 
   /** Cheap existence probe (no parse): the write path's schema-inference options
@@ -1037,10 +1049,22 @@ object ManifestTables {
     */
   private[sources] def publishStaged(dir: String, wapId: String): Int = {
     val staged = readStaged(dir, wapId)
+    // exactly-once across the crash window: the publish commit carries note
+    // `wap-<id>`, so a staged head surviving a crash-after-CAS (or restaged with
+    // the same id) cannot re-apply even after a rewrite/compaction moves the
+    // published rows into new paths — the live-path double-apply check below
+    // would no longer see them, but the note (persisted across snapshot expiry
+    // by the expired-notes sidecar) still refuses. Same pin-id-then-check-note
+    // ordering as every noted commit.
+    val note = s"wap-$wapId"
     var attempt = 0
     while (true) {
       val latest = latestSnapshotId(dir)
       require(latest.isDefined, s"no committed snapshot under $dir — nothing to publish onto")
+      if (hasCommittedNote(dir, note)) {
+        discardStaged(dir, wapId) // consume the leftover; the publish already landed
+        return latest.get
+      }
       val headSpec = readPartitionSpec(dir, Some(latest.get))
       require(staged.partCol == headSpec.map(_.name).mkString(",") &&
           staged.partTypes == headSpec.map(typeTokenOf).mkString(","),
@@ -1060,7 +1084,7 @@ object ManifestTables {
       val next = latest.get + 1
       if (tryWriteSnapshotRefs(dir, headSpec.map(_.name).mkString(","),
           headRefs.inline ++ staged.entries.map(_.copy(snapshot = next, seq = next)),
-          headRefs.segments, next,
+          headRefs.segments, next, note = note,
           partTypes = headSpec.map(typeTokenOf).mkString(","),
           schemaDdl = headRefs.schemaDdl, deletes = headRefs.deletes,
           eqDeletes = headRefs.eqDeletes, colIds = headRefs.colIds,
@@ -1172,34 +1196,31 @@ object ManifestTables {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
-  private[sources] def readBranchRefs(dir: String, name: String,
-      id: Option[Int] = None): SnapshotRefs = {
-    require(branchExists(dir, name), s"no branch '$name' on $dir " +
-      s"(have: ${listBranches(dir).map(_._1).mkString(", ")})")
+  /** The branch chain file serving branch-local id `id` (head when None) — the
+    * ONE selection every branch read shares.
+    */
+  private def chosenBranchFile(dir: String, name: String, id: Option[Int]): String = {
     val files = branchSnapshotFiles(dir, name)
     require(files.nonEmpty,
       s"branch '$name' on $dir has no snapshot 0 — torn create; drop it and recreate")
-    val chosen = id match {
+    id match {
       case None => files.last._2
       case Some(n) => files.find(_._1 == n).map(_._2).getOrElse(
         throw new IllegalArgumentException(
           s"no snapshot $n on branch '$name' of $dir (have: ${files.map(_._1).mkString(", ")})"))
     }
-    parseRefsFile(chosen)
+  }
+
+  private[sources] def readBranchRefs(dir: String, name: String,
+      id: Option[Int] = None): SnapshotRefs = {
+    require(branchExists(dir, name), s"no branch '$name' on $dir " +
+      s"(have: ${listBranches(dir).map(_._1).mkString(", ")})")
+    parseRefsFile(chosenBranchFile(dir, name, id))
   }
 
   private[sources] def readBranchPartitionSpec(dir: String, name: String,
-      id: Option[Int] = None): Seq[PartCol] = {
-    val files = branchSnapshotFiles(dir, name)
-    require(files.nonEmpty,
-      s"branch '$name' on $dir has no snapshot 0 — torn create; drop it and recreate")
-    val chosen = id match {
-      case None => files.last._2
-      case Some(n) => files.find(_._1 == n).map(_._2).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot $n on branch '$name' of $dir"))
-    }
-    partitionSpecOfFile(chosen)
-  }
+      id: Option[Int] = None): Seq[PartCol] =
+    partitionSpecOfFile(chosenBranchFile(dir, name, id))
 
   /** (name, fork base, branch head id) per branch, name-sorted. */
   def listBranches(dir: String): Seq[(String, Int, Int)] = {
@@ -1289,12 +1310,14 @@ object ManifestTables {
     */
   def fastForward(dir: String, name: String): Int = {
     val base = readBranchBase(dir, name)
-    val head = readBranchRefs(dir, name, None)
-    if (branchHeadId(dir, name).contains(0)) return base // nothing to publish
+    // the fork-point check guards the NO-OP path too: a caller keying follow-up
+    // work off the returned head id must never get a stale id back as "success"
     val mainLatest = latestSnapshotId(dir)
     require(mainLatest.contains(base),
       s"main is at snapshot ${mainLatest.getOrElse(-1)} but branch '$name' forked " +
         s"from $base — not fast-forwardable; cherry-pick the branch commits instead")
+    if (branchHeadId(dir, name).contains(0)) return base // nothing to publish
+    val head = readBranchRefs(dir, name, None)
     val next = base + 1
     val spec = readBranchPartitionSpec(dir, name)
     // classify by SEQUENCE, segment-atomically: every segment was written by one

@@ -3135,6 +3135,20 @@ class ManifestSourceSpec extends AnyFunSuite {
     // write sat staged must not retroactively delete them
     val again = intercept[Exception](ManifestTables.publishStaged(tbl, "cand1"))
     assert(again.getMessage.contains("no staged write"), again.getMessage)
+    // CRASH WINDOW: the publish landed but the staged head survived (simulated by
+    // restaging the same id with the same-content delta after the published rows
+    // were REWRITTEN into new paths, defeating the live-path double-apply check) —
+    // the wap-<id> commit note makes the retry a consumed no-op, never a re-apply
+    val preCrash = ids(tableDf)
+    val cand1 = (10L until 15L).map(i => (i, i, "en"))
+    ManifestTables.writeStaged(tbl, "cand1", ManifestTables.latestSnapshotId(tbl).get,
+      "lang_p", "string", cand1.map { case (i, _, l) =>
+        ManifestTables.Entry(s"fake-${i}.parquet", 1L, l, 0) })
+    graft.sources.ManifestMaintenance.compactDataFiles(spark, tbl, 1L << 30) // moves paths
+    val noop = ManifestTables.publishStaged(tbl, "cand1")
+    assert(noop == ManifestTables.latestSnapshotId(tbl).get)
+    assert(ids(tableDf) == preCrash, "a crash-leftover staged head re-applied its delta")
+    assert(ManifestTables.listStaged(tbl).isEmpty, "the leftover must be consumed")
 
     // discard path: stage, audit would pass, drop instead — data files survive
     // until removeOrphans, and ONLY once the staged head is gone
@@ -3254,9 +3268,15 @@ class ManifestSourceSpec extends AnyFunSuite {
 
     // a branch forked from an old snapshot survives main-history expiry
     ManifestTables.createBranch(tbl, "keep")
+    ManifestTables.createBranch(tbl, "idle") // never written to
     write(Seq((200L, 0L, "en")), "append", branch = Some("keep"))
     write(Seq((300L, 0L, "en")), "append")
     write(Seq((301L, 0L, "en")), "append")
+    // even the zero-commit NO-OP path validates the fork point: returning a stale
+    // head id as "success" would misdirect a caller keying work off it
+    val idle = intercept[Exception](ManifestTables.fastForward(tbl, "idle"))
+    assert(idle.getMessage.contains("not fast-forwardable"), idle.getMessage)
+    assert(ManifestTables.dropBranch(tbl, "idle"))
     ManifestTables.expireSnapshots(tbl, keepLast = 1)
     assert(pairs(branchDf("keep")).contains((200L, 0L)) &&
       pairs(branchDf("keep")).contains((5L, 3L)),
@@ -3369,5 +3389,47 @@ class ManifestSourceSpec extends AnyFunSuite {
       spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'dev'").collect())
     assert(msgChain(gone).exists(_.contains("neither a snapshot id nor a tag")),
       gone.getMessage)
+  }
+
+  test("branches: appends validate against the BRANCH's schema and spec — " +
+      "main evolving or respec'ing after the fork neither blocks nor corrupts them") {
+    import spark.implicits._
+    def msgChain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+        .flatMap(t => Option(t.getMessage)).toSeq
+    val wh = Files.createTempDirectory("manifest_branch_evo").toString
+    val cat = "graft_branch_evo"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    Seq((1L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    ManifestTables.createBranch(tbl, "dev")
+    // main evolves: ADD COLUMN extra — the branch's schema stays (id, p)
+    spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN extra BIGINT")
+    // a branch append in the BRANCH's shape lands; one in MAIN's evolved shape refuses
+    Seq((2L, "a")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").option("branch", "dev").mode("append").save(tbl)
+    val evolved = intercept[Exception](
+      Seq((3L, 30L, "a")).toDF("id", "extra", "p")
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").option("branch", "dev").mode("append").save(tbl))
+    // refused at ANALYSIS already: inferSchema serves the branch's (id, p), so
+    // Spark's own arity check fires before the builder's deep compare would
+    assert(msgChain(evolved).exists(m => m.contains("does not match table") ||
+      m.contains("TOO_MANY_DATA_COLUMNS")), evolved.getMessage)
+    def branchIds = spark.read.format(classOf[ManifestDataSource].getName)
+      .option("branch", "dev").load(tbl).select("id").as[Long].collect().toSet
+    assert(branchIds == Set(1L, 2L))
+    // main respecs (overwrite under a different layout): a branch append still
+    // lands under the BRANCH's recorded layout — only fast_forward refuses
+    Seq((9L, 9L, "x")).toDF("id", "extra", "p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "bucket(2,id)").mode("overwrite").save(tbl)
+    Seq((4L, "b")).toDF("id", "p").write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").option("branch", "dev").mode("append").save(tbl)
+    assert(branchIds == Set(1L, 2L, 4L))
+    val ff = intercept[Exception](ManifestTables.fastForward(tbl, "dev"))
+    assert(ff.getMessage.contains("not fast-forwardable"), ff.getMessage)
   }
 }
