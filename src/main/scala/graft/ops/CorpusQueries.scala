@@ -2024,10 +2024,12 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
       docs.write.format("graft.sources.ManifestDataSource")
         .option("partcol", "lang_p").mode("overwrite").save(s"$wh/corpus/docs")
-      graft.sources.ManifestTables.tagLatest(s"$wh/corpus/docs", "v0")
       val cat = s"graft_q63p_$tag"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // tag through the SQL procedure surface (same entry point as tagLatest),
+      // putting CALL create_tag under this query's oracle gate
+      s.sql(s"CALL $cat.system.create_tag('corpus.docs', 'v0')").collect()
       s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
       try s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 5 = 0")
       finally s.conf.unset("spark.graft.manifest.deleteMode")

@@ -71,7 +71,7 @@ private[sources] object ManifestProcedures {
   private val tableParam = in("table", StringType)
 
   // one immutable procedure set per warehouse: CALL / SHOW PROCEDURES resolve
-  // against the cache instead of re-allocating six Proc objects per statement
+  // against the cache instead of re-allocating the Proc objects per statement
   private val procCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, UnboundProcedure]]()
 
@@ -183,6 +183,34 @@ private[sources] object ManifestProcedures {
         new StructType().add("discarded", BooleanType, nullable = false)) {
       override protected def run(args: InternalRow): Seq[Any] =
         Seq(ManifestTables.discardStaged(dirOf(args.getUTF8String(0).toString),
+          args.getUTF8String(1).toString))
+    },
+    new Proc(warehouse, "create_tag",
+        "Pin an immutable named tag on snapshot_id (default: the current head); " +
+          "tagged snapshots survive expire_snapshots and serve VERSION AS OF 'tag'",
+        Seq(tableParam, in("tag", StringType),
+          ProcedureParameter.in("snapshot_id", LongType).defaultValue("NULL").build()),
+        new StructType().add("snapshot_id", LongType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val dir = dirOf(args.getUTF8String(0).toString)
+        val tag = args.getUTF8String(1).toString
+        val id =
+          if (args.isNullAt(2)) ManifestTables.tagLatest(dir, tag)
+          else {
+            val at = snapshotIdArg(args, 2)
+            ManifestTables.createTag(dir, tag, at) // throws on unknown snapshot / reused name
+            at
+          }
+        Seq(id.toLong)
+      }
+    },
+    new Proc(warehouse, "drop_tag",
+        "Remove a tag; its snapshot loses expiry protection (tags are immutable — " +
+          "moving a name is drop_tag then create_tag)",
+        Seq(tableParam, in("tag", StringType)),
+        new StructType().add("dropped", BooleanType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestTables.deleteTag(dirOf(args.getUTF8String(0).toString),
           args.getUTF8String(1).toString))
     },
     new Proc(warehouse, "remove_orphan_files",

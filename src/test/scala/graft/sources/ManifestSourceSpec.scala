@@ -3042,10 +3042,26 @@ class ManifestSourceSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 0").collect())
     // files restored by the rollback survive the GC: the head references them
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) == 4L)
+    // create_tag pins the current head by default; the tag serves VERSION AS OF
+    // across later appends; tags are immutable; drop_tag releases the name
+    val tagged = spark.sql(s"CALL $cat.system.create_tag('ns.t', 'rel1')")
+      .head().getLong(0)
+    assert(tagged == ManifestTables.latestSnapshotId(s"$wh/ns/t").get.toLong)
+    write(Seq((5L, "a")), "append")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 'rel1'")
+      .head().getLong(0) == 4L)
+    val eTag = intercept[Exception](
+      spark.sql(s"CALL $cat.system.create_tag('ns.t', 'rel1', $tagged)").collect())
+    assert(eTag.getMessage.contains("already exists") ||
+      Option(eTag.getCause).exists(_.getMessage.contains("already exists")), eTag.getMessage)
+    assert(spark.sql(s"CALL $cat.system.create_tag(table => 'ns.t', tag => 'rel2', " +
+      s"snapshot_id => $tagged)").head().getLong(0) == tagged)
+    assert(spark.sql(s"CALL $cat.system.drop_tag('ns.t', 'rel2')").head().getBoolean(0))
+    assert(!spark.sql(s"CALL $cat.system.drop_tag('ns.t', 'rel2')").head().getBoolean(0))
     // the procedure surface is introspectable through plain SQL
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("rollback_to_snapshot") && listed.size == 11, listed)
+    assert(listed.contains("rollback_to_snapshot") && listed.size == 13, listed)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.expire_snapshots")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("expire_snapshots"), desc)
@@ -3335,7 +3351,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     // the procedure surface is complete and introspectable
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("fast_forward") && listed.size == 11, listed)
+    assert(listed.contains("fast_forward") && listed.size == 13, listed)
     // fast_forward through SQL; the published table answers by name
     assert(spark.sql(s"CALL $cat.system.fast_forward('ns.t', 'dev')")
       .head().getLong(0) == 1L)
