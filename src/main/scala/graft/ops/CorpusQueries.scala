@@ -1685,6 +1685,81 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- SQL TRUNCATE TABLE under the gate (TruncatableTable): a metadata-only
+    //     empty snapshot — requires pin that the truncate dropped every pre-batch
+    //     row, that the PRE-truncate snapshot still time-travels (no data file was
+    //     touched), and that the table keeps accepting appends under the same
+    //     spec. The final aggregate sees ONLY the post-truncate batch. ---
+    "q80_truncate_table" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q80", dir)
+      val cat = s"graft_q80_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.corpus.docs
+               |  (doc_id BIGINT, n_chars BIGINT, lang_p STRING)
+               |  PARTITIONED BY (lang_p)""".stripMargin)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView(s"q80_src_$tag")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        s"SELECT doc_id, n_chars, lang FROM q80_src_$tag WHERE doc_id % 3 = 0")
+      val pre = s.table(s"$cat.corpus.docs").count()
+      s.sql(s"TRUNCATE TABLE $cat.corpus.docs")
+      require(s.table(s"$cat.corpus.docs").count() == 0,
+        "TRUNCATE TABLE must empty the live table")
+      // metadata-only: the pre-truncate snapshot (create=0, insert=1) still serves
+      require(s.sql(s"SELECT * FROM $cat.corpus.docs VERSION AS OF 1").count() == pre,
+        "pre-truncate snapshot must stay time-travel readable")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        s"SELECT doc_id, n_chars, lang FROM q80_src_$tag WHERE doc_id % 3 = 1")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
+    // --- Atomic CREATE OR REPLACE TABLE AS SELECT under the gate
+    //     (StagingTableCatalog, Iceberg REPLACE semantics): generation 1 lands via
+    //     atomic CTAS (ONE snapshot carrying data + declared DDL + spec), the
+    //     replace swaps schema, partitioning, and content in ONE snapshot on the
+    //     SAME history — requires pin that pre-replace time travel serves the old
+    //     rows under the OLD schema, and that the new schema/spec took. ---
+    "q81_replace_table" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q81", dir)
+      val cat = s"graft_q81_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView(s"q81_src_$tag")
+      s.sql(s"""CREATE TABLE $cat.corpus.docs PARTITIONED BY (lang_p) AS
+               |  SELECT doc_id, n_chars, lang AS lang_p FROM q81_src_$tag
+               |  WHERE doc_id % 3 = 0""".stripMargin)
+      val gen1 = s.table(s"$cat.corpus.docs").count()
+      def props(): Map[String, String] = s.sql(s"SHOW TBLPROPERTIES $cat.corpus.docs")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      require(props().get("current-snapshot-id").contains("0"),
+        "atomic CTAS must publish exactly ONE snapshot")
+      s.sql(s"""CREATE OR REPLACE TABLE $cat.corpus.docs AS
+               |  SELECT doc_id, upper(lang) AS lang_u, n_chars * 2 AS chars2
+               |  FROM q81_src_$tag WHERE doc_id % 3 = 1""".stripMargin)
+      require(s.table(s"$cat.corpus.docs").schema.fieldNames.toSeq ==
+        Seq("doc_id", "lang_u", "chars2"), "replace must swap the schema")
+      val p2 = props()
+      require(p2.get("current-snapshot-id").contains("1") && !p2.contains("partition-spec"),
+        "replace must be ONE snapshot on the same history and drop the old partitioning")
+      val old = s.sql(s"SELECT * FROM $cat.corpus.docs VERSION AS OF 0")
+      require(old.count() == gen1 &&
+          old.schema.fieldNames.toSeq == Seq("doc_id", "n_chars", "lang_p"),
+        "pre-replace snapshot must serve the old rows under the old schema")
+      s.sql(
+        s"""SELECT lang_u, count(*) AS n_docs,
+           |  CAST(sum(chars2) AS BIGINT) AS total_chars2
+           |FROM $cat.corpus.docs GROUP BY lang_u ORDER BY lang_u""".stripMargin)
+    }),
+
     // --- RENAME / DROP COLUMN evolution under the gate: pre-rename files carry the
     //     OLD physical name (resolved by the footer FIELD IDS the writer stamps),
     //     post-rename appends carry the new one, and a scan straddling the rename
@@ -2884,6 +2959,15 @@ object CorpusQueries {
     "q63t_create_table" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80: after TRUNCATE only the second (doc_id%3=1) batch survives
+    "q80_truncate_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q81: the replaced table holds the transformed doc_id%3=1 generation only
+    "q81_replace_table" ->
+      """SELECT upper(lang) AS lang_u, count(*) AS n_docs,
+        |  CAST(sum(n_chars * 2) AS BIGINT) AS total_chars2
+        |FROM documents WHERE doc_id % 3 = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_wap_publish" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

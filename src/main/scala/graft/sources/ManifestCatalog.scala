@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   */
 class ManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -193,34 +194,10 @@ class ManifestCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
-    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
     val dir = dirOf(ident)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(ident)
-    // render each Spark Transform as a `partcol` option token and reuse the ONE
-    // parser/validator the write path uses (a drifted copy would accept a spec the
-    // writer then refuses)
-    def ref1(t: org.apache.spark.sql.connector.expressions.Transform): String = {
-      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
-        s"partition transform $t must reference exactly one top-level column")
-      t.references.head.fieldNames.head
-    }
-    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
-      t.arguments.collectFirst {
-        case l: Literal[_] if l.value().isInstanceOf[java.lang.Integer] =>
-          l.value().asInstanceOf[java.lang.Integer].intValue()
-      }.getOrElse(throw new UnsupportedOperationException(
-        s"partition transform $t needs an integer parameter"))
-    val tokens = partitions.toSeq.map { t =>
-      t.name match {
-        case "identity" => ref1(t)
-        case "bucket" => s"bucket(${intArg(t)},${ref1(t)})"
-        case "days" => s"days(${ref1(t)})"
-        case "truncate" => s"truncate(${intArg(t)},${ref1(t)})"
-        case other => throw new UnsupportedOperationException(
-          s"manifest tables support identity/bucket/days/truncate partitioning, got $other")
-      }
-    }
+    val tokens = ManifestCatalog.renderSpecTokens(partitions)
     val spec =
       if (tokens.isEmpty) Nil
       else ManifestDataSource.parsePartColOption(tokens.mkString(","), schema)
@@ -421,6 +398,46 @@ class ManifestCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported on manifest tables")
 
+  // ------------------------------------------------------- StagingTableCatalog
+  // Atomic CTAS / RTAS / CREATE OR REPLACE TABLE (Iceberg's REPLACE TABLE
+  // semantics, not drop+create): the staged table validates its declared schema
+  // and partition spec up front, the query writes through the ordinary DSv2 batch
+  // path with REPLACE semantics, and the ONE atomic publication point is either
+  // the batch commit (data present) or commitStagedChanges (plain REPLACE TABLE,
+  // no AS SELECT). A failed query never publishes — the old head stays the head,
+  // and every pre-replace snapshot stays time-travel readable afterwards.
+
+  override def stageCreate(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    new StagedManifestTable(dir, ident, schema,
+      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new StagedManifestTable(dir, ident, schema,
+      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = dirOf(ident)
+    new StagedManifestTable(dir, ident, schema,
+      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = isTable(dir))
+  }
+
   // ------------------------------------------------------------- FunctionCatalog
   // `cat.fm_count(shard, 'p')` in SQL resolves HERE; the resulting
   // ApplyFunctionExpression translates to a V2 UserDefinedScalarFunc predicate that
@@ -454,4 +471,121 @@ class ManifestCatalog extends TableCatalog
 
   override def functionExists(ident: Identifier): Boolean =
     ident.name() == "fm_count" || PartitionTransformFunctions.all.contains(ident.name())
+}
+
+private[sources] object ManifestCatalog {
+  /** Renders each Spark Transform as a `partcol` option token — the ONE grammar the
+    * write path parses/validates (a drifted copy would accept a spec the writer then
+    * refuses). Shared by CREATE TABLE and the staged CTAS/RTAS path.
+    */
+  private[sources] def renderSpecTokens(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] = {
+    import org.apache.spark.sql.connector.expressions.Literal
+    def ref1(t: org.apache.spark.sql.connector.expressions.Transform): String = {
+      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"partition transform $t must reference exactly one top-level column")
+      t.references.head.fieldNames.head
+    }
+    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
+      t.arguments.collectFirst {
+        case l: Literal[_] if l.value().isInstanceOf[java.lang.Integer] =>
+          l.value().asInstanceOf[java.lang.Integer].intValue()
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform $t needs an integer parameter"))
+    partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => ref1(t)
+        case "bucket" => s"bucket(${intArg(t)},${ref1(t)})"
+        case "days" => s"days(${ref1(t)})"
+        case "truncate" => s"truncate(${intArg(t)},${ref1(t)})"
+        case other => throw new UnsupportedOperationException(
+          s"manifest tables support identity/bucket/days/truncate partitioning, got $other")
+      }
+    }
+  }
+}
+
+/** A staged create/replace target (StagingTableCatalog): writes land through the
+  * ordinary manifest batch path with REPLACE semantics — the batch commit is the
+  * atomic publication when the statement carries a query (CTAS/RTAS); a plain
+  * `REPLACE TABLE` publishes its empty schema-carrying snapshot in
+  * commitStagedChanges instead. Until one of those single CAS points lands,
+  * readers of an existing table keep seeing the old head, and a brand-new table
+  * does not exist. After a replace, pre-replace snapshots stay readable through
+  * time travel with their own schema, spec, and column-id registry (the replace
+  * bootstraps a FRESH registry — all live files are new).
+  */
+private[sources] class StagedManifestTable(dir: String, ident: Identifier,
+    declared: org.apache.spark.sql.types.StructType, specTokens: Seq[String],
+    replaceExisting: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  // stage-time validation: a bad spec/schema fails BEFORE the query runs
+  private val spec: Seq[ManifestTables.PartCol] =
+    if (specTokens.isEmpty) Nil
+    else ManifestDataSource.parsePartColOption(specTokens.mkString(","), declared)
+  private val createdDir = !Files.isDirectory(Paths.get(dir))
+  Files.createDirectories(Paths.get(dir))
+  @volatile private var wrote = false
+
+  override def name(): String = s"manifest_staged($dir)"
+  override def schema(): org.apache.spark.sql.types.StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ManifestWriteBuilder(dir, declared, info, stagedReplace = true,
+      stagedPartTokens = Some(specTokens.mkString(",")).filter(_.nonEmpty),
+      stagedDdl = Some(declared.toDDL),
+      stagedOp = Some(if (replaceExisting) "replace" else "create"),
+      onCommitted = () => wrote = true)
+
+  override def commitStagedChanges(): Unit = {
+    // CTAS/RTAS: the batch commit already published atomically — nothing to add
+    // (publishing a second, empty snapshot here would erase the data just written)
+    if (wrote) return
+    // plain CREATE/REPLACE TABLE (no AS SELECT): publish the empty
+    // schema-carrying snapshot now — the same shape createTable bootstraps, but
+    // deferred to THIS call so a failed statement never half-creates
+    val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
+    val dataCols = declared.fieldNames.toSeq.filterNot(identityNames.contains)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+      if (!replaceExisting && next > 0)
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
+        Nil, Nil, next, partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
+        schemaDdl = Some(declared.toDDL),
+        colIds = ManifestTables.colIdsBootstrap(dataCols),
+        operation = if (replaceExisting) "replace" else "create")
+      if (!done) {
+        attempt += 1
+        require(attempt < 16,
+          s"staged REPLACE TABLE on $dir lost the snapshot race $attempt times")
+        Thread.sleep(20L * attempt +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    // nothing was published (the batch write aborts its own data files); a CREATE
+    // that made the directory removes it again if no snapshot ever landed there.
+    // A replace target keeps its old head — failed-query orphan files are
+    // removeOrphans' job, same as any aborted write.
+    if (createdDir && ManifestTables.latestSnapshotId(dir).isEmpty) {
+      try {
+        val walk = Files.walk(Paths.get(dir))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Exception => }
+    }
+  }
 }

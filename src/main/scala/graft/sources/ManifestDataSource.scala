@@ -682,8 +682,44 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(dir != null, "graft.sources.ManifestDataSource requires .load(<table dir>)")
+
+  /** SQL `TRUNCATE TABLE`: publishes an EMPTY snapshot — a metadata-only commit (no
+    * data file read, rewritten, or removed; time travel keeps every pre-truncate
+    * snapshot readable; reclamation stays with expireSnapshots/removeOrphans, the
+    * overwrite lifecycle). The current schema DDL rides in the snapshot explicitly:
+    * a truncated table has no data file left to infer its schema from. Partition
+    * spec and column-id registry carry forward, so the next append re-joins the
+    * same layout and evolution history. Pending merge-on-read delete segments drop
+    * with the rows they applied to.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinnedSnapshot.isEmpty && pinnedBranch.isEmpty,
+      "TRUNCATE TABLE is not allowed on a time-travel or branch (VERSION AS OF) relation")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      // ONE latest read per attempt (the ALTER discipline): spec, schema, and the
+      // CAS target all derive from the same pinned refs, so a concurrent commit
+      // can only make the CAS fail and re-enter — never straddle
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      val spec = ManifestTables.readPartitionSpec(dir, Some(refs.snapshot))
+      val ddl = refs.schemaDdl.getOrElse(tschema.toDDL)
+      done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
+        Nil, Nil, refs.snapshot + 1,
+        partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
+        schemaDdl = Some(ddl), colIds = refs.colIds, operation = "truncate")
+      if (!done) {
+        attempt += 1
+        require(attempt < 16, s"TRUNCATE TABLE on $dir lost the snapshot race $attempt times")
+        Thread.sleep(20L * attempt +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+    true
+  }
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE surface: format, snapshot ids, and the
     * partition spec in the `partcol` option grammar (paste-able back into a write).
@@ -2335,7 +2371,10 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
 
 // ------------------------------------------------------------------------- write path
 
-private class ManifestWriteBuilder(dir: String, tschema: StructType, info: LogicalWriteInfo)
+private class ManifestWriteBuilder(dir: String, tschema: StructType, info: LogicalWriteInfo,
+    stagedReplace: Boolean = false, stagedPartTokens: Option[String] = None,
+    stagedDdl: Option[String] = None, stagedOp: Option[String] = None,
+    onCommitted: () => Unit = () => ())
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   // mode("overwrite") arrives as truncate(): the manifest REPLACES its entry list —
@@ -2343,6 +2382,16 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = {
+    // a STAGED create/replace (StagingTableCatalog CTAS/RTAS) always writes with
+    // replace semantics — the staged table is logically brand new, so Spark hands
+    // the query over as a plain append; the spec and declared DDL come from the
+    // stage call, not from write options (which WAP/branch can therefore not use)
+    if (stagedReplace) {
+      replace = true
+      require(Option(info.options.get("wapId")).isEmpty &&
+          Option(info.options.get("branch")).isEmpty,
+        "a staged CREATE/REPLACE TABLE write cannot combine with wapId/branch options")
+    }
     val incoming = info.schema()
     // the metadata/changelog column names are RESERVED: a data column named
     // _file/_pos/_change_type would commit fine and then read back as the per-file
@@ -2364,7 +2413,12 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // refusal rather than dying on a half-validated layout here).
     val branchTarget = Option(info.options.get("branch"))
       .filter(ManifestTables.branchExists(dir, _))
-    val partSpec: Seq[ManifestTables.PartCol] = {
+    // a STAGED create/replace's spec is authoritative — empty means UNPARTITIONED,
+    // never "inherit the replaced table's layout" (REPLACE TABLE without
+    // PARTITIONED BY must drop the old partitioning, exactly like Iceberg)
+    val partSpec: Seq[ManifestTables.PartCol] = if (stagedReplace) {
+      stagedPartTokens.map(ManifestDataSource.parsePartColOption(_, incoming)).getOrElse(Nil)
+    } else {
       val opt = Option(info.options.get("partcol")).getOrElse("")
       val recorded = branchTarget
         .map(b => ManifestTables.readBranchPartitionSpec(dir, b))
@@ -2491,7 +2545,8 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
         "exactly-once notes are a main-chain protocol")
     }
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
-      replace, note, upsertKey, distribute, mergedCols, wapId, branch)
+      replace, note, upsertKey, distribute, mergedCols, wapId, branch,
+      declaredDdl = stagedDdl, stagedOp = stagedOp, onCommitted = onCommitted)
   }
 }
 
@@ -2511,7 +2566,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     partCol: String, partTypes: String, schema: StructType, replace: Boolean,
     note: String, upsertKey: Option[(String, DataType)], distribute: Boolean,
     mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None, declaredDdl: Option[String] = None,
+    stagedOp: Option[String] = None, onCommitted: () => Unit = () => ())
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2539,7 +2595,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
-      mergedCols, wapId, branch)
+      mergedCols, wapId, branch, declaredDdl, stagedOp, onCommitted)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
@@ -2559,7 +2615,10 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     upsertKey: Option[(String, DataType)] = None,
     mergedCols: Seq[StructField] = Nil,
     wapId: Option[String] = None,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    declaredDdl: Option[String] = None,
+    stagedOp: Option[String] = None,
+    onCommitted: () => Unit = () => ()) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -2709,7 +2768,11 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         // read, so a concurrent ALTER's column is never dropped from the merge
         val (mergedDdl, mergedIds) =
           if (mergedCols.isEmpty || replace || latest.isEmpty)
-            (prev.schemaDdl, if (replace || latest.isEmpty) writeColIds else prev.colIds)
+            // a STAGED create/replace records its declared schema in the same
+            // commit (the table may end up with zero data files to infer from);
+            // plain overwrites keep redefining the schema from the incoming data
+            (if (replace || latest.isEmpty) declaredDdl else prev.schemaDdl,
+              if (replace || latest.isEmpty) writeColIds else prev.colIds)
           else {
             val base = ManifestDataSource.tableSchema(dir, Some(prev.snapshot))
             // a concurrent evolution may have added the SAME name: dedup only on
@@ -2750,7 +2813,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
           schemaDdl = mergedDdl, deletes = prev.deletes,
           eqDeletes = prev.eqDeletes ++ eqSeg,
           colIds = mergedIds,
-          operation = if (replace) "overwrite" else if (eqSeg.nonEmpty) "upsert" else "append")
+          operation = stagedOp.getOrElse(
+            if (replace) "overwrite" else if (eqSeg.nonEmpty) "upsert" else "append"))
       }
       if (!done) {
         // losers back off (jittered, capped at ~1 s) instead of spinning O(files)
@@ -2765,6 +2829,9 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         Thread.sleep(sleepMs)
       }
     }
+    // a staged (StagingTableCatalog) write observes this: the batch commit WAS the
+    // atomic publication, so commitStagedChanges must not publish a second snapshot
+    onCommitted()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
