@@ -865,6 +865,39 @@ object CorpusQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // --- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    //     embeddings, then dedup ONLY within clusters — a vector drops when any
+    //     same-cluster vector with a smaller id sits within the cosine threshold
+    //     (one pass, no connected components; deterministic keeper = min id). The
+    //     candidate join is an EQUI-join on cluster id, never corpus-wide
+    //     all-pairs; at scale k grows with the corpus (the paper's k ~ n/<target
+    //     cluster size>), so per-cluster pair counts stay bounded — the same
+    //     bounded-bucket discipline as the LSH families. Clustering reuses the
+    //     quantized-integer Lloyd kernel, so the DuckDB oracle re-derives the
+    //     IDENTICAL model, pairs, and keep/drop decisions bit-for-bit. ---
+    "q58_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val ds = tWide(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      val model = IvfKmeans.fit(ds, k = 10, iters = 2)
+      val assigned = IvfKmeans.assignAll(ds, model).toDF("vec_id", "cl")
+      val pairs = assigned.select(col("vec_id").as("vec_a"), col("cl"))
+        .join(assigned.select(col("vec_id").as("vec_b"), col("cl")), "cl")
+        .filter(col("vec_a") < col("vec_b"))
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+        .select(col("vec_a").cast("long"), col("vec_b").cast("long"), col("ea"), col("eb"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+      val dropped = SimilarityLsh.rerankCosineKernel(pairs, 0.35)
+        .toDF("vec_a", "vec_b")
+        .groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dup_of"))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cl").cast("long").as("cl"),
+          when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"), col("dup_of"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- int8 symmetric embedding quantization: q = round(x * 127 / max|x|) per
     //     vector — the storage step of a quantized vector index (4x smaller than
     //     f32). Per-row map, embarrassingly parallel; outputs are INTEGER summaries
@@ -2699,6 +2732,29 @@ object CorpusQueries {
          |JOIN embeddings eb ON eb.vec_id = cand.vec_b
          |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
          |ORDER BY 1, 2""".stripMargin
+    },
+    // q58: the oracle re-derives the IDENTICAL k-means model (quantized-integer
+    // Lloyd), the within-cluster pairs, and the threshold-exact cosine decisions
+    "q58_semantic_dedup" -> {
+      val model = IvfKmeans.duckModelCtes(k = 10, iters = 2, nprobe = 1, dim = 64,
+        querySql = "v.vec_id < 0")
+      val dotAB = duckDot("ea.embedding", "eb.embedding")
+      val nA = duckDot("ea.embedding", "ea.embedding")
+      val nB = duckDot("eb.embedding", "eb.embedding")
+      s"""WITH $model,
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         |dropped AS (SELECT vec_b AS vec_id, CAST(min(vec_a) AS BIGINT) AS dup_of
+         |  FROM pairs
+         |  JOIN embeddings ea ON ea.vec_id = pairs.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = pairs.vec_b
+         |  WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= 0.35
+         |  GROUP BY 1)
+         |SELECT CAST(af.vec_id AS BIGINT) AS vec_id, CAST(af.cl AS BIGINT) AS cl,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         |  d.dup_of
+         |FROM af LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
     },
     "q53_embed_quantize" ->
       """WITH qz AS (
