@@ -201,16 +201,8 @@ class ManifestCatalog extends TableCatalog
     val spec =
       if (tokens.isEmpty) Nil
       else ManifestDataSource.parsePartColOption(tokens.mkString(","), schema)
-    val partNames = spec.map(_.name)
-    val partTypes = spec.map(ManifestTables.typeTokenOf)
-    val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
-    val dataCols = schema.fieldNames.toSeq.filterNot(identityNames.contains)
-    java.nio.file.Files.createDirectories(Paths.get(dir))
-    val ok = ManifestTables.tryWriteSnapshotRefs(dir, partNames.mkString(","), Nil, Nil, 0,
-      partTypes = partTypes.mkString(","), schemaDdl = Some(schema.toDDL),
-      colIds = ManifestTables.colIdsBootstrap(dataCols), operation = "create")
-    if (!ok) throw new org.apache.spark.sql.catalyst.analysis
-      .TableAlreadyExistsException(ident)
+    ManifestCatalog.publishSchemaSnapshot(dir, spec, schema,
+      requireFresh = true, ident = ident)
     loadTable(ident)
   }
 
@@ -414,8 +406,11 @@ class ManifestCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(ident)
+    // requireFresh: a plain CREATE must keep refusing if a concurrent creator
+    // lands between this stage-time check and the commit (CTAS queries run long)
     new StagedManifestTable(dir, ident, schema,
-      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = false)
+      ManifestCatalog.renderSpecTokens(partitions),
+      replaceExisting = false, requireFresh = true)
   }
 
   override def stageReplace(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
@@ -425,7 +420,8 @@ class ManifestCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new StagedManifestTable(dir, ident, schema,
-      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = true)
+      ManifestCatalog.renderSpecTokens(partitions),
+      replaceExisting = true, requireFresh = false)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -434,8 +430,10 @@ class ManifestCatalog extends TableCatalog
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val dir = dirOf(ident)
+    // OR REPLACE: a table appearing concurrently is replaced, never refused
     new StagedManifestTable(dir, ident, schema,
-      ManifestCatalog.renderSpecTokens(partitions), replaceExisting = isTable(dir))
+      ManifestCatalog.renderSpecTokens(partitions),
+      replaceExisting = isTable(dir), requireFresh = false)
   }
 
   // ------------------------------------------------------------- FunctionCatalog
@@ -503,6 +501,39 @@ private[sources] object ManifestCatalog {
       }
     }
   }
+
+  /** The ONE empty schema-carrying snapshot publication `CREATE TABLE` and the
+    * staged `REPLACE TABLE` (no AS SELECT) share: declared DDL + partition spec +
+    * a fresh column-id registry, under the usual CAS retry discipline. With
+    * `requireFresh` the publication refuses (TableAlreadyExists) the moment ANY
+    * snapshot exists — a plain CREATE must never swallow a concurrent creator.
+    */
+  private[sources] def publishSchemaSnapshot(dir: String,
+      spec: Seq[ManifestTables.PartCol], schema: org.apache.spark.sql.types.StructType,
+      requireFresh: Boolean, ident: Identifier): Unit = {
+    val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
+    val dataCols = schema.fieldNames.toSeq.filterNot(identityNames.contains)
+    Files.createDirectories(Paths.get(dir))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
+      if (requireFresh && next > 0)
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
+        Nil, Nil, next, partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
+        schemaDdl = Some(schema.toDDL),
+        colIds = ManifestTables.colIdsBootstrap(dataCols),
+        operation = if (next > 0) "replace" else "create")
+      if (!done) {
+        attempt += 1
+        require(attempt < 16,
+          s"schema-snapshot publication on $dir lost the snapshot race $attempt times")
+        Thread.sleep(20L * attempt +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+      }
+    }
+  }
 }
 
 /** A staged create/replace target (StagingTableCatalog): writes land through the
@@ -517,7 +548,7 @@ private[sources] object ManifestCatalog {
   */
 private[sources] class StagedManifestTable(dir: String, ident: Identifier,
     declared: org.apache.spark.sql.types.StructType, specTokens: Seq[String],
-    replaceExisting: Boolean)
+    replaceExisting: Boolean, requireFresh: Boolean)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -542,6 +573,7 @@ private[sources] class StagedManifestTable(dir: String, ident: Identifier,
       stagedPartTokens = Some(specTokens.mkString(",")).filter(_.nonEmpty),
       stagedDdl = Some(declared.toDDL),
       stagedOp = Some(if (replaceExisting) "replace" else "create"),
+      stagedRequireFresh = requireFresh,
       onCommitted = () => wrote = true)
 
   override def commitStagedChanges(): Unit = {
@@ -549,43 +581,24 @@ private[sources] class StagedManifestTable(dir: String, ident: Identifier,
     // (publishing a second, empty snapshot here would erase the data just written)
     if (wrote) return
     // plain CREATE/REPLACE TABLE (no AS SELECT): publish the empty
-    // schema-carrying snapshot now — the same shape createTable bootstraps, but
+    // schema-carrying snapshot now — the same bootstrap createTable publishes,
     // deferred to THIS call so a failed statement never half-creates
-    val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
-    val dataCols = declared.fieldNames.toSeq.filterNot(identityNames.contains)
-    var attempt = 0
-    var done = false
-    while (!done) {
-      val next = ManifestTables.latestSnapshotId(dir).map(_ + 1).getOrElse(0)
-      if (!replaceExisting && next > 0)
-        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-      done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
-        Nil, Nil, next, partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
-        schemaDdl = Some(declared.toDDL),
-        colIds = ManifestTables.colIdsBootstrap(dataCols),
-        operation = if (replaceExisting) "replace" else "create")
-      if (!done) {
-        attempt += 1
-        require(attempt < 16,
-          s"staged REPLACE TABLE on $dir lost the snapshot race $attempt times")
-        Thread.sleep(20L * attempt +
-          java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
-      }
-    }
+    ManifestCatalog.publishSchemaSnapshot(dir, spec, declared,
+      requireFresh = requireFresh, ident = ident)
   }
 
   override def abortStagedChanges(): Unit = {
     // nothing was published (the batch write aborts its own data files); a CREATE
-    // that made the directory removes it again if no snapshot ever landed there.
-    // A replace target keeps its old head — failed-query orphan files are
-    // removeOrphans' job, same as any aborted write.
+    // that made the directory removes it again — but only while EMPTY: a
+    // concurrent staged writer to the same name may have in-flight files here,
+    // and deleting those would let its commit publish a snapshot over missing
+    // data. Non-empty leftovers are removeOrphans' job, like any aborted write.
     if (createdDir && ManifestTables.latestSnapshotId(dir).isEmpty) {
       try {
-        val walk = Files.walk(Paths.get(dir))
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: Exception => }
+        val m = Paths.get(dir, "_manifests")
+        if (Files.isDirectory(m)) Files.delete(m) // throws unless empty
+        Files.delete(Paths.get(dir))              // throws unless empty
+      } catch { case _: Exception => () }
     }
   }
 }

@@ -706,7 +706,11 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       // can only make the CAS fail and re-enter — never straddle
       val refs = ManifestTables.readSnapshotRefs(dir, None)
       val spec = ManifestTables.readPartitionSpec(dir, Some(refs.snapshot))
-      val ddl = refs.schemaDdl.getOrElse(tschema.toDDL)
+      // schema from the SAME pinned snapshot, not from load-time tschema: a
+      // concurrent overwrite may have redefined the schema since this relation
+      // was resolved, and stamping the stale DDL would silently revert it
+      val ddl = refs.schemaDdl.getOrElse(
+        ManifestDataSource.tableSchema(dir, Some(refs.snapshot)).toDDL)
       done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
         Nil, Nil, refs.snapshot + 1,
         partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
@@ -2374,7 +2378,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
 private class ManifestWriteBuilder(dir: String, tschema: StructType, info: LogicalWriteInfo,
     stagedReplace: Boolean = false, stagedPartTokens: Option[String] = None,
     stagedDdl: Option[String] = None, stagedOp: Option[String] = None,
-    onCommitted: () => Unit = () => ())
+    stagedRequireFresh: Boolean = false, onCommitted: () => Unit = () => ())
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   // mode("overwrite") arrives as truncate(): the manifest REPLACES its entry list —
@@ -2546,7 +2550,8 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     }
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
       replace, note, upsertKey, distribute, mergedCols, wapId, branch,
-      declaredDdl = stagedDdl, stagedOp = stagedOp, onCommitted = onCommitted)
+      declaredDdl = stagedDdl, stagedOp = stagedOp,
+      stagedRequireFresh = stagedRequireFresh, onCommitted = onCommitted)
   }
 }
 
@@ -2567,7 +2572,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     note: String, upsertKey: Option[(String, DataType)], distribute: Boolean,
     mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None,
     branch: Option[String] = None, declaredDdl: Option[String] = None,
-    stagedOp: Option[String] = None, onCommitted: () => Unit = () => ())
+    stagedOp: Option[String] = None, stagedRequireFresh: Boolean = false,
+    onCommitted: () => Unit = () => ())
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2595,7 +2601,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
-      mergedCols, wapId, branch, declaredDdl, stagedOp, onCommitted)
+      mergedCols, wapId, branch, declaredDdl, stagedOp, stagedRequireFresh, onCommitted)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
@@ -2618,6 +2624,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     branch: Option[String] = None,
     declaredDdl: Option[String] = None,
     stagedOp: Option[String] = None,
+    stagedRequireFresh: Boolean = false,
     onCommitted: () => Unit = () => ()) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
@@ -2717,6 +2724,16 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
       // and we'd still claim the NEXT id, publishing the batch twice (duplicate rows).
       val latest = ManifestTables.latestSnapshotId(dir)
       val next = latest.map(_ + 1).getOrElse(0)
+      // a staged plain CREATE (CTAS) must not swallow a table that appeared
+      // between the stage-time existence check and this commit — a CTAS query
+      // can run for hours, and its stage-time check goes stale. Checked inside
+      // the loop: a concurrent creator claims id 0, our CAS fails, the retry
+      // sees the table and refuses. CREATE OR REPLACE stages with
+      // stagedRequireFresh=false, so it replaces instead (as asked).
+      if (stagedRequireFresh)
+        require(latest.isEmpty,
+          s"a table appeared at $dir while this CREATE TABLE AS SELECT ran — " +
+            "CREATE refuses to replace it; use CREATE OR REPLACE TABLE")
       // an overwrite may REDEFINE the partition spec: an append racing one would
       // republish its builder-time spec over the new layout's segments, silently
       // relabeling every partition value — refuse instead. Checked inside the

@@ -131,6 +131,55 @@ class StagedDdlSpec extends AnyFunSuite {
     assert(ops == Seq("create", "replace", "append"), ops.toString)
   }
 
+  test("a staged CREATE refuses at commit when the table appeared concurrently; OR REPLACE proceeds") {
+    val (cat, wh) = freshCatalog()
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ident = Identifier.of(Array("ns"), "t")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // stage a plain CREATE while the table does not exist...
+    val staged = new StagedManifestTable(s"$wh/ns/t", ident, schema, Nil,
+      replaceExisting = false, requireFresh = true)
+    // ...then a concurrent creator lands first
+    docs.limit(5).write.format(classOf[ManifestDataSource].getName)
+      .mode("overwrite").save(s"$wh/ns/t")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      staged.commitStagedChanges()
+    }
+    // the concurrent creator's rows survive untouched
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .load(s"$wh/ns/t").count() == 5)
+    // CREATE OR REPLACE staged on the same absent-at-stage-time name REPLACES
+    val orReplace = new StagedManifestTable(s"$wh/ns/t", ident, schema, Nil,
+      replaceExisting = false, requireFresh = false)
+    orReplace.commitStagedChanges()
+    assert(spark.read.format(classOf[ManifestDataSource].getName)
+      .load(s"$wh/ns/t").count() == 0)
+    assert(ManifestTables.latestSnapshotId(s"$wh/ns/t").contains(1))
+  }
+
+  test("abortStagedChanges removes only an EMPTY created directory, never another writer's files") {
+    val (_, wh) = freshCatalog()
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ident = Identifier.of(Array("ns"), "t")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val dir = java.nio.file.Paths.get(s"$wh/ns/t")
+    // another staged writer's in-flight data file sits in the directory
+    val staged = new StagedManifestTable(dir.toString, ident, schema, Nil,
+      replaceExisting = false, requireFresh = true)
+    java.nio.file.Files.write(dir.resolve("other-writer.parquet"), Array[Byte](1, 2, 3))
+    staged.abortStagedChanges()
+    assert(java.nio.file.Files.exists(dir.resolve("other-writer.parquet")),
+      "abort must not delete a concurrent writer's files")
+    // an EMPTY created directory is cleaned up
+    val ident2 = Identifier.of(Array("ns"), "t2")
+    val staged2 = new StagedManifestTable(s"$wh/ns/t2", ident2, schema, Nil,
+      replaceExisting = false, requireFresh = true)
+    staged2.abortStagedChanges()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/ns/t2")))
+  }
+
   test("a failing RTAS never publishes: the old head stays, a failing CTAS leaves no table") {
     val (cat, wh) = freshCatalog()
     docs.createOrReplaceTempView(s"${cat}_src")
