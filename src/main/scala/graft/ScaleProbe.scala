@@ -26,16 +26,25 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "q30_token_count", "q37_simhash_neardup", "q40_dedup_exact", "q41_minhash_lsh",
     "q42_simhash", "q43_jaccard_ngram", "q44_dup_clusters", "q45_top_terms",
-    "q50_knn_brute", "q51b_ivf_kmeans", "q52_embed_neardup", "q52_capped64")
+    "q50_knn_brute", "q51b_ivf_kmeans", "q52_embed_neardup", "q52_capped64",
+    "q58_semantic_dedup", "q58_kscaled")
 
   /** Uncapped q52 measured ~31 s at 10x and >14 min at 100x on this generator:
     * RANDOM (non-clustered) embeddings give 4-bit hyperplane bands ~no selectivity,
     * so candidates grow ~n^2/32 — the structural case for the hot-bucket cap
     * (SPARK_GRAFT_LSH_MAXBUCKET). Skip the known-quadratic point; q52_capped64 runs
     * the same pipeline with maxBucket=64 at every scale to demonstrate the lever.
+    * q58 at the fixed default k=10 is the same class (pairs ~ n^2/k) — skipped at
+    * 100x; q58_kscaled runs the paper's k ~ n/200 at every scale to demonstrate
+    * THAT lever (SPARK_GRAFT_SEMDEDUP_K in production).
     */
   private def skip(q: String, scale: Int): Boolean =
-    q == "q52_embed_neardup" && scale >= 100
+    (q == "q52_embed_neardup" || q == "q58_semantic_dedup") && scale >= 100
+
+  private def q58Scaled(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+    graft.ops.CorpusQueries.semanticDedup(s, dir, k = math.max(10, (n / 200).toInt))
+  }
 
   private def q52Capped(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -117,7 +126,9 @@ object ScaleProbe {
       ensureCorpus(spark, dir, scale)
       val times = ProbeQueries.filterNot(skip(_, scale)).map { q =>
         val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-          if (q == "q52_capped64") q52Capped else SparkEntry.queries(q)
+          if (q == "q52_capped64") q52Capped
+          else if (q == "q58_kscaled") q58Scaled
+          else SparkEntry.queries(q)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -28,6 +28,33 @@ object CorpusQueries {
   private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** SemDeDup (q58) body, k-parameterized: ScaleProbe runs it both at the
+    * oracle-pinned default k and at the paper's k ~ n/<target cluster size> to
+    * evidence that the knob keeps per-cluster pair counts bounded at scale.
+    */
+  private[graft] def semanticDedup(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val ds = tWide(s, dir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+    val model = IvfKmeans.fit(ds, k = k, iters = 2)
+    val assigned = IvfKmeans.assignAll(ds, model).toDF("vec_id", "cl")
+    val pairs = assigned.select(col("vec_id").as("vec_a"), col("cl"))
+      .join(assigned.select(col("vec_id").as("vec_b"), col("cl")), "cl")
+      .filter(col("vec_a") < col("vec_b"))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    val dropped = SimilarityLsh.rerankCosineKernel(pairs, 0.35)
+      .toDF("vec_a", "vec_b")
+      .groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dup_of"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl").cast("long").as("cl"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Scratch table path for queries that materialize under /tmp (q63 family, q68):
     * a per-APPLICATION subdir under a stable per-(query, SF-dir) root, with an
     * age-guarded sweep of sibling application dirs on entry. Bounded footprint (the
@@ -878,29 +905,9 @@ object CorpusQueries {
     //     Clustering reuses the quantized-integer Lloyd kernel, so the DuckDB
     //     oracle re-derives the IDENTICAL model, pairs, and keep/drop decisions
     //     bit-for-bit at the default k. ---
-    "q58_semantic_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val k = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_K", "10").toInt
-      val emb = t(s, dir, "embeddings")
-      val ds = tWide(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-      val model = IvfKmeans.fit(ds, k = k, iters = 2)
-      val assigned = IvfKmeans.assignAll(ds, model).toDF("vec_id", "cl")
-      val pairs = assigned.select(col("vec_id").as("vec_a"), col("cl"))
-        .join(assigned.select(col("vec_id").as("vec_b"), col("cl")), "cl")
-        .filter(col("vec_a") < col("vec_b"))
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-        .select(col("vec_a").cast("long"), col("vec_b").cast("long"), col("ea"), col("eb"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-      val dropped = SimilarityLsh.rerankCosineKernel(pairs, 0.35)
-        .toDF("vec_a", "vec_b")
-        .groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dup_of"))
-      assigned.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cl").cast("long").as("cl"),
-          when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"), col("dup_of"))
-        .orderBy(col("vec_id"))
-    }),
+    "q58_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(s, dir,
+        k = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_K", "10").toInt)),
 
     // --- int8 symmetric embedding quantization: q = round(x * 127 / max|x|) per
     //     vector — the storage step of a quantized vector index (4x smaller than
