@@ -1804,6 +1804,40 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_u ORDER BY lang_u""".stripMargin)
     }),
 
+    // --- RENAME TABLE under the gate: one atomic directory move (everything a
+    //     manifest references is directory-relative, so history, tags, and the
+    //     column-id registry ride along). Requires pin that the OLD name stops
+    //     resolving, that time travel under the NEW name still serves the
+    //     pre-rename snapshot, and that appends under the new name join the same
+    //     layout. ---
+    "q82_rename_table" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q82", dir)
+      val cat = s"graft_q82_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView(s"q82_src_$tag")
+      s.sql(s"""CREATE TABLE $cat.corpus.docs
+               |  (doc_id BIGINT, n_chars BIGINT, lang_p STRING)
+               |  PARTITIONED BY (lang_p)""".stripMargin)
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        s"SELECT doc_id, n_chars, lang FROM q82_src_$tag WHERE doc_id % 2 = 0")
+      val pre = s.table(s"$cat.corpus.docs").count()
+      s.sql(s"ALTER TABLE $cat.corpus.docs RENAME TO corpus.docs_v2")
+      require(!s.catalog.tableExists(s"$cat.corpus.docs"),
+        "the old name must stop resolving after RENAME TABLE")
+      require(s.sql(s"SELECT * FROM $cat.corpus.docs_v2 VERSION AS OF 1").count() == pre,
+        "time travel under the new name must serve the pre-rename snapshot")
+      s.sql(s"INSERT INTO $cat.corpus.docs_v2 " +
+        s"SELECT doc_id, n_chars, lang FROM q82_src_$tag WHERE doc_id % 2 = 1")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs_v2 GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- RENAME / DROP COLUMN evolution under the gate: pre-rename files carry the
     //     OLD physical name (resolved by the footer FIELD IDS the writer stamps),
     //     post-rename appends carry the new one, and a scan straddling the rename
@@ -3035,6 +3069,11 @@ object CorpusQueries {
       """SELECT upper(lang) AS lang_u, count(*) AS n_docs,
         |  CAST(sum(n_chars * 2) AS BIGINT) AS total_chars2
         |FROM documents WHERE doc_id % 3 = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q82: rename moves the whole directory — both generations answer under the
+    // new name, so the aggregate equals the plain whole-table answer
+    "q82_rename_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_wap_publish" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

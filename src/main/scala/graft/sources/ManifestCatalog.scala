@@ -387,8 +387,32 @@ class ManifestCatalog extends TableCatalog
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported on manifest tables")
+  /** `ALTER TABLE ... RENAME TO`: everything a manifest table references is
+    * directory-RELATIVE (entries, segments, delete segments, branch refs, staged
+    * WAP heads, tags), so a table rename is ONE atomic directory move — no
+    * metadata rewrite, history/branches/tags all ride along. In-flight readers
+    * keep their already-planned scans (files were resolved at plan time) or fail
+    * loudly on the vanished path — the location-coupled-rename contract of
+    * filesystem table formats.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    Files.createDirectories(Paths.get(to).getParent)
+    try Files.move(Paths.get(from), Paths.get(to),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // an occupied target directory means the name is taken (a committed table,
+      // a concurrent creator's staging dir, or unrelated files — never clobber)
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.FileSystemException
+          if Files.exists(Paths.get(to)) =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(newIdent)
+    }
+  }
 
   // ------------------------------------------------------- StagingTableCatalog
   // Atomic CTAS / RTAS / CREATE OR REPLACE TABLE (Iceberg's REPLACE TABLE

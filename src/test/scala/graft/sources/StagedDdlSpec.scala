@@ -180,6 +180,26 @@ class StagedDdlSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/ns/t2")))
   }
 
+  test("RENAME TABLE moves history, tags, and refs atomically; occupied targets refuse") {
+    val (cat, wh) = freshCatalog()
+    docs.createOrReplaceTempView(s"${cat}_src")
+    spark.sql(s"CREATE TABLE $cat.ns.t AS SELECT doc_id, n_chars FROM ${cat}_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT doc_id + 1000000, n_chars FROM ${cat}_src")
+    val n = spark.table(s"$cat.ns.t").count()
+    spark.sql(s"ALTER TABLE $cat.ns.t RENAME TO ns.t2")
+    assert(!spark.catalog.tableExists(s"$cat.ns.t"))
+    assert(spark.table(s"$cat.ns.t2").count() == n)
+    // history rides along: the pre-insert snapshot time-travels under the new name
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t2 VERSION AS OF 0").count() == n / 2)
+    // renaming onto an existing table refuses
+    spark.sql(s"CREATE TABLE $cat.ns.other (k BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.t2 RENAME TO ns.other")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    assert(spark.table(s"$cat.ns.t2").count() == n, "a refused rename must not move anything")
+  }
+
   test("a failing RTAS never publishes: the old head stays, a failing CTAS leaves no table") {
     val (cat, wh) = freshCatalog()
     docs.createOrReplaceTempView(s"${cat}_src")
