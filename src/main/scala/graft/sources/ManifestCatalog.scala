@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
 class ManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -458,6 +459,71 @@ class ManifestCatalog extends TableCatalog
     new StagedManifestTable(dir, ident, schema,
       ManifestCatalog.renderSpecTokens(partitions),
       replaceExisting = isTable(dir), requireFresh = false)
+  }
+
+  // ---------------------------------------------------------- SupportsNamespaces
+  // Namespaces ARE warehouse directories (the same stateless rule as tables: any
+  // directory holding a committed `_manifests` snapshot is a table, any other
+  // directory is a namespace). CREATE NAMESPACE = mkdir; DROP NAMESPACE refuses
+  // while non-empty unless CASCADE; SHOW NAMESPACES lists direct child dirs that
+  // are not themselves tables.
+
+  private def nsDirOf(namespace: Array[String]): java.nio.file.Path =
+    Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p.toString))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally stream.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsDirOf(namespace)) && !isTable(nsDirOf(namespace).toString)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val m = new util.HashMap[String, String]()
+    m.put(org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      nsDirOf(namespace).toString)
+    m
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDirOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "manifest namespaces are plain directories — they carry no mutable properties")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDirOf(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade) {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      if (!empty) throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+      Files.delete(dir)
+    } else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    true
   }
 
   // ------------------------------------------------------------- FunctionCatalog

@@ -180,6 +180,28 @@ class StagedDdlSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/ns/t2")))
   }
 
+  test("namespaces: CREATE/SHOW/DROP map to warehouse directories; non-empty drop refuses") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.corp")
+    spark.sql(s"CREATE NAMESPACE $cat.corp.raw")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).contains("corp"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat.corp").collect()
+      .map(_.getString(0)).contains("corp.raw"))
+    docs.createOrReplaceTempView(s"${cat}_src")
+    spark.sql(s"CREATE TABLE $cat.corp.raw.t AS SELECT doc_id FROM ${cat}_src LIMIT 10")
+    // tables never list as namespaces
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat.corp.raw").collect()
+      .map(_.getString(0)).exists(_.endsWith(".t")))
+    assert(spark.sql(s"SHOW TABLES IN $cat.corp.raw").collect().map(_.getString(1)) === Array("t"))
+    val e = intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.corp.raw") }
+    assert(e.getMessage.toLowerCase.contains("schema_not_empty") ||
+      e.getMessage.toLowerCase.contains("contains objects"), e.getMessage)
+    spark.sql(s"DROP NAMESPACE $cat.corp.raw CASCADE")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/corp/raw")))
+    spark.sql(s"DROP NAMESPACE $cat.corp") // now empty — plain drop works
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/corp")))
+  }
+
   test("RENAME TABLE moves history, tags, and refs atomically; occupied targets refuse") {
     val (cat, wh) = freshCatalog()
     docs.createOrReplaceTempView(s"${cat}_src")
