@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training — the vocabulary-learning step
+  * of an LLM data pipeline (Sennrich et al. 2016, the GPT-2/SentencePiece recipe).
+  *
+  * Scale shape: the corpus collapses into a (word, freq) table with ONE hash
+  * aggregation — its size is the word vocabulary, not the corpus (~10^7-10^8 rows at
+  * 100 TB, vs 10^13 tokens). Every merge round after that is a partial+final pair
+  * count over the vocab-sized table plus a single argmax row to the driver; the fold
+  * that applies the merge is a per-row array aggregate. K merge rounds = K small jobs
+  * whose cost is independent of corpus size. Nothing here is corpus-proportional on
+  * the driver: the only collects are the 1-row argmax and the scalar vocab count.
+  *
+  * Greedy left-to-right merge semantics (the BPE contract: a pair consumed by a merge
+  * cannot start another merge in the same round — 'aaaa' with pair (a,a) becomes
+  * 'aa','aa', not three overlapping merges) are implemented as a fold: append each
+  * symbol, but if the accumulator's last element is `l` and the incoming symbol is
+  * `r`, replace the last element with `l+r`. The fold is exact because a just-merged
+  * element equals `l+r`, which can never equal `l` (symbols are non-empty), so a
+  * merged element never chains into a second merge within the round.
+  */
+object BpeTrainer {
+
+  /** One learned merge: its rank (1-based), the pair, the pair's weighted count at
+    * the time it won, and the distinct-symbol vocabulary size after applying it.
+    */
+  final case class MergeRow(merge_rank: Int, left_sym: String, right_sym: String,
+                            n_pair: Long, vocab_after: Long)
+
+  /** Split a word into single-character symbols (1-based substr — unambiguous where
+    * `split(w, "")` is not).
+    */
+  def charSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Greedy left-to-right application of one merge (l, r) to a symbol array. */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of an array as (l, r) structs — empty for 1-symbol words. */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Train `k` merges over a (w: string, f: long) word-frequency table. Ties on the
+    * pair count break by (l, r) ascending, so the learned merge list is deterministic.
+    * Returns the merge table and the final symbolized word-frequency frame
+    * (w, f, syms) — the trained tokenizer's view of the vocabulary.
+    */
+  def train(wordFreq: DataFrame, k: Int): (Seq[MergeRow], DataFrame) = {
+    val merges = Seq.newBuilder[MergeRow]
+    // Lazy localCheckpoint per round, not persist: each round stacks another
+    // interpreted-HOF fold onto the plan, and with plain persist round i's actions
+    // re-analyze/canonicalize an i-deep nested-aggregate tree — driver time goes
+    // quadratic in k (measured: the 16-round loop dropped from ~75 s to seconds at
+    // sf0.001 when the lineage is truncated to a LogicalRDD each round). The first
+    // action of a round materializes that round's checkpoint in the same job; the
+    // superseded round's blocks are freed eagerly so storage stays at ONE snapshot.
+    var cur = wordFreq
+      .select(col("w"), col("f"), charSymbols(col("w")).as("syms"))
+      .localCheckpoint(false)
+    for (rank <- 1 to k) {
+      val top = cur
+        .select(col("f"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly one row: the argmax pair — driver-bounded by construction
+      require(top.nonEmpty, s"BPE merge round $rank: no adjacent pairs left")
+      val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val next = cur
+        .withColumn("syms", applyMerge(col("syms"), l, r))
+        .localCheckpoint(false)
+      val vocabAfter = next.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+      free(cur) // safe: the count above just materialized `next` past `cur`
+      cur = next
+      merges += MergeRow(rank, l, r, n, vocabAfter)
+    }
+    (merges.result(), cur)
+  }
+
+  /** Frees the block store behind the returned (localCheckpoint'd) word frame —
+    * `Dataset.unpersist` only clears cacheManager entries, so callers done with the
+    * trained frame must release it through here. No-op for non-checkpointed frames.
+    */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Encode a symbol array by replaying a learned merge list in rank order —
+    * tokenization with the trained vocabulary.
+    */
+  def encode(syms: Column, merges: Seq[MergeRow]): Column =
+    merges.foldLeft(syms)((s, m) => applyMerge(s, m.left_sym, m.right_sym))
+}

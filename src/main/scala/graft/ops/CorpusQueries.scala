@@ -215,6 +215,73 @@ object CorpusQueries {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Merge rounds for the q59 BPE-training gate — the oracle SQL is generated with
+    * the same constant, so the two sides can never disagree on depth.
+    */
+  private[graft] val BpeMergesK = 16
+
+  /** DuckDB oracle for q59: re-derives the ENTIRE k-round BPE training loop in SQL.
+    * Per round: lead() builds adjacent pairs, the argmax pair wins (count desc, then
+    * (l, r) asc — the trainer's tiebreak), greedy left-to-right application keeps the
+    * odd-ranked positions within each block of CONSECUTIVE match positions (only a
+    * same-symbol run can produce one; a merge consumes the next position, so every
+    * other match in the run survives), consumed positions drop, positions renumber.
+    * The fold in BpeTrainer.applyMerge implements the identical greedy contract.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val union = (1 to k).map(i => s"SELECT * FROM mr$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSql(k)}
+       |$union ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The shared k-round CTE chain (wf → st0 → … → st$k with per-round mr$i rows)
+    * used by both BPE oracles — see bpeOracleSql for the per-round mechanics.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val p = s"st${i - 1}"
+      s"""nx$i AS MATERIALIZED (SELECT w, f, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym FROM $p),
+         |top$i AS MATERIALIZED (SELECT sym AS l, nsym AS r, sum(f) AS n FROM nx$i
+         |  WHERE nsym IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |mk$i AS MATERIALIZED (SELECT x.w, x.f, x.pos, x.sym, x.nsym,
+         |    CASE WHEN x.sym = t.l AND x.nsym = t.r THEN 1 ELSE 0 END AS m
+         |  FROM nx$i x CROSS JOIN top$i t),
+         |bl$i AS MATERIALIZED (SELECT *, CASE WHEN m = 1
+         |    THEN pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) END AS blk
+         |  FROM mk$i),
+         |gm$i AS MATERIALIZED (SELECT *, CASE WHEN m = 1 AND
+         |    row_number() OVER (PARTITION BY w, blk ORDER BY pos) % 2 = 1
+         |    THEN 1 ELSE 0 END AS mg FROM bl$i),
+         |st$i AS MATERIALIZED (SELECT w, f, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         |    CASE WHEN mg = 1 THEN sym || nsym ELSE sym END AS sym
+         |  FROM (SELECT *, lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY pos) AS consumed
+         |        FROM gm$i) WHERE consumed = 0),
+         |mr$i AS MATERIALIZED (SELECT $i AS merge_rank, l AS left_sym, r AS right_sym,
+         |    CAST(n AS BIGINT) AS n_pair,
+         |    (SELECT count(DISTINCT sym) FROM st$i) AS vocab_after FROM top$i)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (SELECT w, count(*) AS f FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |st0 AS MATERIALIZED (SELECT w, f, i AS pos, w[i:i] AS sym
+       |  FROM (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM wf)),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB oracle for q59b: re-derives the trained tokenizer (the full chain), takes
+    * each word's FINAL symbol count from st$k, and tokenizes the corpus by joining
+    * every word occurrence back to its token count — so the Spark side's encode
+    * replay (merge list applied per word) must reproduce training's final state
+    * exactly, word by word, weighted by real corpus frequency.
+    */
+  private def bpeApplyOracleSql(k: Int): String =
+    s"""WITH ${bpeChainSql(k)},
+       |tok AS MATERIALIZED (SELECT w, count(*) AS n_tok FROM st$k GROUP BY w),
+       |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT lang, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens, count(*) AS n_words
+       |FROM dw JOIN tok t USING (w) GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Word 3-gram shingles, 1-based positions [1, len-2]; empty below 3 words. */
   private def shingles(w: Column): Column =
     when(size(w) >= 3,
@@ -735,6 +802,51 @@ object CorpusQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(100)
+    }),
+
+    // --- BPE tokenizer training: the vocabulary-learning step of an LLM pipeline.
+    //     The corpus collapses to a (word, freq) table in ONE agg (vocab-sized, not
+    //     corpus-sized); each merge round is a partial+final pair count over that
+    //     table plus a 1-row argmax collect. The DuckDB oracle re-derives the ENTIRE
+    //     16-round training loop (pair counts, argmax, greedy left-to-right merge
+    //     application, per-round vocab size) — rounds 8+ merge LEARNED symbols
+    //     ('p'+'ar', 's'+'can', 'colu'+'m'), so the gate proves composition, not
+    //     just char-bigram counting. See bpeOracleSql. ---
+    "q59_bpe_train" -> ((s, dir) => {
+      val wf = tWide(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val (merges, finalWords) = BpeTrainer.train(wf, BpeMergesK)
+      BpeTrainer.free(finalWords)
+      s.createDataFrame(merges).orderBy(col("merge_rank"))
+    }),
+
+    // --- BPE tokenization APPLY: train the vocab, then tokenize the whole corpus by
+    //     REPLAYING the learned merge list per word (BpeTrainer.encode — the path a
+    //     downstream training run uses), never the trainer's internal state. Token
+    //     counts are computed once per DISTINCT word (vocab-sized) and joined back to
+    //     word occurrences on an equi-key; at 100 TB the tok side is ~10^7-8 rows
+    //     (shuffle hash join on w), corpus side streams. The oracle re-derives the
+    //     trained tokenizer AND the per-word token counts from the training loop's
+    //     final state — encode replay must equal training's final symbolization
+    //     exactly, word by word, weighted by real corpus frequency. ---
+    "q59b_bpe_apply" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val wf = docs
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val (merges, finalWords) = BpeTrainer.train(wf, BpeMergesK)
+      BpeTrainer.free(finalWords)
+      val tok = wf.select(col("w"),
+        size(BpeTrainer.encode(BpeTrainer.charSymbols(col("w")), merges)).as("n_tok"))
+      docs.select(col("lang"), explode(words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(tok, "w")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("n_tokens"), count(lit(1)).as("n_words"))
+        .orderBy(col("lang"))
     }),
 
     // --- deterministic train/eval split: content-hash bucketing (md5 first nibble,
@@ -2692,6 +2804,8 @@ object CorpusQueries {
         |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM w)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q59_bpe_train" -> bpeOracleSql(BpeMergesK),
+    "q59b_bpe_apply" -> bpeApplyOracleSql(BpeMergesK),
     "q47_train_split" ->
       """SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
