@@ -27,7 +27,11 @@ object ScaleProbe {
     "q30_token_count", "q37_simhash_neardup", "q40_dedup_exact", "q41_minhash_lsh",
     "q42_simhash", "q43_jaccard_ngram", "q44_dup_clusters", "q45_top_terms",
     "q50_knn_brute", "q51b_ivf_kmeans", "q52_embed_neardup", "q52_capped64",
-    "q58_semantic_dedup", "q58_kscaled")
+    "q58_semantic_dedup", "q58_kscaled",
+    // BPE training's claim is the inverse of the quadratic risks above: after the
+    // one corpus-sized agg, all 16 merge rounds run over the VOCAB (fixed 20k words
+    // in this generator at every scale), so wall time should stay ~flat at 100x rows
+    "q59_bpe_train")
 
   /** Uncapped q52 measured ~31 s at 10x and >14 min at 100x on this generator:
     * RANDOM (non-clustered) embeddings give 4-bit hyperplane bands ~no selectivity,
@@ -124,7 +128,11 @@ object ScaleProbe {
       // round-4 dup-planting fix) must never be silently re-measured
       val dir = s"/tmp/graft_scaleprobe_v${GenVersion}_$scale"
       ensureCorpus(spark, dir, scale)
-      val times = ProbeQueries.filterNot(skip(_, scale)).map { q =>
+      // SPARK_GRAFT_PROBE_ONLY=<prefix> re-measures a single probe without paying
+      // for the whole battery (dev convenience; the recorded artifacts run all)
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      val times = ProbeQueries.filter(q => only.forall(q.startsWith))
+        .filterNot(skip(_, scale)).map { q =>
         val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
           if (q == "q52_capped64") q52Capped
           else if (q == "q58_kscaled") q58Scaled
