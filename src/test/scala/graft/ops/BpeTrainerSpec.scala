@@ -96,6 +96,26 @@ class BpeTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: 200 words over {a,b,c,d}, k=10 — trainer matches the reference") {
+    val rnd = new scala.util.Random(0x59BE)
+    // small alphabet forces deep merge chains and many exact count ties; random
+    // freqs in [1,9] keep tie-breaking load-bearing
+    val words: Map[String, Long] = (1 to 200).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      val w = Array.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString
+      w -> (1L + rnd.nextInt(9))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val k = 10
+    val (expect, refWords) = refTrain(words, k)
+    val (got, finalWords) = BpeTrainer.train(toDf(words), k)
+    assert(got.map(m => (m.merge_rank, m.left_sym, m.right_sym, m.n_pair, m.vocab_after))
+      == expect)
+    val gotWords = finalWords.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    BpeTrainer.free(finalWords)
+    assert(gotWords == refWords)
+  }
+
   test("encode replays the learned merges: tokenizing a training word yields its final symbols") {
     import spark.implicits._
     val k = 10
