@@ -2646,6 +2646,67 @@ object CorpusQueries {
         .orderBy(col("sink"))
     }),
 
+    // --- INCREMENTAL DEDUP over the manifest table: the ingest-time shape at
+    //     100 TB — dedup ONLY the delta against the existing corpus (O(batch) work
+    //     on the new side + one column-pruned hash scan of the base; never an
+    //     all-corpus re-dedup per ingest). The base corpus (doc_id % 3 != 0) is
+    //     committed and tagged 'deduped'; the ingest batch = genuinely new docs
+    //     (doc_id % 3 = 0) + planted EXACT duplicates of base docs (+1000000 ids,
+    //     same text — must drop against the corpus) + planted in-batch duplicates
+    //     (+2000000 ids — the min-id original must win). The batch arrives via the
+    //     INCREMENTAL read (startSnapshot = tag, O(delta) files, require-pinned
+    //     strict subset); in-batch keepers are min(doc_id) per md5; survivors
+    //     LEFT ANTI the TAGGED base read projected to md5(text) only (column
+    //     pruning keeps the existing-corpus side a 1-column scan — at 10^12 rows
+    //     that hash column lives as its own incrementally-maintained table, the
+    //     q75 pattern). The oracle re-derives the batch construction and both
+    //     dedup levels relationally. ---
+    "q83_incremental_dedup" -> ((s, dir) => {
+      val out = freshTmpTable("q83", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang").as("lang_p"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val crossDup = base.filter(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val batchDup = fresh.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      def save(mode: String)(df: DataFrame): Unit =
+        df.write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").mode(mode).save(out)
+      save("overwrite")(base)
+      graft.sources.ManifestTables.tagLatest(out, "deduped")
+      save("append")(fresh.unionByName(crossDup).unionByName(batchDup))
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(out).length
+      val batch = s.read.format("graft.sources.ManifestDataSource")
+        .option("startSnapshot", "deduped").load(out)
+      val probe = batch.select("doc_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total,
+        s"incremental dedup must plan a strict subset of the table's $total files, planned $planned")
+      val hashed = batch.withColumn("h", md5(col("text")))
+      val keepers = hashed.join(
+        hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("h", "doc_id"))
+      val baseHashes = s.read.format("graft.sources.ManifestDataSource")
+        .option("snapshot", "deduped").load(out)
+        .select(md5(col("text")).as("h"))
+      val survivors = keepers.join(baseHashes, Seq("h"), "left_anti")
+      val perLang = hashed.groupBy(col("lang_p"))
+        .agg(count(lit(1)).as("n_batch"), countDistinct(col("h")).as("n_batch_unique"))
+      survivors.groupBy(col("lang_p"))
+        .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("sum_new_ids"))
+        .join(perLang, Seq("lang_p"))
+        .select(col("lang_p").as("lang"), col("n_batch"), col("n_batch_unique"),
+          col("n_new"), col("sum_new_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -2806,6 +2867,25 @@ object CorpusQueries {
         |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
     "q59_bpe_train" -> bpeOracleSql(BpeMergesK),
     "q59b_bpe_apply" -> bpeApplyOracleSql(BpeMergesK),
+    "q83_incremental_dedup" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT * FROM fresh
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM base WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 2000000, text, lang FROM fresh WHERE doc_id % 7 = 0),
+        |hashed AS (SELECT *, md5(text) AS h FROM batch),
+        |keepers AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM hashed)
+        |  WHERE rn = 1),
+        |survivors AS (SELECT k.* FROM keepers k
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE md5(b.text) = k.h)),
+        |per_lang AS (SELECT lang, count(*) AS n_batch, count(DISTINCT h) AS n_batch_unique
+        |  FROM hashed GROUP BY lang)
+        |SELECT s.lang, p.n_batch, p.n_batch_unique, count(*) AS n_new,
+        |  CAST(sum(s.doc_id) AS BIGINT) AS sum_new_ids
+        |FROM survivors s JOIN per_lang p ON s.lang = p.lang
+        |GROUP BY s.lang, p.n_batch, p.n_batch_unique ORDER BY s.lang""".stripMargin,
     "q47_train_split" ->
       """SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
