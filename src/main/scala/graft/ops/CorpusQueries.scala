@@ -2707,6 +2707,78 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- INCREMENTAL MATERIALIZED-VIEW refresh from the CDC changelog (Iceberg
+    //     changelog / Delta CDF incremental-view-maintenance): the per-lang rollup
+    //     is MATERIALIZED into its own manifest table at tag v0; the corpus then
+    //     mutates (a partition-scoped merge-on-read DELETE and an append); the
+    //     refresh reads ONLY the changelog over (v0, head] — signed +1/-1 deltas
+    //     per change row — and full-outer-merges them into the STORED view, which
+    //     recommits as a new MV snapshot. At 100 TB the refresh cost tracks the
+    //     CHANGE RATE, never the corpus: the base is re-read only at the deleted
+    //     positions of the files the delta names (require-pinned strict subset of
+    //     the table's files), and the view table itself is lang-cardinality-sized.
+    //     The oracle is the FULL recompute — the gate is exactly the MV-maintenance
+    //     equivalence. ---
+    "q84_incremental_mv" -> ((s, dir) => {
+      val out = freshTmpTable("q84", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def save(mode: String, path: String)(df: DataFrame): Unit =
+        df.write.format("graft.sources.ManifestDataSource")
+          .option("partcol", "lang_p").mode(mode).save(path)
+      save("overwrite", s"$out/docs")(docs)
+      graft.sources.ManifestTables.tagLatest(s"$out/docs", "v0")
+      // materialize the view AT v0 (pinned read) into its own manifest table
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("snapshot", "v0").load(s"$out/docs")
+        .groupBy(col("lang_p"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .write.format("graft.sources.ManifestDataSource")
+        .mode("overwrite").save(s"$out/mv")
+      // corpus mutates: partition-scoped MoR delete + an all-lang append
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"graft_q84_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", out)
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 5 = 0 AND lang_p = 'de'")
+      finally s.conf.unset("spark.graft.manifest.deleteMode")
+      save("append", s"$out/docs")(docs.filter(col("doc_id") % 7 === 0))
+      // refresh: the changelog is the ONLY corpus access — prove it plans a
+      // strict subset of the table's live files (delta files + the one deleted
+      // partition's baseline files, never the other languages' baselines)
+      val changes = s.read.format("graft.sources.ManifestDataSource")
+        .option("changelog", "true").option("startSnapshot", "v0")
+        .load(s"$out/docs")
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(s"$out/docs").length
+      val probe = changes.select("doc_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total,
+        s"MV refresh must plan a strict subset of the table's $total files, planned $planned")
+      val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val delta = changes.groupBy(col("lang_p"))
+        .agg(sum(sign).as("d_docs"), sum(sign * col("n_chars")).as("d_chars"))
+      val stored = s.read.format("graft.sources.ManifestDataSource").load(s"$out/mv")
+      val refreshed = stored.join(delta, Seq("lang_p"), "full_outer")
+        .select(col("lang_p"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("total_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+            .as("total_chars"))
+        .filter(col("n_docs") > 0)
+      // the refresh COMMITS as the view's next snapshot; serve the answer from
+      // storage so the gate covers the full materialize->mutate->refresh->read loop
+      refreshed.write.format("graft.sources.ManifestDataSource")
+        .mode("overwrite").save(s"$out/mv")
+      s.read.format("graft.sources.ManifestDataSource").load(s"$out/mv")
+        .select(col("lang_p").as("lang"), col("n_docs"), col("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -2886,6 +2958,15 @@ object CorpusQueries {
         |  CAST(sum(s.doc_id) AS BIGINT) AS sum_new_ids
         |FROM survivors s JOIN per_lang p ON s.lang = p.lang
         |GROUP BY s.lang, p.n_batch, p.n_batch_unique ORDER BY s.lang""".stripMargin,
+    // q84: incremental MV refresh == the FULL recompute over the mutated corpus
+    "q84_incremental_mv" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT lang, n_chars FROM documents
+        |    WHERE NOT (doc_id % 5 = 0 AND lang = 'de')
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 = 0
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
     "q47_train_split" ->
       """SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
