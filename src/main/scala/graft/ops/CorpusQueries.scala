@@ -1733,6 +1733,52 @@ object CorpusQueries {
         .orderBy(col("probe"), col("lang"))
     }),
 
+    // --- SORTED WRITES under the gate (Iceberg write.distribution-mode=range +
+    //     table sort order): `.option("sortorder","doc_id")` range-distributes AND
+    //     sorts rows at INGEST, so per-file min/max stats are selective from the
+    //     first commit — the requires prove a doc_id range scan opens strictly
+    //     fewer files than the same rows ingested round-robin, with NO clustering
+    //     rewrite in between (q63l/q63s fix layout after the fact; this prevents
+    //     the problem). Answers never move. ---
+    "q63ab_sorted_write" -> ((s, dir) => {
+      val wh = freshTmpTable("q63ab", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      docs.repartition(6) // round-robin: every file spans the whole doc_id range
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(s"$wh/rr")
+      // real range tasks for the sorted ingest: AQE would coalesce a small-SF
+      // shuffle to ONE partition (full-range files, nothing left to skip)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "6")
+      t(s2, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").option("sortorder", "doc_id")
+        .mode("overwrite").save(s"$wh/sorted")
+      val b = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+      val dHi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5
+      def planned(tbl: String): Int = {
+        val probe = s.read.format("graft.sources.ManifestDataSource").load(tbl)
+          .filter(col("doc_id") < dHi).select("doc_id")
+        probe.collect()
+        probe.queryExecution.executedPlan.collect {
+          case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            bs.inputRDD.getNumPartitions
+        }.sum
+      }
+      val (rrFiles, sortedFiles) = (planned(s"$wh/rr"), planned(s"$wh/sorted"))
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/sorted").length
+      require(sortedFiles < rrFiles && sortedFiles < total,
+        s"sorted ingest must skip files: rr=$rrFiles sorted=$sortedFiles of $total")
+      s.read.format("graft.sources.ManifestDataSource").load(s"$wh/sorted")
+        .filter(col("doc_id") < dHi)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- CREATE TABLE / INSERT INTO through the catalog under the gate: DDL-first
     //     table creation (empty schema-carrying snapshot 0 with partition spec and
     //     the column-id registry), then plain SQL INSERT resolves against the
@@ -1755,6 +1801,32 @@ object CorpusQueries {
         s"""SELECT lang_p AS lang, count(*) AS n_docs,
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
+    // --- COUNT(col) aggregate pushdown under the gate: a nullable column's
+    //     non-null count answered ENTIRELY from parquet footer null counts (rows
+    //     minus numNulls per chunk, zero data pages decoded — the Iceberg
+    //     metadata-aggregate analog, extended from COUNT(*)/MIN/MAX to COUNT(c)).
+    //     The require pins that the plan actually took the footer path; the
+    //     DuckDB oracle recomputes the counts from the raw rows. ---
+    "q63aa_count_pushdown" -> ((s, dir) => {
+      val wh = freshTmpTable("q63aa", dir)
+      val tbl = s"$wh/corpus/docs"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(col("n_chars")).cast("long").as("q"),
+          col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(tbl)
+      val agg = s.read.format("graft.sources.ManifestDataSource").load(tbl)
+        .groupBy("lang_p")
+        .agg(count(col("q")).as("n_scored"), count(lit(1)).as("n_docs"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("manifest_data_agg") && plan.contains("count(q)"),
+        s"COUNT(col) did not reach the footer-stat scan:\n${plan.take(800)}")
+      agg.select(col("lang_p").as("lang"), col("n_scored"), col("n_docs"))
+        .orderBy("lang")
     }),
 
     // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
@@ -3334,6 +3406,17 @@ object CorpusQueries {
     // q63t: CREATE TABLE + INSERT INTO round-trip == the plain aggregate
     "q63t_create_table" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63ab: the sorted-ingest table's range slice == the raw-row recount
+    "q63ab_sorted_write" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents,
+        |  (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5 AS hi FROM documents) b
+        |WHERE doc_id < hi GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63aa: pushed COUNT(col) over footer null counts == the row-level recount
+    "q63aa_count_pushdown" ->
+      """SELECT lang, count(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS n_scored,
+        |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q80: after TRUNCATE only the second (doc_id%3=1) batch survives
     "q80_truncate_table" ->

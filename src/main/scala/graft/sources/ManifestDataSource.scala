@@ -1148,7 +1148,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     // merge-on-read: footer statistics predate positional AND equality deletes
     // (COUNT would overcount, MIN/MAX might be a deleted row) — compute honestly
     // until compaction folds the deletes away. The validated refs' snapshot id
@@ -1187,11 +1187,31 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
           }
         case _ => None
       }
+    // COUNT(c) needs only the footer NULL COUNTS (count = rows - nulls), so any
+    // PRIMITIVE data column qualifies — including Float/Double (the NaN hazard is
+    // a min/max ordering problem, null counts are untouched) and strings (writer
+    // truncation affects bounds, never null counts). Nested columns are refused:
+    // their leaf chunks count ELEMENT nulls, not top-level nulls. Partition
+    // columns are refused (computed plan-side) — their values never reach a
+    // footer chunk.
+    def countColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            !partCols.exists(_.name == f.fieldNames.head) =>
+          tschema.fields.find(_.name == f.fieldNames.head).collect {
+            case sf if Seq(IntegerType, LongType, BooleanType, DateType, TimestampType,
+              TimestampNTZType, FloatType, DoubleType, StringType).contains(sf.dataType) =>
+              sf.name
+          }
+        case _ => None
+      }
     val groupCols = agg.groupByExpressions.toSeq.map { e =>
       partColOf(e).getOrElse(return false)
     }
     val aggs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ManifestAggScan.AggCountStar
+      case c: Count if !c.isDistinct =>
+        countColOf(c.column).map(ManifestAggScan.AggCountCol).getOrElse(return false)
       case m: Min => statColOf(m.column).map { case (n, dt) =>
         ManifestAggScan.AggMin(n, dt) }.getOrElse(return false)
       case m: Max => statColOf(m.column).map { case (n, dt) =>
@@ -1783,6 +1803,8 @@ private case class ManifestDataInputPartition(file: String, relPath: String,
 private[sources] object ManifestAggScan {
   sealed trait AggSpec extends Serializable
   case object AggCountStar extends AggSpec
+  /** COUNT(col): rows minus footer null counts — no bounds, no page decodes. */
+  case class AggCountCol(col: String) extends AggSpec
   case class AggMin(col: String, dt: DataType) extends AggSpec
   case class AggMax(col: String, dt: DataType) extends AggSpec
 }
@@ -1826,6 +1848,7 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
     }
     val a = aggs.map {
       case AggCountStar => StructField("count(*)", LongType, nullable = false)
+      case AggCountCol(c) => StructField(s"count($c)", LongType, nullable = false)
       case AggMin(c, dt) => StructField(s"min($c)", dt)
       case AggMax(c, dt) => StructField(s"max($c)", dt)
     }
@@ -1849,6 +1872,7 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
   override def description(): String = {
     val a = aggs.map {
       case AggCountStar => "count(*)"
+      case AggCountCol(c) => s"count($c)"
       case AggMin(c, _) => s"min($c)"
       case AggMax(c, _) => s"max($c)"
     }
@@ -1883,12 +1907,13 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
           // synthetic empty-table partial: count 0, min/max null (see planInputPartitions)
           return InternalRow.fromSeq(aggs.map {
             case AggCountStar => 0L
+            case AggCountCol(_) => 0L
             case _ => null
           })
         }
         val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
         val reader = ParquetFileReader.open(in)
-        val (rowCount, stats) = try {
+        val (rowCount, stats, counts) = try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val rc = blocks.map(_.getRowCount).sum
           // per-column merged (min, max) across row groups; None when any chunk
@@ -1930,7 +1955,28 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
                 c -> (mn, mx)
             }
           }.toMap
-          (rc, merged)
+          // COUNT(col) partials: per row group, rows minus the chunk's null count —
+          // null counts are exact writer-side tallies, valid even where min/max
+          // bounds are refused (NaN floats, truncated strings)
+          val wantedCounts = aggs.collect { case AggCountCol(c) => c }.distinct
+          val nonNullCounts = wantedCounts.map { c =>
+            localNameOf(c) match {
+              case None => c -> 0L // pre-ADD file: the column is all null here
+              case Some(local) =>
+                val nulls = blocks.map { b =>
+                  val chunk = b.getColumns.asScala.find(_.getPath.toDotString == local)
+                    .getOrElse(throw new IllegalStateException(
+                      s"column $c ($local) missing from ${p.file}"))
+                  val s = chunk.getStatistics
+                  require(s != null && s.isNumNullsSet,
+                    s"parquet footer null counts unavailable for column $c in ${p.file} — " +
+                      "cannot serve the pushed COUNT from metadata")
+                  s.getNumNulls
+                }.sum
+                c -> (rc - nulls)
+            }
+          }.toMap
+          (rc, merged, nonNullCounts)
         } finally reader.close()
 
         val partVals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
@@ -1954,6 +2000,7 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
         }
         val a = aggs.map {
           case AggCountStar => rowCount
+          case AggCountCol(c) => counts(c)
           case AggMin(c, dt) => datum(stats(c)._1, dt)
           case AggMax(c, dt) => datum(stats(c)._2, dt)
         }
@@ -2513,6 +2560,17 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     // `.option("distribute", "true")` requests CLUSTERED distribution over the
     // partition expressions (Iceberg's write.distribution-mode=hash analog)
     val distribute = Option(info.options.get("distribute")).exists(_.toBoolean)
+    // `.option("sortorder", "c1,c2")` requests RANGE distribution + an in-task
+    // sort on the named columns (Iceberg write.distribution-mode=range + table
+    // sort order): tasks own disjoint sort-key ranges, so data files land with
+    // near-disjoint per-file min/max stats AT INGEST — range predicates skip
+    // files from the first commit, no clustering rewrite needed.
+    val sortOrder: Seq[String] = Option(info.options.get("sortorder"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    sortOrder.foreach { c =>
+      require(incoming.fieldNames.contains(c),
+        s"sortorder column '$c' is not a column of ${incoming.simpleString}")
+    }
     // `.option("wapId", <id>)` stages the append (write-audit-publish): the
     // commit lands as a staged head no reader sees until publish_wap. Stage-only
     // commits are plain appends by construction — the publish path re-applies
@@ -2551,7 +2609,8 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
     new ManifestWrite(dir, partSpec, partCol, partTypes.mkString(","), incoming,
       replace, note, upsertKey, distribute, mergedCols, wapId, branch,
       declaredDdl = stagedDdl, stagedOp = stagedOp,
-      stagedRequireFresh = stagedRequireFresh, onCommitted = onCommitted)
+      stagedRequireFresh = stagedRequireFresh, onCommitted = onCommitted,
+      sortOrder = sortOrder)
   }
 }
 
@@ -2573,11 +2632,11 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None,
     branch: Option[String] = None, declaredDdl: Option[String] = None,
     stagedOp: Option[String] = None, stagedRequireFresh: Boolean = false,
-    onCommitted: () => Unit = () => ())
+    onCommitted: () => Unit = () => (), sortOrder: Seq[String] = Nil)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-  import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+  import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection}
 
   private def v2ExpressionOf(pc: ManifestTables.PartCol): Expression =
     pc.transform match {
@@ -2590,11 +2649,26 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
       }
     }
 
+  // sorted writes (Iceberg range distribution + table sort order): partition
+  // expressions lead the range key when clustering is ALSO requested (Iceberg's
+  // own range-mode key is partition spec then sort order), the named sort
+  // columns follow — and every task additionally sorts its rows, so each
+  // (task x partition tuple) file covers one narrow, near-disjoint key range
+  private def sortExprs: Seq[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val pre = if (distribute && partSpec.nonEmpty)
+      partSpec.map(pc => Expressions.sort(v2ExpressionOf(pc), SortDirection.ASCENDING))
+    else Nil
+    pre ++ sortOrder.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+  }
+
   override def requiredDistribution(): Distribution =
-    if (!distribute || partSpec.isEmpty) Distributions.unspecified()
+    if (sortOrder.nonEmpty) Distributions.ordered(sortExprs.toArray)
+    else if (!distribute || partSpec.isEmpty) Distributions.unspecified()
     else Distributions.clustered(partSpec.map(v2ExpressionOf).toArray)
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortOrder.isEmpty) Array.empty else sortExprs.toArray
   // 0 = no fixed width: the session's shuffle-partition count (and AQE coalescing)
   // decides, so tiny writes don't pay a 1000-way shuffle
   override def requiredNumPartitions(): Int = 0

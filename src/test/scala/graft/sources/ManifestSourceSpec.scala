@@ -846,6 +846,46 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(sumDf.head().getLong(0) == native.agg(sum("n_chars")).head().getLong(0))
   }
 
+  test("aggregate pushdown: COUNT(col) from footer null counts — planted nulls, " +
+      "pre-ADD files count 0, DISTINCT and partition columns stay plan-side") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_countcol").toString
+    val tblDir = s"$wh/ns/t"
+    // gen-1: nullable int + string columns with planted nulls
+    Seq((1L, Some(10), Some("x"), "en"), (2L, Option.empty[Int], Option.empty[String], "en"),
+        (3L, Some(30), Some("z"), "fr"), (4L, Option.empty[Int], Some("w"), "fr"))
+      .toDF("id", "v", "s", "lang_p")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tblDir)
+    spark.conf.set("spark.sql.catalog.graft_cc", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cc.warehouse", wh)
+    // straddle an ADD COLUMN: gen-1 files lack `score` entirely (their partial is 0)
+    spark.sql("ALTER TABLE graft_cc.ns.t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft_cc.ns.t VALUES " +
+      "(5, 50, 'y', 'de', 0.5), (6, NULL, NULL, 'de', NULL)")
+    val agg = spark.sql(
+      "SELECT count(v), count(s), count(score), count(*) FROM graft_cc.ns.t")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest_data_agg") && plan.contains("count(v)"),
+      s"COUNT(col) did not push to the source:\n${plan.take(1200)}")
+    assert(agg.head() == org.apache.spark.sql.Row(3L, 4L, 1L, 6L))
+    // grouped by the partition column: per-file partials are per-group partials
+    val grouped = spark.sql(
+      "SELECT lang_p, count(v) FROM graft_cc.ns.t GROUP BY lang_p ORDER BY lang_p")
+    assert(grouped.queryExecution.executedPlan.toString.contains("manifest_data_agg"))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 1L), ("en", 1L), ("fr", 1L)))
+    // count(DISTINCT c) needs the rows — plan-side, and agrees
+    val distinctDf = spark.sql("SELECT count(DISTINCT v) FROM graft_cc.ns.t")
+    assert(!distinctDf.queryExecution.executedPlan.toString.contains("manifest_data_agg"))
+    assert(distinctDf.head().getLong(0) == 3L)
+    // partition columns never reach a footer chunk — but Catalyst normalizes
+    // count(<non-nullable col>) to count(*), so it pushes in that form and agrees
+    val partCount = spark.sql("SELECT count(lang_p) FROM graft_cc.ns.t")
+    assert(partCount.queryExecution.executedPlan.toString.contains("pushed=[count(*)]"))
+    assert(partCount.head().getLong(0) == 6L)
+  }
+
   test("reported statistics: a small manifest table AUTO-BROADCASTS in a join") {
     val out = freshTable()
     // the manifest side is tiny (sf0.001 documents); its reported sizeInBytes must
@@ -2500,6 +2540,44 @@ class ManifestSourceSpec extends AnyFunSuite {
     // same rows either way
     assert(dataTable(tblB).orderBy("doc_id").collect().toSeq ==
       dataTable(tblA).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("sorted write: sortorder range-distributes + sorts at ingest — range " +
+      "predicates skip files with no clustering rewrite; answers identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+    val tblA = Files.createTempDirectory("manifest_sort_a").toString
+    docs.repartition(6) // round-robin: every file spans the whole doc_id range
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("overwrite").save(tblA)
+    // the sorted ingest needs real range tasks: AQE would coalesce this tiny
+    // shuffle to one partition (one full-range file per lang, nothing to skip)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "6")
+    val tblB = Files.createTempDirectory("manifest_sort_b").toString
+    s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").option("sortorder", "doc_id")
+      .mode("overwrite").save(tblB)
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val hi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5
+    def planned(out: String): Int =
+      inputPartitionCount(dataTable(out).filter(col("doc_id") < hi).select("doc_id"))
+    val (unsorted, sorted) = (planned(tblA), planned(tblB))
+    val total = ManifestTables.readLatest(tblB).size
+    assert(sorted < unsorted && sorted < total,
+      s"sorted ingest must skip files: unsorted=$unsorted sorted=$sorted of $total")
+    assert(dataTable(tblB).orderBy("doc_id").collect().toSeq ==
+      dataTable(tblA).orderBy("doc_id").collect().toSeq)
+    // an unknown sort column refuses loudly
+    val bad = intercept[Exception] {
+      docs.write.format(classOf[ManifestDataSource].getName)
+        .option("sortorder", "nope").mode("overwrite")
+        .save(Files.createTempDirectory("manifest_sort_c").toString)
+    }
+    assert(bad.getMessage.contains("sortorder"))
   }
 
   test("clustered-distribution write: hidden transforms shuffle through the " +
