@@ -2851,6 +2851,26 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- TRAINING-EXAMPLE ASSEMBLY over transcripts: each assistant turn becomes a
+    //     (context, target) pair — the preceding up-to-3 turns rendered "role: text"
+    //     and joined in turn order. The window partitions by conv_id (bounded by ONE
+    //     conversation, never a hot key at 10^12 turns) with a ROWS-bounded frame,
+    //     so per-task state is O(context), not O(conversation); collect_list over an
+    //     ordered frame preserves turn order, which the oracle's windowed string_agg
+    //     must reproduce byte-for-byte. ---
+    "q85_context_pairs" -> ((s, dir) => {
+      val ctxFrame = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+        .rowsBetween(-3, -1)
+      eventTranscripts(s, dir)
+        .withColumn("line", concat(col("role"), lit(": "), col("text")))
+        .withColumn("context", concat_ws("\n", collect_list(col("line")).over(ctxFrame)))
+        .withColumn("n_context_turns", count(lit(1)).over(ctxFrame).cast("int"))
+        .filter(col("role") === "assistant" && col("turn_idx") >= 1)
+        .select(col("conv_id"), col("turn_idx"), col("n_context_turns"),
+          col("context"), col("text").as("target"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -3587,6 +3607,21 @@ object CorpusQueries {
     "q73_turn_equality" ->
       s"""WITH $duckTranscripts
          |SELECT conv_id, turn_idx, text FROM transcripts WHERE contains(text, 'error')
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    "q85_context_pairs" ->
+      s"""WITH $duckTranscripts,
+         |lines AS (
+         |  SELECT conv_id, turn_idx, role, text, role || ': ' || text AS line
+         |  FROM transcripts),
+         |ctx AS (
+         |  SELECT conv_id, turn_idx, role, text,
+         |    string_agg(line, chr(10)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+         |    CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS INT) AS n_context_turns
+         |  FROM lines)
+         |SELECT conv_id, turn_idx, n_context_turns, context, text AS target
+         |FROM ctx WHERE role = 'assistant' AND turn_idx >= 1
          |ORDER BY conv_id, turn_idx""".stripMargin,
     // q74: the manifest-table round-trip is the identity, so the pipeline-over-
     // the-table aggregate equals the relational routing derivation; q75's
