@@ -2458,6 +2458,52 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // --- STREAMING ADMISSION CONTROL under the gate: same source->sink loop as
+    //     q66 but with maxFilesPerTrigger=2 — at 10^12 turns a snapshot may carry
+    //     thousands of files and an unbounded micro-batch is a straggler/OOM
+    //     hazard, so offsets split pure-append spans at file granularity. The
+    //     sink commits one dst snapshot per micro-batch, so the require proves
+    //     the drain REALLY ran ceil(freshFiles/2) bounded batches; the aggregate
+    //     equals the oracle only if every row crossed exactly once across the
+    //     splits. startSnapshot=0 also gates the delta semantics: snapshot-0 rows
+    //     (doc_id % 3 == 0) must never enter the stream. ---
+    "q66b_stream_rate_limited" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q66b", dir)
+      val src = s"$wh/stream/src"; val dst = s"$wh/stream/dst"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+      def landed(r: Int): Unit = docs.filter(col("doc_id") % 3 === r)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode(if (r == 0) "overwrite" else "append").save(src)
+      // bounded O(files) probe via the PUBLIC files metadata table
+      def nFiles(d: String): Int =
+        s.read.format("graft.sources.ManifestFilesSource").load(d).count().toInt
+      landed(0)
+      val bootstrapFiles = nFiles(src)
+      landed(1); landed(2)
+      val fresh = nFiles(src) - bootstrapFiles
+      val stream = s.readStream.format("graft.sources.ManifestDataSource")
+        .option("startSnapshot", "0").option("maxFilesPerTrigger", "2").load(src)
+      val q = graft.sources.ManifestStreamSink.start(stream, dst, "lang_p", s"$wh/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val cat = s"graft_q66b_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // the sink commits one dst snapshot per non-empty micro-batch
+      val batches = s.sql(s"SELECT count(*) FROM $cat.stream.dst.snapshots")
+        .head().getLong(0).toInt
+      require(batches == (fresh + 1) / 2 && batches > 1,
+        s"expected ${(fresh + 1) / 2} rate-limited micro-batches over $fresh fresh " +
+          s"files, dst committed $batches")
+      s.read.format("graft.sources.ManifestDataSource").load(dst)
+        .groupBy(col("lang_p").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- SNAPSHOT TAGS under the gate: the training-reproducibility primitive.
     //     The full corpus is tagged 'trainset', then OVERWRITTEN by a filtered
     //     subset, then expiry reclaims everything untagged — and the aggregate
@@ -3540,6 +3586,11 @@ object CorpusQueries {
     "q66_stream_manifest_read" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q66b: startSnapshot=0 excludes the bootstrap commit (doc_id % 3 = 0); the
+    // rate-limited drain must deliver exactly the two appended thirds
+    "q66b_stream_rate_limited" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63m: the tag pins the FULL corpus through overwrite + expiry
     "q63m_snapshot_tag" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

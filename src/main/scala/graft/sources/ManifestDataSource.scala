@@ -861,11 +861,19 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // the PINNED snapshot's own partition spec: an overwrite may have redefined
     // the partitioning since — interpreting old entries with the new spec would
     // mislabel every partition value the time-travel read serves
+    // streaming admission control: at most n data files per micro-batch (see
+    // ManifestMicroBatchStream.getDefaultReadLimit)
+    val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     new ManifestDataScanBuilder(dir, tschema,
       branchPin.map(_._2).getOrElse(ManifestTables.readPartitionSpec(dir, snapshot)),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
       streamSkipRewrites = options.getBoolean("streamSkipRewrites", false),
-      stagedExtra = stagedExtra, pinnedOverride = branchPin.map(_._1))
+      stagedExtra = stagedExtra, pinnedOverride = branchPin.map(_._1),
+      maxFilesPerTrigger = maxFilesPerTrigger)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a branch-pinned RELATION (VERSION AS OF '<branch>') is a read view; branch
@@ -968,7 +976,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     startSnapshot: Option[Int] = None, changelog: Boolean = false,
     streamSkipRewrites: Boolean = false,
     stagedExtra: Seq[ManifestTables.Entry] = Nil,
-    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None)
+    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1230,7 +1239,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
         streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges,
-        stagedExtra = stagedExtra, pinnedOverride = pinnedOverride)
+        stagedExtra = stagedExtra, pinnedOverride = pinnedOverride,
+        maxFilesPerTrigger = maxFilesPerTrigger)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -1246,7 +1256,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     changelog: Boolean = false, streamSkipRewrites: Boolean = false,
     fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil,
     stagedExtra: Seq[ManifestTables.Entry] = Nil,
-    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None)
+    pinnedOverride: Option[ManifestTables.SnapshotRefs] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1552,23 +1563,28 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       "wapId audit and branch reads are batch views — the stream follows the " +
         "main snapshot chain; publish or fast-forward first")
     new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
-      startSnapshot, statBounds, streamSkipRewrites, changelog)
+      startSnapshot, statBounds, streamSkipRewrites, changelog, maxFilesPerTrigger)
   }
 }
 
 /** A streaming offset: "everything up to and including manifest snapshot N has been
-  * consumed". -1 = nothing consumed (the first batch serves the whole first snapshot).
+  * consumed, plus the first `pos` path-sorted fresh files of the pure-append span
+  * that follows N". -1 = nothing consumed (the first batch serves the whole first
+  * snapshot). pos > 0 only ever exists under `maxFilesPerTrigger` admission control,
+  * and only splits pure-append spans — anything else is consumed atomically.
   */
-private[sources] case class ManifestStreamOffset(snapshot: Int)
+private[sources] case class ManifestStreamOffset(snapshot: Int, pos: Int = 0)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"snapshot":$snapshot}"""
+  override def json(): String =
+    if (pos == 0) s"""{"snapshot":$snapshot}"""
+    else s"""{"snapshot":$snapshot,"pos":$pos}"""
 }
 
 private[sources] class ManifestMicroBatchStream(dir: String,
     required: StructType, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
     statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false,
-    changelog: Boolean = false)
+    changelog: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => StreamOffset}
@@ -1589,17 +1605,108 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       ManifestTables.latestSnapshotId(dir).getOrElse(-1)))
 
   override def latestOffset(): StreamOffset = currentEnd
-  // admission-control form (what Spark actually calls once
-  // SupportsTriggerAvailableNow is implemented); snapshots are the offset unit,
-  // so allAvailable is the only meaningful limit
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset =
-    currentEnd
+  // admission control (Iceberg's streaming-max-files-per-micro-batch analog): with
+  // .option("maxFilesPerTrigger", n) a micro-batch admits at most n data files —
+  // at 10^12-turn scale one snapshot may carry thousands of files, and an unbounded
+  // batch is a straggler/OOM hazard. Offsets gain a sub-snapshot `pos` component;
+  // only PURE-APPEND spans ever split (a file is an independent unit of an append
+  // delta), everything else — rewrites, delete growth, the initial state load —
+  // stays atomic so the netting semantics above are untouched.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    limit match {
+      case f: ReadMaxFiles => Some(f.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+      case _ => None
+    }
+  }
+
+  /** Fresh entries of the span (s, t] IF it is pure-append (no delete-segment
+    * change, no file removals, same partition spec — an append can change none of
+    * these), path-sorted so a split's file order is deterministic across restarts.
+    */
+  private def spanFresh(s: Int, t: Int): Option[Seq[ManifestTables.Entry]] = {
+    val sRefs = ManifestTables.readSnapshotRefs(dir, Some(s))
+    val tRefs = ManifestTables.readSnapshotRefs(dir, Some(t))
+    val tEntries = ManifestTables.entriesOf(dir, tRefs)
+    val tPaths = tEntries.map(_.path).toSet
+    val sPaths = ManifestTables.entriesOf(dir, sRefs).map(_.path).toSet
+    val pureAppend = sRefs.deletes.toSet == tRefs.deletes.toSet &&
+      sRefs.eqDeletes.toSet == tRefs.eqDeletes.toSet &&
+      sPaths.subsetOf(tPaths) &&
+      ManifestTables.readPartitionSpec(dir, Some(t)) == partCols
+    if (pureAppend) Some(tEntries.filterNot(e => sPaths.contains(e.path)).sortBy(_.path))
+    else None
+  }
+
+  /** The span a mid-span offset sits in: its end id and fresh entries. Offsets only
+    * ever split pure-append spans, so anything else here means history was expired
+    * or rewritten under a live checkpoint — fail loudly rather than remap positions.
+    */
+  private def appendSpan(s: Int): (Int, Seq[ManifestTables.Entry]) = {
+    val t = ManifestTables.snapshotIds(dir).filter(_ > s).minOption.getOrElse(
+      throw new IllegalStateException(
+        s"streaming offset splits the span after snapshot $s of $dir, but no later " +
+          "snapshot survives — keep snapshots unexpired until streams drain"))
+    (t, spanFresh(s, t).getOrElse(throw new IllegalStateException(
+      s"streaming offset splits the span ($s, $t] of $dir, but that span is not " +
+        "pure-append — offsets can only split append spans; was history expired " +
+        "or rewritten under a live checkpoint?")))
+  }
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val so = start.asInstanceOf[ManifestStreamOffset]
+    val endSnap = currentEnd.asInstanceOf[ManifestStreamOffset].snapshot
+    val budget0 = maxFilesOf(limit)
+    if (budget0.isEmpty) return currentEnd
+    // the initial state load stays one batch: its per-file plans are coupled by the
+    // batch-wide row-mode decision and delete application; bound it with
+    // startSnapshot (or stream from an empty/fresh table) instead
+    if (so.snapshot < 0) return ManifestStreamOffset(endSnap)
+    var cur = so
+    var budget = budget0.get
+    var done = false
+    while (!done && budget > 0) {
+      ManifestTables.snapshotIds(dir)
+        .filter(id => id > cur.snapshot && id <= endSnap).minOption match {
+        case None => done = true
+        case Some(t) => spanFresh(cur.snapshot, t) match {
+          case None =>
+            // non-append span: never split — it is consumed ALONE in its own batch
+            // (planRange applies the strict/skipRewrites/changelog semantics to it)
+            require(cur.pos == 0,
+              s"streaming offset sits mid-span after snapshot ${cur.snapshot} of " +
+                s"$dir but the span is no longer pure-append — was history " +
+                "expired or rewritten under a live checkpoint?")
+            if (cur == so) cur = ManifestStreamOffset(t)
+            done = true
+          case Some(fresh) =>
+            val remaining = fresh.size - cur.pos
+            if (remaining > budget) {
+              cur = ManifestStreamOffset(cur.snapshot, cur.pos + budget)
+              budget = 0
+            } else {
+              budget -= remaining
+              cur = ManifestStreamOffset(t)
+            }
+        }
+      }
+    }
+    cur
+  }
 
   override def deserializeOffset(json: String): StreamOffset = {
     val m = """"snapshot"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).getOrElse(
       throw new IllegalArgumentException(s"malformed manifest stream offset: $json"))
-    ManifestStreamOffset(m.group(1).toInt)
+    // pos is absent from pre-admission-control checkpoints (and from every clean
+    // span boundary since) — missing means 0
+    val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
+    ManifestStreamOffset(m.group(1).toInt, pos)
   }
 
   /** (entry, net-out deleted positions, emit-only positions, change type,
@@ -1615,9 +1722,38 @@ private[sources] class ManifestMicroBatchStream(dir: String,
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset)
       : Array[InputPartition] = {
-    val s0 = start.asInstanceOf[ManifestStreamOffset].snapshot
-    val s1 = end.asInstanceOf[ManifestStreamOffset].snapshot
-    if (s1 <= s0 || s1 < 0) return Array.empty
+    val so = start.asInstanceOf[ManifestStreamOffset]
+    val eo = end.asInstanceOf[ManifestStreamOffset]
+    if (eo.snapshot < 0 || eo.snapshot < so.snapshot ||
+        (eo.snapshot == so.snapshot && eo.pos <= so.pos)) return Array.empty
+    if (so.pos == 0 && eo.pos == 0) return build(planRange(so.snapshot, eo.snapshot))
+    // sub-snapshot (rate-limited) offsets: [rest of the head span] ++ [full middle
+    // range] ++ [first eo.pos files of the tail span]. Partial spans exist only on
+    // pure-append transitions (latestOffset never splits anything else), so the
+    // slices are plain inserts with no deletes to apply.
+    def slices(s: Int, from: Int, until: Int): Seq[Planned] = {
+      val (_, fresh) = appendSpan(s)
+      require(until <= fresh.size,
+        s"streaming offset points past the ${fresh.size}-file span after snapshot " +
+          s"$s of $dir — was history rewritten under a live checkpoint?")
+      fresh.slice(from, until).map(e => (e, NoPos, NoPos, insertCT, NoEq))
+    }
+    val buf = Seq.newBuilder[Planned]
+    if (so.snapshot == eo.snapshot) buf ++= slices(so.snapshot, so.pos, eo.pos)
+    else {
+      var mid0 = so.snapshot
+      if (so.pos > 0) {
+        val (t, fresh) = appendSpan(so.snapshot)
+        buf ++= fresh.drop(so.pos).map(e => (e, NoPos, NoPos, insertCT, NoEq))
+        mid0 = t
+      }
+      if (mid0 < eo.snapshot) buf ++= planRange(mid0, eo.snapshot)
+      if (eo.pos > 0) buf ++= slices(eo.snapshot, 0, eo.pos)
+    }
+    build(buf.result())
+  }
+
+  private def planRange(s0: Int, s1: Int): Seq[Planned] = {
     // the stream resolved its partition spec ONCE at start; an overwrite that
     // REDEFINED the spec mid-stream would make this batch parse the new layout's
     // partition values under the old one (garbage values or a crash mid-batch,
@@ -1636,9 +1772,9 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     if (s0 < 0) {
       val dels = ManifestTables.deletedPositions(dir, endRefs)
       val eq = ManifestTables.eqDeletesOf(dir, endRefs)
-      return build(endEntries.map(e =>
+      return endEntries.map(e =>
         (e, dels.getOrElse(e.path, NoPos), NoPos, insertCT,
-          eq.filter(d => ManifestTables.seqOf(e) < d.seq))))
+          eq.filter(d => ManifestTables.seqOf(e) < d.seq)))
     }
     val planned: Seq[Planned] =
       try {
@@ -1672,7 +1808,7 @@ private[sources] class ManifestMicroBatchStream(dir: String,
             "files AND row removals never enter it), a changelog stream skips only " +
             "true rewrites (delete growth still arrives as delete rows)", e)
       }
-    build(planned)
+    planned
   }
 
   /** The skipRewrites recovery path: walk the surviving snapshot ids in (s0, s1]

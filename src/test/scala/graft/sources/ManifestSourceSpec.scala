@@ -3526,4 +3526,129 @@ class ManifestSourceSpec extends AnyFunSuite {
     val ff = intercept[Exception](ManifestTables.fastForward(tbl, "dev"))
     assert(ff.getMessage.contains("not fast-forwardable"), ff.getMessage)
   }
+
+  test("streaming admission control: maxFilesPerTrigger splits pure-append spans at " +
+      "file granularity, offsets resume mid-span, the union is exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_ratelimit")
+    val tbl = s"$root/t"
+    // one file per distinct partition value (single writer task): deterministic
+    // fresh-file counts per commit, one row per file
+    def append(mode: String, ids: Long*): Unit =
+      ids.map(i => (i, s"p$i")).toDF("id", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode).save(tbl)
+    append("overwrite", 0L)
+    append("append", 1L, 2L)     // snapshot 1: 2 fresh files
+    append("append", 3L, 4L, 5L) // snapshot 2: 3 fresh files
+    append("append", 6L)         // snapshot 3: 1 fresh file
+    val st = new ManifestMicroBatchStream(tbl,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, p STRING"),
+      ManifestTables.readPartitionSpec(tbl, None), Map.empty,
+      startSnapshot = Some(0), statBounds = Nil, maxFilesPerTrigger = Some(2))
+    val lim = st.getDefaultReadLimit
+    assert(lim.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
+    def off(s: Int, p: Int = 0) = ManifestStreamOffset(s, p)
+    // walk: 2-file span fits the budget exactly; the 3-file span splits mid-span;
+    // the remainder + the 1-file span share the third batch
+    val o1 = st.latestOffset(off(0), lim)
+    assert(o1 == off(1), o1)
+    val o2 = st.latestOffset(o1, lim)
+    assert(o2 == off(1, 2), o2)
+    val o3 = st.latestOffset(o2, lim)
+    assert(o3 == off(3), o3)
+    assert(st.latestOffset(o3, lim) == o3) // drained: no progress, no empty batch
+    def files(a: org.apache.spark.sql.connector.read.streaming.Offset,
+        b: org.apache.spark.sql.connector.read.streaming.Offset): Seq[String] =
+      st.planInputPartitions(a, b).toSeq
+        .map(_.asInstanceOf[ManifestDataInputPartition].relPath)
+    val batches = Seq(files(off(0), o1), files(o1, o2), files(o2, o3))
+    assert(batches.map(_.size) == Seq(2, 2, 2), batches.map(_.size).toString)
+    val all = batches.flatten
+    assert(all.distinct.size == all.size, "a file was planned twice")
+    // the rate-limited decomposition covers exactly the single-shot range plan
+    assert(files(off(0), off(3)).sorted == all.sorted)
+    // offset JSON: pre-admission-control checkpoints (no pos) deserialize as pos=0;
+    // mid-span offsets round-trip through their JSON
+    assert(st.deserializeOffset("""{"snapshot":2}""") == off(2))
+    assert(st.deserializeOffset(off(1, 2).json()) == off(1, 2))
+  }
+
+  test("streaming admission control: non-append spans are consumed atomically — a " +
+      "merge-on-read delete commit is never split even when the budget is larger") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_ratelimit_mor")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(Seq((0L, "en")))
+    append(Seq((1L, "en"), (2L, "fr")))      // snapshot 1: pure append
+    spark.conf.set("spark.sql.catalog.graft_rlmor", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rlmor.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_rlmor.ns.t WHERE id = 1") // snapshot 2: delete growth
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    append(Seq((3L, "de"), (4L, "de")))      // snapshot 3: pure append
+    val st = new ManifestMicroBatchStream(tbl,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, lang_p STRING"),
+      ManifestTables.readPartitionSpec(tbl, None), Map.empty,
+      startSnapshot = Some(0), statBounds = Nil, changelog = true,
+      maxFilesPerTrigger = Some(10))
+    val lim = st.getDefaultReadLimit
+    def off(s: Int, p: Int = 0) = ManifestStreamOffset(s, p)
+    // the append span fits, but the walk STOPS before the delete span even with
+    // budget left: non-append spans get their own batch
+    val o1 = st.latestOffset(off(0), lim)
+    assert(o1 == off(1), o1)
+    val o2 = st.latestOffset(o1, lim)
+    assert(o2 == off(2), o2)
+    val o3 = st.latestOffset(o2, lim)
+    assert(o3 == off(3), o3)
+    // the delete batch carries the changelog delete row
+    val cts = st.planInputPartitions(o1, o2).toSeq
+      .map(_.asInstanceOf[ManifestDataInputPartition].changeType)
+    assert(cts == Seq("delete"), cts.toString)
+  }
+
+  test("streaming admission control end-to-end: AvailableNow drains in bounded " +
+      "micro-batches with exactly-once delivery across checkpointed restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Dataset, Row}
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_ratelimit_e2e")
+    val tbl = s"$root/t"
+    def append(mode: String, ids: Long*): Unit =
+      ids.map(i => (i, s"p$i")).toDF("id", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode).save(tbl)
+    append("overwrite", 0L)
+    append("append", 1L, 2L)
+    append("append", 3L, 4L, 5L)
+    val ckpt = s"$root/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[ManifestDataSource].getName)
+        .option("startSnapshot", "0").option("maxFilesPerTrigger", "2").load(tbl)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+          seen.synchronized { seen += ((id, ids)) }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    val firstBatches = seen.toSeq
+    assert(firstBatches.map(_._2.size).forall(_ <= 2),
+      s"a batch exceeded maxFilesPerTrigger: $firstBatches")
+    assert(firstBatches.size >= 3, s"5 files at <=2/batch need >=3 batches: $firstBatches")
+    assert(firstBatches.flatMap(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L), firstBatches)
+    // restart from the same checkpoint after another append: only the delta arrives
+    append("append", 6L)
+    drain()
+    assert(seen.flatMap(_._2).sorted == (1L to 6L), seen.toString)
+  }
 }
