@@ -1803,12 +1803,15 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
-    // --- COUNT(col) aggregate pushdown under the gate: a nullable column's
-    //     non-null count answered ENTIRELY from parquet footer null counts (rows
-    //     minus numNulls per chunk, zero data pages decoded — the Iceberg
-    //     metadata-aggregate analog, extended from COUNT(*)/MIN/MAX to COUNT(c)).
-    //     The require pins that the plan actually took the footer path; the
-    //     DuckDB oracle recomputes the counts from the raw rows. ---
+    // --- COUNT(col)/COUNT(*) aggregate pushdown under the gate, answered from
+    //     MANIFEST METADATA alone: every entry the DSv2 writer commits carries an
+    //     exact row count and per-column null counts (Iceberg's record_count /
+    //     null_value_counts), so the pushed aggregate pre-merges per partition on
+    //     the driver — ZERO footers opened, O(manifest) not O(files), the number
+    //     that was 59 s at 10k files on the footer path (BENCH.md §0.2). The
+    //     requires pin both that the plan took the pushed-agg scan AND that its
+    //     every file answered from metadata (footerFiles=0); the DuckDB oracle
+    //     recomputes the counts from the raw rows. ---
     "q63aa_count_pushdown" -> ((s, dir) => {
       val wh = freshTmpTable("q63aa", dir)
       val tbl = s"$wh/corpus/docs"
@@ -1824,7 +1827,20 @@ object CorpusQueries {
         .agg(count(col("q")).as("n_scored"), count(lit(1)).as("n_docs"))
       val plan = agg.queryExecution.executedPlan.toString
       require(plan.contains("manifest_data_agg") && plan.contains("count(q)"),
-        s"COUNT(col) did not reach the footer-stat scan:\n${plan.take(800)}")
+        s"COUNT(col) did not reach the pushed-aggregate scan:\n${plan.take(800)}")
+      // AQE wraps the agg plan and AdaptiveSparkPlanExec is a LEAF for collect:
+      // recurse through adaptive wrappers to reach the DSv2 scan node
+      def scanDescs(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanDescs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanDescs(q.plan)
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(bs.scan.description())
+        case other => other.children.flatMap(scanDescs)
+      }
+      val desc = scanDescs(agg.queryExecution.executedPlan).mkString("\n")
+      require(desc.contains("footerFiles=0") && !desc.contains("metaFiles=0"),
+        s"pushed COUNT did not answer from manifest metadata: $desc")
       agg.select(col("lang_p").as("lang"), col("n_scored"), col("n_docs"))
         .orderBy("lang")
     }),

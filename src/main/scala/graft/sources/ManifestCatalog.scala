@@ -138,14 +138,19 @@ class ManifestCatalog extends TableCatalog
         val schema = StructType(
           spec.map(pc => StructField(pc.name, StringType, nullable = false)) ++
             Seq(StructField("files", LongType, nullable = false),
-              StructField("bytes", LongType, nullable = false)))
+              StructField("bytes", LongType, nullable = false),
+              // exact per-partition record count from manifest metadata; null
+              // when any entry predates the rows feature (unknown, never guessed)
+              StructField("rows", LongType, nullable = true)))
         Some(new ManifestMetaTable(s"manifest_partitions($parent)", schema, () =>
           ManifestTables.readLatest(parent).groupBy(_.partition).toSeq.sortBy(_._1)
             .map { case (p, es) =>
               val vals: Seq[Any] =
                 if (spec.isEmpty) Nil
                 else ManifestDataSource.splitPartValues(p, spec.length)
-              vals ++ Seq(es.size.toLong, es.map(_.bytes).sum)
+              val rows: Any =
+                if (es.exists(_.rows < 0)) null else es.map(_.rows).sum
+              vals ++ Seq(es.size.toLong, es.map(_.bytes).sum, rows)
             }))
       case _ => None
     }

@@ -1945,11 +1945,28 @@ private[sources] object ManifestAggScan {
   case class AggMax(col: String, dt: DataType) extends AggSpec
 }
 
+/** One pre-merged aggregate partial computed ENTIRELY from manifest metadata on the
+  * driver — no file, no footer, nothing opened on an executor. `values` align with
+  * the scan's agg specs, already in catalyst-internal form (Long/Int/null).
+  */
+private case class ManifestMetaAggInputPartition(partition: String, values: Array[Any])
+    extends InputPartition
+
 /** Pushed-aggregate scan: ONE row per committed file, computed from the parquet
   * footer only (row counts + per-column-chunk min/max statistics) — a full-table
   * COUNT(*)/MIN/MAX costs O(files) footer reads and zero page decodes, the same
   * answer path Iceberg/parquet metadata-only queries take. Spark performs the final
   * merge of the per-file partials (partial pushdown).
+  *
+  * MANIFEST-METADATA fast path on top: entries whose manifest row carries an exact
+  * row count and V2 stats records (exact null counts + exact bounds — the 5th-field
+  * marker, see ManifestStats) answer their partial WITHOUT any footer open; those
+  * partials pre-merge per partition tuple on the driver into ONE synthetic input
+  * partition per group, so COUNT/MIN/MAX over a fully V2-written table costs
+  * O(manifest read) total — Iceberg's record_count / null_value_counts / bounds
+  * metadata aggregation — while legacy or stat-refused entries (pre-feature
+  * segments, NaN/over-long-string bounds, pre-ADD columns) keep the per-file
+  * footer path and Spark's final merge combines the two streams exactly.
   */
 private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], snapshot: Option[Int],
@@ -1991,17 +2008,103 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
     StructType(g ++ a)
   }
   override def toBatch: Batch = this
+
+  // name the requested column had when a given entry's stats were recorded: the
+  // record rides under the WRITE-TIME name; the column-id registry's name history
+  // resolves it (unambiguous — name reuse after a drop is rejected at ALTER time)
+  @transient private lazy val nameHistory: Map[String, Seq[String]] =
+    pinnedRefs.colIds.map(ManifestTables.parseColIds).getOrElse(Nil)
+      .filterNot(_.dropped).map(c => c.current -> c.names).toMap
+
+  /** This entry's per-agg partial from manifest metadata alone, or None when any
+    * agg needs a footer (no recorded row count, no V2 record for the column,
+    * unusable '?' bounds). Values are raw Longs (finalized per-type at pre-merge).
+    */
+  private def metaPartial(e: ManifestTables.Entry): Option[Array[Any]] = {
+    if (e.rows < 0) return None // pre-feature entry: rows unknown -> footer
+    lazy val recs = ManifestStats.parseRecs(e.stats)
+    def recOf(c: String): Option[ManifestStats.Rec] =
+      nameHistory.getOrElse(c, Seq(c)).flatMap(recs.get).headOption
+    val out = new Array[Any](aggs.length)
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case AggCountStar => out(i) = java.lang.Long.valueOf(e.rows)
+        case AggCountCol(c) => recOf(c) match {
+          // the 5th field is an exact tally by construction wherever it exists
+          case Some(r) if r.nulls.isDefined =>
+            out(i) = java.lang.Long.valueOf(e.rows - r.nulls.get)
+          case _ => return None
+        }
+        case AggMin(c, _) => recOf(c) match {
+          // nulls presence = V2 exactness marker: 4-field records can be merged
+          // bounds (prune-safe but possibly stale after a delete removed the
+          // extreme row) and must never answer an aggregate
+          case Some(r) if r.nulls.isDefined && r.mn.isEmpty => out(i) = null // all-null file
+          case Some(r) if r.nulls.isDefined && r.kind == 'l' && r.mn != "?" =>
+            out(i) = java.lang.Long.valueOf(r.mn.toLong)
+          case _ => return None
+        }
+        case AggMax(c, _) => recOf(c) match {
+          case Some(r) if r.nulls.isDefined && r.mx.isEmpty => out(i) = null
+          case Some(r) if r.nulls.isDefined && r.kind == 'l' && r.mx != "?" =>
+            out(i) = java.lang.Long.valueOf(r.mx.toLong)
+          case _ => return None
+        }
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** (pre-merged metadata partials per partition tuple, entries needing footers). */
+  @transient private lazy val metaSplit
+      : (Seq[ManifestMetaAggInputPartition], Seq[ManifestTables.Entry]) = {
+    val tagged = pinned.map(e => (e, metaPartial(e)))
+    val footer = tagged.collect { case (e, None) => e }
+    val meta = tagged.collect { case (e, Some(p)) => (e.partition, p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (part, ps) =>
+        val merged = new Array[Any](aggs.length)
+        aggs.indices.foreach { i =>
+          val vs = ps.map(_._2(i))
+          merged(i) = aggs(i) match {
+            case AggCountStar | AggCountCol(_) =>
+              java.lang.Long.valueOf(vs.map(_.asInstanceOf[java.lang.Long].longValue).sum)
+            case a =>
+              val nn = vs.collect { case l: java.lang.Long => l.longValue }
+              if (nn.isEmpty) null // every V2 file in the group is all-null
+              else {
+                val v = a match {
+                  case AggMin(_, _) => nn.min
+                  case _ => nn.max
+                }
+                // finalize to the column's catalyst-internal type
+                a match {
+                  case AggMin(_, IntegerType | DateType) | AggMax(_, IntegerType | DateType) =>
+                    java.lang.Integer.valueOf(v.toInt)
+                  case _ => java.lang.Long.valueOf(v)
+                }
+              }
+          }
+        }
+        ManifestMetaAggInputPartition(part, merged)
+      }
+    (meta, footer)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = pinned
+    val (meta, footer) = metaSplit
+    val files = footer
       .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition): InputPartition)
-      .toArray
+    val all = (meta ++ files).toArray[InputPartition]
     // GLOBAL aggregation over zero files must still yield count 0 (Spark's final agg
     // over an empty partial set would report null); one synthetic all-null/zero
     // partial row keeps the semantics exact. Grouped aggregation over zero files is
     // correctly empty.
-    if (files.isEmpty && groupCols.isEmpty)
+    if (all.isEmpty && groupCols.isEmpty)
       Array(ManifestDataInputPartition("", "", ""))
-    else files
+    else all
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestAggReaderFactory(partCols, groupCols, aggs, pinnedRefs.colIds)
@@ -2012,8 +2115,11 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
       case AggMin(c, _) => s"min($c)"
       case AggMax(c, _) => s"max($c)"
     }
+    val footerN = metaSplit._2.size
     s"manifest_data_agg($dir, pushed=[${a.mkString(",")}], " +
-      s"group=[${groupCols.mkString(",")}], files=${pinned.size})"
+      s"group=[${groupCols.mkString(",")}], files=${pinned.size}, " +
+      s"metaFiles=${pinned.size - footerN}, footerFiles=$footerN, " +
+      s"metaGroups=${metaSplit._1.size})"
   }
 }
 
@@ -2033,6 +2139,25 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
     colIdReg.filterNot(_.dropped).map(c => c.current -> c.names).toMap
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // driver-pre-merged metadata partial: nothing to open, emit the row as-is
+    partition match {
+      case m: ManifestMetaAggInputPartition =>
+        return new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted
+          override def get(): InternalRow = {
+            emitted = true
+            val partVals = ManifestDataSource.splitPartValues(m.partition, partCols.length)
+            val g = groupCols.map { n =>
+              val i = partCols.indexWhere(_.name == n)
+              ManifestDataSource.internalPartValue(partCols(i).tpe, partVals(i))
+            }
+            InternalRow.fromSeq(g ++ m.values.toSeq)
+          }
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val p = partition.asInstanceOf[ManifestDataInputPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
@@ -2814,7 +2939,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
       mergedCols, wapId, branch, declaredDdl, stagedOp, stagedRequireFresh, onCommitted)
 }
 
-private case class ManifestWriteMessage(files: Seq[(String, Long, String, String)],
+private case class ManifestWriteMessage(files: Seq[(String, Long, String, String, Long)],
     upsertKeys: Seq[String] = Nil)
     extends WriterCommitMessage
 
@@ -2910,8 +3035,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
           s"'${cur.map(ManifestTables.specTokenOf).mkString(",")}') — this staged " +
           s"write's files were laid out under '$partCol'; rerun the write")
       ManifestTables.writeStaged(dir, w, latest.get, partCol, partTypes,
-        freshFiles.map { case (rel, bytes, part, st) =>
-          ManifestTables.Entry(rel, bytes, part, 0, st) }.toSeq)
+        freshFiles.map { case (rel, bytes, part, st, rows) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st, rows = rows) }.toSeq)
       return
     }
     // BRANCH append: the commit lands on the named branch's own chain — its CAS,
@@ -2919,8 +3044,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     // sees it until fastForward (ManifestTables.appendToBranch documents all three)
     branch.foreach { b =>
       ManifestTables.appendToBranch(dir, b, partCol, partTypes,
-        freshFiles.map { case (rel, bytes, part, st) =>
-          ManifestTables.Entry(rel, bytes, part, 0, st) }.toSeq)
+        freshFiles.map { case (rel, bytes, part, st, rows) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st, rows = rows) }.toSeq)
       return
     }
     var done = false
@@ -2964,8 +3089,8 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
         // snapshot id as every file's DATA SEQUENCE (equality-delete ordering), so
         // the segment is (re)written inside the loop — O(fresh files) per rare
         // retry; commit cost stays O(fresh + segment count), never O(table)
-        val fresh = freshFiles.map { case (rel, bytes, part, st) =>
-          ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+        val fresh = freshFiles.map { case (rel, bytes, part, st, rows) =>
+          ManifestTables.Entry(rel, bytes, part, 0, st, seq = next, rows = rows) }
         val freshSeg =
           if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
         // upsert: ONE equality-delete segment over the batch's distinct keys, at
@@ -3064,7 +3189,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort cleanup; an aborted write's files were never referenced anyway
     messages.foreach {
-      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _) =>
+      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -3207,8 +3332,8 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
       // fresh files carry the claimed id as their data sequence: the operation's
       // scan APPLIED every pending equality delete, so the rewritten rows must
       // order after those deletes (rewritten inside the loop — rare retries)
-      val fresh = freshFiles.map { case (rel, bytes, part, st) =>
-        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+      val fresh = freshFiles.map { case (rel, bytes, part, st, rows) =>
+        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next, rows = rows) }
       val freshSeg =
         if (fresh.isEmpty) None else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
       // delete segments referencing only replaced (now-gone) paths fold away —
@@ -3236,7 +3361,7 @@ private class ManifestReplaceBatchWrite(dir: String, op: ManifestRowLevelOperati
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _) =>
+      case ManifestWriteMessage(files, _) => files.foreach { case (rel, _, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -3302,7 +3427,7 @@ private[sources] class ManifestDeltaOperation(dir: String,
   * landed (UPDATE's replacement rows; empty for DELETE).
   */
 private case class ManifestDeltaMessage(byFile: Map[String, Seq[Long]],
-    files: Seq[(String, Long, String, String)]) extends WriterCommitMessage
+    files: Seq[(String, Long, String, String, Long)]) extends WriterCommitMessage
 
 private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
     fileIdx: Int, posIdx: Int, rowFields: Array[(String, DataType)],
@@ -3351,8 +3476,8 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
       val next = refs.snapshot + 1
       // UPDATE's replacement rows sequence at the claimed id (equality deletes that
       // preceded them were applied by the operation's scan)
-      val fresh = freshFiles.map { case (rel, bytes, part, st) =>
-        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next) }
+      val fresh = freshFiles.map { case (rel, bytes, part, st, rows) =>
+        ManifestTables.Entry(rel, bytes, part, 0, st, seq = next, rows = rows) }
       val freshSeg = if (fresh.isEmpty) None
         else Some(ManifestTables.writeSegment(dir, fresh.toSeq))
       done = ManifestTables.tryWriteSnapshotRefs(dir, partCol, refs.inline,
@@ -3372,7 +3497,7 @@ private class ManifestDeltaBatchWrite(dir: String, cmdName: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // positions never land before commit; inserted data files do — remove them
     messages.foreach {
-      case ManifestDeltaMessage(_, files) => files.foreach { case (rel, _, _, _) =>
+      case ManifestDeltaMessage(_, files) => files.foreach { case (rel, _, _, _, _) =>
         try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
         catch { case _: Exception => }
       }
@@ -3601,7 +3726,8 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
     writers.values.foreach(_.close())
     ManifestWriteMessage(paths.toSeq.map { case (v, rel) =>
       (rel, java.nio.file.Files.size(java.nio.file.Paths.get(dir, rel)), v,
-        stats.get(v).map(_.encode()).getOrElse(""))
+        stats.get(v).map(_.encode()).getOrElse(""),
+        stats.get(v).map(_.rows).getOrElse(-1L))
     }, seenKeys.toSeq)
   }
 

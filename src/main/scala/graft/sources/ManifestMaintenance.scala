@@ -364,9 +364,10 @@ object ManifestMaintenance {
       val target = Paths.get(dir, rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      val (st, rows) = ManifestStats.fromFooter(target.toString, fields,
+        ManifestDataSource.hadoopConf())
       ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1,
-        stats = ManifestStats.fromFooter(target.toString, fields,
-          ManifestDataSource.hadoopConf()))
+        stats = st, rows = rows)
     }
     deleteRecursively(Paths.get(dir, "_compact_tmp", uid))
     out
@@ -519,11 +520,19 @@ object ManifestMaintenance {
     Files.createDirectories(target.getParent)
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(Paths.get(dir, "_compact_tmp", uid))
-    // the compacted file's stats are the MERGE of its inputs' recorded bounds
-    // (min of mins, max of maxes) — compaction must not erase data-skipping
+    // the compacted file's stats derive from ITS OWN footer, never merged input
+    // bounds: deletes applied during the rewrite can remove the extreme rows, so a
+    // merged bound would be prune-safe but aggregate-WRONG — and the footer path
+    // also carries exact row/null counts, keeping the compacted table answerable
+    // from metadata (ManifestAggScan). Merged bounds remain the fallback only if
+    // the fresh footer yields nothing (keeps at least the data-skipping).
+    val fields = dataSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    val (footerStats, rows) =
+      ManifestStats.fromFooter(target.toString, fields, ManifestDataSource.hadoopConf())
     ManifestTables.Entry(rel, Files.size(target), joined, snapshot = -1,
-      stats = ManifestStats.merge(bin.map(_.stats),
-        dataSchema.fields.map(f => (f.name, f.dataType)).toSeq))
+      stats = if (footerStats.nonEmpty) footerStats
+        else ManifestStats.merge(bin.map(_.stats), fields),
+      rows = rows)
   }
 
   private def listOnly(dirPath: Path, pred: Path => Boolean): Path = {

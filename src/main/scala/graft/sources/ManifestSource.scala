@@ -133,7 +133,7 @@ object ManifestTables {
     * what lets an upsert's own fresh rows survive the delete it rides with.
     */
   private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int,
-      stats: String = "", seq: Int = -1)
+      stats: String = "", seq: Int = -1, rows: Long = -1L)
 
   /** Effective data sequence for delete ordering: legacy entries order before
     * everything.
@@ -317,12 +317,14 @@ object ManifestTables {
       (s"\\{\"path\":\\s*\"$JStr\",\\s*\"bytes\":\\s*(\\d+)" +
         s"(?:,\\s*\"partition\":\\s*\"$JStr\")?" +
         s"(?:,\\s*\"stats\":\\s*\"$JStr\")?" +
-        s"(?:,\\s*\"seq\":\\s*(\\d+))?\\}").r
+        s"(?:,\\s*\"seq\":\\s*(\\d+))?" +
+        s"(?:,\\s*\"rows\":\\s*(\\d+))?\\}").r
     val out = entry.findAllMatchIn(txt)
       .map(m => Entry(jsonUnescape(m.group(1)), m.group(2).toLong,
         jsonUnescape(Option(m.group(3)).getOrElse("")), snap,
         jsonUnescape(Option(m.group(4)).getOrElse("")),
-        Option(m.group(5)).map(_.toInt).getOrElse(-1)))
+        Option(m.group(5)).map(_.toInt).getOrElse(-1),
+        Option(m.group(6)).map(_.toLong).getOrElse(-1L)))
       .toSeq
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
@@ -430,7 +432,10 @@ object ManifestTables {
   private def entryJson(e: Entry): String = {
     val statsField = if (e.stats.isEmpty) "" else s""", "stats": "${jsonEscape(e.stats)}""""
     val seqField = if (e.seq < 0) "" else s""", "seq": ${e.seq}"""
-    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField$seqField}"""
+    // exact per-file record count (Iceberg's record_count): the field COUNT(*)
+    // answers from without opening a footer; absent on legacy entries (= unknown)
+    val rowsField = if (e.rows < 0) "" else s""", "rows": ${e.rows}"""
+    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField$seqField$rowsField}"""
   }
 
   private[sources] def writeSegment(dir: String, entries: Seq[Entry]): String = {
@@ -1833,6 +1838,8 @@ object ManifestFilesSource {
     .add("bytes", LongType, nullable = false)
     .add("partition", StringType, nullable = false)
     .add("snapshot", LongType, nullable = false)
+    // Iceberg files-table record_count analog; null on pre-feature entries
+    .add("rows", LongType, nullable = true)
 }
 
 private class ManifestFilesTable(dir: String) extends Table with SupportsRead {
@@ -1960,6 +1967,7 @@ private class ManifestReaderFactory(fields: Array[String])
           case "bytes" => cur.bytes
           case "partition" => UTF8String.fromString(cur.partition)
           case "snapshot" => cur.snapshot.toLong
+          case "rows" => if (cur.rows < 0) null else cur.rows
         })
       override def close(): Unit = ()
     }

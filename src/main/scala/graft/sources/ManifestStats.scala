@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Encoding (one escaped JSON string field per manifest entry, flat and
   * regex-friendly — the manifest's parser stays a single regex):
-  *   record    := name FS kind FS minEnc FS maxEnc
+  *   record    := name FS kind FS minEnc FS maxEnc (FS nullCount)?
   *   stats     := record (RS record)*
   *   kind      := 'l' (integral: int/long/date/timestamp — decimal micros/days) |
   *                'd' (float/double — java.lang.Double.toString) |
@@ -25,7 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * entries written before this feature behave). String bounds are recorded only
   * when every value fits [[ManifestStats.MaxStringStat]] chars — long text
   * columns carry no bounds rather than truncated ones (a truncated upper bound
-  * would be unsound without Iceberg's increment-last-char dance).
+  * would be unsound without Iceberg's increment-last-char dance). Bounds that
+  * exist but are UNUSABLE (a NaN was seen, an over-long string) encode as `?`
+  * — distinct from the all-null EMPTY encoding, so null counts can still ride.
+  *
+  * The optional 5th field is the column's EXACT per-file null count (Iceberg's
+  * null_value_counts analog). Its presence doubles as the V2-EXACTNESS marker:
+  * records carrying it were written by a path whose bounds are exact row-level
+  * tallies (the live accumulator or a parquet footer of the very file), so the
+  * manifest can answer pushed MIN/MAX/COUNT aggregates from metadata alone —
+  * zero footer opens, O(manifest) instead of O(files) (see ManifestAggScan).
+  * 4-field records (pre-feature, or bound-merged) prune but never aggregate.
   */
 private[sources] object ManifestStats {
   val RecSep = '\u001e'
@@ -55,48 +65,63 @@ private[sources] object ManifestStats {
     * recorded rather than trusted).
     */
   def fromFooter(file: String, fields: Seq[(String, DataType)],
-      conf: org.apache.hadoop.conf.Configuration): String = {
+      conf: org.apache.hadoop.conf.Configuration): (String, Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
     val blocks = try reader.getFooter.getBlocks finally reader.close()
     import scala.jdk.CollectionConverters._
+    val rows = blocks.asScala.map(_.getRowCount).sum
     val chunks = blocks.asScala.flatMap(_.getColumns.asScala)
       .groupBy(_.getPath.toDotString)
-    fields.flatMap { case (name, dt) =>
+    val enc = fields.flatMap { case (name, dt) =>
       kindOf(dt).flatMap { kind =>
         if (name.indexOf(RecSep.toInt) >= 0 || name.indexOf(FieldSep.toInt) >= 0) None
         else chunks.get(name).flatMap { cs =>
           val stats = cs.map(_.getStatistics)
           if (stats.exists(s => s == null || s.isEmpty)) None
-          else if (stats.forall(s => !s.hasNonNullValue)) // every chunk all-null
-            Some(s"$name$FieldSep$kind$FieldSep$FieldSep")
-          else if (stats.exists(s => !s.hasNonNullValue && s.getNumNulls == 0)) None
-          else try {
-            val present = stats.filter(_.hasNonNullValue)
-            def enc(v: Any): Option[String] = (kind, v) match {
-              case ('l', n: java.lang.Number) => Some(n.longValue.toString)
-              case ('d', n: java.lang.Number) =>
-                val d = normZero(n.doubleValue)
-                if (d.isNaN) None else Some(d.toString)
-              case ('s', b: org.apache.parquet.io.api.Binary) =>
-                val s = b.toStringUsingUTF8
-                if (s.length > MaxStringStat) None else Some(b64(s))
-              case _ => None
-            }
-            val mins = present.map(s => enc(s.genericGetMin))
-            val maxs = present.map(s => enc(s.genericGetMax))
-            if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
-            else {
-              val mn = mins.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) a else b)
-              val mx = maxs.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) b else a)
-              Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
-            }
-          } catch { case _: IllegalArgumentException | _: UnsupportedOperationException => None }
+          else {
+            // the 5th field (exact null count) rides only when EVERY chunk tallied
+            // nulls — it is the V2-exactness marker the metadata-aggregate path
+            // gates on, so it must never be guessed
+            val nullsField =
+              if (stats.forall(_.isNumNullsSet)) s"$FieldSep${stats.map(_.getNumNulls).sum}"
+              else ""
+            if (stats.forall(s => !s.hasNonNullValue)) // every chunk all-null
+              Some(s"$name$FieldSep$kind$FieldSep$FieldSep$nullsField")
+            else if (stats.exists(s => !s.hasNonNullValue && s.getNumNulls == 0)) None
+            else try {
+              val present = stats.filter(_.hasNonNullValue)
+              def enc1(v: Any): Option[String] = (kind, v) match {
+                case ('l', n: java.lang.Number) => Some(n.longValue.toString)
+                case ('d', n: java.lang.Number) =>
+                  val d = normZero(n.doubleValue)
+                  if (d.isNaN) None else Some(d.toString)
+                case ('s', b: org.apache.parquet.io.api.Binary) =>
+                  val s = b.toStringUsingUTF8
+                  if (s.length > MaxStringStat) None else Some(b64(s))
+                case _ => None
+              }
+              val mins = present.map(s => enc1(s.genericGetMin))
+              val maxs = present.map(s => enc1(s.genericGetMax))
+              if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
+                // bounds unusable (NaN / over-long string) but null counts exact:
+                // '?' bounds never prune and never aggregate; the count still can
+                if (nullsField.nonEmpty)
+                  Some(s"$name$FieldSep$kind$FieldSep?$FieldSep?$nullsField")
+                else None
+              else {
+                val mn = mins.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) a else b)
+                val mx = maxs.flatten.reduce((a, b) => if (ltEnc(kind)(a, b)) b else a)
+                Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx$nullsField")
+              }
+            } catch { case _: IllegalArgumentException | _: UnsupportedOperationException => None }
+          }
         }
       }
     }.mkString(RecSep.toString)
+    (enc, rows)
   }
 
   /** A data-column comparison usable for pruning: op in =, <, <=, >, >=, in.
@@ -147,13 +172,22 @@ private[sources] object ManifestStats {
       case _ => None
     } catch { case _: IllegalArgumentException => None }
 
-  private def parse(stats: String): Map[String, (Char, String, String)] =
+  /** One decoded record: bounds plus the optional exact null count (the V2 marker). */
+  private[sources] case class Rec(kind: Char, mn: String, mx: String, nulls: Option[Long])
+
+  private[sources] def parseRecs(stats: String): Map[String, Rec] =
     stats.split(RecSep).iterator.flatMap { r =>
       r.split(FieldSep.toString, -1) match {
-        case Array(name, kind, mn, mx) if kind.length == 1 => Some(name -> (kind.head, mn, mx))
+        case Array(name, kind, mn, mx) if kind.length == 1 =>
+          Some(name -> Rec(kind.head, mn, mx, None))
+        case Array(name, kind, mn, mx, nulls) if kind.length == 1 =>
+          Some(name -> Rec(kind.head, mn, mx, nulls.toLongOption))
         case _ => None
       }
     }.toMap
+
+  private def parse(stats: String): Map[String, (Char, String, String)] =
+    parseRecs(stats).map { case (n, r) => n -> (r.kind, r.mn, r.mx) }
 
   /** Does a file with these stats POSSIBLY contain a row matching every bound?
     * false = provably no match = the file is skipped. Unknown columns, unparseable
@@ -243,13 +277,23 @@ private[sources] object ManifestStats {
     private val minL, maxL = new Array[Long](n)
     private val minD, maxD = new Array[Double](n)
     private val minS, maxS = new Array[UTF8String](n)
+    // exact per-file tallies (Iceberg record_count / null_value_counts): `rows`
+    // becomes the manifest entry's row count, `nullCnt` each record's 5th field —
+    // the metadata that lets COUNT/MIN/MAX answer without opening this file again
+    private var nRows = 0L
+    private val nullCnt = new Array[Long](n)
+
+    /** Rows observed — the entry's exact record count. */
+    def rows: Long = nRows
 
     def observe(row: InternalRow): Unit = {
+      nRows += 1
       var i = 0
       while (i < n) {
-        if (valid(i)) {
+        {
           val (_, kind, dt, ord) = cols(i)
-          if (!row.isNullAt(ord)) kind match {
+          if (row.isNullAt(ord)) nullCnt(i) += 1
+          else if (valid(i)) kind match {
             case 'l' =>
               val v = dt match {
                 case IntegerType | DateType => row.getInt(ord).toLong
@@ -284,18 +328,19 @@ private[sources] object ManifestStats {
     }
 
     def encode(): String =
-      (0 until n).flatMap { i =>
+      (0 until n).map { i =>
         val (name, kind, _, _) = cols(i)
-        if (!valid(i)) None
-        else if (!hasVal(i)) Some(s"$name$FieldSep$kind$FieldSep$FieldSep") // all-null
-        else {
-          val (mn, mx) = kind match {
+        // every record carries the exact null count; bounds are exact values
+        // ('?' when unusable: a NaN or over-long string was seen, '' when all-null)
+        val (mn, mx) =
+          if (!valid(i)) ("?", "?")
+          else if (!hasVal(i)) ("", "") // all-null
+          else kind match {
             case 'l' => (minL(i).toString, maxL(i).toString)
             case 'd' => (minD(i).toString, maxD(i).toString)
             case _ => (b64(minS(i).toString), b64(maxS(i).toString))
           }
-          Some(s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx")
-        }
+        s"$name$FieldSep$kind$FieldSep$mn$FieldSep$mx$FieldSep${nullCnt(i)}"
       }.mkString(RecSep.toString)
   }
 }

@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The DSv2 manifest metadata table and the snapshot-isolated data reader. */
 class ManifestSourceSpec extends AnyFunSuite {
@@ -1412,14 +1414,17 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(files(tdf.filter(col("id") >= 25).select("id")) == 1) // merged [0,19] skipped
     assert(files(tdf.filter(col("id") === 12).select("id")) == 1)
     assert(tdf.filter(col("id") >= 25).count() == 5)
-    // a LONG string column records no bounds and is simply never pruned on
+    // a LONG string column records UNUSABLE '?' bounds (never pruned on; its
+    // exact null count still rides for the metadata COUNT path)
     val tbl2 = s"$wh/t2"
     Seq((1L, "x" * 100, "en"), (2L, "y" * 100, "en")).toDF("id", "body", "lang_p")
       .coalesce(1).write.format(classOf[ManifestDataSource].getName)
       .option("partcol", "lang_p").mode("append").save(tbl2)
     val e2 = ManifestTables.readSnapshot(tbl2, None)
     assert(e2.head.stats.contains("id"), e2.head.stats)
-    assert(!e2.head.stats.contains("body"), e2.head.stats)
+    val fsp = ManifestStats.FieldSep
+    assert(e2.head.stats.contains(s"body${fsp}s$fsp?$fsp?${fsp}0"), e2.head.stats)
+    assert(e2.head.rows == 2, e2.head.toString)
     val t2 = spark.read.format(classOf[ManifestDataSource].getName).load(tbl2)
     assert(t2.filter(col("body") === ("x" * 100)).count() == 1)
     // SQL -0.0 = 0.0, but Double.compare separates them: a 0.0-valued file must
@@ -3650,5 +3655,126 @@ class ManifestSourceSpec extends AnyFunSuite {
     append("append", 6L)
     drain()
     assert(seen.flatMap(_._2).sorted == (1L to 6L), seen.toString)
+  }
+
+  /** All DSv2 scan descriptions of a plan, recursing through AQE wrappers
+    * (AdaptiveSparkPlanExec is a LEAF for plain collect).
+    */
+  private def scanDescs(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scanDescs(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanDescs(q.plan)
+    case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      Seq(bs.scan.description())
+    case other => other.children.flatMap(scanDescs)
+  }
+
+  test("metadata aggregates: COUNT/MIN/MAX pre-merge from manifest row counts and V2 " +
+      "stats — zero footers opened, grouped and global, int finalization included") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_metaagg")
+    val tbl = s"$root/t"
+    def append(rows: Seq[(Long, java.lang.Long, Int, String)]): Unit =
+      rows.toDF("id", "q", "iv", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(Seq((1L, 10L, 5, "en"), (2L, null, 7, "en"), (3L, 30L, 1, "fr")))
+    append(Seq((4L, null, 9, "en"), (5L, 50L, 2, "fr"), (6L, 60L, 8, "de")))
+    val t = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    val grouped = t.groupBy("lang_p").agg(
+      count(lit(1)).as("n"), count(col("q")).as("nq"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("iv")).as("imn"), max(col("iv")).as("imx"))
+    val desc = scanDescs(grouped.queryExecution.executedPlan).mkString("\n")
+    assert(desc.contains("manifest_data_agg") && desc.contains("footerFiles=0") &&
+      desc.contains("metaFiles=") && !desc.contains("metaFiles=0"), desc)
+    val got = grouped.orderBy("lang_p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5), r.getInt(6))).toSeq
+    assert(got == Seq(("de", 1L, 1L, 6L, 6L, 8, 8), ("en", 3L, 1L, 1L, 4L, 5, 9),
+      ("fr", 2L, 2L, 3L, 5L, 1, 2)), got.toString)
+    // global (no grouping): one pre-merged synthetic partial
+    val global = t.agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("iv")).as("mx"))
+    val gdesc = scanDescs(global.queryExecution.executedPlan).mkString("\n")
+    assert(gdesc.contains("footerFiles=0") && gdesc.contains("metaGroups="), gdesc)
+    val g = global.head()
+    assert((g.getLong(0), g.getLong(1), g.getInt(2)) == ((6L, 1L, 9)), g.toString)
+    // an ALL-NULL column aggregates to null from metadata (empty bounds, exact nulls)
+    val tbl2 = s"$root/t2"
+    Seq((1L, null: java.lang.Long, "en"), (2L, null: java.lang.Long, "en"))
+      .toDF("id", "v", "lang_p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").mode("append").save(tbl2)
+    val t2 = spark.read.format(classOf[ManifestDataSource].getName).load(tbl2)
+    val nn = t2.agg(min(col("v")).as("mn"), count(col("v")).as("nv"))
+    assert(scanDescs(nn.queryExecution.executedPlan).mkString.contains("footerFiles=0"))
+    val r2 = nn.head()
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L, r2.toString)
+  }
+
+  test("metadata aggregates: entries without recorded row counts fall back to footers " +
+      "PER FILE; the mixed merge stays exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_metaagg_mixed")
+    val tbl = s"$root/t"
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(Seq((1L, "en"), (2L, "fr")))
+    append(Seq((3L, "en"), (4L, "de")))
+    // age ONE commit's segment to the pre-feature format: strip the rows field and
+    // the stats attribute — exactly what entries written before the feature look like
+    val segs = Files.list(Paths.get(tbl, "_manifests")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("seg-")).toSeq.sortBy(_.toString)
+    assert(segs.size == 2, segs.toString)
+    val aged = new String(Files.readAllBytes(segs.head), StandardCharsets.UTF_8)
+      .replaceAll(""",\s*"rows":\s*\d+""", "")
+      .replaceAll(""",\s*"stats":\s*"[^"]*"""", "")
+    Files.write(segs.head, aged.getBytes(StandardCharsets.UTF_8))
+    val entries = ManifestTables.readLatest(tbl)
+    assert(entries.count(_.rows < 0) == 2 && entries.count(_.rows >= 0) == 2,
+      entries.map(e => s"${e.path}:${e.rows}").mkString(","))
+    val t = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    val agg = t.agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val desc = scanDescs(agg.queryExecution.executedPlan).mkString("\n")
+    assert(desc.contains("metaFiles=2") && desc.contains("footerFiles=2"), desc)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 1L, 4L)), r.toString)
+  }
+
+  test("metadata aggregates stay EXACT through merge-on-read delete + compaction: the " +
+      "compacted entry's stats re-derive from ITS footer, never merged input bounds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_metaagg_compact")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tbl)
+    append(Seq((1L, "en"), (2L, "en")))
+    append(Seq((9L, "en"), (10L, "en")))
+    spark.conf.set("spark.sql.catalog.graft_maggc", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_maggc.warehouse", wh)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM graft_maggc.ns.t WHERE id = 10")
+    finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    def aggOf() = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    // pending MoR delete: the aggregate must NOT push (metadata predates the delete)
+    val before = scanDescs(aggOf().queryExecution.executedPlan).mkString("\n")
+    assert(!before.contains("manifest_data_agg"), before)
+    assert(ManifestMaintenance.compactDataFiles(spark, tbl, 1L << 30).isDefined)
+    // compaction folded the delete; the pushed agg answers from metadata and the
+    // deleted extreme row (id=10) must be GONE from the answer — a merged input
+    // bound would still claim max=10 here
+    val agg = aggOf()
+    val after = scanDescs(agg.queryExecution.executedPlan).mkString("\n")
+    assert(after.contains("manifest_data_agg") && after.contains("footerFiles=0"), after)
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 9L)), r.toString)
+    // the compacted entry carries the exact post-delete row count
+    val e = ManifestTables.readLatest(tbl)
+    assert(e.size == 1 && e.head.rows == 3, e.map(x => s"${x.path}:${x.rows}").mkString(","))
   }
 }
