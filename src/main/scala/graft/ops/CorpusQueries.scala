@@ -1845,6 +1845,48 @@ object CorpusQueries {
         .orderBy("lang")
     }),
 
+    // --- BLOOM-FILTER + ROW-GROUP SKIPPING under the gate: the point-lookup
+    //     complement to min/max stats. The table is written with per-row-group
+    //     parquet BLOOM FILTERS on a high-cardinality md5 key (rowgroupsize
+    //     bounds the skipping granularity); an equality lookup pushes the
+    //     residual predicate into the vectorized reader, which proves absence
+    //     per row group (stats/dictionary/bloom levels) before any page decodes.
+    //     The require pins that the scan EMITTED fewer rows than the table holds
+    //     — at 10^12 turns this is the conv_id = 'x' path: min/max on random
+    //     keys never skips, the bloom does. DuckDB recomputes the answer rows. ---
+    "q63ac_bloom_skip" -> ((s, dir) => {
+      val wh = freshTmpTable("q63ac", dir)
+      val tbl = s"$wh/corpus/docs"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat(lit("k"), col("doc_id"))).as("fp"),
+          col("lang").as("lang_p"))
+      docs.coalesce(1)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").option("rowgroupsize", "32768")
+        .option("bloomfilters", "fp").mode("overwrite").save(tbl)
+      val total = docs.count()
+      val probeId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val lookup = s.read.format("graft.sources.ManifestDataSource").load(tbl)
+        .filter(col("fp") === md5(concat(lit("k"), lit(probeId))))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      // scan-emitted rows via the scan node's own metric (AQE-aware traversal)
+      def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanRows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanRows(q.plan)
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bs.metrics("numOutputRows").value
+        case other => other.children.map(scanRows).sum
+      }
+      lookup.collect()
+      val emitted = scanRows(lookup.queryExecution.executedPlan)
+      require(emitted > 0 && emitted < total,
+        s"bloom row-group skipping did not engage: scan emitted $emitted of $total rows")
+      lookup
+    }),
+
     // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
     //     commits): a candidate batch lands as a staged head NO reader sees (the
     //     require pins invisibility), an audit read (`wapId` option) serves
@@ -3495,6 +3537,13 @@ object CorpusQueries {
         |FROM documents,
         |  (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 5 AS hi FROM documents) b
         |WHERE doc_id < hi GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63ac: the bloom point-lookup's answer rows == the raw-row recompute
+    // (the skipping itself is the Spark-side require; answers never move)
+    "q63ac_bloom_skip" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE md5('k' || CAST(doc_id AS VARCHAR)) =
+        |      md5('k' || CAST((SELECT max(doc_id) FROM documents) AS VARCHAR))
+        |ORDER BY doc_id""".stripMargin,
     // q63aa: pushed COUNT(col) over footer null counts == the row-level recount
     "q63aa_count_pushdown" ->
       """SELECT lang, count(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS n_scored,

@@ -1534,7 +1534,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     new ManifestDataReaderFactory(fields, partCols, limit,
       forceRows = pinnedDeletes.nonEmpty || eqRowMode ||
         (changelog && rangeDeletes.nonEmpty),
-      colIds = pinnedRefs.colIds)
+      colIds = pinnedRefs.colIds, bounds = statBounds)
   }
   override def description(): String = {
     val parts =
@@ -1917,7 +1917,7 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     // via the PER-PARTITION rowMode flag that build() sets batch-uniformly —
     // remove that flag and columnar readers would silently ignore the positions
     new ManifestDataReaderFactory(fields, partCols, None, forceRows = false,
-      colIds = ManifestTables.readSnapshotRefs(dir, None).colIds)
+      colIds = ManifestTables.readSnapshotRefs(dir, None).colIds, bounds = statBounds)
   }
 
   override def commit(end: StreamOffset): Unit = () // snapshots are immutable; nothing to release
@@ -2305,7 +2305,8 @@ private[sources] final class WideningColumnVector(
 
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None,
-    forceRows: Boolean = false, colIds: Option[String] = None)
+    forceRows: Boolean = false, colIds: Option[String] = None,
+    bounds: Seq[ManifestStats.Bound] = Nil)
     extends PartitionReaderFactory {
 
   // column-id registry views (rename/drop evolution): current name -> field id,
@@ -2337,6 +2338,93 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     if (name == ManifestDataSource.ChangeCol) return UTF8String.fromString(p.changeType)
     val vals = ManifestDataSource.splitPartValues(p.partition, partCols.length)
     ManifestDataSource.internalPartValue(tpeOf(name), vals(partCols.indexWhere(_.name == name)))
+  }
+
+  /** Residual data-column bounds as one parquet FilterPredicate over THIS file's
+    * local column names — the row-group-skipping input. Only exact, total-ordered
+    * physical types participate: INT32/INT64 and BINARY-string (UTF8 binary order
+    * matches Spark's string order); float/double stay out (NaN breaks bound
+    * ordering — the same refusal as the stats layer) and widened columns stay out
+    * (narrow physical type under a wide literal). A bound that references a column
+    * this file lacks (pre-ADD) or cannot convert simply drops — under-filtering is
+    * always safe because every bound is Spark-residual.
+    */
+  private def rowGroupPredicate(resolve: Map[String, String], widen: Set[String],
+      fileFields: Seq[org.apache.parquet.schema.Type])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def ofLong(local: String, op: String, vs: Seq[Any]): Option[FilterPredicate] = {
+      val c = FilterApi.longColumn(local)
+      val conv = vs.map {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+        case _ => return None
+      }
+      op match {
+        case "=" => Some(FilterApi.eq(c, conv.head))
+        case "in" => conv.map(v => FilterApi.eq(c, v): FilterPredicate)
+          .reduceOption(FilterApi.or)
+        case "<" => Some(FilterApi.lt(c, conv.head))
+        case "<=" => Some(FilterApi.ltEq(c, conv.head))
+        case ">" => Some(FilterApi.gt(c, conv.head))
+        case ">=" => Some(FilterApi.gtEq(c, conv.head))
+        case _ => None
+      }
+    }
+    def ofInt(local: String, op: String, vs: Seq[Any]): Option[FilterPredicate] = {
+      val c = FilterApi.intColumn(local)
+      val conv = vs.map {
+        case i: java.lang.Integer => i
+        case _ => return None
+      }
+      op match {
+        case "=" => Some(FilterApi.eq(c, conv.head))
+        case "in" => conv.map(v => FilterApi.eq(c, v): FilterPredicate)
+          .reduceOption(FilterApi.or)
+        case "<" => Some(FilterApi.lt(c, conv.head))
+        case "<=" => Some(FilterApi.ltEq(c, conv.head))
+        case ">" => Some(FilterApi.gt(c, conv.head))
+        case ">=" => Some(FilterApi.gtEq(c, conv.head))
+        case _ => None
+      }
+    }
+    def ofBinary(local: String, op: String, vs: Seq[Any]): Option[FilterPredicate] = {
+      val c = FilterApi.binaryColumn(local)
+      val conv = vs.map {
+        case u: UTF8String => Binary.fromConstantByteArray(u.getBytes)
+        case s: String => Binary.fromString(s)
+        case _ => return None
+      }
+      op match {
+        case "=" => Some(FilterApi.eq(c, conv.head))
+        case "in" => conv.map(v => FilterApi.eq(c, v): FilterPredicate)
+          .reduceOption(FilterApi.or)
+        case "<" => Some(FilterApi.lt(c, conv.head))
+        case "<=" => Some(FilterApi.ltEq(c, conv.head))
+        case ">" => Some(FilterApi.gt(c, conv.head))
+        case ">=" => Some(FilterApi.gtEq(c, conv.head))
+        case _ => None
+      }
+    }
+    def predOf(b: ManifestStats.Bound): Option[FilterPredicate] = {
+      if (b.values.isEmpty || widen.contains(b.col)) return None
+      val local = resolve.get(b.col).getOrElse(return None)
+      val ft = fileFields.find(_.getName == local).getOrElse(return None)
+      if (!ft.isPrimitive) return None
+      val sparkType = fields.collectFirst { case (n, dt) if n == b.col => dt }
+      (ft.asPrimitiveType.getPrimitiveTypeName, sparkType) match {
+        case (PrimitiveTypeName.INT64, Some(LongType | TimestampType | TimestampNTZType)) =>
+          ofLong(local, b.op, b.values)
+        case (PrimitiveTypeName.INT32, Some(IntegerType | DateType)) =>
+          ofInt(local, b.op, b.values)
+        case (PrimitiveTypeName.BINARY, Some(StringType)) =>
+          ofBinary(local, b.op, b.values)
+        case _ => None
+      }
+    }
+    bounds.flatMap(predOf).reduceOption(FilterApi.and)
   }
 
   /** COLUMNAR reads whenever any data column is projected: each file is decoded by
@@ -2417,7 +2505,52 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false, /*capacity=*/ 4096)
     var ok = false
     try {
-      reader.initialize(p.file, java.util.Arrays.asList(readCols: _*))
+      rowGroupPredicate(resolve, widen, fileFields) match {
+        case None =>
+          reader.initialize(p.file, java.util.Arrays.asList(readCols: _*))
+        case Some(pred) =>
+          // ROW-GROUP SKIPPING (the within-file layer under the manifest's
+          // file-level stats pruning): initialize through the split+context path —
+          // Spark's own production parquet-pushdown wiring — so parquet's
+          // row-group filter applies the predicate at STATISTICS, DICTIONARY, and
+          // BLOOMFILTER levels before any page is decoded. The bounds are
+          // Spark-residual (re-evaluated row-by-row above the scan), so a kept
+          // row group's non-matching rows are filtered there — skipping is a pure
+          // I/O win and can never change answers.
+          val conf = new org.apache.hadoop.conf.Configuration(ManifestDataSource.hadoopConf())
+          conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+            classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+          // the exact five schema-interpretation flags the convenience initialize
+          // hardcodes (read semantics must be identical on both init paths; the
+          // schema converter requires them PRESENT, no defaults)
+          locally {
+            import org.apache.spark.sql.internal.SQLConf
+            Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+              SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+              SQLConf.LEGACY_PARQUET_NANOS_AS_LONG)
+              .foreach(e => conf.setBoolean(e.key, false))
+          }
+          // whole row groups only: page-level column-index filtering stays off —
+          // its partial-page row indexes are machinery this scan does not need
+          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+            .COLUMN_INDEX_FILTERING_ENABLED, false)
+          // requested catalyst schema = the clipped FILE schema converted: the
+          // identical column set/order/physical types the convenience init uses
+          val clipped = new org.apache.parquet.schema.MessageType("graft_read",
+            fileFields.filter(f => wantedLocal(f.getName)).asJava)
+          val sparkReq = new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(conf).convert(clipped)
+          conf.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+            .SPARK_ROW_REQUESTED_SCHEMA, sparkReq.json)
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+          // the OLD-API FileSplit (it extends the mapreduce one): the reader base
+          // downcasts to it internally
+          val split = new org.apache.hadoop.mapred.FileSplit(
+            new Path(p.file), 0, in.getLength, Array.empty[String])
+          val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+            new org.apache.hadoop.mapreduce.TaskAttemptID())
+          reader.initialize(split, ctx)
+      }
       // appended constants, in `fields` order: projected partition columns (typed
       // values) then missing data columns (nulls); initBatch appends them after the
       // data columns in exactly the order given here
@@ -2832,6 +2965,28 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       require(incoming.fieldNames.contains(c),
         s"sortorder column '$c' is not a column of ${incoming.simpleString}")
     }
+    // `.option("bloomfilters", "c1,c2")` writes a parquet BLOOM FILTER per row
+    // group for the named data columns (Iceberg write.parquet.bloom-filter-enabled
+    // analog): the point-lookup complement to min/max stats — equality predicates
+    // on high-cardinality unsorted keys (conv_id at 10^12 turns) skip row groups
+    // whose bloom provably excludes the value, where range stats cannot help.
+    val bloomCols: Seq[String] = Option(info.options.get("bloomfilters"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    bloomCols.foreach { c =>
+      require(incoming.fieldNames.contains(c),
+        s"bloomfilters column '$c' is not a column of ${incoming.simpleString}")
+      require(!partColNames.contains(c),
+        s"bloomfilters column '$c' is a partition column — partition pruning " +
+          "already skips it at the manifest")
+    }
+    // `.option("rowgroupsize", <bytes>)` bounds parquet row-group size: smaller
+    // groups = finer skipping granularity (stats/dictionary/bloom prune per row
+    // group), at more footer metadata per file
+    val rowGroupBytes: Option[Long] = Option(info.options.get("rowgroupsize")).map { v =>
+      val n = v.toLong
+      require(n >= 1024, s"rowgroupsize must be >= 1024 bytes, got $n")
+      n
+    }
     // `.option("wapId", <id>)` stages the append (write-audit-publish): the
     // commit lands as a staged head no reader sees until publish_wap. Stage-only
     // commits are plain appends by construction — the publish path re-applies
@@ -2871,7 +3026,7 @@ private class ManifestWriteBuilder(dir: String, tschema: StructType, info: Logic
       replace, note, upsertKey, distribute, mergedCols, wapId, branch,
       declaredDdl = stagedDdl, stagedOp = stagedOp,
       stagedRequireFresh = stagedRequireFresh, onCommitted = onCommitted,
-      sortOrder = sortOrder)
+      sortOrder = sortOrder, bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
   }
 }
 
@@ -2893,7 +3048,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
     mergedCols: Seq[StructField] = Nil, wapId: Option[String] = None,
     branch: Option[String] = None, declaredDdl: Option[String] = None,
     stagedOp: Option[String] = None, stagedRequireFresh: Boolean = false,
-    onCommitted: () => Unit = () => (), sortOrder: Seq[String] = Nil)
+    onCommitted: () => Unit = () => (), sortOrder: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil, rowGroupBytes: Option[Long] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2936,7 +3092,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, partCol, partTypes, schema, replace, note, upsertKey,
-      mergedCols, wapId, branch, declaredDdl, stagedOp, stagedRequireFresh, onCommitted)
+      mergedCols, wapId, branch, declaredDdl, stagedOp, stagedRequireFresh, onCommitted,
+      bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
 }
 
 private case class ManifestWriteMessage(files: Seq[(String, Long, String, String, Long)],
@@ -2960,7 +3117,9 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
     declaredDdl: Option[String] = None,
     stagedOp: Option[String] = None,
     stagedRequireFresh: Boolean = false,
-    onCommitted: () => Unit = () => ()) extends BatchWrite {
+    onCommitted: () => Unit = () => (),
+    bloomCols: Seq[String] = Nil,
+    rowGroupBytes: Option[Long] = None) extends BatchWrite {
 
   // per-write UID embedded in every data file name: partitionId/taskId are only
   // unique within one application, and a cross-application collision would let a
@@ -2993,7 +3152,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, partCol, partTypes, schema.fields.map(f => (f.name, f.dataType)),
-      writeUid, colIdOf, upsertKey.map(_._1))
+      writeUid, colIdOf, upsertKey.map(_._1), bloomCols, rowGroupBytes)
 
   /** The commit point: ONE atomic snapshot publication makes every task's files
     * visible. Until it lands, nothing the tasks wrote is visible to any reader (the
@@ -3550,11 +3709,12 @@ private class ManifestDeltaRowWriter(dir: String, partCol: String, partTypes: St
 
 private class ManifestWriterFactory(dir: String, partCol: String, partTypes: String,
     fields: Array[(String, DataType)], writeUid: String,
-    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
+    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None,
+    bloomCols: Seq[String] = Nil, rowGroupBytes: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(dir, partCol, partTypes, fields, partitionId, taskId, writeUid,
-      colIdOf, upsertKey)
+      colIdOf, upsertKey, bloomCols, rowGroupBytes)
 }
 
 /** Per-task writer: one open parquet-mr writer per partition-value TUPLE seen
@@ -3565,7 +3725,8 @@ private class ManifestWriterFactory(dir: String, partCol: String, partTypes: Str
   */
 private class ManifestDataWriter(dir: String, partCol: String, partTypes: String,
     fields: Array[(String, DataType)], partitionId: Int, taskId: Long, writeUid: String,
-    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None)
+    colIdOf: Map[String, Int] = Map.empty, upsertKey: Option[String] = None,
+    bloomCols: Seq[String] = Nil, rowGroupBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val partSpec: Seq[ManifestTables.PartCol] =
@@ -3655,11 +3816,15 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
         s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString +
         f"part-$partitionId%05d-$taskId-$writeUid-${writers.size}.parquet"
       val p = new Path(s"$dir/$rel")
-      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      var b = org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
           .fromPath(p, ManifestDataSource.hadoopConf()))
         .withType(messageType)
-        .build()
+      // per-row-group bloom filters for the declared point-lookup columns; row
+      // group size bounds the skipping granularity (see the write options' docs)
+      rowGroupBytes.foreach(n => b = b.withRowGroupSize(n))
+      bloomCols.foreach(c => b = b.withBloomFilterEnabled(c, true))
+      val w = b.build()
       paths(joined) = rel
       w
     })

@@ -3657,6 +3657,89 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(seen.flatMap(_._2).sorted == (1L to 6L), seen.toString)
   }
 
+  /** Rows the DSv2 scan node itself emitted (pre-residual-filter) — the direct
+    * observable for row-group skipping: skipped groups' rows never surface here.
+    */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("row-group skipping: residual comparisons prune parquet row groups via footer " +
+      "stats inside one file — the scan emits a fraction of the rows, answers exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_rowgroup")
+    val tbl = s"$root/t"
+    val n = 50000
+    // one task, sorted ids, small row groups: each group owns a narrow id range
+    spark.range(n).select(col("id"),
+        concat(lit("pay-"), col("id"), lit("-" + "x" * 40)).as("payload"),
+        lit("en").as("lang_p"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "lang_p").option("rowgroupsize", "65536")
+      .mode("append").save(tbl)
+    def t = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+    val all = scanOutputRows(t.select("id", "payload"))
+    assert(all == n, all.toString)
+    // point lookup: only the one row group whose [min,max] covers the id decodes
+    val eq = t.filter(col("id") === 31337L).select("id", "payload")
+    val eqRows = scanOutputRows(eq)
+    assert(eqRows < n / 4, s"row groups did not skip: scan emitted $eqRows of $n")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(31337L))
+    // range: only the tail groups decode
+    val range = t.filter(col("id") >= (n - 1000).toLong).select("id")
+    val rangeRows = scanOutputRows(range)
+    assert(rangeRows < n / 4 && range.count() == 1000, s"$rangeRows")
+    // absent value: every group's stats exclude it — zero rows decoded
+    assert(scanOutputRows(t.filter(col("id") === -5L).select("id")) == 0L)
+  }
+
+  test("bloom-filter row-group skipping: .option(bloomfilters) writes per-row-group " +
+      "blooms; equality on an unsorted high-cardinality key skips groups stats cannot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_bloom")
+    // 64-char high-entropy strings defeat dictionary encoding (the dictionary
+    // page overflows to plain), and interleaved writes give every row group the
+    // same [min,max] span — so neither stats nor dictionary can skip: only the
+    // bloom can prove a group lacks the key
+    val n = 80000
+    def key(i: Long): String = {
+      var h = i * 0x9E3779B97F4A7C15L
+      val sb = new StringBuilder
+      while (sb.length < 64) {
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
+        sb.append(java.lang.Long.toHexString(h)); h += 1
+      }
+      sb.substring(0, 64)
+    }
+    val keyUdf = udf((i: Long) => key(i))
+    def written(dir: String, bloom: Boolean): Unit = {
+      val w = spark.range(n).select(col("id"), keyUdf(col("id")).as("cid"),
+          lit("en").as("lang_p"))
+        .coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").option("rowgroupsize", (1 << 20).toString)
+      (if (bloom) w.option("bloomfilters", "cid") else w).mode("append").save(dir)
+    }
+    written(s"$root/bloom", bloom = true)
+    written(s"$root/plain", bloom = false)
+    val probe = key(60000L) // lives in one late row group
+    def lookup(dir: String) = spark.read.format(classOf[ManifestDataSource].getName)
+      .load(dir).filter(col("cid") === probe).select("id", "cid")
+    // control: same data without blooms — stats/dictionary cannot skip, every
+    // row decodes (this also proves the dictionary fallback really happened)
+    val plainRows = scanOutputRows(lookup(s"$root/plain"))
+    assert(plainRows == n, s"control leaked skipping: $plainRows of $n")
+    // blooms: the non-containing groups prove absence and never decode
+    val bloomRows = scanOutputRows(lookup(s"$root/bloom"))
+    assert(bloomRows <= n / 2, s"blooms did not skip row groups: $bloomRows of $n")
+    assert(lookup(s"$root/bloom").collect().map(_.getLong(0)).toSeq == Seq(60000L))
+  }
+
   /** All DSv2 scan descriptions of a plan, recursing through AQE wrappers
     * (AdaptiveSparkPlanExec is a LEAF for plain collect).
     */
