@@ -861,19 +861,24 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     // the PINNED snapshot's own partition spec: an overwrite may have redefined
     // the partitioning since — interpreting old entries with the new spec would
     // mislabel every partition value the time-travel read serves
-    // streaming admission control: at most n data files per micro-batch (see
+    // streaming admission control: bound each micro-batch by data files, rows
+    // (from the manifest's exact per-entry record counts), and/or bytes (see
     // ManifestMicroBatchStream.getDefaultReadLimit)
-    val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map { v =>
-      val n = v.toInt
-      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+    def posLong(name: String): Option[Long] = Option(options.get(name)).map { v =>
+      val n = v.toLong
+      require(n > 0, s"$name must be positive, got $n")
       n
     }
+    val admission = StreamAdmission(
+      files = posLong("maxFilesPerTrigger").map(_.toInt),
+      rows = posLong("maxRowsPerTrigger"),
+      bytes = posLong("maxBytesPerTrigger"))
     new ManifestDataScanBuilder(dir, tschema,
       branchPin.map(_._2).getOrElse(ManifestTables.readPartitionSpec(dir, snapshot)),
       snapshot, startSnapshot = startSnapshot, changelog = changelog,
       streamSkipRewrites = options.getBoolean("streamSkipRewrites", false),
       stagedExtra = stagedExtra, pinnedOverride = branchPin.map(_._1),
-      maxFilesPerTrigger = maxFilesPerTrigger)
+      admission = admission)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a branch-pinned RELATION (VERSION AS OF '<branch>') is a read view; branch
@@ -977,7 +982,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
     streamSkipRewrites: Boolean = false,
     stagedExtra: Seq[ManifestTables.Entry] = Nil,
     pinnedOverride: Option[ManifestTables.SnapshotRefs] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    admission: StreamAdmission = StreamAdmission())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1240,7 +1245,7 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
         streamSkipRewrites, fmPatterns = fmPats.toSeq, dayRanges = dayRanges,
         stagedExtra = stagedExtra, pinnedOverride = pinnedOverride,
-        maxFilesPerTrigger = maxFilesPerTrigger)
+        admission = admission)
       // the FIRST scan built for a row-level operation is the main rewrite scan
       // (scan planning precedes the group-filter subquery's own scan build); its
       // post-runtime-filter file list is what the replace-write swaps out
@@ -1257,7 +1262,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     fmPatterns: Seq[String] = Nil, dayRanges: Seq[(String, String, Long)] = Nil,
     stagedExtra: Seq[ManifestTables.Entry] = Nil,
     pinnedOverride: Option[ManifestTables.SnapshotRefs] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    admission: StreamAdmission = StreamAdmission())
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1563,15 +1568,23 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
       "wapId audit and branch reads are batch views — the stream follows the " +
         "main snapshot chain; publish or fast-forward first")
     new ManifestMicroBatchStream(dir, required, partCols, partitionValues,
-      startSnapshot, statBounds, streamSkipRewrites, changelog, maxFilesPerTrigger)
+      startSnapshot, statBounds, streamSkipRewrites, changelog, admission)
   }
 }
+
+/** Streaming admission-control knobs: per-micro-batch caps on data files, rows
+  * (answered from the manifest's exact per-entry record counts), and bytes.
+  * All soft — a batch always admits at least one file.
+  */
+private[sources] case class StreamAdmission(files: Option[Int] = None,
+    rows: Option[Long] = None, bytes: Option[Long] = None)
 
 /** A streaming offset: "everything up to and including manifest snapshot N has been
   * consumed, plus the first `pos` path-sorted fresh files of the pure-append span
   * that follows N". -1 = nothing consumed (the first batch serves the whole first
-  * snapshot). pos > 0 only ever exists under `maxFilesPerTrigger` admission control,
-  * and only splits pure-append spans — anything else is consumed atomically.
+  * snapshot). pos > 0 only ever exists under admission control (maxFiles/maxRows/
+  * maxBytesPerTrigger), and only splits pure-append spans — anything else is
+  * consumed atomically.
   */
 private[sources] case class ManifestStreamOffset(snapshot: Int, pos: Int = 0)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1584,7 +1597,7 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     required: StructType, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], startSnapshot: Option[Int],
     statBounds: Seq[ManifestStats.Bound], skipRewrites: Boolean = false,
-    changelog: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
+    changelog: Boolean = false, admission: StreamAdmission = StreamAdmission())
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => StreamOffset}
@@ -1605,23 +1618,42 @@ private[sources] class ManifestMicroBatchStream(dir: String,
       ManifestTables.latestSnapshotId(dir).getOrElse(-1)))
 
   override def latestOffset(): StreamOffset = currentEnd
-  // admission control (Iceberg's streaming-max-files-per-micro-batch analog): with
-  // .option("maxFilesPerTrigger", n) a micro-batch admits at most n data files —
-  // at 10^12-turn scale one snapshot may carry thousands of files, and an unbounded
-  // batch is a straggler/OOM hazard. Offsets gain a sub-snapshot `pos` component;
-  // only PURE-APPEND spans ever split (a file is an independent unit of an append
-  // delta), everything else — rewrites, delete growth, the initial state load —
-  // stays atomic so the netting semantics above are untouched.
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  // admission control (Iceberg streaming-max-files-per-micro-batch / Delta
+  // maxFiles/maxBytesPerTrigger analogs): `.option("maxFilesPerTrigger", n)`,
+  // `.option("maxRowsPerTrigger", n)` (rows from the manifest's exact per-entry
+  // record counts — an entry without one conservatively exhausts the row budget),
+  // and `.option("maxBytesPerTrigger", n)` each bound a micro-batch — at
+  // 10^12-turn scale one snapshot may carry thousands of files, and an unbounded
+  // batch is a straggler/OOM hazard. All limits are SOFT in Spark's sense: a
+  // batch always admits at least one file, so an oversized file still flows.
+  // Offsets gain a sub-snapshot `pos` component; only PURE-APPEND spans ever
+  // split (a file is an independent unit of an append delta), everything else —
+  // rewrites, delete growth, the initial state load — stays atomic so the
+  // netting semantics above are untouched.
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = admission.files.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      admission.rows.map(n => ReadLimit.maxRows(n)).toSeq
+    ls match {
+      case Nil =>
+        // a bytes-only bound has no standard ReadLimit; the walk reads it from
+        // `admission` directly, but Spark must still call the budgeted path
+        if (admission.bytes.isDefined) ReadLimit.maxFiles(Int.MaxValue)
+        else ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
-  private def maxFilesOf(limit: ReadLimit): Option[Int] = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+  /** (file, row) budgets carried by a ReadLimit; bytes ride on `admission`. */
+  private def budgetsOf(limit: ReadLimit): (Option[Int], Option[Long]) = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles, ReadMaxRows}
     limit match {
-      case f: ReadMaxFiles => Some(f.maxFiles())
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows()))
       case c: CompositeReadLimit =>
-        c.getReadLimits.toSeq.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
-      case _ => None
+        (c.getReadLimits.toSeq.collectFirst { case f: ReadMaxFiles => f.maxFiles() },
+          c.getReadLimits.toSeq.collectFirst { case r: ReadMaxRows => r.maxRows() })
+      case _ => (None, None)
     }
   }
 
@@ -1661,16 +1693,19 @@ private[sources] class ManifestMicroBatchStream(dir: String,
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val so = start.asInstanceOf[ManifestStreamOffset]
     val endSnap = currentEnd.asInstanceOf[ManifestStreamOffset].snapshot
-    val budget0 = maxFilesOf(limit)
-    if (budget0.isEmpty) return currentEnd
+    val (fileB, rowB) = budgetsOf(limit)
+    if (fileB.isEmpty && rowB.isEmpty && admission.bytes.isEmpty) return currentEnd
     // the initial state load stays one batch: its per-file plans are coupled by the
     // batch-wide row-mode decision and delete application; bound it with
     // startSnapshot (or stream from an empty/fresh table) instead
     if (so.snapshot < 0) return ManifestStreamOffset(endSnap)
     var cur = so
-    var budget = budget0.get
+    var files = fileB.getOrElse(Int.MaxValue)
+    var rows = rowB.getOrElse(Long.MaxValue)
+    var bytes = admission.bytes.getOrElse(Long.MaxValue)
+    var admitted = false
     var done = false
-    while (!done && budget > 0) {
+    while (!done && files > 0 && rows > 0 && bytes > 0) {
       ManifestTables.snapshotIds(dir)
         .filter(id => id > cur.snapshot && id <= endSnap).minOption match {
         case None => done = true
@@ -1685,14 +1720,24 @@ private[sources] class ManifestMicroBatchStream(dir: String,
             if (cur == so) cur = ManifestStreamOffset(t)
             done = true
           case Some(fresh) =>
-            val remaining = fresh.size - cur.pos
-            if (remaining > budget) {
-              cur = ManifestStreamOffset(cur.snapshot, cur.pos + budget)
-              budget = 0
-            } else {
-              budget -= remaining
-              cur = ManifestStreamOffset(t)
+            var i = cur.pos
+            while (!done && i < fresh.size) {
+              val e = fresh(i)
+              // an entry without a recorded row count conservatively exhausts the
+              // row budget (still admitted when it is the batch's first file)
+              val r = if (e.rows >= 0) e.rows else Long.MaxValue
+              val fits = rows >= r && bytes >= e.bytes
+              if (fits || !admitted) {
+                files -= 1
+                rows = if (r >= rows) 0L else rows - r
+                bytes = if (e.bytes >= bytes) 0L else bytes - e.bytes
+                admitted = true
+                i += 1
+                if (files <= 0 || rows <= 0 || bytes <= 0) done = true
+              } else done = true
             }
+            cur = if (i >= fresh.size) ManifestStreamOffset(t)
+              else ManifestStreamOffset(cur.snapshot, i)
         }
       }
     }

@@ -3550,7 +3550,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     val st = new ManifestMicroBatchStream(tbl,
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, p STRING"),
       ManifestTables.readPartitionSpec(tbl, None), Map.empty,
-      startSnapshot = Some(0), statBounds = Nil, maxFilesPerTrigger = Some(2))
+      startSnapshot = Some(0), statBounds = Nil, admission = StreamAdmission(files = Some(2)))
     val lim = st.getDefaultReadLimit
     assert(lim.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
     def off(s: Int, p: Int = 0) = ManifestStreamOffset(s, p)
@@ -3600,7 +3600,7 @@ class ManifestSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, lang_p STRING"),
       ManifestTables.readPartitionSpec(tbl, None), Map.empty,
       startSnapshot = Some(0), statBounds = Nil, changelog = true,
-      maxFilesPerTrigger = Some(10))
+      admission = StreamAdmission(files = Some(10)))
     val lim = st.getDefaultReadLimit
     def off(s: Int, p: Int = 0) = ManifestStreamOffset(s, p)
     // the append span fits, but the walk STOPS before the delete span even with
@@ -3655,6 +3655,88 @@ class ManifestSourceSpec extends AnyFunSuite {
     append("append", 6L)
     drain()
     assert(seen.flatMap(_._2).sorted == (1L to 6L), seen.toString)
+  }
+
+  test("streaming admission control: maxRowsPerTrigger budgets batches from the " +
+      "manifest's exact row counts; rows-unknown entries exhaust the budget; " +
+      "maxBytesPerTrigger composes; oversized first files still flow (soft limits)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_ratelimit_rows")
+    val tbl = s"$root/t"
+    // one file per commit; file k carries k+1 rows (1, 2, 3, 4 rows)
+    def append(rows: Seq[Long]): Unit =
+      rows.map(i => (i, "en")).toDF("id", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode("append").save(tbl)
+    append(Seq(0L))
+    append(Seq(1L))                      // snapshot 1: 1 row
+    append(Seq(2L, 3L))                  // snapshot 2: 2 rows
+    append(Seq(4L, 5L, 6L))              // snapshot 3: 3 rows
+    append(Seq(7L, 8L, 9L, 10L))         // snapshot 4: 4 rows
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, p STRING")
+    def stream(a: StreamAdmission) = new ManifestMicroBatchStream(tbl, schema,
+      ManifestTables.readPartitionSpec(tbl, None), Map.empty,
+      startSnapshot = Some(0), statBounds = Nil, admission = a)
+    def off(s: Int, p: Int = 0) = ManifestStreamOffset(s, p)
+    // rows budget 3: [1+2 rows], [3 rows], [4 rows — oversized but FIRST, soft-admitted]
+    val st = stream(StreamAdmission(rows = Some(3L)))
+    val lim = st.getDefaultReadLimit
+    assert(lim.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadMaxRows])
+    val o1 = st.latestOffset(off(0), lim)
+    assert(o1 == off(2), o1)
+    val o2 = st.latestOffset(o1, lim)
+    assert(o2 == off(3), o2)
+    val o3 = st.latestOffset(o2, lim)
+    assert(o3 == off(4), o3)
+    assert(st.latestOffset(o3, lim) == o3)
+    // bytes-only budget: every parquet file here is well over 1 byte, so each
+    // batch soft-admits exactly one file — and the default limit is non-trivial
+    val bt = stream(StreamAdmission(bytes = Some(1L)))
+    val blim = bt.getDefaultReadLimit
+    val b1 = bt.latestOffset(off(0), blim)
+    assert(b1 == off(1), b1)
+    val b2 = bt.latestOffset(b1, blim)
+    assert(b2 == off(2), b2)
+    // files+rows composite: files=2 would take snapshots 1+2, but rows=2 stops
+    // the second file (1+2 > 2) -> snapshot 1 alone
+    val ct = stream(StreamAdmission(files = Some(2), rows = Some(2L)))
+    val clim = ct.getDefaultReadLimit
+    assert(clim.isInstanceOf[org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
+    assert(ct.latestOffset(off(0), clim) == off(1))
+    // age snapshot 2's segment to the pre-rows format: the unknown-rows file
+    // exhausts the row budget — admitted, then the batch closes
+    val segs = Files.list(Paths.get(tbl, "_manifests")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("seg-")).toSeq.sorted
+    val seg2 = segs.find { sp =>
+      new String(Files.readAllBytes(sp), StandardCharsets.UTF_8).contains("\"seq\": 2")
+    }.get
+    Files.write(seg2, new String(Files.readAllBytes(seg2), StandardCharsets.UTF_8)
+      .replaceAll(""",\s*"rows":\s*\d+""", "").getBytes(StandardCharsets.UTF_8))
+    val ut = stream(StreamAdmission(rows = Some(100L)))
+    val ulim = ut.getDefaultReadLimit
+    // an UNKNOWN-rows file never shares a batch: it would blow the budget, so the
+    // batch closes before it — it then flows alone as the next batch's (soft)
+    // first admission, and known-rows batching resumes after it
+    val u1 = ut.latestOffset(off(0), ulim)
+    assert(u1 == off(1), u1)
+    val u2 = ut.latestOffset(u1, ulim)
+    assert(u2 == off(2), u2)
+    val u3 = ut.latestOffset(u2, ulim)
+    assert(u3 == off(4), u3)
+    // end-to-end: the rate-limited union is exact under maxRowsPerTrigger
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format(classOf[ManifestDataSource].getName)
+      .option("startSnapshot", "0").option("maxRowsPerTrigger", "3").load(tbl)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+        seen.synchronized { seen += ids }
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(seen.size >= 3, seen.toString)
+    assert(seen.flatten.sorted == (1L to 10L), seen.toString)
   }
 
   /** Rows the DSv2 scan node itself emitted (pre-residual-filter) — the direct
