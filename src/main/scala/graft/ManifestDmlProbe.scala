@@ -80,6 +80,15 @@ object ManifestDmlProbe {
       val (_, morSec) =
         try time(spark.sql(s"DELETE FROM $tname WHERE id % 997 = 3"))
         finally spark.conf.unset("spark.graft.manifest.deleteMode")
+      // a second MoR delete stacks a second positional segment; the
+      // position-delete rewrite then folds both into one — metadata-only,
+      // O(segments + recorded positions), zero data files opened
+      spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try spark.sql(s"DELETE FROM $tname WHERE id % 991 = 7")
+      finally spark.conf.unset("spark.graft.manifest.deleteMode")
+      val (rpdSnap, rpdSec) = time(
+        graft.sources.ManifestMaintenance.rewritePositionDeletes(dir))
+      require(rpdSnap.isDefined, "two delete segments must fold")
       // equality upsert: one commit carrying keys + fresh files, no data read
       val (_, eqSec) = time {
         spark.range(0L, 500L).select(col("id"), (col("id") * 9).as("v"),
@@ -99,12 +108,13 @@ object ManifestDmlProbe {
       val filesAfter = graft.sources.ManifestMaintenance.liveDataFiles(dir).length
       System.err.println(f"[dmlprobe] n=$n commit first10=$firstAvg%.3f " +
         f"last10=$lastAvg%.3f count=$countSec%.2f pruned=$prunedSec%.2f " +
-        f"morDel=$morSec%.2f eqUpsert=$eqSec%.2f metaDel=$metaDelSec%.2f " +
+        f"morDel=$morSec%.2f rewritePosDel=$rpdSec%.2f eqUpsert=$eqSec%.2f " +
+        f"metaDel=$metaDelSec%.2f " +
         f"fold=$foldSec%.2f pack=$packSec%.2f filesAfter=$filesAfter")
       n -> Map(
         "commit_first10_avg" -> firstAvg, "commit_last10_avg" -> lastAvg,
         "count_star" -> countSec, "pruned_count" -> prunedSec,
-        "mor_delete" -> morSec, "eq_upsert" -> eqSec,
+        "mor_delete" -> morSec, "rewrite_posdel" -> rpdSec, "eq_upsert" -> eqSec,
         "meta_delete" -> metaDelSec, "manifest_fold" -> foldSec,
         "data_compact" -> packSec)
     }

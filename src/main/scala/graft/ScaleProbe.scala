@@ -28,6 +28,9 @@ object ScaleProbe {
     "q42_simhash", "q43_jaccard_ngram", "q44_dup_clusters", "q45_top_terms",
     "q50_knn_brute", "q51b_ivf_kmeans", "q52_embed_neardup", "q52_capped64",
     "q58_semantic_dedup", "q58_kscaled",
+    // chunk dedup is chunks ~ 6n rows through one hash agg + equi-join + doc_id
+    // regroup — linear by construction; probed to pin the no-window claim
+    "q86_chunk_dedup",
     // BPE training's claim is the inverse of the quadratic risks above: after the
     // one corpus-sized agg, all 16 merge rounds run over the VOCAB (fixed 20k words
     // in this generator at every scale), so wall time should stay ~flat at 100x rows

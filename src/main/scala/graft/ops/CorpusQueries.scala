@@ -1887,6 +1887,52 @@ object CorpusQueries {
       lookup
     }),
 
+    // --- POSITION-DELETE compaction under the gate (Iceberg's
+    //     rewrite_position_delete_files): three merge-on-read DELETE commits leave
+    //     three positional-delete segments; a metadata-only partition DELETE then
+    //     strands those segments' references to the dropped partition's files
+    //     (dangling deletes). The rewrite folds all three into ONE segment and
+    //     drops the dangling positions WITHOUT touching a data file (requires pin
+    //     segment count, file-set identity, and idempotence), and the scan's
+    //     answer must not move — the oracle re-derives it relationally. ---
+    "q63ad_rewrite_deletes" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63ad", dir)
+      val tbl = s"$wh/corpus/docs"
+      val cat = s"graft_q63ad_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang").as("lang_p"))
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "lang_p").mode("overwrite").save(tbl)
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try {
+        s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 7 = 3")
+        s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 11 = 5")
+        s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 13 = 8")
+      } finally s.conf.unset("spark.graft.manifest.deleteMode")
+      // partition drop (metadata-only path): 'de' files leave the table, stranding
+      // their positions inside all three delete segments
+      s.sql(s"DELETE FROM $cat.corpus.docs WHERE lang_p = 'de'")
+      val m = graft.sources.ManifestMaintenance
+      require(m.positionalDeleteSegments(tbl).size == 3,
+        "setup: expected one positional-delete segment per MoR DELETE commit")
+      val filesBefore = m.liveDataFiles(tbl).map(_._1).toSet
+      require(m.rewritePositionDeletes(tbl).isDefined,
+        "rewritePositionDeletes found nothing to fold")
+      require(m.positionalDeleteSegments(tbl).size == 1,
+        "rewrite must consolidate to exactly one positional segment")
+      require(m.liveDataFiles(tbl).map(_._1).toSet == filesBefore,
+        "position-delete rewrite is metadata-only: no data file may move")
+      require(m.rewritePositionDeletes(tbl).isEmpty,
+        "second rewrite must be a no-op (one clean segment, nothing dangling)")
+      s.sql(
+        s"""SELECT lang_p AS lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
+    }),
+
     // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
     //     commits): a candidate batch lands as a staged head NO reader sees (the
     //     require pins invisibility), an audit read (`wapId` option) serves
@@ -2975,6 +3021,39 @@ object CorpusQueries {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    // --- chunk-level exact dedup (the C4/RefinedWeb span-dedup shape on this
+    //     corpus): every document splits into fixed 8-word chunks, each chunk
+    //     content keeps only its GLOBAL first occurrence (min (doc_id, chunk_idx) —
+    //     a hash agg on the fixed-width md5, never a corpus-wide window), and
+    //     surviving chunks reassemble into cleaned documents. Work is O(total
+    //     chunks): one agg shuffle on the 16-byte hash, one equi-join back, one
+    //     reassembly shuffle on doc_id; docs whose every chunk was seen earlier
+    //     drop out entirely (the oracle pins 497 of 500 at sf0.001). ---
+    "q86_chunk_dedup" -> ((s, dir) => {
+      val W = 8
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .withColumn("n_chunks", ceil(size(col("words")) / lit(W.toDouble)).cast("int"))
+        .filter(col("n_chunks") > 0)
+        .select(col("doc_id"), col("lang"), posexplode(expr(
+          s"transform(sequence(0, n_chunks - 1), i -> array_join(slice(words, i * $W + 1, $W), ' '))")))
+        .toDF("doc_id", "lang", "chunk_idx", "chunk")
+      val keepers = chunks
+        .groupBy(md5(col("chunk")).as("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+        .select(col("h"), col("first.doc_id").as("k_doc"), col("first.chunk_idx").as("k_idx"))
+      chunks
+        .join(keepers, md5(col("chunk")) === col("h") &&
+          col("doc_id") === col("k_doc") && col("chunk_idx") === col("k_idx"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lang")).as("lang"),
+          count(lit(1)).as("kept_chunks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -3544,6 +3623,14 @@ object CorpusQueries {
         |WHERE md5('k' || CAST(doc_id AS VARCHAR)) =
         |      md5('k' || CAST((SELECT max(doc_id) FROM documents) AS VARCHAR))
         |ORDER BY doc_id""".stripMargin,
+    // q63ad: three modular MoR deletes plus the 'de' partition drop, re-derived
+    // relationally — the position-delete rewrite must not move a row
+    "q63ad_rewrite_deletes" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 AND doc_id % 13 <> 8
+        |  AND lang <> 'de'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63aa: pushed COUNT(col) over footer null counts == the row-level recount
     "q63aa_count_pushdown" ->
       """SELECT lang, count(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS n_scored,
@@ -3743,6 +3830,25 @@ object CorpusQueries {
     // the-table aggregate equals the relational routing derivation; q75's
     // incremental index must equal the full index — ONE shared derivation, so
     // the two gates can never silently diverge
+    // q86: chunk-level exact dedup — fixed 8-word chunks, global first occurrence
+    // by (doc_id, chunk_idx) wins, survivors reassemble in chunk order
+    "q86_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, g.i AS chunk_idx,
+        |         array_to_string(words[g.i*8+1 : g.i*8+8], ' ') AS chunk
+        |  FROM w, LATERAL (
+        |    SELECT unnest(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS i) g
+        |), k AS (
+        |  SELECT doc_id, lang, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM c
+        |)
+        |SELECT doc_id, min(lang) AS lang, count(*) AS kept_chunks,
+        |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |FROM k WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q74_pipeline_manifest" -> perSinkRoutedSql,
     "q75_incremental_index" -> perSinkRoutedSql
   )

@@ -42,6 +42,68 @@ object ManifestMaintenance {
   def liveDataFiles(dir: String): Seq[(String, Long, String)] =
     ManifestTables.readSnapshot(dir, None).map(e => (e.path, e.bytes, e.partition))
 
+  /** Positional-delete segment names of the current snapshot — the public
+    * maintenance view of merge-on-read delete fragmentation (one segment per MoR
+    * DELETE/UPDATE commit until [[rewritePositionDeletes]] or compaction folds them).
+    */
+  def positionalDeleteSegments(dir: String): Seq[String] =
+    ManifestTables.readSnapshotRefs(dir, None).deletes
+
+  /** POSITION-DELETE compaction (Iceberg's `rewrite_position_delete_files`): merges
+    * the accumulated merge-on-read positional-delete segments into ONE consolidated
+    * segment and drops DANGLING positions (references to data files no longer live —
+    * left behind by partition DELETEs / overwrites / compactions of other files). A
+    * metadata-only rewrite: no data file is read or written, answers never move — a
+    * streaming MoR workload commits one delete segment per micro-batch, and until
+    * this folds them every scan pays one segment open per commit. Returns the new
+    * snapshot id; None when there is nothing to fold (fewer than two segments and no
+    * dangling positions) or a concurrent commit invalidated the plan (re-run then).
+    */
+  def rewritePositionDeletes(dir: String): Option[Int] = {
+    val planRefs = ManifestTables.readSnapshotRefs(dir, None)
+    val livePaths = ManifestTables.entriesOf(dir, planRefs).map(_.path).toSet
+    val perSeg = planRefs.deletes.map(d => ManifestTables.readDeleteSegment(dir, d))
+    val dangling = perSeg.exists(_.keysIterator.exists(p => !livePaths.contains(p)))
+    if (perSeg.length < 2 && !dangling) return None
+    // union of positions per live file; sorted+distinct (writeDeleteSegment's own
+    // normal form), dangling paths dropped
+    val merged: Map[String, Seq[Long]] = perSeg.flatMap(_.toSeq)
+      .groupBy(_._1).collect { case (p, kvs) if livePaths.contains(p) =>
+        p -> kvs.flatMap(_._2).distinct.sorted.toSeq }
+    val newDeletes =
+      if (merged.isEmpty) Nil else Seq(ManifestTables.writeDeleteSegment(dir, merged))
+    var attempt = 0
+    while (true) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      // serializable validation: a NEW delete segment landing mid-rewrite would be
+      // silently dropped by publishing the stale merge; a file-set change (append,
+      // overwrite, compaction) invalidates the dangling classification. Abort on
+      // either — this op is cheap to re-run on the fresh state.
+      if (refs.deletes != planRefs.deletes || refs.eqDeletes != planRefs.eqDeletes ||
+          ManifestTables.entriesOf(dir, refs).map(_.path).toSet != livePaths) {
+        newDeletes.foreach(d => try Files.deleteIfExists(Paths.get(dir, "_manifests", d))
+          catch { case _: Exception => })
+        return None
+      }
+      val next = refs.snapshot + 1 // pin from the refs already read (CAS ordering rule)
+      if (ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
+          refs.inline, refs.segments, next,
+          partTypes = ManifestTables.readPartitionTypes(dir), schemaDdl = refs.schemaDdl,
+          deletes = newDeletes, eqDeletes = refs.eqDeletes,
+          colIds = refs.colIds, operation = "rewrite-deletes")) {
+        return Some(next)
+      }
+      attempt += 1
+      if (attempt >= 64) {
+        throw new IllegalStateException(
+          s"rewritePositionDeletes on $dir lost the snapshot race $attempt times")
+      }
+      Thread.sleep(math.min(1000L, 20L * attempt) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+    }
+    None // unreachable
+  }
+
   /** One rewritten bin: the source entries it replaces and the replacement entry. */
   private case class Rewrite(sources: Seq[ManifestTables.Entry], replacement: ManifestTables.Entry)
 

@@ -1328,6 +1328,64 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(ids() == Seq(5L, 6L, 8L, 30L))
   }
 
+  test("rewritePositionDeletes: segments fold to one, dangling positions drop, " +
+      "metadata-only, idempotent; fully-dead segments already pruned by DELETE") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_rpd").toString
+    val tblDir = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "lang_p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "lang_p").mode("append").save(tblDir)
+    append((1L, "en"), (2L, "en"), (3L, "en")) // file A
+    append((4L, "fr"), (5L, "fr"), (6L, "fr")) // file B
+    spark.conf.set("spark.sql.catalog.graft_rpd", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rpd.warehouse", wh)
+    def parquets(): Set[String] = {
+      val w = Files.walk(Paths.get(tblDir))
+      try {
+        val it = w.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) { val s = it.next().toString; if (s.endsWith(".parquet")) b += s }
+        b.result()
+      } finally w.close()
+    }
+    def ids() = spark.sql("SELECT id FROM graft_rpd.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // nothing to fold on a delete-free table
+    assert(ManifestMaintenance.rewritePositionDeletes(tblDir).isEmpty)
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft_rpd.ns.t WHERE id IN (1, 4)") // A pos 0, B pos 0
+      spark.sql("DELETE FROM graft_rpd.ns.t WHERE id IN (2, 5)") // A pos 1, B pos 1
+    } finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.length == 2)
+    // metadata partition drop strands both segments' fr positions (file B leaves)
+    spark.sql("DELETE FROM graft_rpd.ns.t WHERE lang_p = 'fr'")
+    assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.length == 2)
+    val filesBefore = parquets()
+    val preSnap = ManifestTables.latestSnapshotId(tblDir).get
+    assert(ManifestMaintenance.rewritePositionDeletes(tblDir).isDefined)
+    val refs = ManifestTables.readSnapshotRefs(tblDir, None)
+    assert(refs.deletes.length == 1, refs.deletes.mkString(","))
+    // the merged segment holds ONLY file A's positions, union of both commits
+    val seg = ManifestTables.readDeleteSegment(tblDir, refs.deletes.head)
+    assert(seg.size == 1, seg.keys.mkString(","))
+    assert(seg.head._2 == Seq(0L, 1L), seg.head._2.mkString(","))
+    assert(parquets() == filesBefore, "position-delete rewrite must not touch data files")
+    assert(ids() == Seq(3L))
+    // time travel still serves the pre-rewrite snapshot through the OLD segments
+    assert(spark.sql(s"SELECT id FROM graft_rpd.ns.t VERSION AS OF $preSnap ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // idempotent: one clean segment, nothing dangling
+    assert(ManifestMaintenance.rewritePositionDeletes(tblDir).isEmpty)
+    // a partition DELETE that kills a segment's LAST live file prunes the segment
+    // itself (livePositionalDeletes) — the rewrite then has nothing left to do
+    spark.sql("DELETE FROM graft_rpd.ns.t WHERE lang_p = 'en'")
+    assert(ManifestTables.readSnapshotRefs(tblDir, None).deletes.isEmpty)
+    assert(ManifestMaintenance.rewritePositionDeletes(tblDir).isEmpty)
+    assert(ids().isEmpty)
+  }
+
   test("merge-on-read UPDATE: delete+insert delta — no touched file rewritten, " +
       "replacement rows append; partition moves work; compaction folds") {
     import spark.implicits._
