@@ -1919,8 +1919,9 @@ object CorpusQueries {
       require(m.positionalDeleteSegments(tbl).size == 3,
         "setup: expected one positional-delete segment per MoR DELETE commit")
       val filesBefore = m.liveDataFiles(tbl).map(_._1).toSet
-      require(m.rewritePositionDeletes(tbl).isDefined,
-        "rewritePositionDeletes found nothing to fold")
+      // driven through the SQL procedure surface (the production entry point)
+      require(!s.sql(s"CALL $cat.system.rewrite_position_deletes('corpus.docs')")
+        .head().isNullAt(0), "rewrite_position_deletes found nothing to fold")
       require(m.positionalDeleteSegments(tbl).size == 1,
         "rewrite must consolidate to exactly one positional segment")
       require(m.liveDataFiles(tbl).map(_._1).toSet == filesBefore,

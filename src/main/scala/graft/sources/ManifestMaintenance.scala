@@ -110,9 +110,13 @@ object ManifestMaintenance {
   /** Bin-packs and rewrites small data files; returns the new snapshot id, or None
     * when no partition holds a packable bin (the table is left untouched — no
     * snapshot is published). `targetBytes` is both the pack bound and the "already
-    * big enough" cutoff.
+    * big enough" cutoff. `onlyPartitions` scopes the rewrite to the named (joined)
+    * partition values — Iceberg's `rewrite_data_files(where => ...)`: at 100 TB a
+    * table is never compacted whole; the streaming-fed HOT partition compacts on a
+    * tight loop while cold history stays untouched (and uncharged).
     */
-  def compactDataFiles(spark: SparkSession, dir: String, targetBytes: Long): Option[Int] = {
+  def compactDataFiles(spark: SparkSession, dir: String, targetBytes: Long,
+      onlyPartitions: Option[Set[String]] = None): Option[Int] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val partCols = ManifestTables.readPartitionSpec(dir)
     val schema = ManifestDataSource.tableSchema(dir)
@@ -132,6 +136,7 @@ object ManifestMaintenance {
     // a file with recorded deletes always packs (even alone): folding the delete is
     // itself the maintenance win
     val rewrites: Seq[Rewrite] = entries.groupBy(_.partition).toSeq.sortBy(_._1)
+      .filter { case (joined, _) => onlyPartitions.forall(_.contains(joined)) }
       .flatMap { case (joined, es) =>
         packBins(es, targetBytes)
           .filter(bin => bin.length >= 2 ||

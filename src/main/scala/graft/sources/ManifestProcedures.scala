@@ -107,17 +107,35 @@ private[sources] object ManifestProcedures {
     },
     new Proc(warehouse, "expire_snapshots",
         "Remove all but the newest keep_last snapshots (tagged ones always stay), " +
-          "then delete segments and data files no retained snapshot references",
+          "then delete segments and data files no retained snapshot references; " +
+          "older_than switches to age-based retention (expire strictly older " +
+          "commits, still keeping at least keep_last)",
         Seq(tableParam, ProcedureParameter.in("keep_last", IntegerType)
-          .defaultValue("1").build()),
+          .defaultValue("1").build(),
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("NULL").build()),
         new StructType().add("expired_snapshots", IntegerType, nullable = false)
           .add("deleted_segments", IntegerType, nullable = false)
           .add("deleted_data_files", IntegerType, nullable = false)) {
       override protected def run(args: InternalRow): Seq[Any] = {
-        val (s, seg, d) = ManifestTables.expireSnapshots(
-          dirOf(args.getUTF8String(0).toString), args.getInt(1))
+        val dir = dirOf(args.getUTF8String(0).toString)
+        val (s, seg, d) =
+          if (args.isNullAt(2)) ManifestTables.expireSnapshots(dir, args.getInt(1))
+          else ManifestTables.expireSnapshotsOlderThan(dir,
+            args.getLong(2) / 1000L, // timestamp micros -> commit-ts millis
+            retainLast = args.getInt(1))
         Seq(s, seg, d)
       }
+    },
+    new Proc(warehouse, "rewrite_position_deletes",
+        "Merge all merge-on-read positional-delete segments into one and drop " +
+          "dangling references; metadata-only (no data file read or written); " +
+          "no-op returns NULL",
+        Seq(tableParam),
+        new StructType().add("snapshot_id", LongType, nullable = true)) {
+      override protected def run(args: InternalRow): Seq[Any] =
+        Seq(ManifestMaintenance.rewritePositionDeletes(
+          dirOf(args.getUTF8String(0).toString)).map(_.toLong).orNull)
     },
     new Proc(warehouse, "compact_manifests",
         "Fold inline entries + every segment into one fresh segment (appends stay " +
@@ -130,12 +148,20 @@ private[sources] object ManifestProcedures {
     },
     new Proc(warehouse, "rewrite_data_files",
         "Bin-pack small data files up to target_bytes per partition, applying " +
-          "pending positional/equality deletes; no-op returns NULL",
-        Seq(tableParam, in("target_bytes", LongType)),
+          "pending positional/equality deletes; partition_value scopes the " +
+          "rewrite to one (joined) partition — compact the hot partition on a " +
+          "tight loop, leave cold history untouched; no-op returns NULL",
+        Seq(tableParam, in("target_bytes", LongType),
+          ProcedureParameter.in("partition_value", StringType)
+            .defaultValue("NULL").build()),
         new StructType().add("snapshot_id", LongType, nullable = true)) {
-      override protected def run(args: InternalRow): Seq[Any] =
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val only = if (args.isNullAt(2)) None
+          else Some(Set(args.getUTF8String(2).toString))
         Seq(ManifestMaintenance.compactDataFiles(SparkSession.active,
-          dirOf(args.getUTF8String(0).toString), args.getLong(1)).map(_.toLong).orNull)
+          dirOf(args.getUTF8String(0).toString), args.getLong(1), only)
+          .map(_.toLong).orNull)
+      }
     },
     new Proc(warehouse, "create_branch",
         "Fork a writable branch from the current head (or snapshot_id): branch " +

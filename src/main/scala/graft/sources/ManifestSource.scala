@@ -1483,6 +1483,31 @@ object ManifestTables {
     (expired.length, deadSegs.size + deadDels.size, deadData.size)
   }
 
+  /** AGE-based retention (Iceberg's `expire_snapshots(older_than, retain_last)`):
+    * expires every snapshot whose commit timestamp is strictly older than
+    * `olderThanMillis` (epoch ms), always retaining at least the `retainLast`
+    * newest. History is linear, so age expiry is a PREFIX cut — a younger snapshot
+    * never expires before an older one (a mid-history gap would break time
+    * travel's "every retained id is servable" contract); the cut point resolves
+    * from commit timestamps and the work delegates to [[expireSnapshots]], so
+    * tagged snapshots, branch roots, staged heads, and sink watermarks keep the
+    * exact same protections.
+    */
+  def expireSnapshotsOlderThan(dir: String, olderThanMillis: Long,
+      retainLast: Int = 1): (Int, Int, Int) = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val snaps = snapshotIds(dir)
+    if (snaps.isEmpty) return (0, 0, 0)
+    // commit timestamps are non-decreasing in snapshot order (one writer commits
+    // at a time under the CAS), so the first at-or-after-cutoff snapshot starts
+    // the retained suffix; everything before it is age-expired
+    val keepFrom = snaps.indexWhere(id => snapshotTsAndNote(dir, id)._1 >= olderThanMillis)
+    val keepCount = if (keepFrom < 0) 0 else snaps.length - keepFrom
+    val keepLast = math.max(retainLast, keepCount)
+    if (keepLast >= snaps.length) return (0, 0, 0)
+    expireSnapshots(dir, keepLast)
+  }
+
   /** Delete data files under `dir` referenced by NO committed snapshot and older
     * than `olderThanMillis` — crashed/speculative task leftovers and aborted writes
     * (remove_orphan_files). The age guard keeps in-flight writers' files safe: a

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** MODEL-BASED random DML battery for the manifest table format: a SEEDED random
+  * sequence of table operations runs against both the real table (through the
+  * production DSv2 write path and the SQL DML/CALL surfaces) and a driver-local
+  * reference model (a plain Map[id -> (v, p)]); after EVERY step the full table
+  * read must equal the model exactly, and periodic rollbacks must restore the
+  * model state recorded at the target snapshot.
+  *
+  * The point is INTERACTIONS: merge-on-read positional deltas under compaction,
+  * equality upserts stacked over positional deletes, maintenance folds between
+  * reads, copy-on-write rewrites over delta-carrying files, rollback across all
+  * of it — the compositions no single-purpose spec covers. Every
+  * single-operation property already has its own gate; this battery is the
+  * regression net for the pairs nobody thought to write.
+  */
+class ManifestModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-manifest-model-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  test("40-step seeded random DML sequence matches the reference model after every step") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_model").toString
+    val tbl = s"$wh/ns/t"
+    val cat = "graft_model_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+
+    val rnd = new scala.util.Random(0xD1CE)
+    val parts = Array("a", "b", "c")
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, String)]
+    // model state AS OF each published snapshot id — the rollback oracle
+    val history = scala.collection.mutable.Map.empty[Int, Map[Long, (Long, String)]]
+    var nextId = 0L
+
+    def appendRows(k: Int, upsert: Boolean): String = {
+      val rows = (0 until k).map { _ =>
+        val id = if (upsert && model.nonEmpty && rnd.nextBoolean()) {
+          val keys = model.keysIterator.toIndexedSeq // overwrite an existing id
+          keys(rnd.nextInt(keys.length))
+        } else { nextId += 1; nextId }
+        (id, rnd.nextInt(1000).toLong, parts(rnd.nextInt(parts.length)))
+      }
+      // distinct ids per batch: the upsert's within-batch semantics (last wins vs
+      // both land) is not what this battery targets
+      val distinctRows = rows.groupBy(_._1).map(_._2.head).toSeq
+      val w = distinctRows.toDF("id", "v", "p").coalesce(1 + rnd.nextInt(2))
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode("append")
+      (if (upsert) w.option("upsertkey", "id") else w).save(tbl)
+      distinctRows.foreach { case (id, v, p) =>
+        if (upsert) model(id) = (v, p)
+        else { assert(!model.contains(id)); model(id) = (v, p) }
+      }
+      s"${if (upsert) "upsert" else "append"}(${distinctRows.length})"
+    }
+
+    def predDelete(mor: Boolean): String = {
+      val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+      if (mor) spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try spark.sql(s"DELETE FROM $cat.ns.t WHERE id % $m = $r")
+      finally if (mor) spark.conf.unset("spark.graft.manifest.deleteMode")
+      val dead = model.keysIterator.filter(id => id % m == r).toSeq
+      dead.foreach(model.remove)
+      s"${if (mor) "mor" else "cow"}_delete(%$m=$r,-${dead.length})"
+    }
+
+    def predUpdate(mor: Boolean): String = {
+      val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m); val add = 1000L
+      if (mor) spark.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
+      try spark.sql(s"UPDATE $cat.ns.t SET v = v + $add WHERE id % $m = $r")
+      finally if (mor) spark.conf.unset("spark.graft.manifest.updateMode")
+      var hit = 0
+      model.keysIterator.toSeq.foreach { id =>
+        if (id % m == r) { val (v, p) = model(id); model(id) = (v + add, p); hit += 1 }
+      }
+      s"${if (mor) "mor" else "cow"}_update(%$m=$r,~$hit)"
+    }
+
+    def partitionDelete(): String = {
+      val p = parts(rnd.nextInt(parts.length))
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE p = '$p'")
+      val dead = model.collect { case (id, (_, pp)) if pp == p => id }.toSeq
+      dead.foreach(model.remove)
+      s"partition_delete($p,-${dead.length})"
+    }
+
+    def maintenance(kind: Int): String = kind match {
+      case 0 => s"compact(${ManifestMaintenance.compactDataFiles(spark, tbl, 64L << 20)})"
+      case 1 => s"fold(${ManifestTables.compact(tbl)})"
+      case 2 => s"rewrite_posdel(${ManifestMaintenance.rewritePositionDeletes(tbl)})"
+      case _ => s"cluster(${ManifestMaintenance.clusterBy(spark, tbl, Seq("v"), 64L << 20)})"
+    }
+
+    def rollback(): String = {
+      val snaps = ManifestTables.snapshotIds(tbl).filter(history.contains)
+      if (snaps.length < 2) return "rollback(skipped)"
+      val target = snaps(rnd.nextInt(snaps.length))
+      val cur = ManifestTables.rollbackTo(tbl, target)
+      model.clear(); model ++= history(target)
+      s"rollback($target->$cur)"
+    }
+
+    def check(step: Int, op: String): Unit = {
+      val got = spark.sql(s"SELECT id, v, p FROM $cat.ns.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val want = model.toSeq.map { case (id, (v, p)) => (id, v, p) }.sortBy(_._1)
+      assert(got == want,
+        s"step $step [$op]: table=${got.take(30)}... model=${want.take(30)}...")
+      ManifestTables.latestSnapshotId(tbl).foreach(id => history(id) = model.toMap)
+    }
+
+    appendRows(8, upsert = false); check(0, "bootstrap")
+    (1 to 40).foreach { step =>
+      val op = rnd.nextInt(100) match {
+        case x if x < 25 => appendRows(3 + rnd.nextInt(8), upsert = false)
+        case x if x < 40 => appendRows(3 + rnd.nextInt(6), upsert = true)
+        case x if x < 52 => predDelete(mor = true)
+        case x if x < 60 => predDelete(mor = false)
+        case x if x < 68 => predUpdate(mor = true)
+        case x if x < 76 => predUpdate(mor = false)
+        case x if x < 80 => partitionDelete()
+        case x if x < 94 => maintenance(rnd.nextInt(4))
+        case _ => rollback()
+      }
+      check(step, op)
+    }
+    // end-state sanity: the sequence actually exercised a non-trivial table
+    assert(model.nonEmpty, "the random walk emptied the table — reseed the weights")
+  }
+}

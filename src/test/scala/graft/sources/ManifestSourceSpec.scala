@@ -3202,7 +3202,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     // the procedure surface is introspectable through plain SQL
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("rollback_to_snapshot") && listed.size == 13, listed)
+    assert(listed.contains("rollback_to_snapshot") && listed.size == 14, listed)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.expire_snapshots")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("expire_snapshots"), desc)
@@ -3224,6 +3224,57 @@ class ManifestSourceSpec extends AnyFunSuite {
       s"CALL $cat.system.rollback_to_snapshot('ns.t', ${1L << 32})").collect())
     assert(e3.getMessage.contains("out of range") ||
       Option(e3.getCause).exists(_.getMessage.contains("out of range")), e3.getMessage)
+  }
+
+  test("partition-scoped rewrite_data_files, CALL rewrite_position_deletes, and " +
+      "age-based expire_snapshots(older_than) through SQL") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_proc2").toString
+    val cat = "graft_proc2_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[ManifestCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$wh/ns/t"
+    def append(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode("append").save(tbl)
+    append((1L, "a"), (2L, "a")) // snap 0
+    append((3L, "a"))            // snap 1: second small file in a
+    append((4L, "b"))            // snap 2
+    append((5L, "b"))            // snap 3: second small file in b
+    def ids() = spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // partition-scoped compaction: only partition a packs; b keeps BOTH files
+    val before = ManifestMaintenance.liveDataFiles(tbl)
+    assert(before.count(_._3 == "a") == 2 && before.count(_._3 == "b") == 2)
+    val rw = spark.sql(s"CALL $cat.system.rewrite_data_files('ns.t', " +
+      s"${8L << 20}, partition_value => 'a')").head()
+    assert(!rw.isNullAt(0), "scoped rewrite found nothing to pack")
+    val after = ManifestMaintenance.liveDataFiles(tbl)
+    assert(after.count(_._3 == "a") == 1, after.mkString(","))
+    assert(after.filter(_._3 == "b").toSet == before.filter(_._3 == "b").toSet,
+      "partition b must be untouched by a rewrite scoped to a")
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 5L))
+    // two MoR deletes stack two segments; CALL rewrite_position_deletes folds them
+    spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 1")
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 2")
+    } finally spark.conf.unset("spark.graft.manifest.deleteMode")
+    assert(ManifestTables.readSnapshotRefs(tbl, None).deletes.length == 2)
+    assert(!spark.sql(s"CALL $cat.system.rewrite_position_deletes('ns.t')")
+      .head().isNullAt(0))
+    assert(ManifestTables.readSnapshotRefs(tbl, None).deletes.length == 1)
+    assert(ids() == Seq(3L, 4L, 5L))
+    // age cutoff at epoch 0: every commit is younger — a no-op (prefix cut is empty)
+    assert(ManifestTables.expireSnapshotsOlderThan(tbl, 0L) == ((0, 0, 0)))
+    // far-future cutoff through CALL: everything is older, keep_last floors it at 2
+    val nSnaps = ManifestTables.snapshotIds(tbl).length
+    val ex = spark.sql(s"CALL $cat.system.expire_snapshots(table => 'ns.t', " +
+      s"keep_last => 2, older_than => TIMESTAMP '2100-01-01 00:00:00')").head()
+    assert(ex.getInt(0) == nSnaps - 2, ex.toString)
+    assert(ManifestTables.snapshotIds(tbl).length == 2)
+    assert(ids() == Seq(3L, 4L, 5L), "age expiry must not move the live answer")
   }
 
   test("write-audit-publish: staged appends stay invisible, audit reads parent+delta, " +
@@ -3492,7 +3543,7 @@ class ManifestSourceSpec extends AnyFunSuite {
     // the procedure surface is complete and introspectable
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed.contains("fast_forward") && listed.size == 13, listed)
+    assert(listed.contains("fast_forward") && listed.size == 14, listed)
     // fast_forward through SQL; the published table answers by name
     assert(spark.sql(s"CALL $cat.system.fast_forward('ns.t', 'dev')")
       .head().getLong(0) == 1L)
