@@ -13,10 +13,12 @@ import java.nio.file.Files
   *
   * The point is INTERACTIONS: merge-on-read positional deltas under compaction,
   * equality upserts stacked over positional deletes, maintenance folds between
-  * reads, copy-on-write rewrites over delta-carrying files, rollback across all
-  * of it — the compositions no single-purpose spec covers. Every
-  * single-operation property already has its own gate; this battery is the
-  * regression net for the pairs nobody thought to write.
+  * reads, copy-on-write rewrites over delta-carrying files, a mid-walk column
+  * RENAME that every later operation (and rollback) must resolve through the
+  * column-id registry, snapshot expiry shrinking the rollback horizon — the
+  * compositions no single-purpose spec covers. Every single-operation property
+  * already has its own gate; this battery is the regression net for the pairs
+  * nobody thought to write.
   */
 class ManifestModelSpec extends AnyFunSuite {
 
@@ -39,8 +41,12 @@ class ManifestModelSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(0xD1CE)
     val parts = Array("a", "b", "c")
     val model = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, String)]
-    // model state AS OF each published snapshot id — the rollback oracle
-    val history = scala.collection.mutable.Map.empty[Int, Map[Long, (Long, String)]]
+    // the value column's LIVE name — renamed mid-walk; a rollback across the
+    // rename restores the old name (the snapshot carries its schema + registry)
+    var vcol = "v"
+    // model state + live column name AS OF each published snapshot id
+    val history =
+      scala.collection.mutable.Map.empty[Int, (Map[Long, (Long, String)], String)]
     var nextId = 0L
 
     def appendRows(k: Int, upsert: Boolean): String = {
@@ -54,7 +60,7 @@ class ManifestModelSpec extends AnyFunSuite {
       // distinct ids per batch: the upsert's within-batch semantics (last wins vs
       // both land) is not what this battery targets
       val distinctRows = rows.groupBy(_._1).map(_._2.head).toSeq
-      val w = distinctRows.toDF("id", "v", "p").coalesce(1 + rnd.nextInt(2))
+      val w = distinctRows.toDF("id", vcol, "p").coalesce(1 + rnd.nextInt(2))
         .write.format(classOf[ManifestDataSource].getName)
         .option("partcol", "p").mode("append")
       (if (upsert) w.option("upsertkey", "id") else w).save(tbl)
@@ -78,7 +84,7 @@ class ManifestModelSpec extends AnyFunSuite {
     def predUpdate(mor: Boolean): String = {
       val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m); val add = 1000L
       if (mor) spark.conf.set("spark.graft.manifest.updateMode", "merge-on-read")
-      try spark.sql(s"UPDATE $cat.ns.t SET v = v + $add WHERE id % $m = $r")
+      try spark.sql(s"UPDATE $cat.ns.t SET $vcol = $vcol + $add WHERE id % $m = $r")
       finally if (mor) spark.conf.unset("spark.graft.manifest.updateMode")
       var hit = 0
       model.keysIterator.toSeq.foreach { id =>
@@ -99,7 +105,20 @@ class ManifestModelSpec extends AnyFunSuite {
       case 0 => s"compact(${ManifestMaintenance.compactDataFiles(spark, tbl, 64L << 20)})"
       case 1 => s"fold(${ManifestTables.compact(tbl)})"
       case 2 => s"rewrite_posdel(${ManifestMaintenance.rewritePositionDeletes(tbl)})"
-      case _ => s"cluster(${ManifestMaintenance.clusterBy(spark, tbl, Seq("v"), 64L << 20)})"
+      case 3 =>
+        s"cluster(${ManifestMaintenance.clusterBy(spark, tbl, Seq(vcol), 64L << 20)})"
+      case _ =>
+        // expiry shrinks the rollback horizon; keepLast=5 so some targets survive
+        s"expire(${ManifestTables.expireSnapshots(tbl, keepLast = 5)})"
+    }
+
+    var renameN = 1
+    def rename(): String = {
+      val from = vcol
+      renameN += 1
+      vcol = s"v$renameN" // always a FRESH name: reuse is rejected by design
+      spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN $from TO $vcol")
+      s"rename($from->$vcol)"
     }
 
     def rollback(): String = {
@@ -107,32 +126,35 @@ class ManifestModelSpec extends AnyFunSuite {
       if (snaps.length < 2) return "rollback(skipped)"
       val target = snaps(rnd.nextInt(snaps.length))
       val cur = ManifestTables.rollbackTo(tbl, target)
-      model.clear(); model ++= history(target)
-      s"rollback($target->$cur)"
+      val (m, vc) = history(target)
+      model.clear(); model ++= m; vcol = vc
+      s"rollback($target->$cur,$vc)"
     }
 
     def check(step: Int, op: String): Unit = {
-      val got = spark.sql(s"SELECT id, v, p FROM $cat.ns.t ORDER BY id")
+      val got = spark.sql(s"SELECT id, $vcol, p FROM $cat.ns.t ORDER BY id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
       val want = model.toSeq.map { case (id, (v, p)) => (id, v, p) }.sortBy(_._1)
       assert(got == want,
         s"step $step [$op]: table=${got.take(30)}... model=${want.take(30)}...")
-      ManifestTables.latestSnapshotId(tbl).foreach(id => history(id) = model.toMap)
+      ManifestTables.latestSnapshotId(tbl).foreach(id => history(id) = (model.toMap, vcol))
     }
 
     appendRows(8, upsert = false); check(0, "bootstrap")
     (1 to 40).foreach { step =>
-      val op = rnd.nextInt(100) match {
-        case x if x < 25 => appendRows(3 + rnd.nextInt(8), upsert = false)
-        case x if x < 40 => appendRows(3 + rnd.nextInt(6), upsert = true)
-        case x if x < 52 => predDelete(mor = true)
-        case x if x < 60 => predDelete(mor = false)
-        case x if x < 68 => predUpdate(mor = true)
-        case x if x < 76 => predUpdate(mor = false)
-        case x if x < 80 => partitionDelete()
-        case x if x < 94 => maintenance(rnd.nextInt(4))
-        case _ => rollback()
-      }
+      val op =
+        if (step == 13 || step == 27) rename()
+        else rnd.nextInt(100) match {
+          case x if x < 25 => appendRows(3 + rnd.nextInt(8), upsert = false)
+          case x if x < 40 => appendRows(3 + rnd.nextInt(6), upsert = true)
+          case x if x < 52 => predDelete(mor = true)
+          case x if x < 60 => predDelete(mor = false)
+          case x if x < 68 => predUpdate(mor = true)
+          case x if x < 76 => predUpdate(mor = false)
+          case x if x < 80 => partitionDelete()
+          case x if x < 94 => maintenance(rnd.nextInt(5))
+          case _ => rollback()
+        }
       check(step, op)
     }
     // end-state sanity: the sequence actually exercised a non-trivial table
