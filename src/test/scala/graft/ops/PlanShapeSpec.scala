@@ -37,6 +37,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan reads columns the query never uses: $readSchema")
   }
 
+  test("q86: chunk dedup prunes the documents scan to its three columns and " +
+      "keeps the keeper join a hash join") {
+    val p = plan("q86_chunk_dedup")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"chunk dedup reads columns it never uses: $readSchema")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keeper join degraded to a nested loop:\n${p.take(1500)}")
+  }
+
   test("q03: both dimension joins are broadcast hash joins (fact side streams)") {
     val p = plan("q03_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
