@@ -1934,6 +1934,55 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang_p ORDER BY lang""".stripMargin)
     }),
 
+    // --- `.manifests` METADATA TABLE (Iceberg `.manifests` inspection analog)
+    //     under the gate: three single-file appends surface as one data segment
+    //     EACH (the O(fresh+segments) commit discipline made externally visible),
+    //     CALL compact_manifests folds them into exactly one data segment, and a
+    //     merge-on-read DELETE adds a position-delete segment whose entry count
+    //     equals the rows it removed — each layering state pinned by requires
+    //     against the SQL-served metadata table, then the final per-lang aggregate
+    //     must still match the relational oracle (layering never moves an answer). ---
+    "q63ae_manifests_table" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63ae", dir)
+      val tbl = s"$wh/corpus/docs"
+      val cat = s"graft_q63ae_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.format("graft.sources.ManifestDataSource").mode("overwrite").save(tbl)
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(tbl)
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(tbl)
+      val meta = s"$cat.corpus.docs.manifests"
+      val fresh = s.sql(s"SELECT content, entries, file_bytes, path FROM $meta").collect()
+      require(fresh.length == 3 && fresh.forall(r => r.getString(0) == "data" &&
+        r.getLong(1) == 1 && !r.isNullAt(2) && r.getString(3) != "<inline>"),
+        "three single-file appends must surface as three 1-entry data segments " +
+          s"(O(fresh+segments) commits); got ${fresh.mkString(";")}")
+      s.sql(s"CALL $cat.system.compact_manifests('corpus.docs')").collect()
+      val folded = s.sql(s"SELECT content, entries, file_bytes, path FROM $meta").collect()
+      require(folded.length == 1 && folded(0).getString(0) == "data" &&
+        folded(0).getLong(1) == 3 && !folded(0).isNullAt(2) &&
+        folded(0).getString(3) != "<inline>",
+        "compact_manifests must fold the inline entries into exactly one data " +
+          s"segment; got ${folded.mkString(";")}")
+      s.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 10 = 7")
+      finally s.conf.unset("spark.graft.manifest.deleteMode")
+      val dels = s.sql(
+        s"SELECT entries FROM $meta WHERE content = 'position-deletes'").collect()
+      val expectDel = docs.filter(col("doc_id") % 10 === 7).count()
+      require(dels.length == 1 && dels(0).getLong(0) == expectDel,
+        "the MoR DELETE must surface as one position-delete manifest row with one " +
+          s"(path,pos) entry per deleted row ($expectDel); got ${dels.mkString(";")}")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
     //     commits): a candidate batch lands as a staged head NO reader sees (the
     //     require pins invisibility), an audit read (`wapId` option) serves
@@ -3055,6 +3104,39 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Gopher-style composite quality filter (Rae et al. 2021 "Scaling Language
+    //     Models", appendix A1.1 rule shapes, thresholds adapted to the synthetic
+    //     vocabulary): five rules composed per document, all in INTEGER math
+    //     (mean-word-length and ratio rules cross-multiplied) so the DuckDB gate is
+    //     bit-exact. Scale shape: pure per-row map, no shuffle — the top-word count
+    //     is a HOF over the row's own (length-capped) word list. ---
+    "q87_gopher_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("n_wchars",
+          aggregate(col("w"), lit(0L), (a, x) => a + length(x).cast("long")))
+        .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("n_stop",
+          size(array_intersect(col("w"), array(lit("the"), lit("a"), lit("of"))))
+            .cast("long"))
+        .withColumn("top_cnt",
+          array_max(transform(array_distinct(col("w")),
+            d => size(filter(col("w"), x => x === d)))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("n_wchars"),
+          col("n_distinct"), col("n_stop"), col("top_cnt"),
+          (col("n_words") >= 30 && col("n_words") <= 80).as("r_wordcount"),
+          (col("n_wchars") >= col("n_words") * 4 &&
+            col("n_wchars") <= col("n_words") * 7).as("r_meanlen"),
+          (col("n_stop") >= 2).as("r_stopwords"),
+          ((col("n_words") - col("n_distinct")) * 2 <= col("n_words")).as("r_dupfrac"),
+          (col("top_cnt") * 10 <= col("n_words")).as("r_topword"))
+        .withColumn("pass",
+          col("r_wordcount") && col("r_meanlen") && col("r_stopwords") &&
+            col("r_dupfrac") && col("r_topword"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -3632,6 +3714,12 @@ object CorpusQueries {
         |WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 AND doc_id % 13 <> 8
         |  AND lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63ae: the layering states are pinned by in-query requires; the oracle pins
+    // that inline -> folded-segment -> position-delete layering never moves the answer
+    "q63ae_manifests_table" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 10 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63aa: pushed COUNT(col) over footer null counts == the row-level recount
     "q63aa_count_pushdown" ->
       """SELECT lang, count(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS n_scored,
@@ -3850,6 +3938,32 @@ object CorpusQueries {
         |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
         |FROM k WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q87: Gopher-style composite quality filter — five integer-exact rules
+    "q87_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS n_wchars,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(list_distinct(w), x -> x IN ('the','a','of'))) AS BIGINT) AS n_stop,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_cnt
+        |  FROM f
+        |)
+        |SELECT doc_id, lang, n_words, n_wchars, n_distinct, n_stop, top_cnt,
+        |  (n_words >= 30 AND n_words <= 80) AS r_wordcount,
+        |  (n_wchars >= n_words * 4 AND n_wchars <= n_words * 7) AS r_meanlen,
+        |  (n_stop >= 2) AS r_stopwords,
+        |  ((n_words - n_distinct) * 2 <= n_words) AS r_dupfrac,
+        |  (top_cnt * 10 <= n_words) AS r_topword,
+        |  (n_words >= 30 AND n_words <= 80
+        |   AND n_wchars >= n_words * 4 AND n_wchars <= n_words * 7
+        |   AND n_stop >= 2
+        |   AND (n_words - n_distinct) * 2 <= n_words
+        |   AND top_cnt * 10 <= n_words) AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q74_pipeline_manifest" -> perSinkRoutedSql,
     "q75_incremental_index" -> perSinkRoutedSql
   )

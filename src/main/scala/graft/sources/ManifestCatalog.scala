@@ -72,7 +72,9 @@ class ManifestCatalog extends TableCatalog
 
   /** Iceberg-style METADATA tables by name suffix: `cat.ns.t.files` (live data
     * files + partition values), `cat.ns.t.snapshots` (history: id, commit time,
-    * note, segment counts, live file count), `cat.ns.t.tags` (named refs). Served
+    * note, segment counts, live file count), `cat.ns.t.tags` (named refs),
+    * `cat.ns.t.refs` (main + tags + branches), `cat.ns.t.partitions` (per-partition
+    * rollup), `cat.ns.t.manifests` (layered manifest segments by content). Served
     * only when the suffix does NOT shadow a real table directory (a genuine table
     * named `files` wins; list it the normal way).
     */
@@ -152,6 +154,43 @@ class ManifestCatalog extends TableCatalog
                 if (es.exists(_.rows < 0)) null else es.map(_.rows).sum
               vals ++ Seq(es.size.toLong, es.map(_.bytes).sum, rows)
             }))
+      case "manifests" =>
+        // layered-manifest inspection (Iceberg `.manifests` analog): one row per
+        // manifest segment the LATEST snapshot references — data segments,
+        // position-delete segments, equality-delete segments (Iceberg's `content`
+        // field) — plus one synthetic '<inline>' row for fresh entries still riding
+        // in the snapshot head (not yet folded; Iceberg has no inline state, so the
+        // label is ours and its file_bytes is null). `entries` counts manifest
+        // ENTRIES: data files, (path,pos) pairs, or delete-key values respectively.
+        val schema = new StructType()
+          .add("path", StringType, nullable = false)
+          .add("content", StringType, nullable = false)
+          .add("entries", LongType, nullable = false)
+          .add("file_bytes", LongType, nullable = true)
+        Some(new ManifestMetaTable(s"manifest_manifests($parent)", schema, () => {
+          val refs = ManifestTables.readSnapshotRefs(parent, None)
+          def bytesOf(name: String): Any =
+            java.nio.file.Files.size(java.nio.file.Paths.get(parent, "_manifests", name))
+          val inline: Seq[Seq[Any]] =
+            if (refs.inline.isEmpty) Nil
+            else Seq(Seq[Any]("<inline>", "data", refs.inline.size.toLong, null))
+          val segs = refs.segments.map { seg =>
+            Seq[Any](seg, "data",
+              ManifestTables.readSegmentEntries(parent, seg, refs.snapshot).size.toLong,
+              bytesOf(seg))
+          }
+          val dels = refs.deletes.map { d =>
+            Seq[Any](d, "position-deletes",
+              ManifestTables.readDeleteSegment(parent, d).valuesIterator
+                .map(_.size.toLong).sum, bytesOf(d))
+          }
+          val eqs = refs.eqDeletes.map { e =>
+            Seq[Any](e, "equality-deletes",
+              ManifestTables.readEqDeleteSegment(parent, e).values.size.toLong,
+              bytesOf(e))
+          }
+          (inline ++ segs ++ dels ++ eqs).sortBy(r => (r(1).toString, r(0).toString))
+        }))
       case _ => None
     }
   }

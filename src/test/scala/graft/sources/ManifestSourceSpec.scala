@@ -2976,6 +2976,56 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test(".manifests metadata table: layered manifest segments by content (data, " +
+      "position-deletes, equality-deletes) plus the inline head row") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_manifests_meta").toString
+    val tbl = s"$wh/ns/t"
+    def write(rows: Seq[(Long, Long, String)], mode: String,
+        opts: Map[String, String] = Map.empty): Unit = {
+      val w = rows.toDF("id", "v", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("partcol", "p").mode(mode)
+      opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save(tbl)
+    }
+    write((0L until 8L).map(i => (i, i * 10, "a")), "overwrite")
+    write((8L until 12L).map(i => (i, i * 10, "b")), "append")
+    spark.conf.set("spark.sql.catalog.mfcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mfcat.warehouse", wh)
+    try {
+      def rows() = spark.sql(
+        "SELECT path, content, entries, file_bytes FROM mfcat.ns.t.manifests")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      val fresh = rows()
+      assert(fresh.length == 2 &&
+        fresh.forall(r => r._2 == "data" && r._3 == 1 && r._4 > 0),
+        s"two single-file appends must list as two 1-entry data segments: ${fresh.toSeq}")
+      // an upsert batch adds an equality-delete segment carrying its ONE key value
+      write(Seq((0L, 999L, "a")), "append", Map("upsertkey" -> "id"))
+      val eq = rows().filter(_._2 == "equality-deletes")
+      assert(eq.length == 1 && eq(0)._3 == 1 && eq(0)._4 > 0, rows().toSeq.toString)
+      // a merge-on-read row DELETE adds a position-deletes segment, one (path,pos)
+      spark.conf.set("spark.graft.manifest.deleteMode", "merge-on-read")
+      try spark.sql("DELETE FROM mfcat.ns.t WHERE id = 3")
+      finally spark.conf.unset("spark.graft.manifest.deleteMode")
+      val pos = rows().filter(_._2 == "position-deletes")
+      assert(pos.length == 1 && pos(0)._3 == 1 && pos(0)._4 > 0, rows().toSeq.toString)
+      // a WAP publish re-applies its staged entries INLINE at the head: the
+      // synthetic '<inline>' row surfaces them (file_bytes null — no segment file)
+      write(Seq((20L, 200L, "c")), "append", Map("wapId" -> "w1"))
+      spark.sql("CALL mfcat.system.publish_wap('ns.t', 'w1')").collect()
+      val inl = rows().filter(_._1 == "<inline>")
+      assert(inl.length == 1 && inl(0)._2 == "data" && inl(0)._3 == 1 &&
+        inl(0)._4 == -1L, rows().toSeq.toString)
+      // the layering states reconcile with the live table: 12 - 1 deleted + 1 wap
+      assert(spark.sql("SELECT count(*) FROM mfcat.ns.t").head().getLong(0) == 12L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mfcat")
+      spark.conf.unset("spark.sql.catalog.mfcat.warehouse")
+    }
+  }
+
   test("bucket SPJ: two bucket(4,user_id)-partitioned catalog tables join on the " +
       "SOURCE key with NO shuffle (storage-partitioned join through the transform)") {
     import spark.implicits._
