@@ -1983,6 +1983,58 @@ object CorpusQueries {
            |FROM $cat.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // --- COLUMN DEFAULT VALUES (Iceberg v3 default-values analog) under the gate:
+    //     `ALTER TABLE ... ADD COLUMN ... DEFAULT` is METADATA-ONLY — rows in files
+    //     that PREDATE the column serve the default at read time (the existence
+    //     default), and an INSERT that omits the column is analyzer-filled (the
+    //     current default). Requires pin that the ALTER moved no data file, that a
+    //     generation-straddling pushed MIN/MAX/COUNT over the defaulted column
+    //     equals the row-level recount (the footer partials must be default-aware,
+    //     not all-null), and the final per-lang rollup must equal the relational
+    //     oracle's CASE derivation. ---
+    "q63af_column_defaults" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63af", dir)
+      val tbl = s"$wh/corpus/docs"
+      val cat = s"graft_q63af_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, n_chars BIGINT, lang STRING)")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView(s"q63af_src_$tag")
+      s.sql(s"INSERT INTO $cat.corpus.docs SELECT doc_id, n_chars, lang " +
+        s"FROM q63af_src_$tag WHERE doc_id % 2 = 0")
+      val m = graft.sources.ManifestMaintenance
+      val filesBefore = m.liveDataFiles(tbl).map(_._1).toSet
+      s.sql(s"ALTER TABLE $cat.corpus.docs ADD COLUMN score INT DEFAULT 7")
+      require(m.liveDataFiles(tbl).map(_._1).toSet == filesBefore,
+        "ADD COLUMN DEFAULT must be metadata-only: no data file may move")
+      // gen-2 carries explicit scores; gen-3 omits the column entirely — the
+      // analyzer must fill the CURRENT default (7), not null
+      s.sql(s"INSERT INTO $cat.corpus.docs SELECT doc_id, n_chars, lang, " +
+        s"CAST(doc_id % 5 AS INT) FROM q63af_src_$tag " +
+        s"WHERE doc_id % 2 = 1 AND doc_id % 10 <> 9")
+      s.sql(s"INSERT INTO $cat.corpus.docs (doc_id, n_chars, lang) " +
+        s"SELECT doc_id, n_chars, lang FROM q63af_src_$tag WHERE doc_id % 10 = 9")
+      // generation-straddling pushed aggregate: pre-ALTER footers have NO chunk for
+      // `score`, so the partials must come from the declared default — an all-null
+      // partial would drag MIN to 0-from-gen-2-only / COUNT below the table size
+      val pushed = s.sql(
+        s"SELECT min(score), max(score), count(score) FROM $cat.corpus.docs").head()
+      val recount = s.sql(
+        s"""SELECT min(score), max(score), count(score) FROM (
+           |  SELECT CASE WHEN doc_id % 2 = 0 OR doc_id % 10 = 9 THEN 7
+           |              ELSE CAST(doc_id % 5 AS INT) END AS score
+           |  FROM q63af_src_$tag)""".stripMargin).head()
+      require(pushed == recount,
+        s"straddling pushed aggregate diverged: pushed=$pushed recount=$recount")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS total_score,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM $cat.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // --- WRITE-AUDIT-PUBLISH under the gate (Iceberg's spark.wap.id stage-only
     //     commits): a candidate batch lands as a staged head NO reader sees (the
     //     require pins invisibility), an audit read (`wapId` option) serves
@@ -3714,6 +3766,16 @@ object CorpusQueries {
         |WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5 AND doc_id % 13 <> 8
         |  AND lang <> 'de'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63af: defaults are pinned by in-query requires (metadata-only ALTER,
+    // default-aware straddling pushed aggregate); the oracle re-derives the rollup
+    // with the CASE the defaults imply — existence default 7 for gen-1 (pre-ALTER
+    // files), current default 7 for gen-3 (column omitted at INSERT)
+    "q63af_column_defaults" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 OR doc_id % 10 = 9 THEN 7
+        |                ELSE doc_id % 5 END) AS BIGINT) AS total_score,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63ae: the layering states are pinned by in-query requires; the oracle pins
     // that inline -> folded-segment -> position-delete layering never moves the answer
     "q63ae_manifests_table" ->

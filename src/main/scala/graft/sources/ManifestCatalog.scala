@@ -44,6 +44,17 @@ class ManifestCatalog extends TableCatalog
   }
   override def name(): String = catalogName
 
+  /** DDL with column DEFAULTs (CREATE TABLE ... DEFAULT x, ALTER ... ADD COLUMN
+    * ... DEFAULT x) only reaches a catalog that declares this capability; the
+    * manifest table serves the EXISTS default for files predating the column
+    * (Iceberg v3 default-values analog) and Spark's analyzer fills the CURRENT
+    * default into INSERTs that omit the column.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
@@ -316,7 +327,20 @@ class ManifestCatalog extends TableCatalog
           require(reg.isEmpty || !allHistoricNames.contains(n),
             s"column name '$n' was used before (renamed or dropped) — reuse would be " +
               "ambiguous for data files without field ids; pick a fresh name")
-          schema = StructType(schema.fields :+ StructField(n, a.dataType(), nullable = true))
+          val added = Option(a.defaultValue()) match {
+            case None => StructField(n, a.dataType(), nullable = true)
+            case Some(dv) =>
+              // analyzed + constant-folded by Spark before it reaches the catalog;
+              // re-rendered canonically from the literal VALUE (never the user's
+              // expression text) so the stored form is stable and re-parseable
+              val lit = dv.getValue()
+              require(lit != null,
+                s"DEFAULT for column $n must fold to a literal at ALTER time")
+              ManifestCatalog.withDefaultMeta(
+                StructField(n, a.dataType(), nullable = true),
+                ManifestCatalog.defaultLiteralSql(lit.value(), a.dataType()))
+          }
+          schema = StructType(schema.fields :+ added)
           if (reg.nonEmpty && n.matches(ManifestTables.SafeColName))
             reg = reg :+ ManifestTables.ColId(nextId, dropped = false, Seq(n))
         case r: TableChange.RenameColumn =>
@@ -407,7 +431,7 @@ class ManifestCatalog extends TableCatalog
       val next = refs.snapshot + 1
       done = ManifestTables.tryWriteSnapshotRefs(dir, ManifestTables.readPartitionColumn(dir),
         refs.inline, refs.segments, next, partTypes = ManifestTables.readPartitionTypes(dir),
-        schemaDdl = Some(schema.toDDL), deletes = refs.deletes,
+        schemaDdl = Some(ManifestTables.renderSchema(schema)), deletes = refs.deletes,
         eqDeletes = refs.eqDeletes,
         colIds = if (reg.isEmpty) refs.colIds else Some(ManifestTables.renderColIds(reg)),
         operation = "alter")
@@ -642,11 +666,64 @@ private[sources] object ManifestCatalog {
     * `requireFresh` the publication refuses (TableAlreadyExists) the moment ANY
     * snapshot exists — a plain CREATE must never swallow a concurrent creator.
     */
+  /** Column-DEFAULT value types the manifest format stores and serves. Kept to
+    * primitives whose literal text round-trips exactly through the snapshot head
+    * and whose constants the vectorized reader can serve (see
+    * ManifestDataSource.existenceDefaults / ManifestDataReaderFactory).
+    */
+  private val SupportedDefaultTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, FloatType, DoubleType, BooleanType, StringType)
+  }
+
+  private[sources] def withDefaultMeta(f: org.apache.spark.sql.types.StructField,
+      sql: String): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(ManifestTables.CurrentDefaultKey, sql)
+      .putString(ManifestTables.ExistsDefaultKey, sql).build())
+
+  /** Canonical literal text for a folded default value — floats/doubles go through
+    * CAST-from-string (shortest-repr text re-parses to the exact same IEEE value),
+    * strings double their quotes.
+    */
+  private[sources] def defaultLiteralSql(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    require(SupportedDefaultTypes.contains(dt),
+      s"column DEFAULTs are supported for int/bigint/float/double/boolean/string " +
+        s"only, got ${dt.simpleString}")
+    (dt, v) match {
+      case (_, null) => "NULL"
+      case (StringType, u) => "'" + u.toString.replace("'", "''") + "'"
+      case (FloatType, f) => s"CAST('$f' AS FLOAT)"
+      case (DoubleType, d) => s"CAST('$d' AS DOUBLE)"
+      case (LongType, l) => s"${l}L"
+      case (_, other) => other.toString // int, boolean
+    }
+  }
+
+  /** Stage/publish-time guard: every declared DEFAULT must be a supported type and
+    * must parse back (existenceDefaults throws loudly on a non-foldable text).
+    */
+  private[sources] def validateDefaults(
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    schema.fields.foreach { f =>
+      if (f.metadata.contains(ManifestTables.ExistsDefaultKey) ||
+          f.metadata.contains(ManifestTables.CurrentDefaultKey))
+        require(SupportedDefaultTypes.contains(f.dataType),
+          s"column DEFAULTs are supported for int/bigint/float/double/boolean/" +
+            s"string only; column ${f.name} is ${f.dataType.simpleString}")
+    }
+    ManifestDataSource.existenceDefaults(schema)
+  }
+
   private[sources] def publishSchemaSnapshot(dir: String,
       spec: Seq[ManifestTables.PartCol], schema: org.apache.spark.sql.types.StructType,
       requireFresh: Boolean, ident: Identifier): Unit = {
     val identityNames = spec.filter(_.transform.isEmpty).map(_.name)
     val dataCols = schema.fieldNames.toSeq.filterNot(identityNames.contains)
+    validateDefaults(schema)
     Files.createDirectories(Paths.get(dir))
     var attempt = 0
     var done = false
@@ -656,7 +733,7 @@ private[sources] object ManifestCatalog {
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
       done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
         Nil, Nil, next, partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
-        schemaDdl = Some(schema.toDDL),
+        schemaDdl = Some(ManifestTables.renderSchema(schema)),
         colIds = ManifestTables.colIdsBootstrap(dataCols),
         operation = if (next > 0) "replace" else "create")
       if (!done) {
@@ -688,6 +765,7 @@ private[sources] class StagedManifestTable(dir: String, ident: Identifier,
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   // stage-time validation: a bad spec/schema fails BEFORE the query runs
+  ManifestCatalog.validateDefaults(declared)
   private val spec: Seq[ManifestTables.PartCol] =
     if (specTokens.isEmpty) Nil
     else ManifestDataSource.parsePartColOption(specTokens.mkString(","), declared)
@@ -705,7 +783,7 @@ private[sources] class StagedManifestTable(dir: String, ident: Identifier,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ManifestWriteBuilder(dir, declared, info, stagedReplace = true,
       stagedPartTokens = Some(specTokens.mkString(",")).filter(_.nonEmpty),
-      stagedDdl = Some(declared.toDDL),
+      stagedDdl = Some(ManifestTables.renderSchema(declared)),
       stagedOp = Some(if (replaceExisting) "replace" else "create"),
       stagedRequireFresh = requireFresh,
       onCommitted = () => wrote = true)

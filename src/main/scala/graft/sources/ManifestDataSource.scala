@@ -106,7 +106,7 @@ object ManifestDataSource {
     val latest = ManifestTables.latestSnapshotId(dir)
     if (latest.isEmpty) return new StructType()
     ManifestTables.readSnapshotRefs(dir, snapshot).schemaDdl.foreach { ddl =>
-      return StructType.fromDDL(ddl)
+      return ManifestTables.parseSchema(ddl)
     }
     // the latest snapshot may be legitimately EMPTY (empty overwrite); schemas cannot
     // diverge across snapshots (appends/overwrites enforce equality), so fall back to
@@ -130,6 +130,31 @@ object ManifestDataSource {
     schemaFromFirstFile(dir, entries, ManifestTables.readPartitionSpec(dir, snapshot))
   }
 
+  /** Parsed existence-DEFAULT constants of a schema: column name -> the value rows
+    * in files that PREDATE the column serve at read time (Iceberg v3 default-values
+    * analog). Values are catalyst internals except strings, which travel as java
+    * Strings (the map ships inside serializable reader factories). The stored text
+    * is a constant-folded literal rendered at ALTER/CREATE time; parsed + cast on
+    * the DRIVER, failing loudly on anything non-foldable. A NULL default is plain
+    * null-fill — dropped here so map membership means "non-null default".
+    */
+  private[sources] def existenceDefaults(schema: StructType): Map[String, Any] =
+    schema.fields.iterator.flatMap { f =>
+      if (!f.metadata.contains(ManifestTables.ExistsDefaultKey)) None
+      else {
+        val sql = f.metadata.getString(ManifestTables.ExistsDefaultKey)
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+        require(e.foldable,
+          s"existence DEFAULT of column ${f.name} is not a foldable literal: $sql")
+        val v = org.apache.spark.sql.catalyst.expressions.Cast(e, f.dataType).eval(null)
+        if (v == null) None
+        else Some(f.name -> (v match {
+          case u: UTF8String => u.toString
+          case other => other
+        }))
+      }
+    }.toMap
+
   /** First data file's parquet footer + the spec's identity partition columns —
     * the ONE schema assembly main-chain and branch reads share. Hidden-transform
     * columns never surface (their SOURCE columns are ordinary data columns
@@ -152,7 +177,7 @@ object ManifestDataSource {
     */
   private[sources] def branchSchema(dir: String, name: String): StructType = {
     val refs = ManifestTables.readBranchRefs(dir, name)
-    refs.schemaDdl.foreach { ddl => return StructType.fromDDL(ddl) }
+    refs.schemaDdl.foreach { ddl => return ManifestTables.parseSchema(ddl) }
     val entries = ManifestTables.entriesOf(dir, refs)
     if (entries.isEmpty) return new StructType() // fork of an empty snapshot
     schemaFromFirstFile(dir, entries, ManifestTables.readBranchPartitionSpec(dir, name))
@@ -709,8 +734,8 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
       // schema from the SAME pinned snapshot, not from load-time tschema: a
       // concurrent overwrite may have redefined the schema since this relation
       // was resolved, and stamping the stale DDL would silently revert it
-      val ddl = refs.schemaDdl.getOrElse(
-        ManifestDataSource.tableSchema(dir, Some(refs.snapshot)).toDDL)
+      val ddl = refs.schemaDdl.getOrElse(ManifestTables.renderSchema(
+        ManifestDataSource.tableSchema(dir, Some(refs.snapshot))))
       done = ManifestTables.tryWriteSnapshotRefs(dir, spec.map(_.name).mkString(","),
         Nil, Nil, refs.snapshot + 1,
         partTypes = spec.map(ManifestTables.typeTokenOf).mkString(","),
@@ -1239,7 +1264,8 @@ private class ManifestDataScanBuilder(dir: String, tschema: StructType,
   override def build(): Scan = pushedAgg match {
     case Some((groupCols, aggs)) =>
       new ManifestAggScan(dir, partCols, partitionValues,
-        snapshot.orElse(aggValidatedSnapshot), groupCols, aggs, startSnapshot)
+        snapshot.orElse(aggValidatedSnapshot), groupCols, aggs, startSnapshot,
+        defaults = ManifestDataSource.existenceDefaults(tschema))
     case None =>
       val scan = new ManifestDataScan(dir, tschema, required, partCols, partitionValues,
         snapshot, limit, rowLevel.isDefined, statBounds, startSnapshot, changelog,
@@ -1539,7 +1565,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     new ManifestDataReaderFactory(fields, partCols, limit,
       forceRows = pinnedDeletes.nonEmpty || eqRowMode ||
         (changelog && rangeDeletes.nonEmpty),
-      colIds = pinnedRefs.colIds, bounds = statBounds)
+      colIds = pinnedRefs.colIds, bounds = statBounds,
+      defaults = ManifestDataSource.existenceDefaults(tschema))
   }
   override def description(): String = {
     val parts =
@@ -1962,7 +1989,9 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     // via the PER-PARTITION rowMode flag that build() sets batch-uniformly —
     // remove that flag and columnar readers would silently ignore the positions
     new ManifestDataReaderFactory(fields, partCols, None, forceRows = false,
-      colIds = ManifestTables.readSnapshotRefs(dir, None).colIds, bounds = statBounds)
+      colIds = ManifestTables.readSnapshotRefs(dir, None).colIds, bounds = statBounds,
+      defaults = ManifestDataSource.existenceDefaults(
+        ManifestDataSource.tableSchema(dir, None)))
   }
 
   override def commit(end: StreamOffset): Unit = () // snapshots are immutable; nothing to release
@@ -2016,7 +2045,7 @@ private case class ManifestMetaAggInputPartition(partition: String, values: Arra
 private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol],
     partitionValues: Map[String, Set[String]], snapshot: Option[Int],
     groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec],
-    startSnapshot: Option[Int] = None)
+    startSnapshot: Option[Int] = None, defaults: Map[String, Any] = Map.empty)
     extends Scan with Batch {
   import ManifestAggScan._
 
@@ -2152,7 +2181,7 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
     else all
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestAggReaderFactory(partCols, groupCols, aggs, pinnedRefs.colIds)
+    new ManifestAggReaderFactory(partCols, groupCols, aggs, pinnedRefs.colIds, defaults)
   override def description(): String = {
     val a = aggs.map {
       case AggCountStar => "count(*)"
@@ -2170,7 +2199,7 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
 
 private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
     groupCols: Seq[String], aggs: Seq[ManifestAggScan.AggSpec],
-    colIds: Option[String] = None)
+    colIds: Option[String] = None, defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
   import ManifestAggScan._
 
@@ -2241,7 +2270,10 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
           val wanted = aggs.collect { case AggMin(c, _) => c; case AggMax(c, _) => c }.distinct
           val merged = wanted.map { c =>
             localNameOf(c) match {
-              case None => c -> (null: Any, null: Any) // pre-ADD file: all rows null
+              // pre-ADD file: every row serves the column's existence DEFAULT when
+              // one is declared (so min = max = default), else all rows are null
+              case None => c -> (defaults.getOrElse(c, null): Any,
+                defaults.getOrElse(c, null): Any)
               case Some(local) =>
                 val chunks = blocks.map { b =>
                   b.getColumns.asScala.find(_.getPath.toDotString == local).getOrElse(
@@ -2267,7 +2299,9 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
           val wantedCounts = aggs.collect { case AggCountCol(c) => c }.distinct
           val nonNullCounts = wantedCounts.map { c =>
             localNameOf(c) match {
-              case None => c -> 0L // pre-ADD file: the column is all null here
+              // pre-ADD file: all rows serve the (non-null) existence default when
+              // one is declared, else the column is all null here
+              case None => c -> (if (defaults.contains(c)) rc else 0L)
               case Some(local) =>
                 val nulls = blocks.map { b =>
                   val chunk = b.getColumns.asScala.find(_.getPath.toDotString == local)
@@ -2351,8 +2385,19 @@ private[sources] final class WideningColumnVector(
 private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     partCols: Seq[ManifestTables.PartCol], limit: Option[Int] = None,
     forceRows: Boolean = false, colIds: Option[String] = None,
-    bounds: Seq[ManifestStats.Bound] = Nil)
+    bounds: Seq[ManifestStats.Bound] = Nil,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** Existence-DEFAULT constant a column absent from a (pre-ALTER) file serves
+    * instead of null. String defaults travel as java Strings (the factory ships to
+    * executors); converted to UTF8String here, at use.
+    */
+  private def defaultDatum(n: String): Any = defaults.get(n) match {
+    case Some(s: String) => UTF8String.fromString(s)
+    case Some(v) => v
+    case None => null
+  }
 
   // column-id registry views (rename/drop evolution): current name -> field id,
   // and current name -> full name history (for id-less legacy/maintenance files)
@@ -2605,7 +2650,8 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
         StructField(n, dt, nullable = !constNames.contains(n)) })
       val partRow: InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          appended.map { case (n, _) => if (constNames.contains(n)) partDatum(p, n) else null })
+          appended.map { case (n, _) =>
+            if (constNames.contains(n)) partDatum(p, n) else defaultDatum(n) })
       reader.initBatch(partSchema, partRow)
       val localIdx = readCols.zipWithIndex.toMap
       val colIdx: Map[String, Int] = resolve.map { case (out, loc) => out -> localIdx(loc) }
@@ -2721,8 +2767,10 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     val eqExtras = p.eqDels.map(d => (d.column, ManifestDataSource.eqDataTypeOf(d.ctype)))
       .distinct.filterNot { case (n, _) => innerBase.exists(_._1 == n) }
     val innerFields = innerBase ++ eqExtras
-    val inner = new ManifestDataReaderFactory(innerFields, partCols, None, colIds = colIds)
-      .createColumnarReader(p)
+    // defaults thread through: an equality delete keyed on a defaulted column must
+    // see the DEFAULT (not null) for rows in files that predate the column
+    val inner = new ManifestDataReaderFactory(innerFields, partCols, None,
+      colIds = colIds, defaults = defaults).createColumnarReader(p)
     val eqChecks: Array[InternalRow => Boolean] = p.eqDels.map { d =>
       val ord = innerFields.indexWhere(_._1 == d.column)
       d.ctype match {
@@ -2803,11 +2851,16 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     val missingNames = missing.map(_._1).toSet
     val vectors = fields.map { case (n, dt) =>
       val v = new ConstantColumnVector(capacity, dt)
-      if (missingNames.contains(n)) v.setNull()
-      else (dt, partDatum(p, n)) match {
+      val datum = if (missingNames.contains(n)) defaultDatum(n) else partDatum(p, n)
+      (dt, datum) match {
+        case (_, null) => v.setNull()
         case (StringType, s: UTF8String) => v.setUtf8String(s)
         case (IntegerType, i: Int) => v.setInt(i)
         case (DateType, d: Int) => v.setInt(d)
+        case (LongType, l: Long) => v.setLong(l)
+        case (FloatType, f: Float) => v.setFloat(f)
+        case (DoubleType, d: Double) => v.setDouble(d)
+        case (BooleanType, b: Boolean) => v.setBoolean(b)
         case (t, d) => throw new IllegalStateException(s"unsupported constant $t=$d")
       }
       v: org.apache.spark.sql.vectorized.ColumnVector
@@ -3346,7 +3399,7 @@ private class ManifestBatchWrite(dir: String, partCol: String, partTypes: String
                   true
               }
             }
-            val ddl = Some(StructType(base.fields ++ adds).toDDL)
+            val ddl = Some(ManifestTables.renderSchema(StructType(base.fields ++ adds)))
             val ids = prev.colIds.map { s =>
               var reg = ManifestTables.parseColIds(s)
               adds.foreach { c =>

@@ -739,6 +739,31 @@ object ManifestTables {
   private[sources] val MaxNoteLength = 256
   private val NoteHeadBytes = 512
 
+  /** Column-default metadata keys (Spark's own ResolveDefaultColumns contract):
+    * CURRENT_DEFAULT fills INSERTs that omit the column; EXISTS_DEFAULT is the
+    * value rows written BEFORE the column existed serve at read time.
+    */
+  private[sources] val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private[sources] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  private[sources] def schemaHasDefaults(s: StructType): Boolean =
+    s.fields.exists(f => f.metadata.contains(CurrentDefaultKey) ||
+      f.metadata.contains(ExistsDefaultKey))
+
+  /** Schema text for snapshot storage. Plain DDL normally; Spark's JSON form when
+    * any field carries column-DEFAULT metadata — StructType.toDDL EMITS a
+    * `DEFAULT <sql>` clause that StructType.fromDDL cannot parse back (verified on
+    * Spark 4.1), while the JSON form round-trips field metadata exactly. Old
+    * snapshots always stored DDL, so parseSchema dispatches on the leading '{'.
+    */
+  private[sources] def renderSchema(s: StructType): String =
+    if (schemaHasDefaults(s)) s.json else s.toDDL
+
+  private[sources] def parseSchema(txt: String): StructType =
+    if (txt.trim.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(txt).asInstanceOf[StructType]
+    else StructType.fromDDL(txt)
+
   private[sources] def tryWriteSnapshot(dir: String, partCol: String,
       entries: Seq[Entry], id: Int, note: String = ""): Boolean =
     tryWriteSnapshotRefs(dir, partCol, entries, Nil, id, note)

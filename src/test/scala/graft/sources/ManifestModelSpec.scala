@@ -15,7 +15,9 @@ import java.nio.file.Files
   * equality upserts stacked over positional deletes, maintenance folds between
   * reads, copy-on-write rewrites over delta-carrying files, a mid-walk column
   * RENAME that every later operation (and rollback) must resolve through the
-  * column-id registry, snapshot expiry shrinking the rollback horizon — the
+  * column-id registry, a mid-walk ADD COLUMN ... DEFAULT (pre-ADD rows serve the
+  * existence default, rewrites materialize it, rollback across the ADD restores
+  * the narrower schema), snapshot expiry shrinking the rollback horizon — the
   * compositions no single-purpose spec covers. Every single-operation property
   * already has its own gate; this battery is the regression net for the pairs
   * nobody thought to write.
@@ -44,9 +46,13 @@ class ManifestModelSpec extends AnyFunSuite {
     // the value column's LIVE name — renamed mid-walk; a rollback across the
     // rename restores the old name (the snapshot carries its schema + registry)
     var vcol = "v"
-    // model state + live column name AS OF each published snapshot id
-    val history =
-      scala.collection.mutable.Map.empty[Int, (Map[Long, (Long, String)], String)]
+    // mid-walk defaulted column: None before the ADD; rows existing at ADD time
+    // serve the existence default, later writes carry explicit values
+    var dcol: Option[String] = None
+    val dModel = scala.collection.mutable.Map.empty[Long, Int]
+    // model state + live column name + defaulted-column state AS OF each snapshot
+    val history = scala.collection.mutable.Map.empty[Int,
+      (Map[Long, (Long, String)], String, Option[String], Map[Long, Int])]
     var nextId = 0L
 
     def appendRows(k: Int, upsert: Boolean): String = {
@@ -60,13 +66,22 @@ class ManifestModelSpec extends AnyFunSuite {
       // distinct ids per batch: the upsert's within-batch semantics (last wins vs
       // both land) is not what this battery targets
       val distinctRows = rows.groupBy(_._1).map(_._2.head).toSeq
-      val w = distinctRows.toDF("id", vcol, "p").coalesce(1 + rnd.nextInt(2))
+      // once the defaulted column exists, DataFrame appends must carry it (only
+      // the SQL surface analyzer-fills omitted columns)
+      val withD = distinctRows.map { case (id, v, p) =>
+        (id, v, p, if (dcol.isDefined) rnd.nextInt(100) else 0) }
+      val df = dcol match {
+        case None => distinctRows.toDF("id", vcol, "p")
+        case Some(d) => withD.toDF("id", vcol, "p", d)
+      }
+      val w = df.coalesce(1 + rnd.nextInt(2))
         .write.format(classOf[ManifestDataSource].getName)
         .option("partcol", "p").mode("append")
       (if (upsert) w.option("upsertkey", "id") else w).save(tbl)
-      distinctRows.foreach { case (id, v, p) =>
+      withD.foreach { case (id, v, p, dv) =>
         if (upsert) model(id) = (v, p)
         else { assert(!model.contains(id)); model(id) = (v, p) }
+        if (dcol.isDefined) dModel(id) = dv
       }
       s"${if (upsert) "upsert" else "append"}(${distinctRows.length})"
     }
@@ -126,24 +141,38 @@ class ManifestModelSpec extends AnyFunSuite {
       if (snaps.length < 2) return "rollback(skipped)"
       val target = snaps(rnd.nextInt(snaps.length))
       val cur = ManifestTables.rollbackTo(tbl, target)
-      val (m, vc) = history(target)
+      val (m, vc, dc, dm) = history(target)
       model.clear(); model ++= m; vcol = vc
+      dcol = dc; dModel.clear(); dModel ++= dm
       s"rollback($target->$cur,$vc)"
     }
 
+    def addDefaultCol(): String = {
+      spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN d INT DEFAULT 9")
+      dcol = Some("d")
+      // every row already in the table serves the EXISTENCE default from now on
+      model.keysIterator.foreach(id => dModel(id) = 9)
+      "add_column(d INT DEFAULT 9)"
+    }
+
     def check(step: Int, op: String): Unit = {
-      val got = spark.sql(s"SELECT id, $vcol, p FROM $cat.ns.t ORDER BY id")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
-      val want = model.toSeq.map { case (id, (v, p)) => (id, v, p) }.sortBy(_._1)
+      val dsel = dcol.map(d => s", $d").getOrElse("")
+      val got = spark.sql(s"SELECT id, $vcol, p$dsel FROM $cat.ns.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (dcol.isDefined) r.getInt(3) else 0)).toSeq
+      val want = model.toSeq.map { case (id, (v, p)) =>
+        (id, v, p, if (dcol.isDefined) dModel(id) else 0) }.sortBy(_._1)
       assert(got == want,
         s"step $step [$op]: table=${got.take(30)}... model=${want.take(30)}...")
-      ManifestTables.latestSnapshotId(tbl).foreach(id => history(id) = (model.toMap, vcol))
+      ManifestTables.latestSnapshotId(tbl).foreach(id =>
+        history(id) = (model.toMap, vcol, dcol, dModel.toMap))
     }
 
     appendRows(8, upsert = false); check(0, "bootstrap")
     (1 to 40).foreach { step =>
       val op =
         if (step == 13 || step == 27) rename()
+        else if (step == 20) addDefaultCol()
         else rnd.nextInt(100) match {
           case x if x < 25 => appendRows(3 + rnd.nextInt(8), upsert = false)
           case x if x < 40 => appendRows(3 + rnd.nextInt(6), upsert = true)

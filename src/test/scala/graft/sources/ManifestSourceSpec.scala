@@ -3026,6 +3026,64 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("column DEFAULT values: metadata-only ALTER, existence default on old files, " +
+      "current default fills omitted INSERT columns, pushed aggregates stay exact, " +
+      "equality deletes key on the default") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("manifest_defaults").toString
+    val tbl = s"$wh/ns/t"
+    spark.conf.set("spark.sql.catalog.defcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.defcat.warehouse", wh)
+    try {
+      (0L until 10L).map(i => (i, i * 2)).toDF("id", "w").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName).mode("overwrite").save(tbl)
+      val before = ManifestMaintenance.liveDataFiles(tbl).map(_._1).toSet
+      spark.sql("ALTER TABLE defcat.ns.t ADD COLUMN v INT DEFAULT 5")
+      spark.sql("ALTER TABLE defcat.ns.t ADD COLUMN s STRING DEFAULT 'a''b'")
+      assert(ManifestMaintenance.liveDataFiles(tbl).map(_._1).toSet == before,
+        "ADD COLUMN DEFAULT must move no data file")
+      def df = spark.read.format(classOf[ManifestDataSource].getName).load(tbl)
+      // pre-ALTER rows serve the existence defaults — never null
+      assert(df.filter($"v" === 5).count() == 10 && df.filter($"v".isNull).count() == 0)
+      assert(df.filter($"s" === "a'b").count() == 10)
+      // an explicit NULL stays null (a default is not a constraint)...
+      spark.sql("INSERT INTO defcat.ns.t VALUES (100, 0, CAST(NULL AS INT), 'x')")
+      assert(df.filter($"v".isNull).select("id").head().getLong(0) == 100L)
+      // ...and an OMITTED column analyzer-fills the current default
+      spark.sql("INSERT INTO defcat.ns.t (id, w) VALUES (101, 2)")
+      val filled = df.filter($"id" === 101).select("v", "s").head()
+      assert((filled.getInt(0), filled.getString(1)) == ((5, "a'b")), filled.toString)
+      // generation-straddling pushed MIN/MAX/COUNT: pre-ALTER footers carry no
+      // chunk for v, so the partials must come from the declared default
+      val agg = spark.sql("SELECT min(v), max(v), count(v) FROM defcat.ns.t")
+      val row = agg.head()
+      assert(agg.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+        "the straddling aggregate must still push to the footer scan")
+      assert((row.getInt(0), row.getInt(1), row.getLong(2)) == ((5, 5, 11L)), row.toString)
+      // an equality delete KEYED ON THE DEFAULTED COLUMN must see the default for
+      // pre-ALTER rows (the inner reader threads defaults through the eq check):
+      // an upsert carrying v=5 erases every row whose v reads 5
+      Seq((200L, 9L, 5, "z")).toDF("id", "w", "v", "s").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName)
+        .option("upsertkey", "v").mode("append").save(tbl)
+      val left = df.select("id").collect().map(_.getLong(0)).toSet
+      assert(left == Set(100L, 200L),
+        s"eq delete on the default value must erase all defaulted rows, left: $left")
+      // time travel to the pre-ALTER snapshot serves the pre-ALTER schema
+      assert(spark.sql("SELECT * FROM defcat.ns.t VERSION AS OF 0")
+        .schema.fieldNames.toSeq == Seq("id", "w"))
+      // unsupported default types refuse loudly
+      val bad = intercept[Exception](spark.sql("ALTER TABLE defcat.ns.t ADD COLUMN " +
+        "t2 TIMESTAMP DEFAULT TIMESTAMP '2020-01-01 00:00:00'"))
+      assert(Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+        .exists(t => Option(t.getMessage).exists(_.contains("column DEFAULTs are supported"))),
+        bad.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.defcat")
+      spark.conf.unset("spark.sql.catalog.defcat.warehouse")
+    }
+  }
+
   test("bucket SPJ: two bucket(4,user_id)-partitioned catalog tables join on the " +
       "SOURCE key with NO shuffle (storage-partitioned join through the transform)") {
     import spark.implicits._
