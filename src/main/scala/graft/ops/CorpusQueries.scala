@@ -2020,8 +2020,14 @@ object CorpusQueries {
       // generation-straddling pushed aggregate: pre-ALTER footers have NO chunk for
       // `score`, so the partials must come from the declared default — an all-null
       // partial would drag MIN to 0-from-gen-2-only / COUNT below the table size
-      val pushed = s.sql(
-        s"SELECT min(score), max(score), count(score) FROM $cat.corpus.docs").head()
+      val pushedDf = s.sql(
+        s"SELECT min(score), max(score), count(score) FROM $cat.corpus.docs")
+      val pushed = pushedDf.head()
+      // pin the PLAN, not just the value: if pushdown ever starts refusing this
+      // shape, both sides would recompute plan-side and the default-aware-partials
+      // property this gate exists for would go unexercised
+      require(pushedDf.queryExecution.executedPlan.toString.contains("manifest_data_agg"),
+        "the straddling aggregate must push to the footer-stat scan")
       val recount = s.sql(
         s"""SELECT min(score), max(score), count(score) FROM (
            |  SELECT CASE WHEN doc_id % 2 = 0 OR doc_id % 10 = 9 THEN 7

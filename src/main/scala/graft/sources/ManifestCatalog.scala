@@ -48,7 +48,10 @@ class ManifestCatalog extends TableCatalog
     * ... DEFAULT x) only reaches a catalog that declares this capability; the
     * manifest table serves the EXISTS default for files predating the column
     * (Iceberg v3 default-values analog) and Spark's analyzer fills the CURRENT
-    * default into INSERTs that omit the column.
+    * default into INSERTs that omit the column. Like the column-id registry,
+    * defaults are part of the declared schema: a path-mode `overwrite` REDEFINES
+    * the schema from the incoming data and drops them (the format's replace
+    * semantics); SQL TRUNCATE and INSERT OVERWRITE keep the declared schema.
     */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
@@ -683,24 +686,18 @@ private[sources] object ManifestCatalog {
       .putString(ManifestTables.CurrentDefaultKey, sql)
       .putString(ManifestTables.ExistsDefaultKey, sql).build())
 
-  /** Canonical literal text for a folded default value — floats/doubles go through
-    * CAST-from-string (shortest-repr text re-parses to the exact same IEEE value),
-    * strings double their quotes.
+  /** Canonical literal text for a folded default value: catalyst's own
+    * `Literal(...).sql` — the exact convention Spark stores for CREATE TABLE
+    * defaults (backslash/quote escaping included), so the read side's
+    * ResolveDefaultColumns parse round-trips every value identically on both
+    * the ALTER and CREATE paths.
     */
   private[sources] def defaultLiteralSql(v: Any,
       dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
     require(SupportedDefaultTypes.contains(dt),
       s"column DEFAULTs are supported for int/bigint/float/double/boolean/string " +
         s"only, got ${dt.simpleString}")
-    (dt, v) match {
-      case (_, null) => "NULL"
-      case (StringType, u) => "'" + u.toString.replace("'", "''") + "'"
-      case (FloatType, f) => s"CAST('$f' AS FLOAT)"
-      case (DoubleType, d) => s"CAST('$d' AS DOUBLE)"
-      case (LongType, l) => s"${l}L"
-      case (_, other) => other.toString // int, boolean
-    }
+    org.apache.spark.sql.catalyst.expressions.Literal(v, dt).sql
   }
 
   /** Stage/publish-time guard: every declared DEFAULT must be a supported type and

@@ -142,11 +142,11 @@ object ManifestDataSource {
     schema.fields.iterator.flatMap { f =>
       if (!f.metadata.contains(ManifestTables.ExistsDefaultKey)) None
       else {
-        val sql = f.metadata.getString(ManifestTables.ExistsDefaultKey)
-        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
-        require(e.foldable,
-          s"existence DEFAULT of column ${f.name} is not a foldable literal: $sql")
-        val v = org.apache.spark.sql.catalyst.expressions.Cast(e, f.dataType).eval(null)
+        // Spark's OWN resolution (the one its parquet reader uses for existence
+        // defaults): same literal-text convention as the Literal.sql render side,
+        // immune to session parser flags like escapedStringLiterals
+        val v = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .getExistenceDefaultValue(f)
         if (v == null) None
         else Some(f.name -> (v match {
           case u: UTF8String => u.toString

@@ -3072,6 +3072,10 @@ class ManifestSourceSpec extends AnyFunSuite {
       // time travel to the pre-ALTER snapshot serves the pre-ALTER schema
       assert(spark.sql("SELECT * FROM defcat.ns.t VERSION AS OF 0")
         .schema.fieldNames.toSeq == Seq("id", "w"))
+      // backslash round-trip: render and parse share catalyst's own literal
+      // convention (Literal.sql / ResolveDefaultColumns), so 'x\\y' = x\y exactly
+      spark.sql("ALTER TABLE defcat.ns.t ADD COLUMN b STRING DEFAULT 'x\\\\y'")
+      assert(df.filter($"b" === "x\\y").count() == 2, df.select("id", "b").collect().toSeq)
       // unsupported default types refuse loudly
       val bad = intercept[Exception](spark.sql("ALTER TABLE defcat.ns.t ADD COLUMN " +
         "t2 TIMESTAMP DEFAULT TIMESTAMP '2020-01-01 00:00:00'"))
