@@ -3195,6 +3195,87 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): score every
+    //     document against the corpus bigram LM (q48's kernel), then split each
+    //     language into head/middle/tail thirds. Scale shape: the cutoffs come from a
+    //     per-(lang, score) HISTOGRAM — distinct fixed-point scores are bounded by the
+    //     1e6 scale factor, never by corpus size — so the lang-partitioned cumulative
+    //     window runs over aggregated rows (the exact q56-fix contract), and documents
+    //     are bucketed by VALUE against two broadcast thresholds, never ranked. ---
+    "q88_ccnet_buckets" -> ((s, dir) => {
+      val w = words(col("text"))
+      val bg = tWide(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bigram")).limit(100)
+      val scored = bg.join(broadcast(lm), Seq("bigram"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("c"), lit(0L))).as("lm_hits"))
+        .withColumn("score_fp", expr("lm_hits * 1000000 div n_bigrams"))
+      val hist = scored.groupBy(col("lang"), col("score_fp"))
+        .agg(count(lit(1)).as("cnt"))
+      val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      // cum(s) = #docs of the lang with score >= s; the head cutoff is the largest
+      // score covering at least a third of them, the middle cutoff two thirds
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
+        .join(broadcast(nDocs), Seq("lang"))
+      val tHead = cum.filter(col("cum") * 3 >= col("n_docs"))
+        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_head"))
+      val tMid = cum.filter(col("cum") * 3 >= col("n_docs") * 2)
+        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_mid"))
+      scored
+        .join(broadcast(tHead), Seq("lang")).join(broadcast(tMid), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_hits"),
+          col("score_fp"),
+          when(col("score_fp") >= col("t_head"), "head")
+            .when(col("score_fp") >= col("t_mid"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- DSIR-shaped importance selection (Xie et al. 2023, fixed-point variant):
+    //     hash word unigrams into 4096 buckets (12-bit md5 prefix), estimate the
+    //     add-one-smoothed target/raw likelihood ratio per bucket from a target slice
+    //     (source = 'src0'), score each document by its mean instance ratio in integer
+    //     math, and keep the top fifth of every language by VALUE threshold. Scale
+    //     shape: the ratio table is <= 4096 rows (broadcast), scoring is one equi-join
+    //     + one doc-keyed agg, and selection reuses q88's bounded-histogram cutoff —
+    //     no global sort, no rank over raw documents. ---
+    "q89_dsir_select" -> ((s, dir) => {
+      val inst = tWide(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(words(col("text"))).as("w"))
+        .withColumn("f", conv(substring(md5s(col("w")), 1, 3), 16, 10).cast("long"))
+      val raw = inst.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+      val tgt = inst.filter(col("source") === "src0")
+        .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+      val ratio = raw.join(tgt, Seq("f"), "left")
+        .select(col("f"),
+          expr("(coalesce(ct, 0L) + 1) * 1000000 div (cr + 1)").as("r_fp"))
+      val scored = inst.join(broadcast(ratio), Seq("f"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("r_fp")).as("w_sum"))
+        .withColumn("score_fp", expr("w_sum div n_feats"))
+      val hist = scored.groupBy(col("lang"), col("score_fp"))
+        .agg(count(lit(1)).as("cnt"))
+      val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
+        .join(broadcast(nDocs), Seq("lang"))
+      val tSel = cum.filter(col("cum") * 5 >= col("n_docs"))
+        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_sel"))
+      scored.join(broadcast(tSel), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_sum"),
+          col("score_fp"), (col("score_fp") >= col("t_sel")).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -4032,6 +4113,67 @@ object CorpusQueries {
         |   AND (n_words - n_distinct) * 2 <= n_words
         |   AND top_cnt * 10 <= n_words) AS pass
         |FROM g ORDER BY doc_id""".stripMargin,
+    // q88: CCNet perplexity buckets — q48's LM score in fixed point, then per-lang
+    // head/middle/tail thirds cut by value against a desc-cumulative histogram
+    "q88_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS bigram FROM w),
+        |lm AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+        |       ORDER BY c DESC, bigram LIMIT 100),
+        |scored AS (
+        |  SELECT bg.doc_id, bg.lang, count(*) AS n_bigrams,
+        |    CAST(sum(COALESCE(lm.c, 0)) AS BIGINT) AS lm_hits,
+        |    CAST(CAST(sum(COALESCE(lm.c, 0)) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS score_fp
+        |  FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram GROUP BY 1, 2),
+        |hist AS (SELECT lang, score_fp, count(*) AS cnt FROM scored GROUP BY 1, 2),
+        |n AS (SELECT lang, count(*) AS n_docs FROM scored GROUP BY 1),
+        |cum AS (SELECT h.lang, h.score_fp,
+        |          sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.score_fp DESC) AS cum,
+        |          n.n_docs
+        |        FROM hist h JOIN n USING (lang)),
+        |th AS (SELECT lang, max(score_fp) AS t_head FROM cum
+        |       WHERE 3 * cum >= n_docs GROUP BY 1),
+        |tm AS (SELECT lang, max(score_fp) AS t_mid FROM cum
+        |       WHERE 3 * cum >= 2 * n_docs GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.n_bigrams, s.lm_hits, s.score_fp,
+        |  CASE WHEN s.score_fp >= th.t_head THEN 'head'
+        |       WHEN s.score_fp >= tm.t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN th USING (lang) JOIN tm USING (lang)
+        |ORDER BY s.doc_id""".stripMargin,
+    // q89: DSIR fixed-point importance selection — 12-bit md5 feature buckets,
+    // add-one-smoothed target/raw ratio, per-lang top-fifth by value threshold
+    "q89_dsir_select" ->
+      """WITH inst AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) AS BIGINT) AS f
+        |  FROM (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT f, count(*) AS cr FROM inst GROUP BY 1),
+        |tgt AS (SELECT f, count(*) AS ct FROM inst WHERE source = 'src0' GROUP BY 1),
+        |ratio AS (SELECT raw.f,
+        |    CAST((COALESCE(tgt.ct, 0) + 1) * 1000000 // (raw.cr + 1) AS BIGINT) AS r_fp
+        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+        |scored AS (
+        |  SELECT inst.doc_id, inst.lang, count(*) AS n_feats,
+        |    CAST(sum(ratio.r_fp) AS BIGINT) AS w_sum,
+        |    CAST(CAST(sum(ratio.r_fp) AS BIGINT) // count(*) AS BIGINT) AS score_fp
+        |  FROM inst JOIN ratio ON inst.f = ratio.f GROUP BY 1, 2),
+        |hist AS (SELECT lang, score_fp, count(*) AS cnt FROM scored GROUP BY 1, 2),
+        |n AS (SELECT lang, count(*) AS n_docs FROM scored GROUP BY 1),
+        |cum AS (SELECT h.lang, h.score_fp,
+        |          sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.score_fp DESC) AS cum,
+        |          n.n_docs
+        |        FROM hist h JOIN n USING (lang)),
+        |ts AS (SELECT lang, max(score_fp) AS t_sel FROM cum
+        |       WHERE 5 * cum >= n_docs GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.n_feats, s.w_sum, s.score_fp,
+        |  (s.score_fp >= ts.t_sel) AS selected
+        |FROM scored s JOIN ts USING (lang)
+        |ORDER BY s.doc_id""".stripMargin,
     "q74_pipeline_manifest" -> perSinkRoutedSql,
     "q75_incremental_index" -> perSinkRoutedSql
   )
