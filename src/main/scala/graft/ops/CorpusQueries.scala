@@ -3276,6 +3276,61 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- BM25 ranked retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75) in FIXED
+    //     POINT: idf is the raw-odds (N-df+0.5)/(df+0.5) form (doubled to stay
+    //     integral), the tf saturation term is cleared of fractions by multiplying
+    //     through by 10*avgdl*N (avgdl = n_words/n_docs substituted exactly), so both
+    //     engines rank by identical BIGINT scores. Scale shape: query terms and the
+    //     per-term df table broadcast; the two corpus scalars (N docs, total words)
+    //     come from ONE bounded 1-row collect — the statistics job a production
+    //     deployment caches with the table (a constant-key broadcast join constant-
+    //     folds into the banned nested loop, so the collect IS the clean shape);
+    //     top-10 per query is TWO-LEVEL — per-(query, doc_id%16) local top-10 first,
+    //     so the final per-query window sees <= 160 rows, never the corpus (a
+    //     handful of query ids would otherwise be the q56 hot-partition shape).
+    //     Fixed-point ranges fit BIGINT through sf0.1 x1000; production would widen
+    //     to decimal(38). ---
+    "q90_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qt = Seq((1L, "scan"), (1L, "filter"), (1L, "join"), (2L, "hash"),
+        (2L, "merge"), (3L, "spark"), (3L, "stream"), (3L, "window"))
+        .toDF("query_id", "term")
+      val inst = tWide(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .withColumn("dl", size(col("w")).cast("long"))
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      val tf = inst.groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // bounded collect: exactly one row of two longs (see scale-shape note above)
+      val statsRow = inst
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_words"))
+        .head()
+      val (nDocs, nWords) = (statsRow.getLong(0), statsRow.getLong(1))
+      val ts = tf.join(broadcast(qt), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .withColumn("idf_fp",
+          expr(s"((${nDocs}L - df) * 2 + 1) * 1000000 div (df * 2 + 1)"))
+        .withColumn("tf_fp", expr(s"22 * tf * ${nWords}L * 1000 div " +
+          s"(10 * tf * ${nWords}L + 3 * ${nWords}L + 9 * dl * ${nDocs}L)"))
+      val ds = ts.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("idf_fp * tf_fp div 1000")).as("score_fp"),
+          count(lit(1)).as("n_hit"))
+      val local = ds.withColumn("salt", pmod(col("doc_id"), lit(16)))
+        .withColumn("lr", row_number().over(
+          Window.partitionBy(col("query_id"), col("salt"))
+            .orderBy(col("score_fp").desc, col("doc_id"))))
+        .filter(col("lr") <= 10)
+      local.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"),
+          col("n_hit"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---
     "q73_turn_equality" -> ((s, dir) => {
@@ -4174,6 +4229,34 @@ object CorpusQueries {
         |  (s.score_fp >= ts.t_sel) AS selected
         |FROM scored s JOIN ts USING (lang)
         |ORDER BY s.doc_id""".stripMargin,
+    // q90: fixed-point BM25 — identical integer idf/tf factors, top-10 per query
+    "q90_bm25_topk" ->
+      """WITH qt AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+        |  FROM (VALUES (1,'scan'),(1,'filter'),(1,'join'),(2,'hash'),(2,'merge'),
+        |               (3,'spark'),(3,'stream'),(3,'window')) v(q, t)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |inst AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM w),
+        |stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                 CAST(count(*) AS BIGINT) AS n_words FROM inst),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM inst GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |ts AS (SELECT q.query_id, t.doc_id,
+        |    CAST(((s.n_docs - d.df) * 2 + 1) * 1000000 // (d.df * 2 + 1) AS BIGINT) AS idf_fp,
+        |    CAST(22 * t.tf * s.n_words * 1000
+        |      // (10 * t.tf * s.n_words + 3 * s.n_words + 9 * t.dl * s.n_docs) AS BIGINT) AS tf_fp
+        |  FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s),
+        |ds AS (SELECT query_id, doc_id,
+        |         CAST(sum(idf_fp * tf_fp // 1000) AS BIGINT) AS score_fp,
+        |         count(*) AS n_hit
+        |       FROM ts GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_fp, n_hit,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score_fp DESC, doc_id) AS rank
+        |      FROM ds)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_fp, n_hit
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q74_pipeline_manifest" -> perSinkRoutedSql,
     "q75_incremental_index" -> perSinkRoutedSql
   )
