@@ -34,7 +34,10 @@ object ScaleProbe {
     // BPE training's claim is the inverse of the quadratic risks above: after the
     // one corpus-sized agg, all 16 merge rounds run over the VOCAB (fixed 20k words
     // in this generator at every scale), so wall time should stay ~flat at 100x rows
-    "q59_bpe_train")
+    "q59_bpe_train",
+    // the round-5 selection/retrieval family: every cutoff comes from a BOUNDED
+    // histogram or a broadcast table, so all three must track the linear scans
+    "q88_ccnet_buckets", "q89_dsir", "q90_bm25")
 
   /** Uncapped q52 measured ~31 s at 10x and >14 min at 100x on this generator:
     * RANDOM (non-clustered) embeddings give 4-bit hyperplane bands ~no selectivity,
@@ -139,6 +142,14 @@ object ScaleProbe {
         val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
           if (q == "q52_capped64") q52Capped
           else if (q == "q58_kscaled") q58Scaled
+          // probe-corpus variants: its source values and vocabulary differ from
+          // the testdata tables the catalog entries pin for the oracle gate
+          else if (q == "q89_dsir")
+            (s, d) => graft.ops.CorpusQueries.dsirSelect(s, d, targetSource = "web")
+          else if (q == "q90_bm25")
+            (s, d) => graft.ops.CorpusQueries.bm25TopK(s, d,
+              Seq((1L, "w17"), (1L, "w42"), (1L, "w99"), (2L, "w123"),
+                (2L, "w1234"), (3L, "w5"), (3L, "w777"), (3L, "w3141")))
           else SparkEntry.queries(q)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -55,6 +55,84 @@ object CorpusQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q89 body, target-source-parameterized: the catalog gates it at `src0`;
+    * ScaleProbe runs it with the probe generator's own source values so the
+    * target slice is non-empty at every scale. See the q89 scale-shape note.
+    */
+  private[graft] def dsirSelect(s: SparkSession, dir: String,
+      targetSource: String): DataFrame = {
+    val inst = tWide(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .withColumn("f", conv(substring(md5s(col("w")), 1, 3), 16, 10).cast("long"))
+    val raw = inst.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgt = inst.filter(col("source") === targetSource)
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        expr("(coalesce(ct, 0L) + 1) * 1000000 div (cr + 1)").as("r_fp"))
+    val scored = inst.join(broadcast(ratio), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r_fp")).as("w_sum"))
+      .withColumn("score_fp", expr("w_sum div n_feats"))
+    val hist = scored.groupBy(col("lang"), col("score_fp"))
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
+      .join(broadcast(nDocs), Seq("lang"))
+    val tSel = cum.filter(col("cum") * 5 >= col("n_docs"))
+      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_sel"))
+    scored.join(broadcast(tSel), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("w_sum"),
+        col("score_fp"), (col("score_fp") >= col("t_sel")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q90 body, query-terms-parameterized (ScaleProbe passes terms from the probe
+    * generator's vocabulary). See the q90 scale-shape note at the catalog entry.
+    */
+  private[graft] def bm25TopK(s: SparkSession, dir: String,
+      queryTerms: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    val qt = queryTerms.toDF("query_id", "term")
+    val inst = tWide(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+    val tf = inst.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // bounded collect: exactly one row of two longs (see the q90 scale-shape note)
+    val statsRow = inst
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_words"))
+      .head()
+    val (nDocs, nWords) = (statsRow.getLong(0), statsRow.getLong(1))
+    val ts = tf.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("idf_fp",
+        expr(s"((${nDocs}L - df) * 2 + 1) * 1000000 div (df * 2 + 1)"))
+      .withColumn("tf_fp", expr(s"22 * tf * ${nWords}L * 1000 div " +
+        s"(10 * tf * ${nWords}L + 3 * ${nWords}L + 9 * dl * ${nDocs}L)"))
+    val ds = ts.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("idf_fp * tf_fp div 1000")).as("score_fp"),
+        count(lit(1)).as("n_hit"))
+    val local = ds.withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("query_id"), col("salt"))
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("lr") <= 10)
+    local.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"),
+        col("n_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Scratch table path for queries that materialize under /tmp (q63 family, q68):
     * a per-APPLICATION subdir under a stable per-(query, SF-dir) root, with an
     * age-guarded sweep of sibling application dirs on entry. Bounded footprint (the
@@ -3246,35 +3324,7 @@ object CorpusQueries {
     //     shape: the ratio table is <= 4096 rows (broadcast), scoring is one equi-join
     //     + one doc-keyed agg, and selection reuses q88's bounded-histogram cutoff —
     //     no global sort, no rank over raw documents. ---
-    "q89_dsir_select" -> ((s, dir) => {
-      val inst = tWide(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(words(col("text"))).as("w"))
-        .withColumn("f", conv(substring(md5s(col("w")), 1, 3), 16, 10).cast("long"))
-      val raw = inst.groupBy(col("f")).agg(count(lit(1)).as("cr"))
-      val tgt = inst.filter(col("source") === "src0")
-        .groupBy(col("f")).agg(count(lit(1)).as("ct"))
-      val ratio = raw.join(tgt, Seq("f"), "left")
-        .select(col("f"),
-          expr("(coalesce(ct, 0L) + 1) * 1000000 div (cr + 1)").as("r_fp"))
-      val scored = inst.join(broadcast(ratio), Seq("f"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("r_fp")).as("w_sum"))
-        .withColumn("score_fp", expr("w_sum div n_feats"))
-      val hist = scored.groupBy(col("lang"), col("score_fp"))
-        .agg(count(lit(1)).as("cnt"))
-      val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
-        .join(broadcast(nDocs), Seq("lang"))
-      val tSel = cum.filter(col("cum") * 5 >= col("n_docs"))
-        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_sel"))
-      scored.join(broadcast(tSel), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_sum"),
-          col("score_fp"), (col("score_fp") >= col("t_sel")).as("selected"))
-        .orderBy(col("doc_id"))
-    }),
+    "q89_dsir_select" -> ((s, dir) => dsirSelect(s, dir, targetSource = "src0")),
 
     // --- BM25 ranked retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75) in FIXED
     //     POINT: idf is the raw-odds (N-df+0.5)/(df+0.5) form (doubled to stay
@@ -3290,46 +3340,9 @@ object CorpusQueries {
     //     handful of query ids would otherwise be the q56 hot-partition shape).
     //     Fixed-point ranges fit BIGINT through sf0.1 x1000; production would widen
     //     to decimal(38). ---
-    "q90_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val qt = Seq((1L, "scan"), (1L, "filter"), (1L, "join"), (2L, "hash"),
-        (2L, "merge"), (3L, "spark"), (3L, "stream"), (3L, "window"))
-        .toDF("query_id", "term")
-      val inst = tWide(s, dir, "documents")
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .withColumn("dl", size(col("w")).cast("long"))
-        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      val tf = inst.groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // bounded collect: exactly one row of two longs (see scale-shape note above)
-      val statsRow = inst
-        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_words"))
-        .head()
-      val (nDocs, nWords) = (statsRow.getLong(0), statsRow.getLong(1))
-      val ts = tf.join(broadcast(qt), Seq("term"))
-        .join(broadcast(dfreq), Seq("term"))
-        .withColumn("idf_fp",
-          expr(s"((${nDocs}L - df) * 2 + 1) * 1000000 div (df * 2 + 1)"))
-        .withColumn("tf_fp", expr(s"22 * tf * ${nWords}L * 1000 div " +
-          s"(10 * tf * ${nWords}L + 3 * ${nWords}L + 9 * dl * ${nDocs}L)"))
-      val ds = ts.groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(expr("idf_fp * tf_fp div 1000")).as("score_fp"),
-          count(lit(1)).as("n_hit"))
-      val local = ds.withColumn("salt", pmod(col("doc_id"), lit(16)))
-        .withColumn("lr", row_number().over(
-          Window.partitionBy(col("query_id"), col("salt"))
-            .orderBy(col("score_fp").desc, col("doc_id"))))
-        .filter(col("lr") <= 10)
-      local.withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"),
-          col("n_hit"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    "q90_bm25_topk" -> ((s, dir) => bm25TopK(s, dir,
+      Seq((1L, "scan"), (1L, "filter"), (1L, "join"), (2L, "hash"),
+        (2L, "merge"), (3L, "spark"), (3L, "stream"), (3L, "window")))),
 
     // --- log pipeline invariant: routed-turn text RECONSTRUCTED from the shard must
     //     equal the input text (per-turn text equality, checked by the oracle) ---

@@ -66,6 +66,44 @@ class ModulesSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must contain duplicated spans for the gate to bite")
   }
 
+  test("q90 BM25: fixed-point scores and two-level top-k equal a brute-force oracle") {
+    // independent single-machine re-derivation of the whole fixed-point formula AND
+    // the per-query top-10 — if the salt-pruned two-level window drops a true
+    // top-10 row, or any integer factor diverges, the row sets differ
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val queries = Seq(1L -> Seq("scan", "filter", "join"), 2L -> Seq("hash", "merge"),
+      3L -> Seq("spark", "stream", "window"))
+    val n = docs.length.toLong
+    val w = docs.map(_._2.length.toLong).sum
+    val qTerms = queries.flatMap(_._2).distinct
+    val df = qTerms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val want = queries.flatMap { case (qid, terms) =>
+      docs.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        val scores = terms.flatMap { term =>
+          val tf = toks.count(_ == term).toLong
+          if (tf == 0) None else {
+            val idfFp = ((n - df(term)) * 2 + 1) * 1000000L / (df(term) * 2 + 1)
+            val tfFp = 22 * tf * w * 1000 / (10 * tf * w + 3 * w + 9 * dl * n)
+            Some(idfFp * tfFp / 1000)
+          }
+        }
+        if (scores.isEmpty) None else Some((id, scores.sum, scores.length.toLong))
+      }.sortBy { case (id, score, _) => (-score, id) }.take(10).zipWithIndex
+        .map { case ((id, score, hits), i) => (qid, (i + 1).toLong, id, score, hits) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q90_bm25_topk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want,
+      s"BM25 top-k differs: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.size == 30, "every query must fill its top-10 on the fixture")
+  }
+
   test("rankedIds: distributed range-partitioned ranking equals a global sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
