@@ -55,6 +55,71 @@ object CorpusQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q88 body over any (doc_id, lang, text) frame — q91 reuses it over its
+    * filtered/deduped survivors, so the LM and the cutoffs are computed over
+    * exactly the corpus being bucketed. Returns one row per input doc with
+    * (doc_id, lang, n_bigrams, lm_hits, score_fp, bucket), unordered.
+    */
+  private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val bg = docs
+      .select(col("doc_id"), col("lang"), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram")).limit(100)
+    val scored = bg.join(broadcast(lm), Seq("bigram"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("c"), lit(0L))).as("lm_hits"))
+      .withColumn("score_fp", expr("lm_hits * 1000000 div n_bigrams"))
+    val hist = scored.groupBy(col("lang"), col("score_fp"))
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // cum(s) = #docs of the lang with score >= s; the head cutoff is the largest
+    // score covering at least a third of them, the middle cutoff two thirds
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
+      .join(broadcast(nDocs), Seq("lang"))
+    val tHead = cum.filter(col("cum") * 3 >= col("n_docs"))
+      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_head"))
+    val tMid = cum.filter(col("cum") * 3 >= col("n_docs") * 2)
+      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_mid"))
+    scored
+      .join(broadcast(tHead), Seq("lang")).join(broadcast(tMid), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_hits"),
+        col("score_fp"),
+        when(col("score_fp") >= col("t_head"), "head")
+          .when(col("score_fp") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** The q87 Gopher rules as one composable predicate-filter over a documents
+    * frame: returns the (doc_id, lang, text) survivors. Thresholds identical to
+    * the q87 catalog entry (the oracle re-derives both from the same constants).
+    */
+  private[graft] def gopherPass(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("gw", words(col("text")))
+      .withColumn("n_words", size(col("gw")).cast("long"))
+      .withColumn("n_wchars",
+        aggregate(col("gw"), lit(0L), (a, x) => a + length(x).cast("long")))
+      .withColumn("n_distinct", size(array_distinct(col("gw"))).cast("long"))
+      .withColumn("n_stop",
+        size(array_intersect(col("gw"), array(lit("the"), lit("a"), lit("of"))))
+          .cast("long"))
+      .withColumn("top_cnt",
+        array_max(transform(array_distinct(col("gw")),
+          d => size(filter(col("gw"), x => x === d)))).cast("long"))
+      .filter(col("n_words") >= 30 && col("n_words") <= 80 &&
+        col("n_wchars") >= col("n_words") * 4 &&
+        col("n_wchars") <= col("n_words") * 7 &&
+        col("n_stop") >= 2 &&
+        (col("n_words") - col("n_distinct")) * 2 <= col("n_words") &&
+        col("top_cnt") * 10 <= col("n_words"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
   /** q89 body, target-source-parameterized: the catalog gates it at `src0`;
     * ScaleProbe runs it with the probe generator's own source values so the
     * target slice is non-empty at every scale. See the q89 scale-shape note.
@@ -3280,39 +3345,31 @@ object CorpusQueries {
     //     1e6 scale factor, never by corpus size — so the lang-partitioned cumulative
     //     window runs over aggregated rows (the exact q56-fix contract), and documents
     //     are bucketed by VALUE against two broadcast thresholds, never ranked. ---
-    "q88_ccnet_buckets" -> ((s, dir) => {
-      val w = words(col("text"))
-      val bg = tWide(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), explode(zip_with(
-          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bigram"))
-      val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("bigram")).limit(100)
-      val scored = bg.join(broadcast(lm), Seq("bigram"), "left")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(coalesce(col("c"), lit(0L))).as("lm_hits"))
-        .withColumn("score_fp", expr("lm_hits * 1000000 div n_bigrams"))
-      val hist = scored.groupBy(col("lang"), col("score_fp"))
-        .agg(count(lit(1)).as("cnt"))
-      val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      // cum(s) = #docs of the lang with score >= s; the head cutoff is the largest
-      // score covering at least a third of them, the middle cutoff two thirds
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
-        .join(broadcast(nDocs), Seq("lang"))
-      val tHead = cum.filter(col("cum") * 3 >= col("n_docs"))
-        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_head"))
-      val tMid = cum.filter(col("cum") * 3 >= col("n_docs") * 2)
-        .groupBy(col("lang")).agg(max(col("score_fp")).as("t_mid"))
-      scored
-        .join(broadcast(tHead), Seq("lang")).join(broadcast(tMid), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_hits"),
-          col("score_fp"),
-          when(col("score_fp") >= col("t_head"), "head")
-            .when(col("score_fp") >= col("t_mid"), "middle")
-            .otherwise("tail").as("bucket"))
+    "q88_ccnet_buckets" -> ((s, dir) =>
+      ccnetBuckets(tWide(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // --- the COMPOSED training-mix pipeline: Gopher quality gate -> exact dedup
+    //     (min-doc_id keeper per content hash) -> CCNet LM bucketing computed over
+    //     exactly the filtered+deduped survivors -> drop the tail third -> per-lang
+    //     deterministic md5-coin downsampling. Every stage is individually
+    //     oracle-proven (q87/q40/q88/q55); this gate proves they COMPOSE row-exactly
+    //     — the answer to "assemble a training mix" as one declarative plan. Scale
+    //     shape inherits from the pieces: per-row maps, one hash agg + semi-join,
+    //     bounded-histogram cutoffs, broadcast rate table. ---
+    "q91_training_mix" -> ((s, dir) => {
+      import s.implicits._
+      val survivors = gopherPass(tWide(s, dir, "documents"))
+      val keepers = survivors.groupBy(md5s(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = survivors.join(keepers, Seq("doc_id"), "left_semi")
+      val rates = Seq(("en", "c000"), ("fr", "a000"), ("es", "8000"),
+        ("de", "ffff"), ("zh", "4000")).toDF("lang", "thresh")
+      ccnetBuckets(deduped)
+        .filter(col("bucket") =!= "tail")
+        .join(broadcast(rates), Seq("lang"))
+        .filter(substring(md5s(concat(lit("m"), col("doc_id").cast("string"))),
+          1, 4) < col("thresh"))
+        .select(col("doc_id"), col("lang"), col("score_fp"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4242,6 +4299,53 @@ object CorpusQueries {
         |  (s.score_fp >= ts.t_sel) AS selected
         |FROM scored s JOIN ts USING (lang)
         |ORDER BY s.doc_id""".stripMargin,
+    // q91: the composed training mix — Gopher gate, content-hash dedup, CCNet
+    // bucketing over the survivors, tail dropped, per-lang md5-coin downsample
+    "q91_training_mix" ->
+      """WITH f AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, text FROM f WHERE
+        |  len(w) BETWEEN 30 AND 80
+        |  AND list_sum(list_transform(w, x -> length(x)))
+        |      BETWEEN len(w) * 4 AND len(w) * 7
+        |  AND len(list_filter(list_distinct(w), x -> x IN ('the','a','of'))) >= 2
+        |  AND (len(w) - len(list_distinct(w))) * 2 <= len(w)
+        |  AND list_max(list_transform(list_distinct(w),
+        |        d -> len(list_filter(w, x -> x = d)))) * 10 <= len(w)),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+        |d AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+        |w2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM d),
+        |bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS bigram FROM w2),
+        |lm AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+        |       ORDER BY c DESC, bigram LIMIT 100),
+        |scored AS (
+        |  SELECT bg.doc_id, bg.lang, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(COALESCE(lm.c, 0)) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS score_fp
+        |  FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram GROUP BY 1, 2),
+        |hist AS (SELECT lang, score_fp, count(*) AS cnt FROM scored GROUP BY 1, 2),
+        |n AS (SELECT lang, count(*) AS n_docs FROM scored GROUP BY 1),
+        |cum AS (SELECT h.lang, h.score_fp,
+        |          sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.score_fp DESC) AS cum,
+        |          n.n_docs
+        |        FROM hist h JOIN n USING (lang)),
+        |th AS (SELECT lang, max(score_fp) AS t_head FROM cum
+        |       WHERE 3 * cum >= n_docs GROUP BY 1),
+        |tm AS (SELECT lang, max(score_fp) AS t_mid FROM cum
+        |       WHERE 3 * cum >= 2 * n_docs GROUP BY 1),
+        |b AS (SELECT s.doc_id, s.lang, s.score_fp,
+        |        CASE WHEN s.score_fp >= th.t_head THEN 'head'
+        |             WHEN s.score_fp >= tm.t_mid THEN 'middle'
+        |             ELSE 'tail' END AS bucket
+        |      FROM scored s JOIN th USING (lang) JOIN tm USING (lang)),
+        |rates AS (SELECT v.l AS lang, v.t AS thresh
+        |  FROM (VALUES ('en','c000'),('fr','a000'),('es','8000'),
+        |               ('de','ffff'),('zh','4000')) v(l, t))
+        |SELECT b.doc_id, b.lang, b.score_fp, b.bucket
+        |FROM b JOIN rates USING (lang)
+        |WHERE b.bucket <> 'tail'
+        |  AND substr(md5('m' || CAST(b.doc_id AS VARCHAR)), 1, 4) < rates.thresh
+        |ORDER BY b.doc_id""".stripMargin,
     // q90: fixed-point BM25 — identical integer idf/tf factors, top-10 per query
     "q90_bm25_topk" ->
       """WITH qt AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
