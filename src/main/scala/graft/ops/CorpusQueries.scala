@@ -1482,6 +1482,82 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- REAL audio codec under the gate: per doc, deterministic PCM samples are
+    //     encoded into an actual RIFF/WAVE PCM-16 payload (headers, chunk sizes,
+    //     little-endian fields), then the payload is decoded back by the from-
+    //     scratch chunk-walking parser (graft.ops.Codecs) and reduced to integer
+    //     audio statistics. The oracle re-derives the statistics from the closed-
+    //     form sample formula — any drift in header layout, sample endianness or
+    //     chunk walking breaks the gate. (CodecsSpec separately pins golden BYTES
+    //     so a mirrored encode/decode bug cannot cancel.) Scale shape: stateless
+    //     per-row kernel, no shuffle. ---
+    "q92_wav_codec" -> ((s, dir) => {
+      import s.implicits._
+      tWide(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (200 + id % 100).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+            val payload = Codecs.encodeWavPcm16(rate, samples)
+            val (rateOut, dec) = Codecs.decodeWavPcm16(payload)
+            var sumSq = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < dec.length) {
+              val v = dec(i).toLong
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && ((v < 0) != (dec(i - 1) < 0))) zc += 1
+              i += 1
+            }
+            (id, rateOut.toLong, dec.length.toLong, sumSq, peak, zc,
+              payload.length.toLong)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "sum_sq", "peak",
+          "n_zero_cross", "n_bytes")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- REAL image codec under the gate: deterministic RGB pixels -> an actual
+    //     24bpp bottom-up padded BMP payload -> decoded by the from-scratch header
+    //     parser -> channel sums + an 8x8 nearest-neighbor THUMBNAIL's integer
+    //     luminance sum. The thumbnail samples specific (x, y) coordinates, so a
+    //     row-order (bottom-up) or stride (padding) mistake shifts pixels and
+    //     breaks the gate even though whole-image sums would not. ---
+    "q93_bmp_codec" -> ((s, dir) => {
+      import s.implicits._
+      tWide(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 8).toInt; val h = (12 + id % 4).toInt
+            def rgb(x: Int, y: Int): Int = {
+              val r = ((id + 3L * x + 7L * y) % 256).toInt
+              val g = ((id * 2 + 5L * x + 11L * y) % 256).toInt
+              val b = ((id * 3 + x.toLong + 13L * y) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+            val payload = Codecs.encodeBmp24(w, h, rgb)
+            val (wOut, hOut, px) = Codecs.decodeBmp24(payload)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            px.foreach { p =>
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            }
+            val thumb = Codecs.resizeNearest(px, wOut, hOut, 8, 8)
+            var gray = 0L
+            thumb.foreach { p =>
+              gray += ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                (p & 0xff) * 114L
+            }
+            (id, wOut.toLong, hOut.toLong, sr, sg, sb, gray, payload.length.toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "gray8_sum",
+          "n_bytes")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- partitioned-table sink + source round-trip: write documents Hive-partitioned
     //     by language, read back with a partition filter — the filter prunes whole
     //     directories (PartitionFilters in the scan; PlanShapeSpec asserts it), the
@@ -4346,6 +4422,42 @@ object CorpusQueries {
         |WHERE b.bucket <> 'tail'
         |  AND substr(md5('m' || CAST(b.doc_id AS VARCHAR)), 1, 4) < rates.thresh
         |ORDER BY b.doc_id""".stripMargin,
+    // q92: the WAV round-trip's expected statistics from the closed-form samples
+    "q92_wav_codec" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n,
+        |                  8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+        |s AS (SELECT doc_id, n, rate,
+        |        list_transform(range(0, n),
+        |          i -> (doc_id * 7919 + i * 104729) % 65536 - 32768) AS sm
+        |      FROM d)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT) AS sum_sq,
+        |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT) AS peak,
+        |  CAST(len(list_filter(range(1, n),
+        |    i -> (sm[i+1] < 0) != (sm[i] < 0))) AS BIGINT) AS n_zero_cross,
+        |  CAST(44 + n * 2 AS BIGINT) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q93: the BMP round-trip's expected sums from the closed-form pixels; the
+    // 8x8 thumbnail samples (tx*w//8, ty*h//8) — nearest-neighbor floor, as the
+    // decoder/resizer computes it
+    "q93_bmp_codec" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> (doc_id * 2 + 5 * (i % w) + 11 * (i // w)) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> (doc_id * 3 + (i % w) + 13 * (i // w)) % 256)) AS BIGINT) AS sum_b,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |      (doc_id + 3 * (((i % 8) * w) // 8) + 7 * (((i // 8) * h) // 8)) % 256 * 299
+        |    + (doc_id * 2 + 5 * (((i % 8) * w) // 8) + 11 * (((i // 8) * h) // 8)) % 256 * 587
+        |    + (doc_id * 3 + (((i % 8) * w) // 8) + 13 * (((i // 8) * h) // 8)) % 256 * 114
+        |  )) AS BIGINT) AS gray8_sum,
+        |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q90: fixed-point BM25 — identical integer idf/tf factors, top-10 per query
     "q90_bm25_topk" ->
       """WITH qt AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term

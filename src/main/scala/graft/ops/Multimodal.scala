@@ -17,9 +17,12 @@ case class AssetFeatures(
 )
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque BinaryType columns
-  * with typed metadata; decode / feature-extraction runs batched inside mapPartitions
-  * (the Spark-side batching, schema and partitioning are real; the codec itself is a
-  * deterministic STUB — no image/audio libraries exist in this environment).
+  * with typed metadata; decode / feature-extraction runs batched inside mapPartitions.
+  * REAL codecs live in [[graft.ops.Codecs]] (from-scratch RIFF/WAVE PCM-16 and 24bpp
+  * BMP parsers, oracle-gated by q92/q93); `decodeStub` below stands in only for
+  * codecs that genuinely require external libraries (JPEG/H.264-class entropy
+  * coding — none exist in this environment). The Spark-side batching, schema and
+  * partitioning here are real either way.
   */
 object Multimodal {
 
