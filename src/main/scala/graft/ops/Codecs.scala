@@ -64,6 +64,8 @@ object Codecs {
       val id = tag(b, off)
       val size = rd32(b, off + 4)
       val body = off + 8
+      require(size >= 0 && body + size <= b.length,
+        s"chunk '$id' overruns the file: size=$size at offset $off")
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")
@@ -137,7 +139,10 @@ object Codecs {
     val h = math.abs(hRaw)
     require(rd16(b, 28) == 24, "only 24bpp supported")
     require(rd32(b, 30) == 0, "only uncompressed BI_RGB supported")
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
     val stride = bmpStride(w)
+    require(dataOff >= 54 && dataOff.toLong + stride.toLong * h <= b.length,
+      s"pixel data overruns the file: offset=$dataOff stride=$stride h=$h")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
