@@ -3104,6 +3104,24 @@ object CorpusQueries {
     "q70_parse_transcripts" -> ((s, dir) =>
       eventTranscripts(s, dir).orderBy(col("conv_id"), col("turn_idx"))),
 
+    // --- agent-behavior mining over the transcript table: adjacent-step transition
+    //     counts (role, or role:tool when a tool fires) per conversation — the
+    //     routing-diagnostics rollup an agent-log operator reads. Scale shape: the
+    //     lead() window partitions by conv_id (10^12 turns / ~10^8 convs = bounded
+    //     turns per partition), the transition agg is label-cardinality-sized. ---
+    "q94_tool_chains" -> ((s, dir) => {
+      val step = when(col("tool") === "", col("role"))
+        .otherwise(concat(col("role"), lit(":"), col("tool")))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      eventTranscripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), step.as("step"))
+        .withColumn("next_step", lead(col("step"), 1).over(w))
+        .filter(col("next_step").isNotNull)
+        .groupBy(col("step"), col("next_step"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy(col("n").desc, col("step"), col("next_step"))
+    }),
+
     // --- log pipeline stage 2: FM-shard substring routing with match counts ---
     "q71_route_fm" -> ((s, dir) => {
       import s.implicits._
@@ -4227,6 +4245,18 @@ object CorpusQueries {
       s"""WITH $duckTranscripts
          |SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
          |ORDER BY conv_id, turn_idx""".stripMargin,
+    "q94_tool_chains" ->
+      s"""WITH $duckTranscripts,
+         |s AS (SELECT conv_id, turn_idx,
+         |        CASE WHEN tool = '' THEN role ELSE role || ':' || tool END AS step
+         |      FROM transcripts),
+         |p AS (SELECT conv_id, step,
+         |        lead(step) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_step
+         |      FROM s)
+         |SELECT step, next_step, count(*) AS n,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+         |FROM p WHERE next_step IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY n DESC, step, next_step""".stripMargin,
     "q71_route_fm" ->
       s"""WITH $duckTranscripts,
          |rules AS (SELECT * FROM (VALUES ('errors','error'), ('purchases','purchase'),
