@@ -64,7 +64,8 @@ object Codecs {
       val id = tag(b, off)
       val size = rd32(b, off + 4)
       val body = off + 8
-      require(size >= 0 && body + size <= b.length,
+      // long math: a hostile size near Int.MaxValue must not wrap past the guard
+      require(size >= 0 && body.toLong + size <= b.length,
         s"chunk '$id' overruns the file: size=$size at offset $off")
       id match {
         case "fmt " =>
@@ -140,9 +141,12 @@ object Codecs {
     require(rd16(b, 28) == 24, "only 24bpp supported")
     require(rd32(b, 30) == 0, "only uncompressed BI_RGB supported")
     require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
-    val stride = bmpStride(w)
-    require(dataOff >= 54 && dataOff.toLong + stride.toLong * h <= b.length,
-      s"pixel data overruns the file: offset=$dataOff stride=$stride h=$h")
+    // stride and pixel count in LONG: a hostile header width near Int.MaxValue
+    // must fail this guard, not wrap bmpStride/w*h and over-allocate
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    require(dataOff >= 54 && dataOff.toLong + strideL * h <= b.length,
+      s"pixel data overruns the file: offset=$dataOff stride=$strideL h=$h")
+    val stride = strideL.toInt // bounded by b.length after the guard
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -55,6 +55,26 @@ object CorpusQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-lang VALUE cutoff over a bounded (lang, score_fp) HISTOGRAM: the largest
+    * score whose desc-cumulative doc count covers at least num/den of the lang's
+    * docs (so `score_fp >= cutoff` selects >= num/den of them, ties by value).
+    * Shared by q88/q91 (thirds) and q89 (fifth): the cumulative window runs over
+    * aggregated histogram rows — bounded by the fixed-point scale, never corpus
+    * size — which is what makes these selections scale-safe.
+    */
+  private def langValueCutoff(scored: DataFrame, num: Int, den: Int,
+      as: String): DataFrame = {
+    val hist = scored.groupBy(col("lang"), col("score_fp"))
+      .agg(count(lit(1)).as("cnt"))
+    val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
+      .join(broadcast(nDocs), Seq("lang"))
+      .filter(col("cum") * den >= col("n_docs") * num)
+      .groupBy(col("lang")).agg(max(col("score_fp")).as(as))
+  }
+
   /** q88 body over any (doc_id, lang, text) frame — q91 reuses it over its
     * filtered/deduped survivors, so the LM and the cutoffs are computed over
     * exactly the corpus being bucketed. Returns one row per input doc with
@@ -73,19 +93,10 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("c"), lit(0L))).as("lm_hits"))
       .withColumn("score_fp", expr("lm_hits * 1000000 div n_bigrams"))
-    val hist = scored.groupBy(col("lang"), col("score_fp"))
-      .agg(count(lit(1)).as("cnt"))
-    val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    // cum(s) = #docs of the lang with score >= s; the head cutoff is the largest
-    // score covering at least a third of them, the middle cutoff two thirds
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
-      .join(broadcast(nDocs), Seq("lang"))
-    val tHead = cum.filter(col("cum") * 3 >= col("n_docs"))
-      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_head"))
-    val tMid = cum.filter(col("cum") * 3 >= col("n_docs") * 2)
-      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_mid"))
+    // head cutoff: the largest score covering at least a third of the lang's docs
+    // by desc-cumulative count; middle cutoff two thirds (langValueCutoff)
+    val tHead = langValueCutoff(scored, 1, 3, "t_head")
+    val tMid = langValueCutoff(scored, 2, 3, "t_mid")
     scored
       .join(broadcast(tHead), Seq("lang")).join(broadcast(tMid), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_hits"),
@@ -140,15 +151,7 @@ object CorpusQueries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_feats"), sum(col("r_fp")).as("w_sum"))
       .withColumn("score_fp", expr("w_sum div n_feats"))
-    val hist = scored.groupBy(col("lang"), col("score_fp"))
-      .agg(count(lit(1)).as("cnt"))
-    val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
-      .join(broadcast(nDocs), Seq("lang"))
-    val tSel = cum.filter(col("cum") * 5 >= col("n_docs"))
-      .groupBy(col("lang")).agg(max(col("score_fp")).as("t_sel"))
+    val tSel = langValueCutoff(scored, 1, 5, "t_sel")
     scored.join(broadcast(tSel), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_feats"), col("w_sum"),
         col("score_fp"), (col("score_fp") >= col("t_sel")).as("selected"))
