@@ -1561,6 +1561,118 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- perceptual image near-dup over the REAL codec path: deterministic cluster
+    //     images (5 docs per base share md5-seeded pseudo-random pixels; each member
+    //     adds a small per-channel shift) -> actual BMP encode -> from-scratch
+    //     decode -> 9x8 nearest-neighbor grayscale thumbnail -> 64-bit dHash
+    //     (horizontal gradient sign bits) -> pairing via the SAME 4x16-bit band
+    //     equi-join as q37 (pigeonhole: <= 3 differing bits leave a band intact, so
+    //     recall is exact) + bit_count(xor) filter. The DuckDB oracle re-derives
+    //     every dHash from the closed-form pixels in HUGEINT math and pairs by
+    //     brute force, so the banding provably loses nothing AND any codec/
+    //     thumbnail/stride drift breaks the gate. Seeding the pixel polynomial's
+    //     COEFFICIENTS from md5(base) matters for scale: a plain polynomial in base
+    //     is periodic mod 256, so distinct clusters repeat pixel-identical images
+    //     every few thousand docs and the pair count goes quadratic; with md5
+    //     coefficients, cross-cluster dHashes are independent and hamming<=3
+    //     collisions are ~C(64,3)/2^64 — the output stays linear in the corpus.
+    //     Scale shape: per-row kernel + band equi-join — never all-pairs. ---
+    "q95_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = tWide(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val base = id - id % 5
+            val shift = (id % 5).toInt
+            val w = (16 + base % 8).toInt; val h = (12 + base % 4).toInt
+            md.reset()
+            val d = md.digest(s"img$base".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)).map(_ & 0xff)
+            def rgb(x: Int, y: Int): Int = {
+              val r = (d(0) * (x + 1) * (y + 3) + d(1) * (x + 1) + d(2) + shift * 5) % 256
+              val g = (d(3) * (y + 1) * (x + 2) + d(4) * (y + 1) + d(5) + shift * 3) % 256
+              val b = (d(6) * (x + 1) * (x + 1) + d(7) * (y + 2) * (y + 2) + d(8) + shift) % 256
+              (r << 16) | (g << 8) | b
+            }
+            val payload = Codecs.encodeBmp24(w, h, rgb)
+            val (wo, ho, px) = Codecs.decodeBmp24(payload)
+            val thumb = Codecs.resizeNearest(px, wo, ho, 9, 8)
+            def gray(i: Int): Long =
+              ((thumb(i) >> 16) & 0xff) * 299L + ((thumb(i) >> 8) & 0xff) * 587L +
+                (thumb(i) & 0xff) * 114L
+            var sig = 0L
+            var k = 0
+            while (k < 64) {
+              val tx = k % 8; val ty = k / 8
+              if (gray(ty * 9 + tx + 1) > gray(ty * 9 + tx)) sig |= 1L << k
+              k += 1
+            }
+            (id, sig)
+          }
+        }
+        .toDF("doc_id", "dhash")
+      val bands = sigs.select(col("doc_id"), col("dhash"),
+        posexplode(simhashBands(col("dhash"))).as(Seq("band_idx", "band_val")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("dhash").as("sa"),
+        col("band_idx"), col("band_val"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("dhash").as("sb"),
+        col("band_idx").as("bi2"), col("band_val").as("bv2"))
+      a.join(b, col("band_idx") === col("bi2") && col("band_val") === col("bv2") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- audio tone detection over the REAL codec path: a square-wave tone of
+    //     period 8/16/32/64 samples (+ bounded deterministic noise) per doc ->
+    //     actual WAV encode -> from-scratch RIFF chunk-walk decode -> a Walsh
+    //     correlation bank (integer square-wave correlators at the four candidate
+    //     periods; Walsh functions are mutually orthogonal, so the true period's
+    //     correlator dominates and `detected_period = true_period` everywhere —
+    //     the gate proves the detector works, not just that it round-trips).
+    //     All math integer; the oracle re-derives every score closed-form.
+    //     Scale shape: stateless per-row kernel, no shuffle. ---
+    "q96_audio_tones" -> ((s, dir) => {
+      import s.implicits._
+      tWide(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (192 + id % 64).toInt
+            val pTrue = (8L << (id % 4)).toInt
+            val amp = 8000 + (id % 7) * 500
+            val samples = Array.tabulate(n) { i =>
+              val tone = if (i % pTrue < pTrue / 2) amp else -amp
+              val noise = (id * 31 + i.toLong * i * 17) % 2001 - 1000
+              (tone + noise).toShort
+            }
+            val payload = Codecs.encodeWavPcm16(16000, samples)
+            val (_, dec) = Codecs.decodeWavPcm16(payload)
+            def score(p: Int): Long = {
+              var acc = 0L; var i = 0
+              while (i < dec.length) {
+                acc += (if (i % p < p / 2) dec(i).toLong else -dec(i).toLong)
+                i += 1
+              }
+              math.abs(acc)
+            }
+            val s8 = score(8); val s16 = score(16)
+            val s32 = score(32); val s64 = score(64)
+            val best =
+              if (s8 >= s16 && s8 >= s32 && s8 >= s64) 8L
+              else if (s16 >= s32 && s16 >= s64) 16L
+              else if (s32 >= s64) 32L else 64L
+            (id, dec.length.toLong, s8, s16, s32, s64, best, pTrue.toLong)
+          }
+        }
+        .toDF("doc_id", "n_samples", "score_p8", "score_p16", "score_p32",
+          "score_p64", "detected_period", "true_period")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- partitioned-table sink + source round-trip: write documents Hive-partitioned
     //     by language, read back with a partition filter — the filter prunes whole
     //     directories (PartitionFilters in the scan; PlanShapeSpec asserts it), the
@@ -3402,6 +3514,36 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- CCNet/RefinedWeb-style BOILERPLATE removal: chunks (8-word spans, the
+    //     engine's paragraph analog) whose document frequency reaches the threshold
+    //     are stripped from EVERY document — the complement of q86, which keeps one
+    //     global first copy of each duplicated chunk. A document that was all
+    //     boilerplate disappears entirely (both sides agree on that semantics).
+    //     df is an aggregation keyed on the chunk hash and the strip is one LEFT
+    //     ANTI join — linear, never all-pairs. ---
+    "q97_boilerplate" -> ((s, dir) => {
+      val W = 8
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .withColumn("n_chunks", ceil(size(col("words")) / lit(W.toDouble)).cast("int"))
+        .filter(col("n_chunks") > 0)
+        .select(col("doc_id"), col("lang"), posexplode(expr(
+          s"transform(sequence(0, n_chunks - 1), i -> array_join(slice(words, i * $W + 1, $W), ' '))")))
+        .toDF("doc_id", "lang", "chunk_idx", "chunk")
+      val boiler = chunks.groupBy(md5(col("chunk")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("h"))
+      chunks.join(boiler, md5(col("chunk")) === col("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(min(col("lang")).as("lang"),
+          count(lit(1)).as("kept_chunks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Gopher-style composite quality filter (Rae et al. 2021 "Scaling Language
     //     Models", appendix A1.1 rule shapes, thresholds adapted to the synthetic
     //     vocabulary): five rules composed per document, all in INTEGER math
@@ -4321,6 +4463,22 @@ object CorpusQueries {
         |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
         |FROM k WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q97: boilerplate strip — chunks present in >= 2 distinct docs removed from ALL
+    "q97_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, g.i AS chunk_idx,
+        |         array_to_string(words[g.i*8+1 : g.i*8+8], ' ') AS chunk
+        |  FROM w, LATERAL (
+        |    SELECT unnest(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS i) g
+        |), b AS (
+        |  SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, min(lang) AS lang, count(*) AS kept_chunks,
+        |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |FROM c WHERE chunk NOT IN (SELECT chunk FROM b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q87: Gopher-style composite quality filter — five integer-exact rules
     "q87_gopher_filter" ->
       """WITH f AS (
@@ -4491,6 +4649,64 @@ object CorpusQueries {
         |  )) AS BIGINT) AS gray8_sum,
         |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q95: brute-force all-pairs oracle over closed-form dHashes — proves the
+    // 4x16-bit band join loses no hamming<=3 pair AND that the codec round-trip
+    // (encode -> decode -> 9x8 thumbnail -> gradient bits) matches the pixel formula
+    "q95_image_neardup" -> {
+      // md5("img" || base) byte i, from the hex string — the Scala kernel's digest
+      def byteAt(i: Int): String =
+        s"((strpos('0123456789abcdef', substr(hx, ${2 * i + 1}, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(hx, ${2 * i + 2}, 1)) - 1))"
+      // channel values at sampled coordinate (sx, sy) — mirrors the Scala rgb()
+      // the BMP round-trip encodes; thumbnail sample x = tx*w//9, y = ty*h//8
+      def gray(sx: String, sy: String): String =
+        s"(((d0*($sx+1)*($sy+3) + d1*($sx+1) + d2 + shift*5) % 256) * 299" +
+          s" + ((d3*($sy+1)*($sx+2) + d4*($sy+1) + d5 + shift*3) % 256) * 587" +
+          s" + ((d6*($sx+1)*($sx+1) + d7*($sy+2)*($sy+2) + d8 + shift) % 256) * 114)"
+      val g = gray("((i % 9) * w) // 9", "((i // 9) * h) // 8")
+      val bits = (0 until 64).map { k =>
+        val l = (k / 8) * 9 + (k % 8) + 1 // 1-based index of gray(tx, ty) in gr
+        s"(CASE WHEN gr[${l + 1}] > gr[$l] THEN CAST(${BigInt(2).pow(k)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+      }.mkString(" + ")
+      val bytes = (0 to 8).map(i => s"${byteAt(i)} AS d$i").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, doc_id % 5 AS shift,
+         |             16 + (doc_id - doc_id % 5) % 8 AS w,
+         |             12 + (doc_id - doc_id % 5) % 4 AS h,
+         |             md5('img' || CAST(doc_id - doc_id % 5 AS VARCHAR)) AS hx
+         |           FROM documents),
+         |db AS (SELECT doc_id, shift, w, h, $bytes FROM d),
+         |t AS (SELECT doc_id, list_transform(range(0, 72), i -> $g) AS gr FROM db),
+         |sig AS (SELECT doc_id, ${duckWrapSigned(bits)} AS dhash FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // q96: the Walsh correlation bank re-derived closed-form — scores, argmax
+    // (ties to the smaller period) and the true period, all integer
+    "q96_audio_tones" -> {
+      val x = "(CASE WHEN i % P < P // 2 THEN amp ELSE -amp END" +
+        " + (doc_id * 31 + i * i * 17) % 2001 - 1000)"
+      def sc(p: Int): String =
+        s"CAST(abs(list_sum(list_transform(range(0, n), i -> $x * " +
+          s"(CASE WHEN i % $p < ${p / 2} THEN 1 ELSE -1 END)))) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, 192 + doc_id % 64 AS n,
+         |             CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+         |                  WHEN 2 THEN 32 ELSE 64 END AS P,
+         |             8000 + (doc_id % 7) * 500 AS amp
+         |           FROM documents),
+         |s AS (SELECT doc_id, n, P,
+         |        ${sc(8)} AS s8, ${sc(16)} AS s16, ${sc(32)} AS s32, ${sc(64)} AS s64
+         |      FROM d)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |  s8 AS score_p8, s16 AS score_p16, s32 AS score_p32, s64 AS score_p64,
+         |  CAST(CASE WHEN s8 >= s16 AND s8 >= s32 AND s8 >= s64 THEN 8
+         |       WHEN s16 >= s32 AND s16 >= s64 THEN 16
+         |       WHEN s32 >= s64 THEN 32 ELSE 64 END AS BIGINT) AS detected_period,
+         |  CAST(P AS BIGINT) AS true_period
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // q90: fixed-point BM25 — identical integer idf/tf factors, top-10 per query
     "q90_bm25_topk" ->
       """WITH qt AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
