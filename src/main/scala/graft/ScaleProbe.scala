@@ -37,7 +37,12 @@ object ScaleProbe {
     "q59_bpe_train",
     // the round-5 selection/retrieval family: every cutoff comes from a BOUNDED
     // histogram or a broadcast table, so all three must track the linear scans
-    "q88_ccnet_buckets", "q89_dsir", "q90_bm25")
+    "q88_ccnet_buckets", "q89_dsir", "q90_bm25",
+    // the round-5 codec-path family: q95 is the band-join class (the dHash twin of
+    // q37 — md5-seeded pixels keep cross-cluster hashes independent, so candidate
+    // pairs grow ~linearly); q96 is a pure per-row kernel; q97 is q86's chunk
+    // stream through a df agg + anti join — all three must track the linear scans
+    "q95_image_neardup", "q96_audio_tones", "q97_boilerplate")
 
   /** Uncapped q52 measured ~31 s at 10x and >14 min at 100x on this generator:
     * RANDOM (non-clustered) embeddings give 4-bit hyperplane bands ~no selectivity,
