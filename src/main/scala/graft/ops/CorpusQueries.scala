@@ -2717,6 +2717,49 @@ object CorpusQueries {
                |FROM $cat.ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
+    // --- PARTITION SPEC EVOLUTION under the gate (Iceberg ADD PARTITION FIELD,
+    //     per-data-file spec ids): gen-1 events land under days(ts) alone; a SQL
+    //     `CALL cat.system.add_partition_field` adds bucket(4,user_id) WITHOUT
+    //     rewriting any file (gen-1 entries are stamped with their old spec id);
+    //     gen-2 appends inherit the evolved spec and route by both fields. The
+    //     user_id query then prunes gen-2 files through the bucket transform
+    //     while gen-1 files — which were never routed by it — all stay planned
+    //     (requires pin both), and the aggregate must equal DuckDB's full-table
+    //     answer: one wrongly-pruned gen-1 file (over-pruning) or a mislabeled
+    //     partition value under the wrong spec breaks the hash gate. ---
+    "q63ag_partition_evolution" -> ((s, dir) => {
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val wh = freshTmpTable("q63ag", dir)
+      val cat = s"graft_q63ag_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format("graft.sources.ManifestDataSource")
+        .option("partcol", "days(ts)").mode("overwrite").save(s"$wh/ev")
+      val gen1Files = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/ev").length
+      s.sql(s"CALL $cat.system.add_partition_field('ev', 'bucket(4,user_id)')").collect()
+      ev.filter(col("event_id") % 2 === 1)
+        .write.format("graft.sources.ManifestDataSource").mode("append").save(s"$wh/ev")
+      val total = graft.sources.ManifestMaintenance.liveDataFiles(s"$wh/ev").length
+      val tbl = s.read.format("graft.sources.ManifestDataSource").load(s"$wh/ev")
+      val probe = tbl.filter(col("user_id") === 7L).select("event_id")
+      probe.collect() // AQE: executedPlan is final only after execution
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      require(planned < total && planned >= gen1Files,
+        s"evolution pruning shape: planned $planned of $total files " +
+          s"(gen-1 holds $gen1Files — none of those may bucket-prune)")
+      tbl.filter(col("user_id") === 7L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("value_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- METADATA TABLES under the gate (Iceberg's inspection surface): three
     //     coalesce(1) appends make the table's history fully DERIVABLE — snapshot
     //     r holds one segment per append so far and one file per (append,
@@ -4299,6 +4342,14 @@ object CorpusQueries {
       """SELECT user_id, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q63ag: partition evolution only changes file ROUTING metadata — the
+    // relational answer is the plain filtered rollup over BOTH generations
+    // (missing gen-1 rows would mean old files were wrongly bucket-pruned)
+    "q63ag_partition_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63y: the snapshots metadata table == the relational derivation of the
     // history — snapshot r carries r+1 one-per-append segments and cumulatively
     // one file per (append, distinct lang)

@@ -158,8 +158,15 @@ class ManifestCatalog extends TableCatalog
               // exact per-partition record count from manifest metadata; null
               // when any entry predates the rows feature (unknown, never guessed)
               StructField("rows", LongType, nullable = true)))
-        Some(new ManifestMetaTable(s"manifest_partitions($parent)", schema, () =>
-          ManifestTables.readLatest(parent).groupBy(_.partition).toSeq.sortBy(_._1)
+        Some(new ManifestMetaTable(s"manifest_partitions($parent)", schema, () => {
+          // evolution-aware: each entry's values re-lay-out under the CURRENT
+          // spec; files predating a hidden field show "" for it (honest: they
+          // were never routed by it)
+          val specOf = ManifestTables.specResolver(parent, spec)
+          ManifestTables.readLatest(parent)
+            .map(e => e.copy(partition =
+              ManifestDataSource.normalizePartition(specOf, spec)(e)))
+            .groupBy(_.partition).toSeq.sortBy(_._1)
             .map { case (p, es) =>
               val vals: Seq[Any] =
                 if (spec.isEmpty) Nil
@@ -167,7 +174,8 @@ class ManifestCatalog extends TableCatalog
               val rows: Any =
                 if (es.exists(_.rows < 0)) null else es.map(_.rows).sum
               vals ++ Seq(es.size.toLong, es.map(_.bytes).sum, rows)
-            }))
+            }
+        }))
       case "manifests" =>
         // layered-manifest inspection (Iceberg `.manifests` analog): one row per
         // manifest segment the LATEST snapshot references — data segments,

@@ -393,9 +393,22 @@ object ManifestDataSource {
     */
   private[sources] def entryWithinBounds(partCols: Seq[ManifestTables.PartCol],
       bounds: Map[String, Set[String]])(e: ManifestTables.Entry): Boolean =
+    entryWithinBoundsBy(_ => partCols, bounds)(e)
+
+  /** Partition-EVOLUTION-aware bounds check: each entry's value is read under its
+    * OWN spec (ManifestTables.specResolver), and a bound on a column the entry's
+    * spec lacks keeps the entry — its files predate the field, their rows may
+    * match, and the residual predicate decides. Identity columns exist in every
+    * spec (the identity set is immutable under evolution), so identity bounds
+    * stay whole-file-exact; hidden-transform bounds only ever REDUCE.
+    */
+  private[sources] def entryWithinBoundsBy(
+      specOf: ManifestTables.Entry => Seq[ManifestTables.PartCol],
+      bounds: Map[String, Set[String]])(e: ManifestTables.Entry): Boolean =
     bounds.isEmpty || {
-      val vals = splitPartValues(e.partition, partCols.length)
-      partCols.zipWithIndex.forall { case (pc, i) =>
+      val pcs = specOf(e)
+      val vals = splitPartValues(e.partition, pcs.length)
+      pcs.zipWithIndex.forall { case (pc, i) =>
         bounds.get(pc.name).forall(_.contains(vals(i)))
       }
     }
@@ -407,10 +420,20 @@ object ManifestDataSource {
     */
   private[sources] def entryWithinDayRanges(partCols: Seq[ManifestTables.PartCol],
       ranges: Seq[(String, String, Long)])(e: ManifestTables.Entry): Boolean =
+    entryWithinDayRangesBy(_ => partCols, ranges)(e)
+
+  /** Evolution-aware day-range check — already name-keyed, so an entry whose spec
+    * predates the days() field simply finds no index and stays (never prune on a
+    * field the file was not routed by).
+    */
+  private[sources] def entryWithinDayRangesBy(
+      specOf: ManifestTables.Entry => Seq[ManifestTables.PartCol],
+      ranges: Seq[(String, String, Long)])(e: ManifestTables.Entry): Boolean =
     ranges.isEmpty || {
-      val vals = splitPartValues(e.partition, partCols.length)
+      val pcs = specOf(e)
+      val vals = splitPartValues(e.partition, pcs.length)
       ranges.forall { case (name, op, day) =>
-        val i = partCols.indexWhere(_.name == name)
+        val i = pcs.indexWhere(_.name == name)
         if (i < 0) true
         else try {
           val d = java.time.LocalDate.parse(vals(i)).toEpochDay
@@ -572,6 +595,53 @@ object ManifestDataSource {
     val vals = splitPartValues(e.partition, partCols.length)
     partCols.zipWithIndex.map { case (pc, i) =>
       internalPartValue(pc.tpe, vals(i)) }.toArray
+  }
+
+  /** An entry's partition values re-laid-out under the SCAN's spec, so the reader
+    * factories (which split by the scan spec's length) serve every file correctly
+    * across partition evolution. Identity columns resolve by NAME — the identity
+    * set is immutable under evolution, so a missing one is format corruption, not
+    * a legal state. Hidden fields the entry's spec lacks serve as "" placeholders:
+    * hidden columns are never in the table schema, so no reader ever decodes them.
+    * Entries already under the scan spec pass through verbatim.
+    */
+  private[sources] def normalizePartition(
+      specOf: ManifestTables.Entry => Seq[ManifestTables.PartCol],
+      scanSpec: Seq[ManifestTables.PartCol])(e: ManifestTables.Entry): String = {
+    val pcs = specOf(e)
+    if (pcs == scanSpec) e.partition
+    else {
+      val byName = pcs.map(_.name).zip(splitPartValues(e.partition, pcs.length)).toMap
+      scanSpec.map { pc =>
+        byName.get(pc.name) match {
+          case Some(v) => v
+          case None =>
+            require(pc.transform.nonEmpty,
+              s"identity partition column '${pc.name}' missing from file " +
+                s"${e.path}'s spec '${pcs.map(ManifestTables.specTokenOf).mkString(",")}' — " +
+                "the identity set is immutable under evolution")
+            ""
+        }
+      }.mkString(ManifestTables.PartSep.toString)
+    }
+  }
+
+  /** Evolution-aware SPJ key tuple: complete under the scan spec, or EMPTY when
+    * the entry's spec lacks any scan-spec field (no honest grouping key exists —
+    * and the scan only claims KeyGroupedPartitioning over a single-spec file set,
+    * so an empty tuple is never consulted).
+    */
+  private[sources] def keyDatumsBy(
+      specOf: ManifestTables.Entry => Seq[ManifestTables.PartCol],
+      scanSpec: Seq[ManifestTables.PartCol])(e: ManifestTables.Entry): Array[Any] = {
+    val pcs = specOf(e)
+    if (pcs == scanSpec) keyDatums(scanSpec, e)
+    else {
+      val byName = pcs.map(_.name).zip(splitPartValues(e.partition, pcs.length)).toMap
+      if (scanSpec.forall(pc => byName.contains(pc.name)))
+        scanSpec.map(pc => internalPartValue(pc.tpe, byName(pc.name))).toArray
+      else Array.empty
+    }
   }
 
   /** The file paths already present at `start`, validated against an end snapshot's
@@ -953,13 +1023,29 @@ private[sources] class ManifestDataTable(dir: String, tschema: StructType,
     val bounds = deleteBounds(predicates).getOrElse(throw new UnsupportedOperationException(
       s"DELETE on manifest tables supports =/IN predicates over partition columns only; " +
         s"got ${predicates.mkString(", ")}"))
-    val partCols = ManifestTables.readPartitionSpec(dir)
-    val matches = ManifestDataSource.entryWithinBounds(partCols, bounds) _
     // optimistic-concurrency publication, same discipline as writes and ALTER
     var attempt = 0
     var done = false
     while (!done) {
       val refs = ManifestTables.readSnapshotRefs(dir, None)
+      // the matcher derives from THIS attempt's refs (per-entry spec resolution:
+      // a respec racing this loop re-stamps entries and fails our CAS, and the
+      // retry must then judge them under their own specs). Bounds are over
+      // identity columns only (partitionBound), which every spec carries, so
+      // whole-file match/miss semantics hold across evolution.
+      val specOf = ManifestTables.specResolver(dir,
+        ManifestTables.readPartitionSpec(dir, Some(refs.snapshot)))
+      val matches = (e: ManifestTables.Entry) => {
+        val ok = ManifestDataSource.entryWithinBoundsBy(specOf, bounds)(e)
+        // the evolved bounds check KEEPS an entry on a column its spec lacks —
+        // right for scans (may contain matches), lethal for a DELETE (matches
+        // means REMOVE). Unreachable while identity columns are immutable under
+        // evolution; guarded anyway because the failure mode is silent data loss.
+        if (ok) require(bounds.keySet.subsetOf(specOf(e).map(_.name).toSet),
+          s"DELETE bound on ${bounds.keySet.mkString(",")} cannot be judged for " +
+            s"file ${e.path} (spec lacks the column) — refusing a blind delete")
+        ok
+      }
       val inlineSurvivors = refs.inline.filterNot(matches)
       // untouched segments carry by NAME; touched ones are rewritten without the
       // matching entries (dropped entirely when nothing survives)
@@ -1310,9 +1396,10 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   private def fmAllowed(e: ManifestTables.Entry): Boolean =
     fmPatterns.isEmpty || {
-      val vals = ManifestDataSource.splitPartValues(e.partition, partCols.length)
-      val i0 = partCols.indexWhere(_.name == ShardIndexTable.HexCols(0))
-      val i1 = partCols.indexWhere(_.name == ShardIndexTable.HexCols(1))
+      val pcs = specOf(e)
+      val vals = ManifestDataSource.splitPartValues(e.partition, pcs.length)
+      val i0 = pcs.indexWhere(_.name == ShardIndexTable.HexCols(0))
+      val i1 = pcs.indexWhere(_.name == ShardIndexTable.HexCols(1))
       i0 < 0 || i1 < 0 || {
         val fp = ShardIndexTable.parseHexPair(vals(i0), vals(i1))
         fmPatterns.forall(p => graft.functions.AlphaFingerprint.mayContain(fp, p))
@@ -1320,9 +1407,9 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     }
 
   private def allowed(e: ManifestTables.Entry): Boolean =
-    ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) &&
-      ManifestDataSource.entryWithinDayRanges(partCols, dayRanges)(e) &&
-      ManifestDataSource.entryWithinBounds(partCols, runtimeValues)(e) &&
+    ManifestDataSource.entryWithinBoundsBy(specOf, partitionValues)(e) &&
+      ManifestDataSource.entryWithinDayRangesBy(specOf, dayRanges)(e) &&
+      ManifestDataSource.entryWithinBoundsBy(specOf, runtimeValues)(e) &&
       runtimeFiles.forall(_.contains(e.path)) &&
       ManifestStats.allows(e.stats, statBounds)
 
@@ -1374,11 +1461,22 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   private def rangeDeletes: Map[String, Array[Long]] = changeDiff._2
   private lazy val pinnedAll: Seq[ManifestTables.Entry] =
     ManifestTables.entriesOf(dir, pinnedRefs)
+  /** Per-entry partition-spec resolution (partition evolution): specid-0 entries
+    * read under THIS scan's pinned spec — the pinned refs' unstamped entries are
+    * laid out under it by the stamping invariant (see Entry.specId).
+    */
+  private lazy val specOf: ManifestTables.Entry => Seq[ManifestTables.PartCol] =
+    ManifestTables.specResolver(dir, partCols)
+  /** Do ALL files of this scan share the pinned spec? KeyGroupedPartitioning (SPJ)
+    * is only claimed then — a spec-straddling file set has no honest common
+    * grouping key over transform fields old files were never routed by.
+    */
+  private lazy val specUniform: Boolean = pinnedAll.forall(e => specOf(e) == partCols)
   private lazy val pinned: Seq[ManifestTables.Entry] =
     pinnedAll
       .filter(e => !baselinePaths.contains(e.path))
-      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
-      .filter(ManifestDataSource.entryWithinDayRanges(partCols, dayRanges))
+      .filter(ManifestDataSource.entryWithinBoundsBy(specOf, partitionValues))
+      .filter(ManifestDataSource.entryWithinDayRangesBy(specOf, dayRanges))
       .filter(fmAllowed)
   // merge-on-read positional deletes of the SAME pinned snapshot: data-file path ->
   // sorted deleted positions, applied by the readers
@@ -1493,14 +1591,20 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
   }
 
   private def keyDatumsOf(e: ManifestTables.Entry): Array[Any] =
-    ManifestDataSource.keyDatums(partCols, e)
+    ManifestDataSource.keyDatumsBy(specOf, partCols)(e)
+
+  /** The entry's partition string in the SCAN spec's layout — what the reader
+    * factories (constant partition vectors, split by the scan spec) consume.
+    */
+  private def normPartOf(e: ManifestTables.Entry): String =
+    ManifestDataSource.normalizePartition(specOf, partCols)(e)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // changelog inserts NET OUT rows both appended and deleted in the range: a
     // file that didn't exist at start has only range-new deletions, so the pinned
     // snapshot's full skip list IS the net-out list for it
     val inserts = pinned.filter(allowed)
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, normPartOf(e),
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
         pinnedDeletes.getOrElse(e.path, Array.emptyLongArray),
         changeType = if (changelog) "insert" else "",
@@ -1511,7 +1615,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     val deletes = pinnedAll
       .filter(e => baselinePaths.contains(e.path) && rangeDeletes.contains(e.path))
       .filter(allowed) // the ONE pruning predicate — insert and delete views agree
-      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+      .map(e => ManifestDataInputPartition(s"$dir/${e.path}", e.path, normPartOf(e),
         if (partCols.isEmpty) Array.empty else keyDatumsOf(e),
         changeType = "delete", emitOnly = rangeDeletes(e.path)): InputPartition)
     (inserts ++ deletes).toArray
@@ -1531,8 +1635,12 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     // a changelog scan mixes insert and delete views of one range — it stays a
-    // plain read and never claims key-grouped storage partitioning
-    if (partCols.isEmpty || changelog)
+    // plain read and never claims key-grouped storage partitioning; a
+    // spec-STRADDLING file set (partition evolution mid-table) likewise — files
+    // predating a transform field have no grouping key under it, so claiming
+    // KeyGroupedPartitioning would co-locate nothing honestly (plain shuffle
+    // until compaction rewrites the stragglers under the current spec)
+    if (partCols.isEmpty || changelog || !specUniform)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         pinned.count(allowed))
     else {
@@ -1694,10 +1802,15 @@ private[sources] class ManifestMicroBatchStream(dir: String,
     val tEntries = ManifestTables.entriesOf(dir, tRefs)
     val tPaths = tEntries.map(_.path).toSet
     val sPaths = ManifestTables.entriesOf(dir, sRefs).map(_.path).toSet
+    // spec comparison on the IDENTITY columns only: hidden-field evolution
+    // (ADD/DROP PARTITION FIELD) is handled per entry by the spec resolver, so a
+    // respec in the span stays streamable; an identity change (overwrite respec)
+    // still breaks the span
     val pureAppend = sRefs.deletes.toSet == tRefs.deletes.toSet &&
       sRefs.eqDeletes.toSet == tRefs.eqDeletes.toSet &&
       sPaths.subsetOf(tPaths) &&
-      ManifestTables.readPartitionSpec(dir, Some(t)) == partCols
+      ManifestTables.readPartitionSpec(dir, Some(t)).filter(_.transform.isEmpty) ==
+        partCols.filter(_.transform.isEmpty)
     if (pureAppend) Some(tEntries.filterNot(e => sPaths.contains(e.path)).sortBy(_.path))
     else None
   }
@@ -1827,11 +1940,14 @@ private[sources] class ManifestMicroBatchStream(dir: String,
 
   private def planRange(s0: Int, s1: Int): Seq[Planned] = {
     // the stream resolved its partition spec ONCE at start; an overwrite that
-    // REDEFINED the spec mid-stream would make this batch parse the new layout's
-    // partition values under the old one (garbage values or a crash mid-batch,
-    // well beyond skipRewrites' documented lossiness) — refuse loudly instead
+    // REDEFINED the identity layout mid-stream would make this batch parse the
+    // new layout's partition values under the old one (garbage values or a crash
+    // mid-batch, well beyond skipRewrites' documented lossiness) — refuse loudly.
+    // Hidden-field evolution (ADD/DROP PARTITION FIELD) is exempt: entries
+    // self-describe through the per-entry spec resolver, so the stream rides
+    // through a respec without a restart.
     val endSpec = ManifestTables.readPartitionSpec(dir, Some(s1))
-    require(endSpec == partCols,
+    require(endSpec.filter(_.transform.isEmpty) == partCols.filter(_.transform.isEmpty),
       s"partition spec of $dir changed mid-stream (stream started under " +
         s"'${partCols.map(ManifestTables.specTokenOf).mkString(",")}', snapshot $s1 " +
         s"records '${endSpec.map(ManifestTables.specTokenOf).mkString(",")}') — " +
@@ -1966,17 +2082,22 @@ private[sources] class ManifestMicroBatchStream(dir: String,
   }
 
   private def build(planned: Seq[Planned]): Array[InputPartition] = {
+    // a stream plans entries from MANY snapshots, so specid-0 entries resolve
+    // under the spec of the snapshot they were read from (sound by the respec
+    // stamping invariant — see ManifestTables.mainChainSpecResolver)
+    val specOf = ManifestTables.mainChainSpecResolver(dir)
     val kept = planned
       .filter { case (e, _, _, _, _) =>
-        ManifestDataSource.entryWithinBounds(partCols, partitionValues)(e) }
+        ManifestDataSource.entryWithinBoundsBy(specOf, partitionValues)(e) }
       .filter { case (e, _, _, _, _) => ManifestStats.allows(e.stats, statBounds) }
     // batch-uniform row mode, decided over the SURVIVING partitions: deletes
     // confined to pruned-away files must not tax the rest of the batch
     val rowMode = kept.exists(p => p._2.nonEmpty || p._3.nonEmpty || p._5.nonEmpty)
     kept.map { case (e, dels, only, ct, eq) =>
-      ManifestDataInputPartition(s"$dir/${e.path}", e.path, e.partition,
+      ManifestDataInputPartition(s"$dir/${e.path}", e.path,
+        ManifestDataSource.normalizePartition(specOf, partCols)(e),
         if (partCols.isEmpty) Array.empty
-        else ManifestDataSource.keyDatums(partCols, e),
+        else ManifestDataSource.keyDatumsBy(specOf, partCols)(e),
         deleted = dels, changeType = ct, emitOnly = only,
         rowMode = rowMode, eqDels = eq): InputPartition }
       .toArray
@@ -2061,9 +2182,17 @@ private class ManifestAggScan(dir: String, partCols: Seq[ManifestTables.PartCol]
       case Some(s0) => ManifestDataSource.incrementalBaseline(
         dir, s0, refs, entries.map(_.path).toSet)
     }
+    // evolution-aware: prune each entry under its own spec, then re-lay its
+    // partition values out under the scan spec — the factory and the per-tuple
+    // pre-merge below both split by the scan spec's length. Two specs' files
+    // sharing an identity tuple may pre-merge into separate partial rows (hidden
+    // "" placeholder vs a routed value); Spark's final agg re-merges them by the
+    // emitted group VALUES, so answers never move.
+    val specOf = ManifestTables.specResolver(dir, partCols)
     entries
       .filter(e => !baseline.contains(e.path))
-      .filter(ManifestDataSource.entryWithinBounds(partCols, partitionValues))
+      .filter(ManifestDataSource.entryWithinBoundsBy(specOf, partitionValues))
+      .map(e => e.copy(partition = ManifestDataSource.normalizePartition(specOf, partCols)(e)))
   }
 
   // scan output contract (positional): groupBy columns first, then one column per

@@ -132,18 +132,26 @@ object ManifestMaintenance {
     def eqApplies(e: ManifestTables.Entry): Boolean =
       eqDels.exists(d => ManifestTables.seqOf(e) < d.seq)
 
-    // pack per partition, in manifest order (stable, deterministic given a snapshot);
-    // a file with recorded deletes always packs (even alone): folding the delete is
-    // itself the maintenance win
-    val rewrites: Seq[Rewrite] = entries.groupBy(_.partition).toSeq.sortBy(_._1)
-      .filter { case (joined, _) => onlyPartitions.forall(_.contains(joined)) }
-      .flatMap { case (joined, es) =>
+    // pack per (SPEC, partition), in manifest order (stable, deterministic given a
+    // snapshot): under partition evolution the same joined value can mean
+    // different layouts, and a bin must stay spec-homogeneous — its replacement
+    // entry inherits the group's spec id, so the compacted file keeps routing and
+    // pruning exactly as its sources did. A file with recorded deletes always
+    // packs (even alone): folding the delete is itself the maintenance win
+    val rewrites: Seq[Rewrite] = entries.groupBy(e => (e.specId, e.partition)).toSeq
+      .sortBy(_._1)
+      .filter { case ((_, joined), _) => onlyPartitions.forall(_.contains(joined)) }
+      .flatMap { case ((specId, joined), es) =>
+        // the bin's directory layout and value split follow the GROUP's spec,
+        // not the table's current default (they may differ under evolution)
+        val groupSpec =
+          if (specId == 0) partCols else ManifestTables.readSpecFile(dir, specId)
         packBins(es, targetBytes)
           .filter(bin => bin.length >= 2 ||
             bin.exists(e => deleted.contains(e.path) || eqApplies(e)))
           .map { bin =>
-            Rewrite(bin, rewriteBin(spark, dir, partCols, dataSchema, joined, bin,
-              deleted, eqDels, planRefs.colIds))
+            Rewrite(bin, rewriteBin(spark, dir, groupSpec, dataSchema, joined, bin,
+              deleted, eqDels, planRefs.colIds).copy(specId = specId))
           }
       }
     if (rewrites.isEmpty) return None
@@ -343,12 +351,17 @@ object ManifestMaintenance {
     val deleted = ManifestTables.deletedPositions(dir, planRefs)
     val eqDels = ManifestTables.resolvedEqDeletes(dir, planRefs)
 
-    // one rewrite group per partition: all its files -> N range-disjoint files
+    // one rewrite group per (SPEC, partition) — spec-homogeneous like compaction
+    // (the rewritten range files inherit the group's spec id): all its files ->
+    // N range-disjoint files
     val groups: Seq[(Seq[ManifestTables.Entry], Seq[ManifestTables.Entry])] =
-      entries.groupBy(_.partition).toSeq.sortBy(_._1).map { case (joined, es) =>
-        (es, rewriteClustered(spark, dir, partCols, dataSchema, joined, es, deleted,
-          eqDels, planRefs.colIds, sorter, targetBytes))
-      }
+      entries.groupBy(e => (e.specId, e.partition)).toSeq.sortBy(_._1)
+        .map { case ((specId, joined), es) =>
+          val groupSpec =
+            if (specId == 0) partCols else ManifestTables.readSpecFile(dir, specId)
+          (es, rewriteClustered(spark, dir, groupSpec, dataSchema, joined, es, deleted,
+            eqDels, planRefs.colIds, sorter, targetBytes).map(_.copy(specId = specId)))
+        }
     val sourceToGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
       case ((srcs, _), g) => srcs.map(_.path -> g) }.toMap
     val allSources = sourceToGroup.keySet
@@ -615,5 +628,114 @@ object ManifestMaintenance {
     try w.sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))
     finally w.close()
+  }
+
+  // ------------------------------------------------ PARTITION SPEC EVOLUTION
+  // Iceberg's ADD/DROP PARTITION FIELD: the table's layout changes WITHOUT
+  // rewriting a single data file. Restricted to HIDDEN transform fields
+  // (bucket/days/truncate over a source data column): identity partition columns
+  // are part of the table schema and their values live only in the manifest, so
+  // the identity set is immutable under evolution (redefine it with an explicit
+  // overwrite, which rewrites the data anyway). The commit is metadata-only:
+  // every live entry still carrying the implicit "snapshot's own spec" id 0 is
+  // re-stamped with the explicit registry id of the OLD default
+  // (ManifestTables.ensureSpecId), the touched manifests are rewritten once —
+  // O(entries) metadata, the same cost class as a manifest fold — and the new
+  // snapshot flips the default spec for future writes. Readers resolve each
+  // file's partition values under ITS OWN spec (ManifestTables.specResolver):
+  // old files are never pruned by a predicate their spec cannot answer, new
+  // files prune through the new transform, and answers never move. Time travel,
+  // rollback, and cherry-pick compose: a pre-evolution snapshot's unstamped
+  // entries still read under that snapshot's own recorded spec.
+
+  /** Adds one hidden transform field (`bucket(n,col)` / `days(col)` /
+    * `truncate(w,col)`) to the table's partition spec. Returns the new snapshot id.
+    */
+  def addPartitionField(dir: String, token: String): Int =
+    respec(dir, s"add_partition_field($token)") { (spec, schema) =>
+      val pc = parseOneField(token, schema)
+      require(pc.transform.nonEmpty,
+        s"add_partition_field('$token'): only hidden transform fields evolve — " +
+          "identity partitioning is fixed at table layout time (use an explicit " +
+          "overwrite to re-partition by a data column)")
+      require(!spec.exists(_.name == pc.name),
+        s"partition field '${pc.name}' already exists in spec " +
+          s"'${spec.map(ManifestTables.specTokenOf).mkString(",")}'")
+      spec :+ pc
+    }
+
+  /** Drops one hidden transform field, addressed by its spec token
+    * (`bucket(4,user_id)`) or its synthetic column name (`user_id_bucket4`).
+    * Returns the new snapshot id.
+    */
+  def dropPartitionField(dir: String, token: String): Int =
+    respec(dir, s"drop_partition_field($token)") { (spec, schema) =>
+      val target = spec.find(pc => pc.name == token.trim ||
+        ManifestTables.specTokenOf(pc) == token.replaceAll("\\s", ""))
+      require(target.isDefined,
+        s"no partition field '$token' in spec " +
+          s"'${spec.map(ManifestTables.specTokenOf).mkString(",")}'")
+      require(target.get.transform.nonEmpty,
+        s"drop_partition_field('$token'): identity partition columns cannot be " +
+          "dropped — their values exist only in the manifest, and files written " +
+          "without them would be unreadable; re-partition with an explicit overwrite")
+      spec.filterNot(_ == target.get)
+    }
+
+  /** Parses one partcol-grammar token against the table schema (source column
+    * existence + type rules are parsePartColOption's, shared with the writer).
+    */
+  private def parseOneField(token: String,
+      schema: StructType): ManifestTables.PartCol = {
+    val parsed = ManifestDataSource.parsePartColOption(token, schema)
+    require(parsed.length == 1, s"expected ONE partition field token, got '$token'")
+    parsed.head
+  }
+
+  /** The shared respec commit: derive the new spec from the CURRENT one, stamp
+    * all implicit-spec entries with the old default's registry id, publish under
+    * the standard CAS. Everything (spec, schema, entries) derives from ONE refs
+    * read per attempt — the two-latest-reads straddle is a known bug class here.
+    */
+  private def respec(dir: String, what: String)(
+      evolve: (Seq[ManifestTables.PartCol], StructType) => Seq[ManifestTables.PartCol]): Int = {
+    var attempt = 0
+    while (true) {
+      val refs = ManifestTables.readSnapshotRefs(dir, None)
+      // the UNPARTITIONED spec is a legal starting point: existing files simply
+      // have no value for the new field (their spec answers no partition
+      // predicate, so they are never pruned) while new appends route and prune —
+      // Iceberg's "partition an existing table later" story
+      val oldSpec = ManifestTables.readPartitionSpec(dir, Some(refs.snapshot))
+      val schema = ManifestDataSource.tableSchema(dir, Some(refs.snapshot))
+      val newSpec = evolve(oldSpec, schema)
+      require(newSpec != oldSpec, s"$what left the spec unchanged")
+      // register BOTH specs up front: the old id stamps the live entries below;
+      // the new one makes the registry a complete history for introspection
+      val oldId = ManifestTables.ensureSpecId(dir, oldSpec)
+      ManifestTables.ensureSpecId(dir, newSpec)
+      def stamp(e: ManifestTables.Entry): ManifestTables.Entry =
+        if (e.specId == 0) e.copy(specId = oldId) else e
+      val newInline = refs.inline.map(stamp)
+      // untouched segments (no implicit-spec entry) carry by NAME; a lost CAS
+      // strands only unreferenced seg- files, which removeOrphans reclaims
+      val newSegs = refs.segments.map { seg =>
+        val es = ManifestTables.readSegmentEntries(dir, seg, refs.snapshot)
+        if (es.forall(_.specId != 0)) seg
+        else ManifestTables.writeSegment(dir, es.map(stamp))
+      }
+      val next = refs.snapshot + 1
+      if (ManifestTables.tryWriteSnapshotRefs(dir, newSpec.map(_.name).mkString(","),
+          newInline, newSegs, next,
+          partTypes = newSpec.map(ManifestTables.typeTokenOf).mkString(","),
+          schemaDdl = refs.schemaDdl, deletes = refs.deletes,
+          eqDeletes = refs.eqDeletes, colIds = refs.colIds,
+          operation = "respec")) return next
+      attempt += 1
+      require(attempt < 64, s"$what on $dir lost the snapshot race $attempt times")
+      Thread.sleep(math.min(1000L, 20L * attempt) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1, 20))
+    }
+    -1 // unreachable
   }
 }

@@ -247,6 +247,39 @@ private[sources] object ManifestProcedures {
       override protected def run(args: InternalRow): Seq[Any] =
         Seq(ManifestTables.removeOrphans(
           dirOf(args.getUTF8String(0).toString), args.getLong(1)))
+    },
+    new Proc(warehouse, "add_partition_field",
+        "PARTITION EVOLUTION: add a hidden transform field (bucket(n,col) / " +
+          "days(col) / truncate(w,col)) to the table's spec without rewriting " +
+          "any data file; existing files keep their own spec (per-file spec_id), " +
+          "new writes route and prune by the new field",
+        Seq(tableParam, in("field", StringType)),
+        new StructType().add("current_snapshot_id", LongType, nullable = false)
+          .add("spec", StringType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val dir = dirOf(args.getUTF8String(0).toString)
+        val snap = ManifestMaintenance.addPartitionField(dir,
+          args.getUTF8String(1).toString)
+        Seq(snap.toLong, org.apache.spark.unsafe.types.UTF8String.fromString(
+          ManifestTables.readPartitionSpec(dir, Some(snap))
+            .map(ManifestTables.specTokenOf).mkString(",")))
+      }
+    },
+    new Proc(warehouse, "drop_partition_field",
+        "PARTITION EVOLUTION: drop a hidden transform field (by spec token or " +
+          "synthetic name) from the table's spec; files stay readable under " +
+          "their own recorded specs, identity columns never drop",
+        Seq(tableParam, in("field", StringType)),
+        new StructType().add("current_snapshot_id", LongType, nullable = false)
+          .add("spec", StringType, nullable = false)) {
+      override protected def run(args: InternalRow): Seq[Any] = {
+        val dir = dirOf(args.getUTF8String(0).toString)
+        val snap = ManifestMaintenance.dropPartitionField(dir,
+          args.getUTF8String(1).toString)
+        Seq(snap.toLong, org.apache.spark.unsafe.types.UTF8String.fromString(
+          ManifestTables.readPartitionSpec(dir, Some(snap))
+            .map(ManifestTables.specTokenOf).mkString(",")))
+      }
     }
   ).map(p => p.name() -> (p: UnboundProcedure)).toMap
 

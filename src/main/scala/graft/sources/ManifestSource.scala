@@ -131,9 +131,20 @@ object ManifestTables {
     * than everything — every equality delete applies to them). An equality-delete
     * segment with sequence S applies to exactly the files with seq < S, which is
     * what lets an upsert's own fresh rows survive the delete it rides with.
+    *
+    * `specId` is the file's PARTITION SPEC id (Iceberg's per-data-file spec_id —
+    * the partition-evolution primitive): 0 means "the spec recorded by the
+    * snapshot being read" (the only rule tables had before evolution existed, so
+    * the field is omitted from the JSON and old manifests parse unchanged); a
+    * positive id resolves through the immutable `_manifests/spec-<id>.json`
+    * registry — see [[readSpecFile]]. `addPartitionField`/`dropPartitionField`
+    * re-stamp every live 0-entry with the explicit id of the OLD default spec
+    * before flipping the snapshot's default, so a post-evolution snapshot is
+    * fully self-describing and every file's partition values keep the layout
+    * they were written under.
     */
   private[sources] case class Entry(path: String, bytes: Long, partition: String, snapshot: Int,
-      stats: String = "", seq: Int = -1, rows: Long = -1L)
+      stats: String = "", seq: Int = -1, rows: Long = -1L, specId: Int = 0)
 
   /** Effective data sequence for delete ordering: legacy entries order before
     * everything.
@@ -318,13 +329,15 @@ object ManifestTables {
         s"(?:,\\s*\"partition\":\\s*\"$JStr\")?" +
         s"(?:,\\s*\"stats\":\\s*\"$JStr\")?" +
         s"(?:,\\s*\"seq\":\\s*(\\d+))?" +
-        s"(?:,\\s*\"rows\":\\s*(\\d+))?\\}").r
+        s"(?:,\\s*\"rows\":\\s*(\\d+))?" +
+        s"(?:,\\s*\"specid\":\\s*(\\d+))?\\}").r
     val out = entry.findAllMatchIn(txt)
       .map(m => Entry(jsonUnescape(m.group(1)), m.group(2).toLong,
         jsonUnescape(Option(m.group(3)).getOrElse("")), snap,
         jsonUnescape(Option(m.group(4)).getOrElse("")),
         Option(m.group(5)).map(_.toInt).getOrElse(-1),
-        Option(m.group(6)).map(_.toLong).getOrElse(-1L)))
+        Option(m.group(6)).map(_.toLong).getOrElse(-1L),
+        Option(m.group(7)).map(_.toInt).getOrElse(0)))
       .toSeq
     // loud failure on format drift: a manifest that lists files we cannot parse must
     // never silently read as an empty table
@@ -435,7 +448,10 @@ object ManifestTables {
     // exact per-file record count (Iceberg's record_count): the field COUNT(*)
     // answers from without opening a footer; absent on legacy entries (= unknown)
     val rowsField = if (e.rows < 0) "" else s""", "rows": ${e.rows}"""
-    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField$seqField$rowsField}"""
+    // per-file partition-spec id (partition evolution); 0 = the snapshot's own
+    // spec, omitted so never-evolved manifests stay byte-identical
+    val specField = if (e.specId <= 0) "" else s""", "specid": ${e.specId}"""
+    s"""    {"path": "${jsonEscape(e.path)}", "bytes": ${e.bytes}, "partition": "${jsonEscape(e.partition)}"$statsField$seqField$rowsField$specField}"""
   }
 
   private[sources] def writeSegment(dir: String, entries: Seq[Entry]): String = {
@@ -1840,6 +1856,110 @@ object ManifestTables {
   private[sources] def readPartitionTypes(dir: String): String = {
     val spec = readPartitionSpec(dir)
     if (spec.isEmpty) "" else spec.map(typeTokenOf).mkString(",")
+  }
+
+  // ------------------------------------------------- partition-spec REGISTRY
+  // Partition SPEC EVOLUTION (Iceberg's per-file spec_id): historical specs live
+  // in immutable side files `_manifests/spec-<id>.json`, content-deduped and
+  // published create-once (hard-link CAS — two concurrent registrations of the
+  // same content converge on one id). They are the only key to interpreting a
+  // stamped entry's partition values, so NOTHING ever deletes them: expiry only
+  // removes snapshot files and removeOrphans only reclaims seg-/del-/eqd- names.
+  // A table that never evolves has no spec files — zero format overhead.
+
+  private def specPath(dir: String, id: Int): java.nio.file.Path =
+    Paths.get(dir, "_manifests", f"spec-$id%05d.json")
+
+  private[sources] def listSpecIds(dir: String): Seq[Int] = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.exists(mdir)) return Nil
+    val s = Files.list(mdir)
+    try s.iterator().asScala.flatMap { p =>
+      "spec-(\\d+)\\.json".r.unapplySeq(p.getFileName.toString).flatMap(_.headOption)
+        .map(_.toInt)
+    }.toSeq.sorted
+    finally s.close()
+  }
+
+  /** The registered spec of one id — loud on an unknown id: an entry stamped with
+    * a spec the registry cannot resolve must never be served under a guessed
+    * layout.
+    */
+  private[sources] def readSpecFile(dir: String, id: Int): Seq[PartCol] = {
+    val p = specPath(dir, id)
+    require(Files.exists(p),
+      s"manifest entry references partition spec $id but $p does not exist — " +
+        "spec registry files are append-only and must never be deleted")
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val names = s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    val types = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
+      .map(m => jsonUnescape(m.group(1))).getOrElse("")
+    parsePartSpec(names, types)
+  }
+
+  /** The id `spec` is already registered under, if any (content equality — names,
+    * types, AND transforms).
+    */
+  private[sources] def specIdOf(dir: String, spec: Seq[PartCol]): Option[Int] =
+    listSpecIds(dir).find(id => readSpecFile(dir, id) == spec)
+
+  /** Registers `spec` (or returns its existing id). Ids start at 1 — 0 is the
+    * reserved "snapshot's own spec" sentinel entries default to.
+    */
+  private[sources] def ensureSpecId(dir: String, spec: Seq[PartCol]): Int = {
+    var attempt = 0
+    while (attempt < 64) {
+      specIdOf(dir, spec) match {
+        case Some(id) => return id
+        case None =>
+          val ids = listSpecIds(dir)
+          val next = if (ids.isEmpty) 1 else ids.max + 1
+          val json =
+            s"""{
+               |  "spec": $next,
+               |  "partition_column": "${jsonEscape(spec.map(_.name).mkString(","))}",
+               |  "partition_types": "${jsonEscape(spec.map(typeTokenOf).mkString(","))}"
+               |}""".stripMargin
+          val mdir = Paths.get(dir, "_manifests")
+          Files.createDirectories(mdir)
+          val tmp = Files.createTempFile(mdir, ".tmp-spec-", ".inprogress")
+          try {
+            Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+            try { Files.createLink(specPath(dir, next), tmp); return next }
+            catch { case _: java.nio.file.FileAlreadyExistsException => /* raced: re-check */ }
+          } finally Files.deleteIfExists(tmp)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"ensureSpecId on $dir lost the registry race $attempt times")
+  }
+
+  /** Per-entry spec resolution for a scan pinned to `snapshotSpec`: specid 0 reads
+    * under the pinned snapshot's own spec (the pre-evolution rule, still the only
+    * rule on never-evolved tables); stamped ids resolve through the registry,
+    * memoized per resolver (a scan touches at most a handful of specs).
+    */
+  private[sources] def specResolver(dir: String,
+      snapshotSpec: Seq[PartCol]): Entry => Seq[PartCol] = {
+    val cache = scala.collection.mutable.HashMap.empty[Int, Seq[PartCol]]
+    e => if (e.specId <= 0) snapshotSpec
+         else cache.getOrElseUpdate(e.specId, readSpecFile(dir, e.specId))
+  }
+
+  /** Per-entry spec resolution for MAIN-CHAIN multi-snapshot consumers (the
+    * streaming source plans entries from many snapshots): a specid-0 entry reads
+    * under the spec of the snapshot it was read FROM (`Entry.snapshot`). Sound by
+    * the stamping invariant — a respec stamps every live implicit-spec entry
+    * before flipping the default, so any refs' unstamped entries are laid out
+    * under that snapshot's own recorded spec. Branch/staged reads never call this
+    * (they pin one spec and refuse to stream).
+    */
+  private[sources] def mainChainSpecResolver(dir: String): Entry => Seq[PartCol] = {
+    val byId = scala.collection.mutable.HashMap.empty[Int, Seq[PartCol]]
+    val bySnap = scala.collection.mutable.HashMap.empty[Int, Seq[PartCol]]
+    e => if (e.specId > 0) byId.getOrElseUpdate(e.specId, readSpecFile(dir, e.specId))
+         else bySnap.getOrElseUpdate(e.snapshot, readPartitionSpec(dir, Some(e.snapshot)))
   }
 
   private[sources] def readPartitionColumn(dir: String,
