@@ -66,6 +66,17 @@ object ManifestDmlProbe {
       val firstAvg = avg(commitSecs.take(window))
       val lastAvg = avg(commitSecs.takeRight(window))
 
+      // PARTITION EVOLUTION at N files: add_partition_field stamps every live
+      // implicit-spec entry with the old spec's registry id — the ONE O(entries)
+      // metadata rewrite evolution pays, priced here at realistic file counts;
+      // the drop then flips the default back (entries already stamped, so every
+      // segment carries by NAME — the O(segments) floor). The rest of the
+      // battery runs on the stamped table, exercising the evolved read paths.
+      val (_, respecAddSec) = time(
+        graft.sources.ManifestMaintenance.addPartitionField(dir, "bucket(8,id)"))
+      val (_, respecDropSec) = time(
+        graft.sources.ManifestMaintenance.dropPartitionField(dir, "bucket(8,id)"))
+
       def tbl = spark.read.format("graft.sources.ManifestDataSource").load(dir)
       val (_, countSec) = time(tbl.count())
       val (_, prunedSec) = time(tbl.filter(col("part") === "p1").count())
@@ -107,12 +118,14 @@ object ManifestDmlProbe {
         graft.sources.ManifestMaintenance.compactDataFiles(spark, dir, 8L << 20))
       val filesAfter = graft.sources.ManifestMaintenance.liveDataFiles(dir).length
       System.err.println(f"[dmlprobe] n=$n commit first10=$firstAvg%.3f " +
-        f"last10=$lastAvg%.3f count=$countSec%.2f pruned=$prunedSec%.2f " +
+        f"last10=$lastAvg%.3f respecAdd=$respecAddSec%.2f " +
+        f"respecDrop=$respecDropSec%.2f count=$countSec%.2f pruned=$prunedSec%.2f " +
         f"morDel=$morSec%.2f rewritePosDel=$rpdSec%.2f eqUpsert=$eqSec%.2f " +
         f"metaDel=$metaDelSec%.2f " +
         f"fold=$foldSec%.2f pack=$packSec%.2f filesAfter=$filesAfter")
       n -> Map(
         "commit_first10_avg" -> firstAvg, "commit_last10_avg" -> lastAvg,
+        "respec_add" -> respecAddSec, "respec_drop" -> respecDropSec,
         "count_star" -> countSec, "pruned_count" -> prunedSec,
         "mor_delete" -> morSec, "rewrite_posdel" -> rpdSec, "eq_upsert" -> eqSec,
         "meta_delete" -> metaDelSec, "manifest_fold" -> foldSec,

@@ -213,6 +213,25 @@ class ManifestCatalog extends TableCatalog
           }
           (inline ++ segs ++ dels ++ eqs).sortBy(r => (r(1).toString, r(0).toString))
         }))
+      case "specs" =>
+        // partition-spec registry (Iceberg `.all_specs`-style inspection): every
+        // registered historical spec plus the current default. A never-evolved
+        // table has no registry — its one spec shows as the reserved id 0.
+        val schema = new StructType()
+          .add("spec_id", IntegerType, nullable = false)
+          .add("spec", StringType, nullable = false)
+          .add("is_default", BooleanType, nullable = false)
+        Some(new ManifestMetaTable(s"manifest_specs($parent)", schema, () => {
+          val cur = ManifestTables.readPartitionSpec(parent)
+          def tok(sp: Seq[ManifestTables.PartCol]) =
+            sp.map(ManifestTables.specTokenOf).mkString(",")
+          val rows = ManifestTables.listSpecIds(parent).map { id =>
+            val sp = ManifestTables.readSpecFile(parent, id)
+            Seq[Any](id, tok(sp), sp == cur)
+          }
+          if (rows.exists(_(2) == true)) rows
+          else Seq[Any](0, tok(cur), true) +: rows
+        }))
       case _ => None
     }
   }

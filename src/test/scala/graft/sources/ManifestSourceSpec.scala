@@ -4336,6 +4336,31 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a", "b", "c", "d"), got.mkString(","))
   }
 
+  test("partition evolution: the .specs metadata table lists the registry with " +
+      "the default flagged; a never-evolved table shows its one spec as id 0") {
+    val root = Files.createTempDirectory("manifest_specs_meta")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    hiddenEventsDf.coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "days(ts)").mode("overwrite").save(tbl)
+    spark.conf.set("spark.sql.catalog.specscat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.specscat.warehouse", wh)
+    try {
+      def rows() = spark.sql("SELECT * FROM specscat.ns.t.specs ORDER BY spec_id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+      assert(rows() == Seq((0, "days(ts)", true)), rows().mkString(","))
+      ManifestMaintenance.addPartitionField(tbl, "bucket(4,user_id)")
+      assert(rows() == Seq((1, "days(ts)", false),
+        (2, "days(ts),bucket(4,user_id)", true)), rows().mkString(","))
+      ManifestMaintenance.dropPartitionField(tbl, "user_id_bucket4")
+      // the drop re-registers nothing (content-dedupe): spec 1 is default again
+      assert(rows() == Seq((1, "days(ts)", true),
+        (2, "days(ts),bucket(4,user_id)", false)), rows().mkString(","))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.specscat")
+      spark.conf.unset("spark.sql.catalog.specscat.warehouse")
+    }
+  }
+
   test("partition evolution: equality-delete upsert ordering survives a respec " +
       "(post-respec upsert erases pre-respec rows by key)") {
     import spark.implicits._
