@@ -936,16 +936,20 @@ object ManifestTables {
       require(tRefs.deletes == pRefs.deletes && tRefs.eqDeletes == pRefs.eqDeletes,
         s"snapshot $target of $dir changed delete segments vs its parent — " +
           "row-level commits do not cherry-pick")
-      // full PartCol equality — names, types, AND transforms: an identity-column
+      // IDENTITY-column equality — names, types, order: an identity-column
       // rename keeps the same type token but re-routes every value to a
-      // different column, exactly the silent-wrong-results class this refusal exists for
+      // different column, exactly the silent-wrong-results class this refusal
+      // exists for. HIDDEN-field drift (a respec between target and head)
+      // composes instead: the picked entries get stamped with the target spec's
+      // registry id, so per-file resolution keeps their routing/pruning exact.
       val tSpec = readPartitionSpec(dir, Some(target))
       val headSpec = readPartitionSpec(dir, Some(latest.get))
-      require(tSpec == headSpec,
+      require(tSpec.filter(_.transform.isEmpty) == headSpec.filter(_.transform.isEmpty),
         s"snapshot $target of $dir was laid out under spec " +
           s"'${tSpec.map(specTokenOf).mkString(",")}' but the head records " +
           s"'${headSpec.map(specTokenOf).mkString(",")}' — " +
-          "files cannot re-route under a different spec")
+          "identity layout changed; files cannot re-route")
+      val pickStamp = if (tSpec == headSpec) 0 else ensureSpecId(dir, tSpec)
       val added = tEntries.filterNot(e => pPaths.contains(e.path))
       require(added.nonEmpty, s"snapshot $target of $dir added no files — nothing to pick")
       val headRefs = readSnapshotRefs(dir, Some(latest.get))
@@ -960,7 +964,9 @@ object ManifestTables {
           s"(e.g. ${gone.head}) — nothing left to re-reference")
       val next = latest.get + 1
       if (tryWriteSnapshotRefs(dir, headSpec.map(_.name).mkString(","),
-          headRefs.inline ++ added.map(_.copy(seq = next)), headRefs.segments, next,
+          headRefs.inline ++ added.map(e => e.copy(seq = next,
+            specId = if (e.specId == 0) pickStamp else e.specId)),
+          headRefs.segments, next,
           partTypes = headSpec.map(typeTokenOf).mkString(","),
           schemaDdl = headRefs.schemaDdl, deletes = headRefs.deletes,
           eqDeletes = headRefs.eqDeletes, colIds = headRefs.colIds,
@@ -1112,11 +1118,19 @@ object ManifestTables {
         return latest.get
       }
       val headSpec = readPartitionSpec(dir, Some(latest.get))
-      require(staged.partCol == headSpec.map(_.name).mkString(",") &&
-          staged.partTypes == headSpec.map(typeTokenOf).mkString(","),
+      val stagedSpec = parsePartSpec(staged.partCol, staged.partTypes)
+      val sameSpec = stagedSpec == headSpec
+      // a PARTITION EVOLUTION between stage and publish (hidden fields only)
+      // composes: the delta's entries get stamped with their OWN spec's registry
+      // id, so per-file resolution keeps their routing/pruning exact under the
+      // evolved head. An identity change (overwrite respec) still refuses —
+      // identity values exist only in the manifest and cannot re-route.
+      require(sameSpec ||
+          stagedSpec.filter(_.transform.isEmpty) == headSpec.filter(_.transform.isEmpty),
         s"staged write '$wapId' was laid out under spec '${staged.partCol}' but the " +
           s"head records '${headSpec.map(specTokenOf).mkString(",")}' — " +
-          "files cannot re-route under a different spec; discard and restage")
+          "identity layout changed; files cannot re-route; discard and restage")
+      val stampId = if (sameSpec) 0 else ensureSpecId(dir, stagedSpec)
       val headRefs = readSnapshotRefs(dir, Some(latest.get))
       val live = entriesOf(dir, headRefs).map(_.path).toSet
       val dup = staged.entries.map(_.path).filter(live)
@@ -1129,7 +1143,8 @@ object ManifestTables {
           "— garbage-collected while staged; discard and restage")
       val next = latest.get + 1
       if (tryWriteSnapshotRefs(dir, headSpec.map(_.name).mkString(","),
-          headRefs.inline ++ staged.entries.map(_.copy(snapshot = next, seq = next)),
+          headRefs.inline ++ staged.entries.map(e => e.copy(snapshot = next, seq = next,
+            specId = if (e.specId == 0) stampId else e.specId)),
           headRefs.segments, next, note = note,
           partTypes = headSpec.map(typeTokenOf).mkString(","),
           schemaDdl = headRefs.schemaDdl, deletes = headRefs.deletes,

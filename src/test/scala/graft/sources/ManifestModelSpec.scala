@@ -50,10 +50,15 @@ class ManifestModelSpec extends AnyFunSuite {
     // serve the existence default, later writes carry explicit values
     var dcol: Option[String] = None
     val dModel = scala.collection.mutable.Map.empty[Long, Int]
-    // model state + live column name + defaulted-column state AS OF each snapshot
+    // model state + live column name + defaulted-column state + evolution flag
+    // AS OF each snapshot
     val history = scala.collection.mutable.Map.empty[Int,
-      (Map[Long, (Long, String)], String, Option[String], Map[Long, Int])]
+      (Map[Long, (Long, String)], String, Option[String], Map[Long, Int], Boolean)]
     var nextId = 0L
+    // PARTITION EVOLUTION state: whether the hidden bucket(4,id) field is on the
+    // current default spec — toggled by forced respec steps, restored by
+    // rollback (the snapshot carries its spec, so the flag rides in `history`)
+    var bucketOn = false
 
     def appendRows(k: Int, upsert: Boolean): String = {
       val rows = (0 until k).map { _ =>
@@ -74,9 +79,13 @@ class ManifestModelSpec extends AnyFunSuite {
         case None => distinctRows.toDF("id", vcol, "p")
         case Some(d) => withD.toDF("id", vcol, "p", d)
       }
-      val w = df.coalesce(1 + rnd.nextInt(2))
+      // partcol only on the bootstrap write: later appends INHERIT the recorded
+      // spec, which the forced respec steps evolve mid-walk (an explicit stale
+      // partcol would refuse against the evolved spec — by design)
+      val w0 = df.coalesce(1 + rnd.nextInt(2))
         .write.format(classOf[ManifestDataSource].getName)
-        .option("partcol", "p").mode("append")
+      val w = (if (ManifestTables.latestSnapshotId(tbl).isEmpty)
+        w0.option("partcol", "p") else w0).mode("append")
       (if (upsert) w.option("upsertkey", "id") else w).save(tbl)
       withD.foreach { case (id, v, p, dv) =>
         if (upsert) model(id) = (v, p)
@@ -141,11 +150,29 @@ class ManifestModelSpec extends AnyFunSuite {
       if (snaps.length < 2) return "rollback(skipped)"
       val target = snaps(rnd.nextInt(snaps.length))
       val cur = ManifestTables.rollbackTo(tbl, target)
-      val (m, vc, dc, dm) = history(target)
+      val (m, vc, dc, dm, b) = history(target)
       model.clear(); model ++= m; vcol = vc
       dcol = dc; dModel.clear(); dModel ++= dm
+      bucketOn = b // the restored head records the target's spec
       s"rollback($target->$cur,$vc)"
     }
+
+    /** Forced PARTITION EVOLUTION step: toggles the hidden bucket(4,id) field.
+      * Every later operation — appends (inherit the evolved spec), row-level
+      * DML, maintenance rewrites, rollbacks across the respec — then runs on a
+      * spec-straddled table, which is exactly the composition this battery is
+      * for (per-file spec ids keep every generation's routing/pruning exact).
+      */
+    def respec(): String =
+      if (!bucketOn) {
+        ManifestMaintenance.addPartitionField(tbl, "bucket(4,id)")
+        bucketOn = true
+        "add_partition_field(bucket(4,id))"
+      } else {
+        ManifestMaintenance.dropPartitionField(tbl, "bucket(4,id)")
+        bucketOn = false
+        "drop_partition_field(bucket(4,id))"
+      }
 
     def addDefaultCol(): String = {
       spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN d INT DEFAULT 9")
@@ -165,7 +192,7 @@ class ManifestModelSpec extends AnyFunSuite {
       assert(got == want,
         s"step $step [$op]: table=${got.take(30)}... model=${want.take(30)}...")
       ManifestTables.latestSnapshotId(tbl).foreach(id =>
-        history(id) = (model.toMap, vcol, dcol, dModel.toMap))
+        history(id) = (model.toMap, vcol, dcol, dModel.toMap, bucketOn))
     }
 
     appendRows(8, upsert = false); check(0, "bootstrap")
@@ -173,6 +200,7 @@ class ManifestModelSpec extends AnyFunSuite {
       val op =
         if (step == 13 || step == 27) rename()
         else if (step == 20) addDefaultCol()
+        else if (step == 8 || step == 24 || step == 35) respec()
         else rnd.nextInt(100) match {
           case x if x < 25 => appendRows(3 + rnd.nextInt(8), upsert = false)
           case x if x < 40 => appendRows(3 + rnd.nextInt(6), upsert = true)

@@ -4361,6 +4361,73 @@ class ManifestSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("partition evolution: copy-on-write row-level DML on a spec-straddled table " +
+      "rewrites matched files under the current spec; answers stay exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_evolve_cow")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"), (4L, 40L, "b"))
+      .toDF("id", "v", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "p").mode("overwrite").save(tbl)
+    ManifestMaintenance.addPartitionField(tbl, "bucket(2,id)")
+    Seq((5L, 50L, "a"), (6L, 60L, "b")).toDF("id", "v", "p").coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(tbl)
+    spark.conf.set("spark.sql.catalog.evocow", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evocow.warehouse", wh)
+    try {
+      // the UPDATE's rewrite touches a gen-1 (old-spec) and a gen-2 file at once
+      spark.sql("UPDATE evocow.ns.t SET v = v + 1000 WHERE id IN (1, 5)")
+      val got = dataTable(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 1010L, "a"), (2L, 20L, "b"), (3L, 30L, "a"),
+        (4L, 40L, "b"), (5L, 1050L, "a"), (6L, 60L, "b")), got.mkString(","))
+      spark.sql("DELETE FROM evocow.ns.t WHERE id = 3")
+      assert(dataTable(tbl).count() == 5)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.evocow")
+      spark.conf.unset("spark.sql.catalog.evocow.warehouse")
+    }
+  }
+
+  test("partition evolution: a WAP write staged BEFORE a respec still publishes " +
+      "(delta stamped with its own spec id); cherry-pick composes the same way") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("manifest_evolve_wap")
+    val wh = s"$root/wh"; val tbl = s"$wh/ns/t"
+    def write(rows: Seq[(Long, Long, String)], mode: String,
+        wap: Option[String] = None): Unit = {
+      val w = rows.toDF("id", "v", "p").coalesce(1)
+        .write.format(classOf[ManifestDataSource].getName).mode(mode)
+      val w2 = if (ManifestTables.latestSnapshotId(tbl).isEmpty || mode == "overwrite")
+        w.option("partcol", "p") else w
+      wap.fold(w2)(w2.option("wapId", _)).save(tbl)
+    }
+    write(Seq((1L, 10L, "a"), (2L, 20L, "b")), "overwrite")
+    // stage under [p], then EVOLVE the live table to [p, bucket(2,id)]
+    write(Seq((3L, 30L, "a")), "append", wap = Some("we1"))
+    ManifestMaintenance.addPartitionField(tbl, "bucket(2,id)")
+    write(Seq((4L, 40L, "b")), "append") // lands under the evolved spec
+    val pub = ManifestTables.publishStaged(tbl, "we1")
+    assert(pub > 0)
+    val got = dataTable(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"), (4L, 40L, "b")),
+      got.mkString(","))
+    // the published delta is stamped with the PRE-evolution spec's id, so an
+    // identity predicate still prunes it exactly and a bucket predicate keeps it
+    assert(dataTable(tbl).filter(col("p") === "a").count() == 2)
+    assert(dataTable(tbl).filter(col("id") === 3L).count() == 1)
+    // cherry-pick across the respec: roll back past the publish, pick it again
+    val head = ManifestTables.latestSnapshotId(tbl).get
+    ManifestTables.rollbackTo(tbl, head - 1) // undo the publish
+    assert(dataTable(tbl).count() == 3)
+    val picked = ManifestTables.cherrypick(tbl, head)
+    assert(picked > head)
+    assert(dataTable(tbl).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("partition evolution: equality-delete upsert ordering survives a respec " +
       "(post-respec upsert erases pre-respec rows by key)") {
     import spark.implicits._
