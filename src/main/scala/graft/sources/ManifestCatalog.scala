@@ -683,9 +683,12 @@ private[sources] object ManifestCatalog {
         case "identity" => ref1(t)
         case "bucket" => s"bucket(${intArg(t)},${ref1(t)})"
         case "days" => s"days(${ref1(t)})"
+        case "hours" => s"hours(${ref1(t)})"
+        case "months" => s"months(${ref1(t)})"
         case "truncate" => s"truncate(${intArg(t)},${ref1(t)})"
         case other => throw new UnsupportedOperationException(
-          s"manifest tables support identity/bucket/days/truncate partitioning, got $other")
+          s"manifest tables support identity/bucket/days/hours/months/truncate " +
+            s"partitioning, got $other")
       }
     }
   }

@@ -227,6 +227,8 @@ object ManifestDataSource {
       incoming: StructType): Seq[ManifestTables.PartCol] = {
     val Bucket = """bucket\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val Days = """days\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val Hours = """hours\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val Months = """months\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val Trunc = """truncate\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
     def srcType(src: String, what: String): DataType = {
       val i = incoming.fieldNames.indexOf(src)
@@ -258,6 +260,18 @@ object ManifestDataSource {
           s"days source '$src' must be a timestamp, got $dt")
         ManifestTables.PartCol(s"${src}_day", "date",
           Some(ManifestTables.PartTransform("days", 0, src)))
+      case Hours(src) =>
+        val dt = srcType(src, "hours")
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"hours source '$src' must be a timestamp, got $dt")
+        ManifestTables.PartCol(s"${src}_hour", "int",
+          Some(ManifestTables.PartTransform("hours", 0, src)))
+      case Months(src) =>
+        val dt = srcType(src, "months")
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"months source '$src' must be a timestamp, got $dt")
+        ManifestTables.PartCol(s"${src}_month", "int",
+          Some(ManifestTables.PartTransform("months", 0, src)))
       case Trunc(w, src) =>
         val dt = srcType(src, "truncate")
         require(dt == StringType, s"truncate source '$src' must be string, got $dt")
@@ -265,7 +279,8 @@ object ManifestDataSource {
           Some(ManifestTables.PartTransform("trunc", w.toInt, src)))
       case name =>
         require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-          s"malformed partcol token '$name' (name | bucket(n,col) | days(col) | truncate(w,col))")
+          s"malformed partcol token '$name' " +
+            "(name | bucket(n,col) | days(col) | hours(col) | months(col) | truncate(w,col))")
         ManifestTables.PartCol(name, partTypeNameOf(name, srcType(name, "partition")))
     }
     require(spec.map(_.name).distinct.length == spec.length,
@@ -432,13 +447,25 @@ object ManifestDataSource {
     ranges.isEmpty || {
       val pcs = specOf(e)
       val vals = splitPartValues(e.partition, pcs.length)
-      ranges.forall { case (name, op, day) =>
+      ranges.forall { case (name, op, bound) =>
         val i = pcs.indexWhere(_.name == name)
         if (i < 0) true
-        else try {
-          val d = java.time.LocalDate.parse(vals(i)).toEpochDay
-          op match { case ">=" => d >= day; case "<=" => d <= day; case _ => true }
-        } catch { case _: java.time.format.DateTimeParseException => true }
+        else {
+          // the recorded value parses in the transform's OWN unit: a date string
+          // for days(), an integer for hours()/months(); malformed -> keep
+          // (never prune on doubt)
+          val v: Option[Long] =
+            try pcs(i).transform.map(_.kind) match {
+              case Some("days") => Some(java.time.LocalDate.parse(vals(i)).toEpochDay)
+              case Some("hours") | Some("months") => Some(vals(i).toLong)
+              case _ => None
+            } catch {
+              case _: java.time.format.DateTimeParseException => None
+              case _: NumberFormatException => None
+            }
+          v.forall(d =>
+            op match { case ">=" => d >= bound; case "<=" => d <= bound; case _ => true })
+        }
       }
     }
 
@@ -461,6 +488,8 @@ object ManifestDataSource {
         }
         case "days" =>
           epochDayOfValue(value).map(d => java.time.LocalDate.ofEpochDay(d).toString)
+        case "hours" => epochHourOfValue(value).map(_.toString)
+        case "months" => epochMonthOfValue(value).map(_.toString)
         case "trunc" => value match {
           case s: String => Some(truncString(s, t.param))
           case u: UTF8String => Some(truncString(u.toString, t.param))
@@ -482,6 +511,21 @@ object ManifestDataSource {
     case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate.toEpochDay)
     case _ => None
   }
+
+  /** Whole hours since epoch of a timestamp literal (hours() pruning unit). */
+  private[sources] def epochHourOfValue(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(ManifestTables.PartTransforms.epochHourOfMicros(l.longValue()))
+    case ts: java.sql.Timestamp => Some(Math.floorDiv(ts.getTime, 3600000L))
+    case i: java.time.Instant => Some(Math.floorDiv(i.toEpochMilli, 3600000L))
+    case ldt: java.time.LocalDateTime =>
+      Some(Math.floorDiv(ldt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L))
+    case _ => None
+  }
+
+  /** Months since epoch of a timestamp literal (months() pruning unit). */
+  private[sources] def epochMonthOfValue(v: Any): Option[Long] =
+    epochDayOfValue(v).map(d =>
+      ManifestTables.PartTransforms.monthsSinceEpoch(java.time.LocalDate.ofEpochDay(d)))
 
   /** `=`/`IN` over a hidden transform's SOURCE column -> exact partition-value
     * bounds on the TRANSFORM column (one per transform fed by that source). The
@@ -523,25 +567,32 @@ object ManifestDataSource {
     }
   }
 
-  /** Range comparisons over a `days()` transform's timestamp source -> day-range
-    * bounds on the hidden date column: `ts >= T` prunes files whose day lies wholly
-    * before T's day (`>` likewise — rows above T can only live on day(T) or later),
-    * `ts <[=] T` prunes days after T's. Also residual-only, same lossiness rule.
+  /** Range comparisons over a time transform's (`days`/`hours`/`months`) timestamp
+    * source -> range bounds on the hidden column IN THE TRANSFORM'S OWN UNIT:
+    * `ts >= T` prunes files whose unit lies wholly before T's (`>` likewise —
+    * rows above T can only live in unit(T) or later), `ts <[=] T` prunes units
+    * after T's. Also residual-only, same lossiness rule.
     */
   private[sources] def hiddenDayRanges(partCols: Seq[ManifestTables.PartCol])(
       p: org.apache.spark.sql.connector.expressions.filter.Predicate)
       : Seq[(String, String, Long)] = {
     import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
-    val dayCols = partCols.filter(_.transform.exists(_.kind == "days"))
+    val timeKinds = Set("days", "hours", "months")
+    val dayCols = partCols.filter(_.transform.exists(t => timeKinds.contains(t.kind)))
     if (dayCols.isEmpty) return Nil
     def refOf(e: Expression): Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
       case _ => None
     }
+    def unitOf(kind: String, v: Any): Option[Long] = kind match {
+      case "days" => epochDayOfValue(v)
+      case "hours" => epochHourOfValue(v)
+      case _ => epochMonthOfValue(v)
+    }
     def mk(col: String, op: String, v: Any): Seq[(String, String, Long)] =
-      epochDayOfValue(v).toSeq.flatMap { d =>
-        dayCols.filter(_.transform.get.src == col).map { pc =>
+      dayCols.filter(_.transform.get.src == col).flatMap { pc =>
+        unitOf(pc.transform.get.kind, v).map { d =>
           val dayOp = op match { case ">" | ">=" => ">="; case _ => "<=" }
           (pc.name, dayOp, d)
         }
@@ -1651,6 +1702,8 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
           case Some(t) => t.kind match {
             case "bucket" => Expressions.bucket(t.param, t.src)
             case "days" => Expressions.days(t.src)
+            case "hours" => Expressions.hours(t.src)
+            case "months" => Expressions.months(t.src)
             case _ => Expressions.apply("truncate",
               Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
           }
@@ -3288,6 +3341,8 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
       case Some(t) => t.kind match {
         case "bucket" => Expressions.bucket(t.param, t.src)
         case "days" => Expressions.days(t.src)
+        case "hours" => Expressions.hours(t.src)
+        case "months" => Expressions.months(t.src)
         case _ => Expressions.apply("truncate",
           Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
       }
@@ -4004,6 +4059,8 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
         }
         case "days" =>
           java.time.LocalDate.ofEpochDay(epochDayOfMicros(row.getLong(ord))).toString
+        case "hours" => epochHourOfMicros(row.getLong(ord)).toString
+        case "months" => epochMonthOfMicros(row.getLong(ord)).toString
         case "trunc" =>
           requireNoSep(truncString(row.getUTF8String(ord).toString, t.param))
         case other => throw new IllegalArgumentException(s"unknown transform $other")

@@ -183,12 +183,14 @@ object ManifestTables {
       s"unsupported partition type '$tpe' for column '$name' (string|int|date)")
   }
 
-  /** kind: bucket (param = bucket count) | days (param unused) | trunc (param =
-    * prefix width); src = the DATA column the value derives from.
+  /** kind: bucket (param = bucket count) | days | hours | months (time
+    * granularities, param unused) | trunc (param = prefix width); src = the DATA
+    * column the value derives from.
     */
   private[sources] case class PartTransform(kind: String, param: Int, src: String) {
-    require(kind == "bucket" || kind == "days" || kind == "trunc",
-      s"unknown partition transform '$kind' (bucket|days|trunc)")
+    require(kind == "bucket" || kind == "days" || kind == "hours" ||
+        kind == "months" || kind == "trunc",
+      s"unknown partition transform '$kind' (bucket|days|hours|months|trunc)")
     require(kind != "bucket" || param >= 2, s"bucket($param) needs >= 2 buckets")
     require(kind != "trunc" || param >= 1, s"truncate($param) needs width >= 1")
   }
@@ -210,6 +212,8 @@ object ManifestTables {
     case Some(t) => t.kind match {
       case "bucket" => s"bucket(${t.param},${t.src})"
       case "days" => s"days(${t.src})"
+      case "hours" => s"hours(${t.src})"
+      case "months" => s"months(${t.src})"
       case _ => s"truncate(${t.param},${t.src})"
     }
   }
@@ -250,6 +254,13 @@ object ManifestTables {
     def bucketString(s: String, n: Int): Int =
       bucketOfBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), n)
     def epochDayOfMicros(us: Long): Long = Math.floorDiv(us, 86400000000L)
+    /** hours(ts): whole hours since epoch (Iceberg hour transform). */
+    def epochHourOfMicros(us: Long): Long = Math.floorDiv(us, 3600000000L)
+    /** months since epoch of a UTC date (Iceberg month transform). */
+    def monthsSinceEpoch(d: java.time.LocalDate): Long =
+      (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
+    def epochMonthOfMicros(us: Long): Long =
+      monthsSinceEpoch(java.time.LocalDate.ofEpochDay(epochDayOfMicros(us)))
     def truncString(s: String, w: Int): String = if (s.length <= w) s else s.substring(0, w)
   }
 

@@ -73,6 +73,54 @@ private[sources] object PartitionTransformFunctions {
     }
   }
 
+  /** hours(ts): whole hours since epoch of a timestamp (micros). */
+  object HoursUnbound extends UnboundFunction {
+    override def name(): String = "hours"
+    override def description(): String = "hours(ts): whole hours since epoch of a timestamp"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"hours(ts) takes 1 argument, got ${inputType.simpleString}")
+      val srcType = inputType.fields.head.dataType
+      require(srcType == TimestampType || srcType == TimestampNTZType,
+        s"hours source must be a timestamp, got $srcType")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(srcType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "hours"
+        override def canonicalName(): String = "graft.hours"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          if (input.isNullAt(0)) return 0
+          ManifestTables.PartTransforms.epochHourOfMicros(input.getLong(0)).toInt
+        }
+      }
+    }
+  }
+
+  /** months(ts): months since epoch of a timestamp (micros). */
+  object MonthsUnbound extends UnboundFunction {
+    override def name(): String = "months"
+    override def description(): String = "months(ts): months since epoch of a timestamp"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"months(ts) takes 1 argument, got ${inputType.simpleString}")
+      val srcType = inputType.fields.head.dataType
+      require(srcType == TimestampType || srcType == TimestampNTZType,
+        s"months source must be a timestamp, got $srcType")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(srcType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "months"
+        override def canonicalName(): String = "graft.months"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          if (input.isNullAt(0)) return 0
+          ManifestTables.PartTransforms.epochMonthOfMicros(input.getLong(0)).toInt
+        }
+      }
+    }
+  }
+
   /** truncate(w, col): w-char prefix of a string. */
   object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"
@@ -101,5 +149,6 @@ private[sources] object PartitionTransformFunctions {
   }
 
   val all: Map[String, UnboundFunction] = Map(
-    "bucket" -> BucketUnbound, "days" -> DaysUnbound, "truncate" -> TruncateUnbound)
+    "bucket" -> BucketUnbound, "days" -> DaysUnbound, "hours" -> HoursUnbound,
+    "months" -> MonthsUnbound, "truncate" -> TruncateUnbound)
 }

@@ -4164,6 +4164,71 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(e.size == 1 && e.head.rows == 3, e.map(x => s"${x.path}:${x.rows}").mkString(","))
   }
 
+  test("hidden partitioning: hours(ts) and months(ts) complete the time-granularity " +
+      "family — routing, range pruning, SQL PARTITIONED BY, evolution") {
+    import graft.sources.{ManifestTables => MT}
+    // unit sanity: months since epoch is the Iceberg month transform
+    assert(MT.PartTransforms.monthsSinceEpoch(java.time.LocalDate.of(1970, 1, 1)) == 0)
+    assert(MT.PartTransforms.monthsSinceEpoch(java.time.LocalDate.of(1971, 2, 15)) == 13)
+    assert(MT.PartTransforms.epochHourOfMicros(3600000000L * 7 + 5) == 7)
+    // 3 CALENDAR months (31-day strides: Jan 1 / Feb 1 / Mar 4 1970) x 10 hours
+    val df = spark.range(300).select(
+      expr("timestamp_seconds(86400 * 31 * cast(id % 3 as bigint) + " +
+        "3600 * cast(id % 10 as bigint))").as("ts"),
+      col("id").as("n"))
+    val t1 = Files.createTempDirectory("manifest_hours").toString
+    df.coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "hours(ts)").mode("overwrite").save(t1)
+    assert(dataTable(t1).schema.fieldNames.toSet == Set("ts", "n"))
+    val total = inputPartitionCount(dataTable(t1).select("n"))
+    assert(total == 30, s"expected 30 hour partitions, got $total")
+    // ts >= hour 5 of month 0 prunes month-0 hours 0-4's files entirely
+    val cut = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5 * 3600))
+    val q = dataTable(t1).filter(col("ts") >= lit(cut))
+    val planned = inputPartitionCount(q.select("n"))
+    assert(planned == 25, s"hour-range pruning expected 25 of $total, got $planned")
+    assert(q.count() == df.filter(col("ts") >= lit(cut)).count())
+    // months through SQL CREATE TABLE PARTITIONED BY + catalog function routing
+    val wh = Files.createTempDirectory("manifest_months").toString
+    spark.conf.set("spark.sql.catalog.hmcat", classOf[ManifestCatalog].getName)
+    spark.conf.set("spark.sql.catalog.hmcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE hmcat.ev (ts TIMESTAMP_NTZ, n BIGINT) " +
+        "PARTITIONED BY (months(ts))")
+      df.selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts", "n")
+        .writeTo("hmcat.ev").option("distribute", "true").append()
+      val entries = ManifestMaintenance.liveDataFiles(s"$wh/ev")
+      assert(entries.length == 3 &&
+        entries.map(_._3).toSet == Set("0", "1", "2"), entries.mkString(","))
+      // a month-range predicate prunes whole files; the cut sits INSIDE month
+      // 1's data range so footer stats cannot also prune the month-1 file (the
+      // test isolates the month-transform pruning)
+      val cut2 = java.time.LocalDateTime.ofEpochSecond(31L * 86400 + 2 * 3600, 0,
+        java.time.ZoneOffset.UTC)
+      val q2 = spark.sql(s"SELECT sum(n) AS s FROM hmcat.ev WHERE ts >= " +
+        s"TIMESTAMP_NTZ '2970-01-01 00:00:00'") // sanity: empty month range
+      assert(q2.head().isNullAt(0))
+      val byMonth = spark.table("hmcat.ev").filter(col("ts") >= lit(cut2))
+      assert(inputPartitionCount(byMonth.select("n")) == 2,
+        "month-range pruning expected 2 of 3 files")
+      assert(byMonth.count() == df.filter(col("ts") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(31L * 86400 + 2 * 3600)))).count())
+      // evolution composes: a new hours field on the months table
+      ManifestMaintenance.addPartitionField(s"$wh/ev", "hours(ts)")
+      df.selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts", "CAST(n + 1000 AS BIGINT) AS n")
+        .coalesce(1).write.format(classOf[ManifestDataSource].getName)
+        .mode("append").save(s"$wh/ev")
+      val all = spark.table("hmcat.ev")
+      assert(all.count() == 600)
+      val q3 = all.filter(col("ts") >= lit(cut2))
+      assert(q3.count() == 2 * df.filter(col("ts") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(31L * 86400 + 2 * 3600)))).count())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.hmcat")
+      spark.conf.unset("spark.sql.catalog.hmcat.warehouse")
+    }
+  }
+
   // ------------------------------------------------- PARTITION SPEC EVOLUTION
 
   test("partition evolution: ADD PARTITION FIELD bucket(4,user_id) — old files " +
