@@ -4320,6 +4320,28 @@ class ManifestSourceSpec extends AnyFunSuite {
         hiddenEventsDf.limit(50).filter(col("ts") >= lit(t3)).count())
   }
 
+  test("partition evolution: a LEGACY-bootstrap table (inline commit entries, no " +
+      "rows/seq fields) stamps and evolves — the sparse entry JSON round-trips") {
+    val out = freshTable() // ManifestTables.commit bootstrap: legacy inline entries
+    val before = dataTable(out).count()
+    ManifestMaintenance.addPartitionField(out, "bucket(4,doc_id)")
+    val entries = ManifestTables.readLatest(out)
+    assert(entries.nonEmpty && entries.forall(_.specId == 1),
+      entries.map(e => s"${e.path}:${e.specId}").mkString(","))
+    assert(entries.forall(e => e.rows < 0 && e.seq < 0), "legacy fields must stay absent")
+    // reads, identity pruning, and post-evolution appends all still work
+    assert(dataTable(out).count() == before)
+    val en = dataTable(out).filter(col("lang_p") === "en")
+    assert(inputPartitionCount(en.select("doc_id")) <
+      inputPartitionCount(dataTable(out).select("doc_id")))
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("lang_p", col("lang")).limit(50).coalesce(1)
+      .write.format(classOf[ManifestDataSource].getName).mode("append").save(out)
+    assert(dataTable(out).count() == before + 50)
+    assert(dataTable(out).filter(col("doc_id") === 7L).count() ==
+      dataTable(out).collect().count(_.getAs[Long]("doc_id") == 7L))
+  }
+
   test("partition evolution: identity fields, duplicates, and unknown sources refuse") {
     val tbl = Files.createTempDirectory("manifest_evolve_refuse").toString
     hiddenEventsDf.withColumn("lang_p", lit("en"))
