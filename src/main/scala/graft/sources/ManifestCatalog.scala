@@ -685,10 +685,11 @@ private[sources] object ManifestCatalog {
         case "days" => s"days(${ref1(t)})"
         case "hours" => s"hours(${ref1(t)})"
         case "months" => s"months(${ref1(t)})"
+        case "years" => s"years(${ref1(t)})"
         case "truncate" => s"truncate(${intArg(t)},${ref1(t)})"
         case other => throw new UnsupportedOperationException(
-          s"manifest tables support identity/bucket/days/hours/months/truncate " +
-            s"partitioning, got $other")
+          s"manifest tables support identity/bucket/days/hours/months/years/" +
+            s"truncate partitioning, got $other")
       }
     }
   }

@@ -229,6 +229,7 @@ object ManifestDataSource {
     val Days = """days\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val Hours = """hours\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val Months = """months\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
+    val Years = """years\(([A-Za-z_][A-Za-z0-9_]*)\)""".r
     val Trunc = """truncate\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
     def srcType(src: String, what: String): DataType = {
       val i = incoming.fieldNames.indexOf(src)
@@ -272,6 +273,12 @@ object ManifestDataSource {
           s"months source '$src' must be a timestamp, got $dt")
         ManifestTables.PartCol(s"${src}_month", "int",
           Some(ManifestTables.PartTransform("months", 0, src)))
+      case Years(src) =>
+        val dt = srcType(src, "years")
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"years source '$src' must be a timestamp, got $dt")
+        ManifestTables.PartCol(s"${src}_year", "int",
+          Some(ManifestTables.PartTransform("years", 0, src)))
       case Trunc(w, src) =>
         val dt = srcType(src, "truncate")
         require(dt == StringType, s"truncate source '$src' must be string, got $dt")
@@ -280,7 +287,8 @@ object ManifestDataSource {
       case name =>
         require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"malformed partcol token '$name' " +
-            "(name | bucket(n,col) | days(col) | hours(col) | months(col) | truncate(w,col))")
+            "(name | bucket(n,col) | days(col) | hours(col) | months(col) | " +
+            "years(col) | truncate(w,col))")
         ManifestTables.PartCol(name, partTypeNameOf(name, srcType(name, "partition")))
     }
     require(spec.map(_.name).distinct.length == spec.length,
@@ -457,7 +465,7 @@ object ManifestDataSource {
           val v: Option[Long] =
             try pcs(i).transform.map(_.kind) match {
               case Some("days") => Some(java.time.LocalDate.parse(vals(i)).toEpochDay)
-              case Some("hours") | Some("months") => Some(vals(i).toLong)
+              case Some("hours") | Some("months") | Some("years") => Some(vals(i).toLong)
               case _ => None
             } catch {
               case _: java.time.format.DateTimeParseException => None
@@ -490,6 +498,7 @@ object ManifestDataSource {
           epochDayOfValue(value).map(d => java.time.LocalDate.ofEpochDay(d).toString)
         case "hours" => epochHourOfValue(value).map(_.toString)
         case "months" => epochMonthOfValue(value).map(_.toString)
+        case "years" => epochYearOfValue(value).map(_.toString)
         case "trunc" => value match {
           case s: String => Some(truncString(s, t.param))
           case u: UTF8String => Some(truncString(u.toString, t.param))
@@ -526,6 +535,11 @@ object ManifestDataSource {
   private[sources] def epochMonthOfValue(v: Any): Option[Long] =
     epochDayOfValue(v).map(d =>
       ManifestTables.PartTransforms.monthsSinceEpoch(java.time.LocalDate.ofEpochDay(d)))
+
+  /** Years since epoch of a timestamp literal (years() pruning unit). */
+  private[sources] def epochYearOfValue(v: Any): Option[Long] =
+    epochDayOfValue(v).map(d =>
+      ManifestTables.PartTransforms.yearsSinceEpoch(java.time.LocalDate.ofEpochDay(d)))
 
   /** `=`/`IN` over a hidden transform's SOURCE column -> exact partition-value
     * bounds on the TRANSFORM column (one per transform fed by that source). The
@@ -578,7 +592,7 @@ object ManifestDataSource {
       : Seq[(String, String, Long)] = {
     import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     type LV[T] = org.apache.spark.sql.connector.expressions.Literal[T]
-    val timeKinds = Set("days", "hours", "months")
+    val timeKinds = Set("days", "hours", "months", "years")
     val dayCols = partCols.filter(_.transform.exists(t => timeKinds.contains(t.kind)))
     if (dayCols.isEmpty) return Nil
     def refOf(e: Expression): Option[String] = e match {
@@ -588,7 +602,8 @@ object ManifestDataSource {
     def unitOf(kind: String, v: Any): Option[Long] = kind match {
       case "days" => epochDayOfValue(v)
       case "hours" => epochHourOfValue(v)
-      case _ => epochMonthOfValue(v)
+      case "months" => epochMonthOfValue(v)
+      case _ => epochYearOfValue(v)
     }
     def mk(col: String, op: String, v: Any): Seq[(String, String, Long)] =
       dayCols.filter(_.transform.get.src == col).flatMap { pc =>
@@ -1704,6 +1719,7 @@ private class ManifestDataScan(dir: String, tschema: StructType, required: Struc
             case "days" => Expressions.days(t.src)
             case "hours" => Expressions.hours(t.src)
             case "months" => Expressions.months(t.src)
+            case "years" => Expressions.years(t.src)
             case _ => Expressions.apply("truncate",
               Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
           }
@@ -3343,6 +3359,7 @@ private class ManifestWrite(dir: String, partSpec: Seq[ManifestTables.PartCol],
         case "days" => Expressions.days(t.src)
         case "hours" => Expressions.hours(t.src)
         case "months" => Expressions.months(t.src)
+        case "years" => Expressions.years(t.src)
         case _ => Expressions.apply("truncate",
           Expressions.literal(Int.box(t.param)), Expressions.column(t.src))
       }
@@ -4061,6 +4078,7 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
           java.time.LocalDate.ofEpochDay(epochDayOfMicros(row.getLong(ord))).toString
         case "hours" => epochHourOfMicros(row.getLong(ord)).toString
         case "months" => epochMonthOfMicros(row.getLong(ord)).toString
+        case "years" => epochYearOfMicros(row.getLong(ord)).toString
         case "trunc" =>
           requireNoSep(truncString(row.getUTF8String(ord).toString, t.param))
         case other => throw new IllegalArgumentException(s"unknown transform $other")

@@ -189,8 +189,8 @@ object ManifestTables {
     */
   private[sources] case class PartTransform(kind: String, param: Int, src: String) {
     require(kind == "bucket" || kind == "days" || kind == "hours" ||
-        kind == "months" || kind == "trunc",
-      s"unknown partition transform '$kind' (bucket|days|hours|months|trunc)")
+        kind == "months" || kind == "years" || kind == "trunc",
+      s"unknown partition transform '$kind' (bucket|days|hours|months|years|trunc)")
     require(kind != "bucket" || param >= 2, s"bucket($param) needs >= 2 buckets")
     require(kind != "trunc" || param >= 1, s"truncate($param) needs width >= 1")
   }
@@ -214,6 +214,7 @@ object ManifestTables {
       case "days" => s"days(${t.src})"
       case "hours" => s"hours(${t.src})"
       case "months" => s"months(${t.src})"
+      case "years" => s"years(${t.src})"
       case _ => s"truncate(${t.param},${t.src})"
     }
   }
@@ -261,6 +262,10 @@ object ManifestTables {
       (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
     def epochMonthOfMicros(us: Long): Long =
       monthsSinceEpoch(java.time.LocalDate.ofEpochDay(epochDayOfMicros(us)))
+    /** years since epoch of a UTC date (Iceberg year transform). */
+    def yearsSinceEpoch(d: java.time.LocalDate): Long = (d.getYear - 1970).toLong
+    def epochYearOfMicros(us: Long): Long =
+      yearsSinceEpoch(java.time.LocalDate.ofEpochDay(epochDayOfMicros(us)))
     def truncString(s: String, w: Int): String = if (s.length <= w) s else s.substring(0, w)
   }
 

@@ -121,6 +121,30 @@ private[sources] object PartitionTransformFunctions {
     }
   }
 
+  /** years(ts): years since epoch of a timestamp (micros). */
+  object YearsUnbound extends UnboundFunction {
+    override def name(): String = "years"
+    override def description(): String = "years(ts): years since epoch of a timestamp"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"years(ts) takes 1 argument, got ${inputType.simpleString}")
+      val srcType = inputType.fields.head.dataType
+      require(srcType == TimestampType || srcType == TimestampNTZType,
+        s"years source must be a timestamp, got $srcType")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(srcType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "years"
+        override def canonicalName(): String = "graft.years"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          if (input.isNullAt(0)) return 0
+          ManifestTables.PartTransforms.epochYearOfMicros(input.getLong(0)).toInt
+        }
+      }
+    }
+  }
+
   /** truncate(w, col): w-char prefix of a string. */
   object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"
@@ -150,5 +174,5 @@ private[sources] object PartitionTransformFunctions {
 
   val all: Map[String, UnboundFunction] = Map(
     "bucket" -> BucketUnbound, "days" -> DaysUnbound, "hours" -> HoursUnbound,
-    "months" -> MonthsUnbound, "truncate" -> TruncateUnbound)
+    "months" -> MonthsUnbound, "years" -> YearsUnbound, "truncate" -> TruncateUnbound)
 }

@@ -4227,6 +4227,20 @@ class ManifestSourceSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.hmcat")
       spark.conf.unset("spark.sql.catalog.hmcat.warehouse")
     }
+    // years(ts): 3 years x 20 rows, range pruning in whole years
+    assert(MT.PartTransforms.yearsSinceEpoch(java.time.LocalDate.of(1972, 6, 1)) == 2)
+    val ydf = spark.range(60).select(
+      expr("timestamp_seconds(86400 * 365 * cast(id % 3 as bigint) + " +
+        "3600 * cast(id as bigint))").as("ts"), col("id").as("n"))
+    val t2 = Files.createTempDirectory("manifest_years").toString
+    ydf.coalesce(1).write.format(classOf[ManifestDataSource].getName)
+      .option("partcol", "years(ts)").mode("overwrite").save(t2)
+    assert(ManifestTables.readLatest(t2).map(_.partition).toSet == Set("0", "1", "2"))
+    val ycut = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(365L * 86400 + 7 * 3600))
+    val yq = dataTable(t2).filter(col("ts") >= lit(ycut))
+    assert(inputPartitionCount(yq.select("n")) == 2, "year-range pruning expected 2 of 3")
+    assert(yq.count() == ydf.filter(col("ts") >= lit(ycut)).count())
   }
 
   // ------------------------------------------------- PARTITION SPEC EVOLUTION
