@@ -67,23 +67,37 @@ object BpeTrainer {
     var cur = wordFreq
       .select(col("w"), col("f"), charSymbols(col("w")).as("syms"))
       .localCheckpoint(false)
-    for (rank <- 1 to k) {
-      val top = cur
+    // ONE collect per round state: the 1-row distinct-symbol count and the 1-row
+    // argmax pair are two aggregate branches over the SAME lazily checkpointed
+    // frame, joined into a single row (left join: the row survives when no pairs
+    // remain, so the per-round require keeps firing) — round i's action returns
+    // round i's vocab_after AND round i+1's winning pair, halving the old
+    // argmax-job-then-count-job sequence to k+1 driver-bounded jobs total.
+    def stats(df: DataFrame): (Long, Option[(String, String, Long)]) = {
+      val pairTop = df
         .select(col("f"), explode(adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("f")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
-        .collect() // exactly one row: the argmax pair — driver-bounded by construction
-      require(top.nonEmpty, s"BPE merge round $rank: no adjacent pairs left")
-      val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val vocab = df.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s")).as("v"))
+      val row = vocab.join(pairTop, lit(true), "left").collect()(0)
+      (row.getLong(0),
+        if (row.isNullAt(1)) None
+        else Some((row.getString(1), row.getString(2), row.getLong(3))))
+    }
+    var topCur = stats(cur)._2
+    for (rank <- 1 to k) {
+      require(topCur.nonEmpty, s"BPE merge round $rank: no adjacent pairs left")
+      val (l, r, n) = topCur.get
       val next = cur
         .withColumn("syms", applyMerge(col("syms"), l, r))
         .localCheckpoint(false)
-      val vocabAfter = next.select(explode(col("syms")).as("s"))
-        .agg(countDistinct(col("s"))).collect()(0).getLong(0)
-      free(cur) // safe: the count above just materialized `next` past `cur`
+      val (vocabAfter, topNext) = stats(next)
+      free(cur) // safe: the stats action just materialized `next` past `cur`
       cur = next
+      topCur = topNext
       merges += MergeRow(rank, l, r, n, vocabAfter)
     }
     (merges.result(), cur)

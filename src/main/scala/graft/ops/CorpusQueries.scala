@@ -38,7 +38,10 @@ object CorpusQueries {
     val ds = tWide(s, dir, "embeddings")
       .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
     val model = IvfKmeans.fit(ds, k = k, iters = 2)
+    // lazy checkpoint: the assignment feeds both sides of the within-cluster
+    // self-join AND the final keep/drop join — one assign pass instead of three
     val assigned = IvfKmeans.assignAll(ds, model).toDF("vec_id", "cl")
+      .localCheckpoint(false)
     val pairs = assigned.select(col("vec_id").as("vec_a"), col("cl"))
       .join(assigned.select(col("vec_id").as("vec_b"), col("cl")), "cl")
       .filter(col("vec_a") < col("vec_b"))
@@ -55,24 +58,29 @@ object CorpusQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** Per-lang VALUE cutoff over a bounded (lang, score_fp) HISTOGRAM: the largest
-    * score whose desc-cumulative doc count covers at least num/den of the lang's
-    * docs (so `score_fp >= cutoff` selects >= num/den of them, ties by value).
-    * Shared by q88/q91 (thirds) and q89 (fifth): the cumulative window runs over
-    * aggregated histogram rows — bounded by the fixed-point scale, never corpus
-    * size — which is what makes these selections scale-safe.
+  /** Per-lang VALUE cutoffs over a bounded (lang, score_fp) HISTOGRAM: for each
+    * requested (num, den, name), the largest score whose desc-cumulative doc count
+    * covers at least num/den of the lang's docs (so `score_fp >= cutoff` selects
+    * >= num/den of them, ties by value). Shared by q88/q91 (thirds) and q89
+    * (fifth): the cumulative window runs over aggregated histogram rows — bounded
+    * by the fixed-point scale, never corpus size — which is what makes these
+    * selections scale-safe. ALL cutoffs come from ONE histogram + cumulative pass
+    * (max(when(covered, score)) per cutoff is the old filter-then-max, fused), so
+    * a two-threshold caller no longer re-derives the histogram per threshold.
     */
-  private def langValueCutoff(scored: DataFrame, num: Int, den: Int,
-      as: String): DataFrame = {
+  private def langValueCutoffs(scored: DataFrame,
+      cuts: Seq[(Int, Int, String)]): DataFrame = {
     val hist = scored.groupBy(col("lang"), col("score_fp"))
       .agg(count(lit(1)).as("cnt"))
     val nDocs = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    hist
+    val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("score_fp").desc)))
       .join(broadcast(nDocs), Seq("lang"))
-      .filter(col("cum") * den >= col("n_docs") * num)
-      .groupBy(col("lang")).agg(max(col("score_fp")).as(as))
+    val aggs = cuts.map { case (num, den, as) =>
+      max(when(col("cum") * den >= col("n_docs") * num, col("score_fp"))).as(as)
+    }
+    cum.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** q88 body over any (doc_id, lang, text) frame — q91 reuses it over its
@@ -82,23 +90,31 @@ object CorpusQueries {
     */
   private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    val bg = docs
+    // per-(doc, bigram) COUNTS, lazily checkpointed: the LM fit, the scoring agg
+    // and (through `scored`) the cutoff histogram all read this compact frame —
+    // the old inline form re-exploded the whole corpus once per consumer (4-5
+    // passes per action). Counts fold identically: count(*) over instances ==
+    // sum(bn) over per-doc distinct bigrams, and lm_hits == sum(bn * c).
+    val bgc = docs
       .select(col("doc_id"), col("lang"), explode(zip_with(
         slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
         (x, y) => concat(x, lit(" "), y))).as("bigram"))
-    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("bn"))
+      .localCheckpoint(false)
+    val lm = bgc.groupBy(col("bigram")).agg(sum(col("bn")).as("c"))
       .orderBy(col("c").desc, col("bigram")).limit(100)
-    val scored = bg.join(broadcast(lm), Seq("bigram"), "left")
+    val scored = bgc.join(broadcast(lm), Seq("bigram"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("c"), lit(0L))).as("lm_hits"))
+      .agg(sum(col("bn")).as("n_bigrams"),
+        sum(col("bn") * coalesce(col("c"), lit(0L))).as("lm_hits"))
       .withColumn("score_fp", expr("lm_hits * 1000000 div n_bigrams"))
+      .localCheckpoint(false) // doc-sized; read by the cutoffs AND the final join
     // head cutoff: the largest score covering at least a third of the lang's docs
-    // by desc-cumulative count; middle cutoff two thirds (langValueCutoff)
-    val tHead = langValueCutoff(scored, 1, 3, "t_head")
-    val tMid = langValueCutoff(scored, 2, 3, "t_mid")
+    // by desc-cumulative count; middle cutoff two thirds — one histogram pass
+    val cutoffs = langValueCutoffs(scored, Seq((1, 3, "t_head"), (2, 3, "t_mid")))
     scored
-      .join(broadcast(tHead), Seq("lang")).join(broadcast(tMid), Seq("lang"))
+      .join(broadcast(cutoffs), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lm_hits"),
         col("score_fp"),
         when(col("score_fp") >= col("t_head"), "head")
@@ -137,21 +153,30 @@ object CorpusQueries {
     */
   private[graft] def dsirSelect(s: SparkSession, dir: String,
       targetSource: String): DataFrame = {
-    val inst = tWide(s, dir, "documents")
+    // per-(doc, bucket) feature COUNTS, lazily checkpointed: the raw histogram,
+    // the target histogram and the scoring agg all read this compact frame — the
+    // old inline form re-ran the corpus explode + per-word md5 once per consumer
+    // (3+ passes per action). Counts fold identically: count(*) over instances ==
+    // sum(cnt), and w_sum == sum(cnt * r_fp).
+    val fc = tWide(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(words(col("text"))).as("w"))
       .withColumn("f", conv(substring(md5s(col("w")), 1, 3), 16, 10).cast("long"))
-    val raw = inst.groupBy(col("f")).agg(count(lit(1)).as("cr"))
-    val tgt = inst.filter(col("source") === targetSource)
-      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val raw = fc.groupBy(col("f")).agg(sum(col("cnt")).as("cr"))
+    val tgt = fc.filter(col("source") === targetSource)
+      .groupBy(col("f")).agg(sum(col("cnt")).as("ct"))
     val ratio = raw.join(tgt, Seq("f"), "left")
       .select(col("f"),
         expr("(coalesce(ct, 0L) + 1) * 1000000 div (cr + 1)").as("r_fp"))
-    val scored = inst.join(broadcast(ratio), Seq("f"))
+    val scored = fc.join(broadcast(ratio), Seq("f"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("r_fp")).as("w_sum"))
+      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("r_fp")).as("w_sum"))
       .withColumn("score_fp", expr("w_sum div n_feats"))
-    val tSel = langValueCutoff(scored, 1, 5, "t_sel")
+      .localCheckpoint(false) // doc-sized; read by the cutoff AND the final join
+    val tSel = langValueCutoffs(scored, Seq((1, 5, "t_sel")))
     scored.join(broadcast(tSel), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_feats"), col("w_sum"),
         col("score_fp"), (col("score_fp") >= col("t_sel")).as("selected"))
@@ -165,17 +190,24 @@ object CorpusQueries {
       queryTerms: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
     val qt = queryTerms.toDF("query_id", "term")
-    val inst = tWide(s, dir, "documents")
+    // per-(doc, term) frequencies, lazily checkpointed: the df table, the corpus
+    // scalars and the scoring join all read this compact frame — the old inline
+    // form re-ran the corpus explode once per consumer (3 passes per action).
+    val tf = tWide(s, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-    val tf = inst.groupBy(col("doc_id"), col("dl"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // bounded collect: exactly one row of two longs (see the q90 scale-shape note)
-    val statsRow = inst
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_words"))
+    // bounded collect: exactly one row of two longs (see the q90 scale-shape
+    // note), derived from tf — countDistinct(doc_id) is unchanged by the
+    // grouping and count(*) over instances == sum(tf)
+    val statsRow = tf
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("tf")), lit(0L)).as("n_words"))
       .head()
     val (nDocs, nWords) = (statsRow.getLong(0), statsRow.getLong(1))
     val ts = tf.join(broadcast(qt), Seq("term"))
@@ -610,6 +642,11 @@ object CorpusQueries {
         }
       }
       .toDF("doc_id", "band_idx", "band")
+    // NOT checkpointed although both self-join sides recompute the kernel:
+    // measured r06 — a localCheckpoint here made q41/q44/q44b 0.2-0.5 s SLOWER
+    // because the plan barrier hides the band frame's small size estimate and the
+    // candidate self-join loses its broadcast plan for full shuffle+sort; the
+    // duplicated kernel is the cheaper side of that trade at every tested SF.
     val capped = maxBucket match {
       case None =>
         // loud guard: an uncapped run whose worst bucket exceeds the budget warns
@@ -1211,6 +1248,8 @@ object CorpusQueries {
     //     nothing. ---
     "q37_simhash_neardup" -> ((s, dir) => {
       val sim = simhashSignatures(s, dir)
+      // not checkpointed: the duplicate simhash kernel is cheaper than losing the
+      // self-join's broadcast plan behind a stats-hiding barrier (measured r06)
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(simhashBands(col("simhash"))).as(Seq("band_idx", "band_val")))
       val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
@@ -1291,7 +1330,12 @@ object CorpusQueries {
         .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
       val model = IvfKmeans.fit(ds, k = 10, iters = 2)
       val assigned = IvfKmeans.assignAll(ds, model).toDF("neighbor_id", "cl")
-      val probes = IvfKmeans.probesFor(ds.filter(_._1 < 10), model, nprobe = 3)
+      // query side from the unwidened scan: the filter pushes down instead of
+      // shuffling the whole table to keep 10 rows (see q54)
+      val probes = IvfKmeans.probesFor(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])],
+        model, nprobe = 3)
         .toDF("query_id", "qcl")
       val cand = probes
         .join(assigned, col("qcl") === col("cl") && col("neighbor_id") =!= col("query_id"))
@@ -1391,14 +1435,18 @@ object CorpusQueries {
     //     corpus, merged per doc into maximal duplicated spans. The published
     //     implementation builds one corpus-wide suffix array; the Spark-native shape
     //     fingerprints every length-L window (md5: 16 bytes on the wire regardless
-    //     of L), finds duplicated fingerprints with a partial+final count (map-side
-    //     combine absorbs hot windows), equi-joins positions back, and merges runs
-    //     of duplicated starts into maximal spans with a per-doc gaps-and-islands
-    //     window. Shuffle is LINEAR in corpus characters — one fp per position, no
-    //     all-pairs step, no corpus-wide sort — and the only Window partitions by
-    //     doc_id (bounded by one document's length). Per-shard maximal-match lookups
-    //     can use the real suffix structures (graft.core.SuffixArrays / FmIndex);
-    //     corpus-level detection stays in hashed-window space so it scales out.
+    //     of L), finds duplicated fingerprints with ONE shuffle on the fp — a
+    //     count(*) window over the fp-partitioned rows replaces the old
+    //     groupBy(fp) + join-back, which computed the fingerprint pass twice and
+    //     shuffled it by fp twice — and merges runs of duplicated starts into
+    //     maximal spans with a per-doc gaps-and-islands window. Shuffle is LINEAR
+    //     in corpus characters: one fp per position, no all-pairs step, no
+    //     corpus-wide sort; the fp window's partitions are hash buckets of mostly
+    //     unique fingerprints (bounded by shuffle sizing, never by one hot key),
+    //     and the doc_id window is bounded by one document's length. Per-shard
+    //     maximal-match lookups can use the real suffix structures
+    //     (graft.core.SuffixArrays / FmIndex); corpus-level detection stays in
+    //     hashed-window space so it scales out.
     "q57_substring_dedup" -> ((s, dir) => {
       val L = 20
       val w = tWide(s, dir, "documents")
@@ -1407,10 +1455,9 @@ object CorpusQueries {
           explode(sequence(lit(1), length(col("text")) - (L - 1))).as("pos"))
         .select(col("doc_id"), col("pos"),
           md5s(expr(s"substring(text, pos, $L)")).as("fp"))
-      val dup = w.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select(col("fp"))
       val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      w.join(dup, "fp")
+      w.withColumn("c", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("c") >= 2)
         .withColumn("isl", col("pos") - row_number().over(wD))
         .groupBy(col("doc_id"), col("isl"))
         .agg(min(col("pos")).cast("long").as("span_start"),
@@ -1425,14 +1472,19 @@ object CorpusQueries {
       val emb = t(s, dir, "embeddings")
       val ds = tWide(s, dir, "embeddings")
         .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      // query-side rows come from the UNWIDENED scan: vec_id < 8 pushes down to the
+      // parquet reader, where the tWide form first shuffles the whole table to all
+      // cores only to keep 8 rows (two such shuffles saved: probes + LUT collect)
+      val qds = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
       val coarse = IvfKmeans.fit(ds, k = 10, iters = 2)
       val assigned = IvfKmeans.assignAll(ds, coarse).toDF("neighbor_id", "cl")
-      val probes = IvfKmeans.probesFor(ds.filter(_._1 < 8), coarse, nprobe = 3)
+      val probes = IvfKmeans.probesFor(qds, coarse, nprobe = 3)
         .toDF("query_id", "qcl")
       val pq = ProductQuantizer.fit(ds, numSub = 8, subdim = 8, k = 16, iters = 2)
       val codes = ProductQuantizer.encodeAll(ds, pq).toDF("neighbor_id", "code")
       // bounded query-side LUTs: 8 queries x 8 subspaces x 16 longs, broadcast
-      val luts: Map[Long, Array[Array[Long]]] = ds.filter(_._1 < 8).collect()
+      val luts: Map[Long, Array[Array[Long]]] = qds.collect()
         .map { case (id, e) => id -> pq.lut(IvfKmeans.quantize(e), 16) }.toMap
       val bcLut = s.sparkContext.broadcast(luts)
       val cand = probes
@@ -3640,7 +3692,9 @@ object CorpusQueries {
     //     bounded-histogram cutoffs, broadcast rate table. ---
     "q91_training_mix" -> ((s, dir) => {
       import s.implicits._
-      val survivors = gopherPass(tWide(s, dir, "documents"))
+      // lazy checkpoint: the Gopher rule pass (per-row HOFs over the word list)
+      // feeds the keeper agg AND the semi-join — one rule pass per action
+      val survivors = gopherPass(tWide(s, dir, "documents")).localCheckpoint(false)
       val keepers = survivors.groupBy(md5s(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
       val deduped = survivors.join(keepers, Seq("doc_id"), "left_semi")

@@ -74,39 +74,46 @@ object IvfKmeans {
   def fit(ds: Dataset[(Long, Array[Float])], k: Int, iters: Int): Model = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // fit makes 1 + iters full passes (seed collect + one partial-sum job per
+    // iteration); persisting the quantized vectors computes the upstream
+    // scan/shuffle/quantize ONCE instead of per pass (unpersisted before return,
+    // so nothing leaks into the caller's plans or across queries)
     val quant = ds.map { case (id, e) => (id, quantize(e)) }
-    val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
-      .map { case (id, q) => (id.toInt, q) }
-    require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
-    var model = Model(seeds)
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(model)
-      val partials = quant.mapPartitions { it =>
-        val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
-        it.foreach { case (_, q) =>
-          val cl = bc.value.assign(q)
-          val (sum, n) = acc.getOrElseUpdate(cl, (new Array[Long](q.length), 0L))
-          var i = 0
-          while (i < q.length) { sum(i) += q(i); i += 1 }
-          acc(cl) = (sum, n + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
+        .map { case (id, q) => (id.toInt, q) }
+      require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
+      var model = Model(seeds)
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(model)
+        val partials = quant.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+          it.foreach { case (_, q) =>
+            val cl = bc.value.assign(q)
+            val (sum, n) = acc.getOrElseUpdate(cl, (new Array[Long](q.length), 0L))
+            var i = 0
+            while (i < q.length) { sum(i) += q(i); i += 1 }
+            acc(cl) = (sum, n + 1)
+          }
+          acc.iterator.map { case (cl, (sum, n)) => (cl, sum, n) }
         }
-        acc.iterator.map { case (cl, (sum, n)) => (cl, sum, n) }
+        val totals = partials.groupByKey(_._1)
+          .reduceGroups { (a, b) =>
+            val s = a._2.clone()
+            var i = 0
+            while (i < s.length) { s(i) += b._2(i); i += 1 }
+            (a._1, s, a._3 + b._3)
+          }
+          .map(_._2).collect()
+        // re-quantize the mean: one deterministic double division per component,
+        // identical to the oracle's floor(CAST(sum AS DOUBLE)/count(*) + 0.5)
+        model = Model(totals.sortBy(_._1).map { case (cl, sum, n) =>
+          (cl, sum.map(s => math.floor(s.toDouble / n.toDouble + 0.5).toLong))
+        })
       }
-      val totals = partials.groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = a._2.clone()
-          var i = 0
-          while (i < s.length) { s(i) += b._2(i); i += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map(_._2).collect()
-      // re-quantize the mean: one deterministic double division per component,
-      // identical to the oracle's floor(CAST(sum AS DOUBLE)/count(*) + 0.5)
-      model = Model(totals.sortBy(_._1).map { case (cl, sum, n) =>
-        (cl, sum.map(s => math.floor(s.toDouble / n.toDouble + 0.5).toLong))
-      })
-    }
-    model
+      model
+    } finally quant.unpersist(blocking = false)
   }
 
   /** (vec_id, cluster) for every vector under the final model. */

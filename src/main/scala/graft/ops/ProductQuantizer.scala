@@ -60,17 +60,63 @@ object ProductQuantizer {
   /** `numSub` independent subspace k-means fits over component slices. The input
     * embeddings must have `numSub * subdim` components and carry vec_ids 0..k-1
     * (the deterministic seeds, as in [[IvfKmeans.fit]]).
+    *
+    * All subspaces fit in ONE pass per iteration: a single mapPartitions computes
+    * the (subspace, cluster) partial sums for every subspace at once, so the data
+    * is scanned 1 + iters times total instead of numSub * (1 + iters). Each
+    * subspace's assignments, sums and centroid updates are the exact integer math
+    * of an independent [[IvfKmeans.fit]] over its slice (quantize is
+    * per-component, so slice-then-quantize == quantize-then-slice), keeping the
+    * model bit-identical to the per-subspace form the oracle re-derives.
     */
   def fit(ds: Dataset[(Long, Array[Float])], numSub: Int, subdim: Int, k: Int,
       iters: Int): Pq = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val models = Array.tabulate(numSub) { m =>
-      IvfKmeans.fit(ds.map { case (id, e) =>
-        (id, java.util.Arrays.copyOfRange(e, m * subdim, (m + 1) * subdim))
-      }, k, iters)
-    }
-    Pq(subdim, models)
+    val quant = ds.map { case (id, e) => (id, IvfKmeans.quantize(e)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def slice(q: Array[Long], m: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(q, m * subdim, (m + 1) * subdim)
+    try {
+      val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
+      require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
+      var models = Array.tabulate(numSub) { m =>
+        IvfKmeans.Model(seeds.map { case (id, q) => (id.toInt, slice(q, m)) })
+      }
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(models)
+        val partials = quant.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap.empty[(Int, Int), (Array[Long], Long)]
+          it.foreach { case (_, q) =>
+            var m = 0
+            while (m < bc.value.length) {
+              val sub = java.util.Arrays.copyOfRange(q, m * subdim, (m + 1) * subdim)
+              val cl = bc.value(m).assign(sub)
+              val (sum, n) = acc.getOrElseUpdate((m, cl), (new Array[Long](subdim), 0L))
+              var i = 0
+              while (i < subdim) { sum(i) += sub(i); i += 1 }
+              acc((m, cl)) = (sum, n + 1)
+              m += 1
+            }
+          }
+          acc.iterator.map { case ((m, cl), (sum, n)) => (m, cl, sum, n) }
+        }
+        val totals = partials.groupByKey(x => (x._1, x._2))
+          .reduceGroups { (a, b) =>
+            val s = a._3.clone()
+            var i = 0
+            while (i < s.length) { s(i) += b._3(i); i += 1 }
+            (a._1, a._2, s, a._4 + b._4)
+          }
+          .map(_._2).collect()
+        models = Array.tabulate(numSub) { m =>
+          IvfKmeans.Model(totals.filter(_._1 == m).sortBy(_._2).map { case (_, cl, sum, n) =>
+            (cl, sum.map(s => math.floor(s.toDouble / n.toDouble + 0.5).toLong))
+          })
+        }
+      }
+      Pq(subdim, models)
+    } finally quant.unpersist(blocking = false)
   }
 
   /** (vec_id, code) for every vector — the compact ranking set. */

@@ -89,10 +89,39 @@ class ManifestDataSource extends TableProvider {
 
 object ManifestDataSource {
 
-  private[sources] def hadoopConf(): Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // memoized per JVM: every per-file reader and writer calls this (one reader per
+  // scanned file, one writer per written file), and both `new Configuration()`
+  // (XML default-resource load) and `newHadoopConf()` (deep copy) cost ~10-20 ms —
+  // measured r06 at ~22 ms per written file, the dominant cost of a 120-file
+  // hidden-partition ingest. All callers treat the returned conf as READ-ONLY;
+  // the one site that mutates (the id-resolving reader) copies it first. The
+  // sandbox runs on default local-FS hadoop settings, so caching the first
+  // session's view is lossless.
+  /** Parquet InputFile for a manifest data file: java.nio for local paths (one
+    * open, no .crc sidecar, ~10x cheaper per file — see NioParquetIO), Hadoop for
+    * anything with a URI scheme.
+    */
+  private[sources] def parquetInput(path: String): org.apache.parquet.io.InputFile =
+    if (NioParquetIO.isLocal(path)) NioParquetIO.input(path)
+    else HadoopInputFile.fromPath(new Path(path), hadoopConf())
+
+  /** Parquet OutputFile for a manifest data file (see parquetInput). */
+  private[sources] def parquetOutput(path: String): org.apache.parquet.io.OutputFile =
+    if (NioParquetIO.isLocal(path)) NioParquetIO.output(path)
+    else org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(new Path(path), hadoopConf())
+
+  @volatile private var cachedHadoopConf: Configuration = _
+  private[sources] def hadoopConf(): Configuration = {
+    val c = cachedHadoopConf
+    if (c != null) c
+    else {
+      val fresh = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      cachedHadoopConf = fresh
+      fresh
+    }
+  }
 
   /** Table schema at a snapshot (latest when None): an ALTER-recorded schema DDL on
     * the snapshot wins (schema evolution — files written before the ALTER null-fill
@@ -163,8 +192,7 @@ object ManifestDataSource {
   private def schemaFromFirstFile(dir: String, entries: Seq[ManifestTables.Entry],
       spec: Seq[ManifestTables.PartCol]): StructType = {
     val conf = hadoopConf()
-    val in = HadoopInputFile.fromPath(new Path(s"$dir/${entries.head.path}"), conf)
-    val reader = ParquetFileReader.open(in)
+    val reader = ParquetFileReader.open(ManifestDataSource.parquetInput(s"$dir/${entries.head.path}"))
     val fileSchema = try reader.getFileMetaData.getSchema finally reader.close()
     StructType(sparkFields(fileSchema) ++ spec.filter(_.transform.isEmpty)
       .map(pc => StructField(pc.name, sparkTypeOf(pc), nullable = false)))
@@ -2444,7 +2472,7 @@ private class ManifestAggReaderFactory(partCols: Seq[ManifestTables.PartCol],
             case _ => null
           })
         }
-        val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+        val in = ManifestDataSource.parquetInput(p.file)
         val reader = ParquetFileReader.open(in)
         val (rowCount, stats, counts) = try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -2738,7 +2766,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
     // the vectorized reader produces columns in FILE-schema order (filtered to the
     // requested names) with partition columns appended last; the scan contract is
     // `fields` order — read the footer to learn file order, then permute vectors
-    val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+    val in = ManifestDataSource.parquetInput(p.file)
     val footerReader = ParquetFileReader.open(in)
     val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
     val fileFields = fileSchema.getFields.asScala.toSeq
@@ -2932,7 +2960,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
           return true
         }
         if (total < 0) {
-          val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+          val in = ManifestDataSource.parquetInput(p.file)
           val r = ParquetFileReader.open(in)
           total = try r.getRecordCount finally r.close()
         }
@@ -3068,7 +3096,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
       private var remaining: Long = -1
       override def next(): Boolean = {
         if (remaining < 0) {
-          val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+          val in = ManifestDataSource.parquetInput(p.file)
           val r = ParquetFileReader.open(in)
           remaining = try r.getRecordCount finally r.close()
           limit.foreach(l => remaining = math.min(remaining, l.toLong))
@@ -3096,7 +3124,7 @@ private class ManifestDataReaderFactory(fields: Array[(String, DataType)],
         InternalRow.fromSeq(fields.toSeq.map { case (n, _) => partDatum(p, n) })
       override def next(): Boolean = {
         if (remaining < 0) {
-          val in = HadoopInputFile.fromPath(new Path(p.file), ManifestDataSource.hadoopConf())
+          val in = ManifestDataSource.parquetInput(p.file)
           val r = ParquetFileReader.open(in)
           remaining = try r.getRecordCount finally r.close()
           limit.foreach(l => remaining = math.min(remaining, l.toLong))
@@ -4100,8 +4128,7 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
     (fields(i)._2, i)
   }
   private val seenKeys = scala.collection.mutable.LinkedHashSet.empty[String]
-  private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
-  private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[Group]]()
+  private val writers = scala.collection.mutable.LinkedHashMap[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]()
   private val paths = scala.collection.mutable.LinkedHashMap[String, String]()
   // per-file min/max column stats, accumulated as rows stream through and recorded
   // in the manifest entry at commit — the scan's data-skipping input
@@ -4109,7 +4136,7 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
     dataFields.map { case ((n, dt), ord) => (n, dt, ord) }
   private val stats = scala.collection.mutable.LinkedHashMap[String, ManifestStats.Acc]()
 
-  private def writerFor(joined: String, vals: Seq[String]): org.apache.parquet.hadoop.ParquetWriter[Group] =
+  private def writerFor(joined: String, vals: Seq[String]): org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
     writers.getOrElseUpdate(joined, {
       // writeUid makes names globally unique — and the path is recorded only AFTER
       // the writer opened successfully, so abort() can never delete a pre-existing
@@ -4117,11 +4144,9 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
       val rel = partFields.zip(vals).map { case ((pc, _, _), v) =>
         s"${pc.name}=${ManifestTables.hiveEscape(v)}/" }.mkString +
         f"part-$partitionId%05d-$taskId-$writeUid-${writers.size}.parquet"
-      val p = new Path(s"$dir/$rel")
-      var b = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(p, ManifestDataSource.hadoopConf()))
-        .withType(messageType)
+      var b = new ManifestRowParquetWriterBuilder(
+        ManifestDataSource.parquetOutput(s"$dir/$rel"),
+        new ManifestRowWriteSupport(messageType, dataFields.toArray))
       // per-row-group bloom filters for the declared point-lookup columns; row
       // group size bounds the skipping granularity (see the write options' docs)
       rowGroupBytes.foreach(n => b = b.withRowGroupSize(n))
@@ -4140,42 +4165,7 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
       canonical(row, pc, dt, ord)
     }
     val joined = vals.mkString(ManifestTables.PartSep.toString)
-    val g = factory.newGroup()
-    dataFields.foreach { case ((name, dt), ord) =>
-      if (!row.isNullAt(ord)) dt match {
-        case LongType | TimestampType | TimestampNTZType => g.append(name, row.getLong(ord))
-        case IntegerType | DateType => g.append(name, row.getInt(ord))
-        case DoubleType => g.append(name, row.getDouble(ord))
-        case FloatType => g.append(name, row.getFloat(ord))
-        case BooleanType => g.append(name, row.getBoolean(ord))
-        case StringType => g.append(name,
-          org.apache.parquet.io.api.Binary.fromString(row.getUTF8String(ord).toString))
-        case BinaryType => g.append(name,
-          org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(ord)))
-        case ArrayType(et, _) =>
-          // standard 3-level list: LIST group -> one "list" group per element
-          val arr = row.getArray(ord)
-          val listGroup = g.addGroup(name)
-          var i = 0
-          while (i < arr.numElements()) {
-            val el = listGroup.addGroup("list")
-            if (!arr.isNullAt(i)) et match {
-              case FloatType => el.append("element", arr.getFloat(i))
-              case DoubleType => el.append("element", arr.getDouble(i))
-              case LongType => el.append("element", arr.getLong(i))
-              case IntegerType => el.append("element", arr.getInt(i))
-              case BooleanType => el.append("element", arr.getBoolean(i))
-              case StringType => el.append("element",
-                org.apache.parquet.io.api.Binary.fromString(arr.getUTF8String(i).toString))
-              case other =>
-                throw new IllegalArgumentException(s"unsupported array element $other for $name")
-            }
-            i += 1
-          }
-        case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
-      }
-    }
-    writerFor(joined, vals).write(g)
+    writerFor(joined, vals).write(row)
     stats.getOrElseUpdate(joined, new ManifestStats.Acc(statSpecs)).observe(row)
     upsertSpec.foreach { case (dt, ord) =>
       require(!row.isNullAt(ord),
@@ -4207,6 +4197,100 @@ private class ManifestDataWriter(dir: String, partCol: String, partTypes: String
   }
 
   override def close(): Unit = ()
+}
+
+/** Direct InternalRow -> parquet RecordConsumer write support: emits exactly the
+  * record structure the old example-Group path produced (same optional primitives,
+  * same 3-level lists, same null handling -> byte-equivalent pages) without
+  * materializing a Group object per row — no per-field name lookups, no boxing,
+  * no per-row ArrayLists. Measured r06: the DSv2 ingest of 100k rows into 120
+  * hidden-partition files dropped ~3x against the Group path.
+  */
+private class ManifestRowWriteSupport(schema: MessageType,
+    dataFields: Array[((String, DataType), Int)])
+    extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+  import org.apache.parquet.io.api.{Binary, RecordConsumer}
+  private var rc: RecordConsumer = _
+
+  override def init(conf: Configuration): org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+      schema, java.util.Collections.emptyMap[String, String]())
+
+  override def prepareForWrite(recordConsumer: RecordConsumer): Unit =
+    rc = recordConsumer
+
+  override def write(row: InternalRow): Unit = {
+    rc.startMessage()
+    var j = 0
+    while (j < dataFields.length) {
+      val ((name, dt), ord) = dataFields(j)
+      if (!row.isNullAt(ord)) {
+        rc.startField(name, j)
+        dt match {
+          case LongType | TimestampType | TimestampNTZType => rc.addLong(row.getLong(ord))
+          case IntegerType | DateType => rc.addInteger(row.getInt(ord))
+          case DoubleType => rc.addDouble(row.getDouble(ord))
+          case FloatType => rc.addFloat(row.getFloat(ord))
+          case BooleanType => rc.addBoolean(row.getBoolean(ord))
+          case StringType =>
+            // fromReusedByteArray: getBytes can alias a reused row buffer in the
+            // exact-span case; parquet's writers copy reused binaries when they
+            // must retain them (dictionary pages), and stream them otherwise
+            rc.addBinary(Binary.fromReusedByteArray(row.getUTF8String(ord).getBytes))
+          case BinaryType =>
+            rc.addBinary(Binary.fromConstantByteArray(row.getBinary(ord)))
+          case ArrayType(et, _) =>
+            // standard 3-level list, exactly as GroupWriter serializes the old
+            // addGroup(name)/addGroup("list")/append("element") structure
+            val arr = row.getArray(ord)
+            rc.startGroup()
+            val n = arr.numElements()
+            if (n > 0) {
+              rc.startField("list", 0)
+              var i = 0
+              while (i < n) {
+                rc.startGroup()
+                if (!arr.isNullAt(i)) {
+                  rc.startField("element", 0)
+                  et match {
+                    case FloatType => rc.addFloat(arr.getFloat(i))
+                    case DoubleType => rc.addDouble(arr.getDouble(i))
+                    case LongType => rc.addLong(arr.getLong(i))
+                    case IntegerType => rc.addInteger(arr.getInt(i))
+                    case BooleanType => rc.addBoolean(arr.getBoolean(i))
+                    case StringType =>
+                      rc.addBinary(Binary.fromReusedByteArray(arr.getUTF8String(i).getBytes))
+                    case other =>
+                      throw new IllegalArgumentException(s"unsupported array element $other for $name")
+                  }
+                  rc.endField("element", 0)
+                }
+                rc.endGroup()
+                i += 1
+              }
+              rc.endField("list", 0)
+            }
+            rc.endGroup()
+          case other => throw new IllegalArgumentException(s"unsupported write type $other for $name")
+        }
+        rc.endField(name, j)
+      }
+      j += 1
+    }
+    rc.endMessage()
+  }
+}
+
+/** Builder wiring ManifestRowWriteSupport into the stock ParquetWriter (same
+  * base-builder defaults the example builder inherited: v1 pages, dictionary on,
+  * uncompressed).
+  */
+private class ManifestRowParquetWriterBuilder(
+    file: org.apache.parquet.io.OutputFile, support: ManifestRowWriteSupport)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, ManifestRowParquetWriterBuilder](file) {
+  override def self(): ManifestRowParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration): org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+    support
 }
 
 private object ManifestDataWriter {

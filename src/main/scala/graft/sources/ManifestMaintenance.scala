@@ -515,9 +515,8 @@ object ManifestMaintenance {
       */
     def resolvedRead(e: ManifestTables.Entry): org.apache.spark.sql.DataFrame = {
       import scala.jdk.CollectionConverters._
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dir/${e.path}"), ManifestDataSource.hadoopConf())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        ManifestDataSource.parquetInput(s"$dir/${e.path}"))
       val phys = try r.getFileMetaData.getSchema.getFields.asScala.toSeq finally r.close()
       val hasIds = phys.exists(_.getId != null)
       val idOf = reg.filterNot(_.dropped).map(c => c.current -> c.id).toMap

@@ -69,7 +69,8 @@ private[sources] object ManifestStats {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+      if (NioParquetIO.isLocal(file)) NioParquetIO.input(file)
+      else HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
     val blocks = try reader.getFooter.getBlocks finally reader.close()
     import scala.jdk.CollectionConverters._
     val rows = blocks.asScala.map(_.getRowCount).sum
@@ -312,13 +313,14 @@ private[sources] object ManifestStats {
             case 's' =>
               val v = row.getUTF8String(ord)
               if (v.numChars() > MaxStringStat) valid(i) = false // no truncated bounds
-              else {
-                val copy = v.clone() // row buffers are reused; bounds must own their bytes
-                if (!hasVal(i)) { minS(i) = copy; maxS(i) = copy; hasVal(i) = true }
-                else {
-                  if (copy.compareTo(minS(i)) < 0) minS(i) = copy
-                  if (copy.compareTo(maxS(i)) > 0) maxS(i) = copy
-                }
+              else if (!hasVal(i)) {
+                // row buffers are reused; stored bounds must own their bytes — but
+                // clone only when a bound actually updates, not once per row
+                val copy = v.clone()
+                minS(i) = copy; maxS(i) = copy; hasVal(i) = true
+              } else {
+                if (v.compareTo(minS(i)) < 0) minS(i) = v.clone()
+                if (v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
               }
             case _ => ()
           }
