@@ -122,6 +122,22 @@ object CorpusQueries {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Max multiplicity of any element of `w`: the longest equal-run in the sorted
+    * array — one O(n log n) sort + one linear fold, replacing the
+    * O(distinct * n) count-per-distinct-element form (which re-scanned the word
+    * list once per distinct word through interpreted lambdas). Null-safe equality
+    * keeps a real empty-string element distinct from the null seed. Identical
+    * values on every non-empty array (and `words()` never yields an empty one).
+    */
+  private def topRunCount(w: Column): Column =
+    aggregate(array_sort(w),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+      (acc, x) => {
+        val r2 = when(acc.getField("p") <=> x, acc.getField("r") + 1L).otherwise(lit(1L))
+        struct(x.as("p"), r2.as("r"), greatest(acc.getField("b"), r2).as("b"))
+      },
+      acc => acc.getField("b"))
+
   /** The q87 Gopher rules as one composable predicate-filter over a documents
     * frame: returns the (doc_id, lang, text) survivors. Thresholds identical to
     * the q87 catalog entry (the oracle re-derives both from the same constants).
@@ -136,9 +152,7 @@ object CorpusQueries {
       .withColumn("n_stop",
         size(array_intersect(col("gw"), array(lit("the"), lit("a"), lit("of"))))
           .cast("long"))
-      .withColumn("top_cnt",
-        array_max(transform(array_distinct(col("gw")),
-          d => size(filter(col("gw"), x => x === d)))).cast("long"))
+      .withColumn("top_cnt", topRunCount(col("gw")))
       .filter(col("n_words") >= 30 && col("n_words") <= 80 &&
         col("n_wchars") >= col("n_words") * 4 &&
         col("n_wchars") <= col("n_words") * 7 &&
@@ -1115,17 +1129,24 @@ object CorpusQueries {
     //     corpus size — the standard shape for scoring against a fixed vocab/LM. ---
     "q48_lm_score" -> ((s, dir) => {
       val w = words(col("text"))
-      val bg = tWide(s, dir, "documents")
+      // per-(doc, bigram) counts, lazily checkpointed: the LM fit and the scoring
+      // join both read this compact frame instead of re-exploding the corpus (the
+      // q88 shape); count(*) over instances == sum(bn), lm_hits == sum(bn * c),
+      // oov == sum(bn) over model-miss bigrams
+      val bgc = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(zip_with(
           slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
           (x, y) => concat(x, lit(" "), y))).as("bigram"))
-      val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("bn"))
+        .localCheckpoint(false)
+      val lm = bgc.groupBy(col("bigram")).agg(sum(col("bn")).as("c"))
         .orderBy(col("c").desc, col("bigram")).limit(100)
-      bg.join(broadcast(lm), Seq("bigram"), "left")
+      bgc.join(broadcast(lm), Seq("bigram"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(coalesce(col("c"), lit(0L))).as("lm_hits"),
-          sum(when(col("c").isNull, 1L).otherwise(0L)).as("oov"))
+        .agg(sum(col("bn")).as("n_bigrams"),
+          sum(col("bn") * coalesce(col("c"), lit(0L))).as("lm_hits"),
+          sum(when(col("c").isNull, col("bn")).otherwise(0L)).as("oov"))
         .withColumn("score", col("lm_hits").cast("double") / col("n_bigrams").cast("double"))
         .orderBy(col("doc_id"))
     }),
@@ -1477,11 +1498,19 @@ object CorpusQueries {
       // cores only to keep 8 rows (two such shuffles saved: probes + LUT collect)
       val qds = t(s, dir, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-      val coarse = IvfKmeans.fit(ds, k = 10, iters = 2)
+      // ONE persisted quantized-vector table shared by the coarse IVF fit and all
+      // 8 PQ codebook fits (6 eager passes read the cache instead of re-scanning
+      // + re-shuffling + re-quantizing per pass); unpersisted before the lazy
+      // assign/encode plans run, so nothing leaks past construction
+      val quant = ds.map { case (id, e) => (id, IvfKmeans.quantize(e)) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (coarse, pq) = try {
+        (IvfKmeans.fitQuantized(quant, k = 10, iters = 2),
+          ProductQuantizer.fitQuantized(quant, numSub = 8, subdim = 8, k = 16, iters = 2))
+      } finally quant.unpersist(blocking = false)
       val assigned = IvfKmeans.assignAll(ds, coarse).toDF("neighbor_id", "cl")
       val probes = IvfKmeans.probesFor(qds, coarse, nprobe = 3)
         .toDF("query_id", "qcl")
-      val pq = ProductQuantizer.fit(ds, numSub = 8, subdim = 8, k = 16, iters = 2)
       val codes = ProductQuantizer.encodeAll(ds, pq).toDF("neighbor_id", "code")
       // bounded query-side LUTs: 8 queries x 8 subspaces x 16 longs, broadcast
       val luts: Map[Long, Array[Array[Long]]] = qds.collect()
@@ -3655,9 +3684,7 @@ object CorpusQueries {
         .withColumn("n_stop",
           size(array_intersect(col("w"), array(lit("the"), lit("a"), lit("of"))))
             .cast("long"))
-        .withColumn("top_cnt",
-          array_max(transform(array_distinct(col("w")),
-            d => size(filter(col("w"), x => x === d)))).cast("long"))
+        .withColumn("top_cnt", topRunCount(col("w")))
         .select(col("doc_id"), col("lang"), col("n_words"), col("n_wchars"),
           col("n_distinct"), col("n_stop"), col("top_cnt"),
           (col("n_words") >= 30 && col("n_words") <= 80).as("r_wordcount"),

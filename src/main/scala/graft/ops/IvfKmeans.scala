@@ -80,7 +80,20 @@ object IvfKmeans {
     // so nothing leaks into the caller's plans or across queries)
     val quant = ds.map { case (id, e) => (id, quantize(e)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try fitQuantized(quant, k, iters)
+    finally quant.unpersist(blocking = false)
+  }
+
+  /** fit over an ALREADY-QUANTIZED (and typically caller-persisted) vector table —
+    * the shared-cache path for composite indexes running several fits over the
+    * same vectors (q54 shares one persisted quant between the coarse IVF fit and
+    * the PQ codebook fits). Bit-identical to fit(): same seeds, same integer
+    * partial sums, same centroid division.
+    */
+  def fitQuantized(quant: Dataset[(Long, Array[Long])], k: Int, iters: Int): Model = {
+    val spark = quant.sparkSession
+    import spark.implicits._
+    {
       val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
         .map { case (id, q) => (id.toInt, q) }
       require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
@@ -113,7 +126,7 @@ object IvfKmeans {
         })
       }
       model
-    } finally quant.unpersist(blocking = false)
+    }
   }
 
   /** (vec_id, cluster) for every vector under the final model. */

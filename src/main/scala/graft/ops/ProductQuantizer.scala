@@ -75,9 +75,21 @@ object ProductQuantizer {
     import spark.implicits._
     val quant = ds.map { case (id, e) => (id, IvfKmeans.quantize(e)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitQuantized(quant, numSub, subdim, k, iters)
+    finally quant.unpersist(blocking = false)
+  }
+
+  /** fit over an already-quantized (caller-persisted) vector table — see
+    * [[IvfKmeans.fitQuantized]]; q54 shares one persisted quant with the coarse
+    * IVF fit.
+    */
+  def fitQuantized(quant: Dataset[(Long, Array[Long])], numSub: Int, subdim: Int,
+      k: Int, iters: Int): Pq = {
+    val spark = quant.sparkSession
+    import spark.implicits._
     def slice(q: Array[Long], m: Int): Array[Long] =
       java.util.Arrays.copyOfRange(q, m * subdim, (m + 1) * subdim)
-    try {
+    locally {
       val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
       require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
       var models = Array.tabulate(numSub) { m =>
@@ -116,7 +128,7 @@ object ProductQuantizer {
         }
       }
       Pq(subdim, models)
-    } finally quant.unpersist(blocking = false)
+    }
   }
 
   /** (vec_id, code) for every vector — the compact ranking set. */
