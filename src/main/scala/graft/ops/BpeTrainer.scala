@@ -117,4 +117,29 @@ object BpeTrainer {
     */
   def encode(syms: Column, merges: Seq[MergeRow]): Column =
     merges.foldLeft(syms)((s, m) => applyMerge(s, m.left_sym, m.right_sym))
+
+  /** Token COUNT of one word under the learned merge list — the same greedy
+    * left-to-right replay as [[encode]] ([[applyMerge]]'s fold contract, symbol
+    * for symbol) in a plain Scala kernel. [[encode]] composes k nested
+    * interpreted array-aggregate expressions (per word, per row: a depth-k
+    * expression tree); for the corpus-apply query only the FINAL count is
+    * needed, and this kernel computes it in one linear pass per merge round.
+    * BpeTrainerSpec pins kernel == expression replay on every trained word.
+    */
+  def encodeCountKernel(w: String, merges: Seq[MergeRow]): Int = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) { syms += String.valueOf(w.charAt(i)); i += 1 }
+    merges.foreach { m =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      val merged = m.left_sym + m.right_sym
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == m.left_sym && x == m.right_sym)
+          out(out.length - 1) = merged
+        else out += x
+      }
+      syms = out
+    }
+    syms.length
+  }
 }

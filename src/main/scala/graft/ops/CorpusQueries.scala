@@ -979,6 +979,9 @@ object CorpusQueries {
       val tf = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // lazy checkpoint: tf feeds the df aggregation AND the join back — one
+        // corpus explode per action instead of two
+        .localCheckpoint(false)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
@@ -1036,8 +1039,11 @@ object CorpusQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
       val (merges, finalWords) = BpeTrainer.train(wf, BpeMergesK)
       BpeTrainer.free(finalWords)
-      val tok = wf.select(col("w"),
-        size(BpeTrainer.encode(BpeTrainer.charSymbols(col("w")), merges)).as("n_tok"))
+      // token counts via the linear replay kernel: the expression form stacks
+      // BpeMergesK nested interpreted array-aggregates per word (see
+      // BpeTrainer.encodeCountKernel; spec-pinned equal to the expression replay)
+      val encodeCount = udf((w: String) => BpeTrainer.encodeCountKernel(w, merges))
+      val tok = wf.select(col("w"), encodeCount(col("w")).as("n_tok"))
       docs.select(col("lang"), explode(words(col("text"))).as("w"))
         .filter(col("w") =!= "")
         .join(tok, "w")
@@ -1070,6 +1076,9 @@ object CorpusQueries {
     //     tokenizer vocab is capped by construction; uncapped vocabs would drop the
     //     hint and shuffle on term. ---
     "q28_token_ids" -> ((s, dir) => {
+      // tok is read by the vocab ranking and the apply-side join; a checkpoint
+      // here measured SLOWER (r06): the explode is cheap and the barrier costs
+      // more than the duplicate pass saves
       val tok = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
       val vocab = rankedIds(
@@ -1094,6 +1103,8 @@ object CorpusQueries {
         .withColumn("w", words(col("text")))
         .select(col("doc_id"), col("split"),
           explode(array_distinct(shingles(col("w")))).as("shingle"))
+      // (not checkpointed: measured slower in r06 — the barrier costs more than
+      // the duplicated shingling pass it saves at every tested SF)
       val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
       sh.filter(col("split") === "eval")
         .join(trainSh, "shingle")

