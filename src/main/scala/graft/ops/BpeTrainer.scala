@@ -50,12 +50,124 @@ object BpeTrainer {
       slice(syms, lit(2), size(syms) - 1),
       (a, b) => struct(a.as("l"), b.as("r")))
 
+  /** Default row cap for the local training fast path: vocab tables at or under
+    * this many (word, freq) rows train on the driver in ONE bounded job (the same
+    * adaptive-threshold contract as a broadcast join); larger vocabs take the
+    * distributed per-round loop unchanged. ~1M rows ≈ tens of MB — the bound is
+    * the threshold, never the corpus (a 100 TB corpus with a 10^8-word vocab
+    * exceeds it and stays distributed).
+    */
+  def localMaxDefault: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BPE_LOCAL_MAX", (1 << 20).toString).toInt
+
   /** Train `k` merges over a (w: string, f: long) word-frequency table. Ties on the
     * pair count break by (l, r) ascending, so the learned merge list is deterministic.
     * Returns the merge table and the final symbolized word-frequency frame
     * (w, f, syms) — the trained tokenizer's view of the vocabulary.
+    *
+    * When the vocab fits under `localMax` rows the entire k-round loop runs on the
+    * driver over one bounded collect (BpeTrainerSpec pins local == distributed on
+    * the same vocabulary): the distributed loop's k+1 jobs exist to keep VOCAB-sized
+    * state off the driver, and below the threshold that state is broadcast-sized —
+    * paying per-round job latency for it is pure overhead.
     */
-  def train(wordFreq: DataFrame, k: Int): (Seq[MergeRow], DataFrame) = {
+  def train(wordFreq: DataFrame, k: Int,
+      localMax: Int = localMaxDefault): (Seq[MergeRow], DataFrame) = {
+    if (localMax > 0) {
+      val head = wordFreq.select(col("w"), col("f")).limit(localMax + 1).collect()
+      if (head.length <= localMax) {
+        val spark = wordFreq.sparkSession
+        import spark.implicits._
+        val (merges, words) = trainLocal(
+          head.map(r => (r.getString(0), r.getLong(1))), k)
+        return (merges, spark.createDataset(words.toSeq).toDF("w", "f", "syms"))
+      }
+    }
+    trainDistributed(wordFreq, k)
+  }
+
+  /** UTF-8 byte-wise string comparison — Spark's string ordering (UTF8String
+    * compares unsigned bytes; Java String.compareTo compares UTF-16 units, which
+    * differs beyond the BMP). The tiebreak must match the distributed orderBy.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The k-round loop over an in-memory vocab — merge for merge the distributed
+    * semantics: weighted adjacent-pair counts, argmax with (n desc, l asc, r asc)
+    * byte-wise tiebreak, greedy left-to-right application, per-round distinct-symbol
+    * vocab count. Symbols start as CODE POINTS (charSymbols' substr contract).
+    */
+  private def trainLocal(vocab: Array[(String, Long)],
+      k: Int): (Seq[MergeRow], Array[(String, Long, Seq[String])]) = {
+    val words = vocab.map { case (w, f) =>
+      val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (w, f, syms)
+    }
+    val merges = Seq.newBuilder[MergeRow]
+    for (rank <- 1 to k) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, f, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"BPE merge round $rank: no adjacent pairs left")
+      var best: ((String, String), Long) = null
+      counts.foreach { cand =>
+        if (best == null || cand._2 > best._2 ||
+            (cand._2 == best._2 && {
+              val c = cmpUtf8(cand._1._1, best._1._1)
+              c < 0 || (c == 0 && cmpUtf8(cand._1._2, best._1._2) < 0)
+            })) best = cand
+      }
+      val ((l, r), n) = best
+      val merged = l + r
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi)._3
+        // greedy left-to-right in place: the applyMerge fold contract
+        var read = 0
+        var write = 0
+        while (read < syms.length) {
+          val x = syms(read)
+          if (write > 0 && syms(write - 1) == l && x == r) syms(write - 1) = merged
+          else { syms(write) = x; write += 1 }
+          read += 1
+        }
+        syms.remove(write, syms.length - write)
+        wi += 1
+      }
+      val distinct = new java.util.HashSet[String]()
+      words.foreach(_._3.foreach(distinct.add))
+      merges += MergeRow(rank, l, r, n, distinct.size.toLong)
+    }
+    (merges.result(), words.map { case (w, f, syms) => (w, f, syms.toSeq) })
+  }
+
+  /** The per-round distributed loop — the at-scale path for vocabs over the local
+    * threshold; unchanged semantics (see train).
+    */
+  private def trainDistributed(wordFreq: DataFrame, k: Int): (Seq[MergeRow], DataFrame) = {
     val merges = Seq.newBuilder[MergeRow]
     // Lazy localCheckpoint per round, not persist: each round stacks another
     // interpreted-HOF fold onto the plan, and with plain persist round i's actions

@@ -26,14 +26,75 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIters: Int = 50): DataFrame = runWithRounds(edges, maxIters)._1
 
+  /** Default edge cap for the local union-find fast path: edge sets at or under
+    * this many rows resolve on the driver in ONE bounded job (the adaptive-threshold
+    * contract of a broadcast join); larger graphs take the distributed loop
+    * unchanged. A dedup edge set is proportional to the number of DUPLICATED docs,
+    * so at 100 TB it exceeds the cap and stays distributed — the threshold bounds
+    * driver memory, never the corpus.
+    */
+  def localMaxDefault: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CC_LOCAL_MAX", (1 << 20).toString).toInt
+
   /** run + the number of rounds executed (spec hook: a 2^k chain must finish in
     * O(k) rounds, not O(2^k)). `pointerJump = false` drops the extra per-round join
     * for workloads known to be clique-shaped (diameter 2-3), where jumping cannot
     * save rounds; the jump is always skipped in round 1, where labels are still the
-    * identity and the hop is a provable no-op.
+    * identity and the hop is a provable no-op. `localMax = 0` disables the local
+    * fast path (the spec pins local == distributed on randomized graphs); the local
+    * result reports 0 rounds.
     */
   def runWithRounds(edges: DataFrame, maxIters: Int = 50,
-      pointerJump: Boolean = true): (DataFrame, Int) = {
+      pointerJump: Boolean = true,
+      localMax: Int = localMaxDefault): (DataFrame, Int) = {
+    if (localMax > 0) {
+      val aC = edges.columns(0)
+      val bC = edges.columns(1)
+      val head = edges
+        .select(col(aC).cast("long").as("a"), col(bC).cast("long").as("b"))
+        .limit(localMax + 1).collect()
+      if (head.length <= localMax) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return (spark.createDataset(
+          localComponents(head.map(r => (r.getLong(0), r.getLong(1)))).toSeq)
+          .toDF("node", "cluster_id"), 0)
+      }
+    }
+    runDistributed(edges, maxIters, pointerJump)
+  }
+
+  /** Union-find with min-id roots over an in-memory edge list — identical labeling
+    * to the distributed loop (cluster_id = smallest reachable node id; self-loops
+    * and duplicate edges tolerated). Deterministic regardless of edge order.
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { // smaller id becomes the root, so the root IS the min id
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    parent.keysIterator.map(n => (n, find(n))).toArray.sortBy(_._1)
+  }
+
+  private def runDistributed(edges: DataFrame, maxIters: Int,
+      pointerJump: Boolean): (DataFrame, Int) = {
     val a = edges.columns(0)
     val b = edges.columns(1)
     val sym = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))

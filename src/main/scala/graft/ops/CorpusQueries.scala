@@ -88,20 +88,39 @@ object CorpusQueries {
     * exactly the corpus being bucketed. Returns one row per input doc with
     * (doc_id, lang, n_bigrams, lm_hits, score_fp, bucket), unordered.
     */
+  /** Per-(doc, bigram) counts as ONE typed map — the (doc_id, …) grouping key makes
+    * the aggregation row-local (every bigram of a doc lives in its row), so the
+    * kernel emits pre-aggregated counts with NO explode and NO shuffle; the old
+    * form shuffled every bigram INSTANCE into a hash agg and paid interpreted
+    * zip_with/slice lambdas per row. Identical rows out (count(*) over instances
+    * == the per-doc multiset count).
+    */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, text) =>
+        val w = text.split(" ", -1)
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i + 1 < w.length) {
+          val bg = w(i) + " " + w(i + 1)
+          counts.update(bg, counts.getOrElse(bg, 0L) + 1L)
+          i += 1
+        }
+        counts.iterator.map { case (bg, c) => (id, lang, bg, c) }
+      })
+      .toDF("doc_id", "lang", "bigram", "bn")
+  }
+
   private[graft] def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
     // per-(doc, bigram) COUNTS, lazily checkpointed: the LM fit, the scoring agg
     // and (through `scored`) the cutoff histogram all read this compact frame —
     // the old inline form re-exploded the whole corpus once per consumer (4-5
     // passes per action). Counts fold identically: count(*) over instances ==
     // sum(bn) over per-doc distinct bigrams, and lm_hits == sum(bn * c).
-    val bgc = docs
-      .select(col("doc_id"), col("lang"), explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (x, y) => concat(x, lit(" "), y))).as("bigram"))
-      .groupBy(col("doc_id"), col("lang"), col("bigram"))
-      .agg(count(lit(1)).as("bn"))
-      .localCheckpoint(false)
+    val bgc = bigramCounts(docs).localCheckpoint(false)
     val lm = bgc.groupBy(col("bigram")).agg(sum(col("bn")).as("c"))
       .orderBy(col("c").desc, col("bigram")).limit(100)
     val scored = bgc.join(broadcast(lm), Seq("bigram"), "left")
@@ -122,37 +141,73 @@ object CorpusQueries {
           .otherwise("tail").as("bucket"))
   }
 
-  /** Max multiplicity of any element of `w`: the longest equal-run in the sorted
-    * array — one O(n log n) sort + one linear fold, replacing the
-    * O(distinct * n) count-per-distinct-element form (which re-scanned the word
-    * list once per distinct word through interpreted lambdas). Null-safe equality
-    * keeps a real empty-string element distinct from the null seed. Identical
-    * values on every non-empty array (and `words()` never yields an empty one).
+  /** Fixed 8-word chunks of every document as (doc_id, lang, chunk_idx, chunk, h)
+    * with the md5 hex chunk hash computed ONCE in the kernel — shared by q86
+    * (chunk dedup) and q97 (boilerplate strip). The old expression form paid an
+    * interpreted transform + slice + array_join per doc and re-hashed every chunk
+    * at join time. Chunking matches ceil(size/8) slices of split(text, ' ') (a
+    * document always has >= 1 word — split of "" is [""]).
     */
-  private def topRunCount(w: Column): Column =
-    aggregate(array_sort(w),
-      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("b")),
-      (acc, x) => {
-        val r2 = when(acc.getField("p") <=> x, acc.getField("r") + 1L).otherwise(lit(1L))
-        struct(x.as("p"), r2.as("r"), greatest(acc.getField("b"), r2).as("b"))
-      },
-      acc => acc.getField("b"))
+  private def chunkRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 8
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md5hex = md5HexFn()
+        it.flatMap { case (id, lang, text) =>
+          val w = text.split(" ", -1)
+          val n = (w.length + W - 1) / W
+          (0 until n).iterator.map { i =>
+            val chunk = w.slice(i * W, math.min(i * W + W, w.length)).mkString(" ")
+            (id, lang, i, chunk, md5hex(chunk))
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "chunk_idx", "chunk", "h")
+  }
+
+  /** The five Gopher per-doc statistics in ONE typed map (no interpreted HOFs —
+    * the expression form paid an array sort + five lambda walks per row):
+    * (doc_id, lang, text, n_words, n_wchars, n_distinct, n_stop, top_cnt).
+    * Word-length counts are code points (Spark's length() contract); n_stop is the
+    * number of DISTINCT stopwords present (the array_intersect contract); top_cnt
+    * is the max multiplicity of any word. Shared by q87 and gopherPass.
+    */
+  private[graft] def gopherCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        val w = text.split(" ", -1)
+        val mult = scala.collection.mutable.HashMap.empty[String, Long]
+        var wchars = 0L
+        var i = 0
+        while (i < w.length) {
+          wchars += cpCount(w(i))
+          mult.update(w(i), mult.getOrElse(w(i), 0L) + 1L)
+          i += 1
+        }
+        var top = 0L
+        mult.valuesIterator.foreach(v => if (v > top) top = v)
+        var nStop = 0L
+        if (mult.contains("the")) nStop += 1
+        if (mult.contains("a")) nStop += 1
+        if (mult.contains("of")) nStop += 1
+        (id, lang, text, w.length.toLong, wchars, mult.size.toLong, nStop, top)
+      })
+      .toDF("doc_id", "lang", "text", "n_words", "n_wchars", "n_distinct",
+        "n_stop", "top_cnt")
+  }
 
   /** The q87 Gopher rules as one composable predicate-filter over a documents
     * frame: returns the (doc_id, lang, text) survivors. Thresholds identical to
     * the q87 catalog entry (the oracle re-derives both from the same constants).
     */
   private[graft] def gopherPass(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("gw", words(col("text")))
-      .withColumn("n_words", size(col("gw")).cast("long"))
-      .withColumn("n_wchars",
-        aggregate(col("gw"), lit(0L), (a, x) => a + length(x).cast("long")))
-      .withColumn("n_distinct", size(array_distinct(col("gw"))).cast("long"))
-      .withColumn("n_stop",
-        size(array_intersect(col("gw"), array(lit("the"), lit("a"), lit("of"))))
-          .cast("long"))
-      .withColumn("top_cnt", topRunCount(col("gw")))
+    gopherCounts(docs)
       .filter(col("n_words") >= 30 && col("n_words") <= 80 &&
         col("n_wchars") >= col("n_words") * 4 &&
         col("n_wchars") <= col("n_words") * 7 &&
@@ -167,24 +222,38 @@ object CorpusQueries {
     */
   private[graft] def dsirSelect(s: SparkSession, dir: String,
       targetSource: String): DataFrame = {
-    // per-(doc, bucket) feature COUNTS, lazily checkpointed: the raw histogram,
-    // the target histogram and the scoring agg all read this compact frame — the
-    // old inline form re-ran the corpus explode + per-word md5 once per consumer
-    // (3+ passes per action). Counts fold identically: count(*) over instances ==
-    // sum(cnt), and w_sum == sum(cnt * r_fp).
-    val fc = tWide(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(words(col("text"))).as("w"))
-      .withColumn("f", conv(substring(md5s(col("w")), 1, 3), 16, 10).cast("long"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("f"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val raw = fc.groupBy(col("f")).agg(sum(col("cnt")).as("cr"))
-    val tgt = fc.filter(col("source") === targetSource)
-      .groupBy(col("f")).agg(sum(col("cnt")).as("ct"))
-    val ratio = raw.join(tgt, Seq("f"), "left")
-      .select(col("f"),
-        expr("(coalesce(ct, 0L) + 1) * 1000000 div (cr + 1)").as("r_fp"))
+    // per-(doc, bucket) feature COUNTS via a row-local typed kernel (the doc_id
+    // grouping key makes the aggregation per-row: no explode, no first shuffle,
+    // one md5 per word instance in plain JVM code), lazily checkpointed: the raw
+    // histogram, the target histogram and the scoring agg all read this compact
+    // frame. Counts fold identically: count(*) over instances == sum(cnt), and
+    // w_sum == sum(cnt * r_fp).
+    val fc = {
+      import s.implicits._
+      tWide(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("lang"), col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          val md5hex = md5HexFn()
+          it.flatMap { case (id, lang, src, text) =>
+            val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+            text.split(" ", -1).foreach { w =>
+              val f = java.lang.Long.parseLong(md5hex(w).substring(0, 3), 16)
+              counts.update(f, counts.getOrElse(f, 0L) + 1L)
+            }
+            counts.iterator.map { case (f, c) => (id, lang, src, f, c) }
+          }
+        }
+        .toDF("doc_id", "lang", "source", "f", "cnt")
+        .localCheckpoint(false)
+    }
+    // raw and target histograms in ONE aggregation pass (conditional sum) instead
+    // of two passes + a join: a bucket with no target rows sums 0, exactly the old
+    // left-join coalesce(ct, 0)
+    val ratio = fc.groupBy(col("f"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("source") === targetSource, col("cnt")).otherwise(0L)).as("ct"))
+      .select(col("f"), expr("(ct + 1) * 1000000 div (cr + 1)").as("r_fp"))
     val scored = fc.join(broadcast(ratio), Seq("f"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("r_fp")).as("w_sum"))
@@ -204,15 +273,23 @@ object CorpusQueries {
       queryTerms: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
     val qt = queryTerms.toDF("query_id", "term")
-    // per-(doc, term) frequencies, lazily checkpointed: the df table, the corpus
-    // scalars and the scoring join all read this compact frame — the old inline
-    // form re-ran the corpus explode once per consumer (3 passes per action).
+    // per-(doc, term) frequencies via the row-local typed kernel (no explode, no
+    // first shuffle), lazily checkpointed: the df table, the corpus scalars and
+    // the scoring join all read this compact frame.
     val tf = tWide(s, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .withColumn("dl", size(col("w")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        val dl = w.length.toLong
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < w.length) {
+          counts.update(w(i), counts.getOrElse(w(i), 0L) + 1L)
+          i += 1
+        }
+        counts.iterator.map { case (term, c) => (id, dl, term, c) }
+      })
+      .toDF("doc_id", "dl", "term", "tf")
       .localCheckpoint(false)
     val dfreq = tf.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -345,6 +422,31 @@ object CorpusQueries {
   }
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** Per-partition MD5 hex hasher for typed kernels (MessageDigest is neither
+    * serializable nor thread-safe — construct INSIDE mapPartitions). Byte-for-byte
+    * the hex md5() expression both engines compute.
+    */
+  private def md5HexFn(): String => String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (x: String) => {
+      md.reset()
+      val d = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < 16) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Code-point count of `s` — Spark's length()/substr() contract (UTF8String
+    * counts code points, Java String.length counts UTF-16 units).
+    */
+  private def cpCount(s: String): Long = s.codePointCount(0, s.length).toLong
 
   /** Dedup clusters (node, cluster_id) over exact-dup + LSH near-dup edges, shared by
     * q44 (cluster listing) and q44b (dedup apply). Edge generation is hash-grouping
@@ -877,14 +979,29 @@ object CorpusQueries {
 
     // --- document fingerprinting: content hash + first minhash ---
     "q33_fingerprint" -> ((s, dir) => {
-      // materialize words then shingles as columns: lambda bodies otherwise re-split
-      // the text on every element access
+      import s.implicits._
+      // typed kernel: one md5 per shingle position in plain JVM code (the
+      // expression form paid an interpreted transform + per-element md5); min over
+      // hex strings is byte order, exactly array_min's binary string comparison
       tWide(s, dir, "documents")
-        .withColumn("w", words(col("text")))
-        .withColumn("sh", shingles(col("w")))
-        .select(col("doc_id"), md5s(col("text")).as("fp"),
-          array_min(transform(col("sh"), x => md5s(x))).as("minhash1"),
-          size(col("sh")).cast("long").as("n_shingles"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md5hex = md5HexFn()
+          it.map { case (id, text) =>
+            val w = text.split(" ", -1)
+            var minh: String = null
+            var n = 0L
+            var i = 0
+            while (i + 2 < w.length) {
+              val h = md5hex(w(i) + " " + w(i + 1) + " " + w(i + 2))
+              if (minh == null || h.compareTo(minh) < 0) minh = h
+              n += 1
+              i += 1
+            }
+            (id, md5hex(text), Option(minh), n)
+          }
+        }
+        .toDF("doc_id", "fp", "minhash1", "n_shingles")
         .orderBy(col("doc_id"))
     }),
 
@@ -976,11 +1093,23 @@ object CorpusQueries {
     // map-side partial agg absorbs stop-word-grade hot terms — the round-2
     // term-partitioned window put every row of a hot term into ONE window partition.
     "q45_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      // row-local typed kernel: per-(doc, term) counts need no explode and no
+      // shuffle (the doc_id grouping key lives in the row); the lazy checkpoint
+      // still shares the frame between the df aggregation AND the join back
       val tf = tWide(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        // lazy checkpoint: tf feeds the df aggregation AND the join back — one
-        // corpus explode per action instead of two
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < w.length) {
+            counts.update(w(i), counts.getOrElse(w(i), 0L) + 1L)
+            i += 1
+          }
+          counts.iterator.map { case (term, c) => (id, term, c) }
+        })
+        .toDF("doc_id", "term", "tf")
         .localCheckpoint(false)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
@@ -1032,6 +1161,7 @@ object CorpusQueries {
     //     final state — encode replay must equal training's final symbolization
     //     exactly, word by word, weighted by real corpus frequency. ---
     "q59b_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
       val docs = tWide(s, dir, "documents")
       val wf = docs
         .select(explode(words(col("text"))).as("w"))
@@ -1039,16 +1169,36 @@ object CorpusQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
       val (merges, finalWords) = BpeTrainer.train(wf, BpeMergesK)
       BpeTrainer.free(finalWords)
-      // token counts via the linear replay kernel: the expression form stacks
-      // BpeMergesK nested interpreted array-aggregates per word (see
-      // BpeTrainer.encodeCountKernel; spec-pinned equal to the expression replay)
-      val encodeCount = udf((w: String) => BpeTrainer.encodeCountKernel(w, merges))
-      val tok = wf.select(col("w"), encodeCount(col("w")).as("n_tok"))
-      docs.select(col("lang"), explode(words(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .join(tok, "w")
+      // corpus apply in ONE kernel pass: per word instance, the token count comes
+      // from the linear replay kernel (spec-pinned equal to the expression replay)
+      // memoized per distinct word within the task — replacing the old
+      // explode -> per-distinct-word UDF -> equi-join -> agg chain (a full
+      // instance shuffle) with a per-row map + a lang-sized aggregation. The
+      // trained merge list is rank-ordered and broadcast.
+      val bcMerges = s.sparkContext.broadcast(merges)
+      docs.select(col("lang"), col("text")).as[(String, String)]
+        .mapPartitions { it =>
+          val cache = scala.collection.mutable.HashMap.empty[String, Long]
+          it.map { case (lang, text) =>
+            var nTok = 0L
+            var nWords = 0L
+            text.split(" ", -1).foreach { w =>
+              if (w.nonEmpty) {
+                nWords += 1
+                nTok += cache.getOrElseUpdate(w,
+                  BpeTrainer.encodeCountKernel(w, bcMerges.value).toLong)
+              }
+            }
+            (lang, nTok, nWords)
+          }
+        }
+        .toDF("lang", "tok", "wrds")
+        // zero-word docs contribute nothing; dropping them keeps a lang whose
+        // every doc is empty absent from the output, exactly like the old
+        // explode -> inner-join shape
+        .filter(col("wrds") > 0)
         .groupBy(col("lang"))
-        .agg(sum(col("n_tok")).as("n_tokens"), count(lit(1)).as("n_words"))
+        .agg(sum(col("tok")).as("n_tokens"), sum(col("wrds")).as("n_words"))
         .orderBy(col("lang"))
     }),
 
@@ -1076,18 +1226,32 @@ object CorpusQueries {
     //     tokenizer vocab is capped by construction; uncapped vocabs would drop the
     //     hint and shuffle on term. ---
     "q28_token_ids" -> ((s, dir) => {
-      // tok is read by the vocab ranking and the apply-side join; a checkpoint
-      // here measured SLOWER (r06): the explode is cheap and the barrier costs
-      // more than the duplicate pass saves
+      import s.implicits._
+      // row-local typed kernel: per-(doc, term) counts need no explode shuffle;
+      // the vocab agg sums counts (== counting instances) and the apply side
+      // weights by them (count(*) == sum(c), sum(id) == sum(id * c)). tok is read
+      // by both consumers; a checkpoint here measured SLOWER (r06): the barrier
+      // costs more than the duplicate (now cheap) pass saves
       val tok = tWide(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < w.length) {
+            counts.update(w(i), counts.getOrElse(w(i), 0L) + 1L)
+            i += 1
+          }
+          counts.iterator.map { case (term, c) => (id, term, c) }
+        })
+        .toDF("doc_id", "term", "c")
       val vocab = rankedIds(
-        tok.groupBy(col("term")).agg(count(lit(1)).as("n")),
+        tok.groupBy(col("term")).agg(sum(col("c")).as("n")),
         Seq(col("n").desc, col("term")), "id")
         .select(col("term"), col("id"))
       tok.join(broadcast(vocab), "term")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("id")).as("id_sum"),
+        .agg(sum(col("c")).as("n_tokens"), sum(col("id") * col("c")).as("id_sum"),
           min(col("id")).as("top_term_id"))
         .orderBy(col("doc_id"))
     }),
@@ -1097,12 +1261,28 @@ object CorpusQueries {
     //     shingle — the train side is the DISTINCT shingle set, so a hot shingle
     //     contributes one row, not one per train doc. ---
     "q29_decontam" -> ((s, dir) => {
+      import s.implicits._
+      // typed kernel: one md5 + one distinct-shingle set per doc in plain JVM
+      // code (the expression form paid interpreted shingling + array_distinct,
+      // twice — once per split filter below)
       val sh = tWide(s, dir, "documents")
-        .withColumn("split",
-          when(substring(md5s(col("text")), 1, 1) <= "c", "train").otherwise("eval"))
-        .withColumn("w", words(col("text")))
-        .select(col("doc_id"), col("split"),
-          explode(array_distinct(shingles(col("w")))).as("shingle"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md5hex = md5HexFn()
+          it.flatMap { case (id, text) =>
+            val split = if (md5hex(text).charAt(0) <= 'c') "train" else "eval"
+            val w = text.split(" ", -1)
+            val set = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + 2 < w.length) { set.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1 }
+            val itr = set.iterator()
+            new Iterator[(Long, String, String)] {
+              def hasNext: Boolean = itr.hasNext
+              def next(): (Long, String, String) = (id, split, itr.next())
+            }
+          }
+        }
+        .toDF("doc_id", "split", "shingle")
       // (not checkpointed: measured slower in r06 — the barrier costs more than
       // the duplicated shingling pass it saves at every tested SF)
       val trainSh = sh.filter(col("split") === "train").select(col("shingle")).distinct()
@@ -1139,17 +1319,12 @@ object CorpusQueries {
     //     is bounded by construction, so the apply stage is a broadcast join at ANY
     //     corpus size — the standard shape for scoring against a fixed vocab/LM. ---
     "q48_lm_score" -> ((s, dir) => {
-      val w = words(col("text"))
-      // per-(doc, bigram) counts, lazily checkpointed: the LM fit and the scoring
-      // join both read this compact frame instead of re-exploding the corpus (the
-      // q88 shape); count(*) over instances == sum(bn), lm_hits == sum(bn * c),
-      // oov == sum(bn) over model-miss bigrams
-      val bgc = tWide(s, dir, "documents")
-        .select(col("doc_id"), explode(zip_with(
-          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram"))
-        .agg(count(lit(1)).as("bn"))
+      // per-(doc, bigram) counts via the row-local typed kernel (the q88 shape —
+      // no explode, no first shuffle), lazily checkpointed: the LM fit and the
+      // scoring agg both read this compact frame; count(*) over instances ==
+      // sum(bn), lm_hits == sum(bn * c), oov == sum(bn) over model-miss bigrams
+      val bgc = bigramCounts(tWide(s, dir, "documents"))
+        .drop("lang")
         .localCheckpoint(false)
       val lm = bgc.groupBy(col("bigram")).agg(sum(col("bn")).as("c"))
         .orderBy(col("c").desc, col("bigram")).limit(100)
@@ -1168,14 +1343,30 @@ object CorpusQueries {
     //     the sketch's false positives. Result is bit-identical to the plain HAVING
     //     query while shuffling only candidate rows. ---
     "q49_cms_heavy" -> ((s, dir) => {
+      import s.implicits._
       val T = 100L
-      val sh = tWide(s, dir, "documents").filter(length(col("text")) >= 8)
-        .select(explode(transform(sequence(lit(1), length(col("text")) - 7),
-          i => col("text").substr(i, lit(8)))).as("shingle"))
-      val cms = sh.stat.countMinSketch("shingle", 0.0001, 0.99, 42)
+      // typed shingle kernel: the expression form paid an interpreted transform +
+      // substr per position (NB substr counts code points — the kernel slices on
+      // code-point boundaries to keep the same contract); the candidate filter
+      // runs inside the second kernel pass instead of a per-row UDF call
+      def sh = tWide(s, dir, "documents")
+        .select(col("text")).as[String]
+        .mapPartitions(_.flatMap { text =>
+          val starts = new scala.collection.mutable.ArrayBuffer[Int](text.length + 1)
+          var o = 0
+          while (o < text.length) {
+            starts += o
+            o += Character.charCount(text.codePointAt(o))
+          }
+          starts += text.length
+          val nCp = starts.length - 1
+          if (nCp < 8) Iterator.empty
+          else (0 to nCp - 8).iterator.map(i => text.substring(starts(i), starts(i + 8)))
+        })
+      val cms = sh.toDF("shingle").stat.countMinSketch("shingle", 0.0001, 0.99, 42)
       val bc = s.sparkContext.broadcast(cms)
-      val est = udf((x: String) => bc.value.estimateCount(x))
-      sh.filter(est(col("shingle")) >= T)
+      sh.mapPartitions(_.filter(x => bc.value.estimateCount(x) >= T))
+        .toDF("shingle")
         .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= T)
         .orderBy(col("shingle"))
@@ -3625,20 +3816,16 @@ object CorpusQueries {
     //     reassembly shuffle on doc_id; docs whose every chunk was seen earlier
     //     drop out entirely (the oracle pins 497 of 500 at sf0.001). ---
     "q86_chunk_dedup" -> ((s, dir) => {
-      val W = 8
-      val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-        .withColumn("n_chunks", ceil(size(col("words")) / lit(W.toDouble)).cast("int"))
-        .filter(col("n_chunks") > 0)
-        .select(col("doc_id"), col("lang"), posexplode(expr(
-          s"transform(sequence(0, n_chunks - 1), i -> array_join(slice(words, i * $W + 1, $W), ' '))")))
-        .toDF("doc_id", "lang", "chunk_idx", "chunk")
+      // typed chunk kernel (shared with q97): the chunk hash is computed ONCE in
+      // the kernel instead of twice in expressions (the old join re-hashed every
+      // chunk row to match `md5(chunk) = h`)
+      val chunks = chunkRows(s, dir)
       val keepers = chunks
-        .groupBy(md5(col("chunk")).as("h"))
+        .groupBy(col("h").as("kh"))
         .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
-        .select(col("h"), col("first.doc_id").as("k_doc"), col("first.chunk_idx").as("k_idx"))
+        .select(col("kh"), col("first.doc_id").as("k_doc"), col("first.chunk_idx").as("k_idx"))
       chunks
-        .join(keepers, md5(col("chunk")) === col("h") &&
+        .join(keepers, col("h") === col("kh") &&
           col("doc_id") === col("k_doc") && col("chunk_idx") === col("k_idx"))
         .groupBy(col("doc_id"))
         .agg(min(col("lang")).as("lang"),
@@ -3657,19 +3844,13 @@ object CorpusQueries {
     //     df is an aggregation keyed on the chunk hash and the strip is one LEFT
     //     ANTI join — linear, never all-pairs. ---
     "q97_boilerplate" -> ((s, dir) => {
-      val W = 8
-      val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-        .withColumn("n_chunks", ceil(size(col("words")) / lit(W.toDouble)).cast("int"))
-        .filter(col("n_chunks") > 0)
-        .select(col("doc_id"), col("lang"), posexplode(expr(
-          s"transform(sequence(0, n_chunks - 1), i -> array_join(slice(words, i * $W + 1, $W), ' '))")))
-        .toDF("doc_id", "lang", "chunk_idx", "chunk")
-      val boiler = chunks.groupBy(md5(col("chunk")).as("h"))
+      // typed chunk kernel (shared with q86); hash computed once in the kernel
+      val chunks = chunkRows(s, dir)
+      val boiler = chunks.groupBy(col("h").as("kh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
-        .select(col("h"))
-      chunks.join(boiler, md5(col("chunk")) === col("h"), "left_anti")
+        .select(col("kh"))
+      chunks.join(boiler, col("h") === col("kh"), "left_anti")
         .groupBy(col("doc_id"))
         .agg(min(col("lang")).as("lang"),
           count(lit(1)).as("kept_chunks"),
@@ -3686,16 +3867,7 @@ object CorpusQueries {
     //     bit-exact. Scale shape: pure per-row map, no shuffle — the top-word count
     //     is a HOF over the row's own (length-capped) word list. ---
     "q87_gopher_filter" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
-        .withColumn("n_words", size(col("w")).cast("long"))
-        .withColumn("n_wchars",
-          aggregate(col("w"), lit(0L), (a, x) => a + length(x).cast("long")))
-        .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
-        .withColumn("n_stop",
-          size(array_intersect(col("w"), array(lit("the"), lit("a"), lit("of"))))
-            .cast("long"))
-        .withColumn("top_cnt", topRunCount(col("w")))
+      gopherCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_words"), col("n_wchars"),
           col("n_distinct"), col("n_stop"), col("top_cnt"),
           (col("n_words") >= 30 && col("n_words") <= 80).as("r_wordcount"),

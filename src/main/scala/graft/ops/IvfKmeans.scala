@@ -90,9 +90,48 @@ object IvfKmeans {
     * the PQ codebook fits). Bit-identical to fit(): same seeds, same integer
     * partial sums, same centroid division.
     */
-  def fitQuantized(quant: Dataset[(Long, Array[Long])], k: Int, iters: Int): Model = {
+  /** Default row cap for the local Lloyd fast path: vector tables at or under this
+    * many rows fit on the driver over ONE bounded collect instead of 1 + iters
+    * distributed jobs (the adaptive-threshold contract of a broadcast join). The
+    * integer partial sums are associative, so the local fit is bit-identical to the
+    * distributed one (IvfKmeansSpec pins it); above the cap the distributed loop
+    * runs unchanged — the threshold bounds driver memory, never the corpus.
+    */
+  def localMaxDefault: Int =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_FIT_MAX", (1 << 20).toString).toInt
+
+  /** Lloyd iterations over an in-memory quantized table — the same seeds, integer
+    * sums and centroid re-quantization as the distributed loop.
+    */
+  private[ops] def fitLocal(rows: Array[(Long, Array[Long])], k: Int,
+      iters: Int): Model = {
+    val seeds = rows.filter(_._1 < k).sortBy(_._1).map { case (id, q) => (id.toInt, q) }
+    require(seeds.length == k, s"need vec_ids 0..${k - 1} as seeds, found ${seeds.length}")
+    var model = Model(seeds)
+    for (_ <- 0 until iters) {
+      val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+      rows.foreach { case (_, q) =>
+        val cl = model.assign(q)
+        val (sum, n) = acc.getOrElseUpdate(cl, (new Array[Long](q.length), 0L))
+        var i = 0
+        while (i < q.length) { sum(i) += q(i); i += 1 }
+        acc(cl) = (sum, n + 1)
+      }
+      model = Model(acc.toArray.sortBy(_._1).map { case (cl, (sum, n)) =>
+        (cl, sum.map(s => math.floor(s.toDouble / n.toDouble + 0.5).toLong))
+      })
+    }
+    model
+  }
+
+  def fitQuantized(quant: Dataset[(Long, Array[Long])], k: Int, iters: Int,
+      localMax: Int = localMaxDefault): Model = {
     val spark = quant.sparkSession
     import spark.implicits._
+    if (localMax > 0) {
+      val head = quant.limit(localMax + 1).collect()
+      if (head.length <= localMax) return fitLocal(head, k, iters)
+    }
     {
       val seeds = quant.filter(_._1 < k).collect().sortBy(_._1)
         .map { case (id, q) => (id.toInt, q) }

@@ -138,7 +138,7 @@ object ManifestMaintenance {
     // entry inherits the group's spec id, so the compacted file keeps routing and
     // pruning exactly as its sources did. A file with recorded deletes always
     // packs (even alone): folding the delete is itself the maintenance win
-    val rewrites: Seq[Rewrite] = entries.groupBy(e => (e.specId, e.partition)).toSeq
+    val binsToRewrite = entries.groupBy(e => (e.specId, e.partition)).toSeq
       .sortBy(_._1)
       .filter { case ((_, joined), _) => onlyPartitions.forall(_.contains(joined)) }
       .flatMap { case ((specId, joined), es) =>
@@ -149,11 +149,14 @@ object ManifestMaintenance {
         packBins(es, targetBytes)
           .filter(bin => bin.length >= 2 ||
             bin.exists(e => deleted.contains(e.path) || eqApplies(e)))
-          .map { bin =>
-            Rewrite(bin, rewriteBin(spark, dir, groupSpec, dataSchema, joined, bin,
-              deleted, eqDels, planRefs.colIds).copy(specId = specId))
-          }
+          .map(bin => (specId, joined, groupSpec, bin))
       }
+    // independent bins rewrite concurrently (guide §2.6 back-fill)
+    val rewrites: Seq[Rewrite] = mapConcurrently(binsToRewrite) {
+      case (specId, joined, groupSpec, bin) =>
+        Rewrite(bin, rewriteBin(spark, dir, groupSpec, dataSchema, joined, bin,
+          deleted, eqDels, planRefs.colIds).copy(specId = specId))
+    }
     if (rewrites.isEmpty) return None
 
     val replaced: Map[String, ManifestTables.Entry] =
@@ -276,22 +279,41 @@ object ManifestMaintenance {
         s"zorder column '$c' must be int/long/date, got ${f.dataType}")
       require(!partCols.exists(_.name == c), s"zorder column '$c' is a partition column")
     }
-    // global per-column bounds from the live (deletes-applied) rows — the
-    // normalization denominators; 2 x |zCols| driver values, bounded
+    // global per-column bounds — the normalization denominators; 2 x |zCols|
+    // driver values, bounded. Preferred source: the manifest's own per-file
+    // min/max stats (zero data-file reads — the Iceberg metadata play); they
+    // include rows deletes will drop during the rewrite, which only widens the
+    // normalization range — the z-key drives LAYOUT only, answers never depend
+    // on it. Fallback to one full deletes-applied scan when any live file lacks
+    // a usable record for a z-column.
     val planRefs = ManifestTables.readSnapshotRefs(dir, None)
     val entries = ManifestTables.entriesOf(dir, planRefs)
     if (entries.isEmpty) return None
     val dataSchema = StructType(schema.filterNot(f => partCols.exists(_.name == f.name)))
-    val boundsRow = readFilesWithDeletes(rewriteSession(spark), dir, dataSchema, entries,
-      ManifestTables.deletedPositions(dir, planRefs),
-      ManifestTables.resolvedEqDeletes(dir, planRefs), planRefs.colIds)
-      .selectExpr(zCols.flatMap(c =>
-        Seq(s"min(CAST($c AS BIGINT)) AS __mn_$c", s"max(CAST($c AS BIGINT)) AS __mx_$c")): _*)
-      .head()
-    val bounds: Seq[(String, Long, Long)] = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = if (boundsRow.isNullAt(2 * i)) 0L else boundsRow.getLong(2 * i)
-      val mx = if (boundsRow.isNullAt(2 * i + 1)) 0L else boundsRow.getLong(2 * i + 1)
-      (c, mn, mx)
+    val statBounds: Option[Seq[(String, Long, Long)]] = {
+      val per = entries.map(e => ManifestStats.parseRecs(e.stats))
+      val cols = zCols.map { c =>
+        val recs = per.map(_.get(c))
+        val usable = recs.forall(r => r.exists(rec =>
+          rec.kind == 'l' && rec.mn.nonEmpty && rec.mx.nonEmpty &&
+            rec.mn.toLongOption.isDefined && rec.mx.toLongOption.isDefined))
+        if (!usable) None
+        else Some((c, recs.map(_.get.mn.toLong).min, recs.map(_.get.mx.toLong).max))
+      }
+      if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
+    }
+    val bounds: Seq[(String, Long, Long)] = statBounds.getOrElse {
+      val boundsRow = readFilesWithDeletes(rewriteSession(spark), dir, dataSchema, entries,
+        ManifestTables.deletedPositions(dir, planRefs),
+        ManifestTables.resolvedEqDeletes(dir, planRefs), planRefs.colIds)
+        .selectExpr(zCols.flatMap(c =>
+          Seq(s"min(CAST($c AS BIGINT)) AS __mn_$c", s"max(CAST($c AS BIGINT)) AS __mx_$c")): _*)
+        .head()
+      zCols.zipWithIndex.map { case (c, i) =>
+        val mn = if (boundsRow.isNullAt(2 * i)) 0L else boundsRow.getLong(2 * i)
+        val mx = if (boundsRow.isNullAt(2 * i + 1)) 0L else boundsRow.getLong(2 * i + 1)
+        (c, mn, mx)
+      }
     }
     val C = zCols.length
     // 16-bit normalized rank per column, then bit interleave: bit i of column c
@@ -355,13 +377,13 @@ object ManifestMaintenance {
     // (the rewritten range files inherit the group's spec id): all its files ->
     // N range-disjoint files
     val groups: Seq[(Seq[ManifestTables.Entry], Seq[ManifestTables.Entry])] =
-      entries.groupBy(e => (e.specId, e.partition)).toSeq.sortBy(_._1)
-        .map { case ((specId, joined), es) =>
+      mapConcurrently(entries.groupBy(e => (e.specId, e.partition)).toSeq.sortBy(_._1)) {
+        case ((specId, joined), es) =>
           val groupSpec =
             if (specId == 0) partCols else ManifestTables.readSpecFile(dir, specId)
           (es, rewriteClustered(spark, dir, groupSpec, dataSchema, joined, es, deleted,
             eqDels, planRefs.colIds, sorter, targetBytes).map(_.copy(specId = specId)))
-        }
+      }
     val sourceToGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
       case ((srcs, _), g) => srcs.map(_.path -> g) }.toMap
     val allSources = sourceToGroup.keySet
@@ -563,6 +585,27 @@ object ManifestMaintenance {
       eqFilter(posFiltered, applicable(e)).drop("__graft_ri")
     }
     (batched ++ perFileDfs).reduce(_ unionAll _)
+  }
+
+  /** Run independent per-partition rewrite jobs from a small thread pool so the
+    * next group's tasks back-fill executors freed by the current group's tail
+    * (guide §2.6 overlap): Spark's scheduler runs concurrent jobs FIFO, each
+    * rewrite works in its own uuid temp dir and new session, and Future.traverse
+    * preserves input order so the caller sees the exact sequential result.
+    */
+  private def mapConcurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    val par = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_MAINT_PAR", "4").toInt, math.max(1, xs.length))
+    if (xs.length <= 1 || par <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(xs)(x => scala.concurrent.Future(f(x))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   private def rewriteSession(spark: SparkSession): SparkSession = {

@@ -80,6 +80,19 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(aa.forall(_.forall(_ == 'a')) && aa.map(_.length).sum == 4)
   }
 
+  test("local fast path == distributed loop (merges + final words identical)") {
+    val k = 12
+    val (local, localWords) = BpeTrainer.train(toDf(adversarial), k) // under localMax
+    val (dist, distWords) = BpeTrainer.train(toDf(adversarial), k, localMax = 0)
+    assert(local == dist, s"merge tables diverge:\n local=$local\n dist=$dist")
+    val lw = localWords.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getSeq[String](2).toVector))).toMap
+    val dw = distWords.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getSeq[String](2).toVector))).toMap
+    BpeTrainer.free(distWords)
+    assert(lw == dw)
+  }
+
   test("applyMerge fold is exact greedy left-to-right on literal edge cases") {
     import spark.implicits._
     val cases = Seq(

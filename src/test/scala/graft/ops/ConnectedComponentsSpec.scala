@@ -43,7 +43,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("long chain converges in O(log diameter) rounds (pointer jumping)") {
     import spark.implicits._
     val chain = (0L until 256L).map(i => (i, i + 1))
-    val (labels, rounds) = ConnectedComponents.runWithRounds(chain.toDF("a", "b"))
+    val (labels, rounds) =
+      ConnectedComponents.runWithRounds(chain.toDF("a", "b"), localMax = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ufComponents(chain), "chain-257 labels wrong")
     // pure propagation would need 256 rounds; reach doubles per round with jumping
@@ -59,6 +60,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("local fast path == distributed loop (labels identical on random graphs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val edges = Seq.fill(100)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val local = ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = ConnectedComponents
+        .runWithRounds(edges.toDF("a", "b"), localMax = 0)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: local=$local distributed=$dist")
+    }
+  }
+
   test("empty edge input returns an empty labeling (no NPE on null sum)") {
     import spark.implicits._
     val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("a", "b"))
@@ -70,7 +86,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // 2^10-long chain → ~log2(1024) pointer-jump rounds, one localCheckpoint each
     val chain = (0L until 1024L).map(i => (i, i + 1))
     val before = spark.sparkContext.getPersistentRDDs.size
-    val (labels, rounds) = ConnectedComponents.runWithRounds(chain.toDF("a", "b"))
+    val (labels, rounds) =
+      ConnectedComponents.runWithRounds(chain.toDF("a", "b"), localMax = 0)
     labels.count()
     assert(rounds >= 8, s"expected >= 8 rounds on a 1025-chain, got $rounds")
     val after = spark.sparkContext.getPersistentRDDs.size

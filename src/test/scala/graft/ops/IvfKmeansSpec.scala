@@ -34,6 +34,27 @@ class IvfKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("local fast path == distributed Lloyd (centroids bit-identical)") {
+    import spark.implicits._
+    val quant = embDs.map { case (id, e) => (id, IvfKmeans.quantize(e)) }
+    val local = IvfKmeans.fitQuantized(quant, k = 10, iters = 2)
+    val dist = IvfKmeans.fitQuantized(quant, k = 10, iters = 2, localMax = 0)
+    assert(local.centroids.map(_._1).sameElements(dist.centroids.map(_._1)))
+    local.centroids.zip(dist.centroids).foreach { case ((_, ca), (_, cb)) =>
+      assert(ca.sameElements(cb), "local fit must equal the distributed fit")
+    }
+    val pqLocal = ProductQuantizer.fitQuantized(quant, numSub = 8, subdim = 8,
+      k = 16, iters = 2)
+    val pqDist = ProductQuantizer.fitQuantized(quant, numSub = 8, subdim = 8,
+      k = 16, iters = 2, localMax = 0)
+    pqLocal.models.zip(pqDist.models).foreach { case (a, b) =>
+      assert(a.centroids.map(_._1).sameElements(b.centroids.map(_._1)))
+      a.centroids.zip(b.centroids).foreach { case ((_, ca), (_, cb)) =>
+        assert(ca.sameElements(cb), "local PQ fit must equal the distributed fit")
+      }
+    }
+  }
+
   test("assignment matches a single-threaded reference run") {
     val model = IvfKmeans.fit(embDs, k = 10, iters = 2)
     // reference: same algorithm, no Spark — quantize + Lloyd locally
