@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default (was 16g): the pipeline bench's measured heap peak is ~10.4 GB
+  // (shard cache + shuffle + parquet write buffers at local[8]); at 16g the old
+  // gen runs close enough to full that G1 pause time becomes a serial tax on
+  // every stage. The sandbox has 125 GB; sizing the one local-mode JVM to the
+  // measured working set + headroom is guide §5 memory sizing, overridable via
+  // SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

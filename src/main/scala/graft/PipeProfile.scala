@@ -72,6 +72,46 @@ object PipeProfile {
 
     val raw = spark.read.parquet(rawDir)
     val nTurns = raw.count()
+
+    // SPARK_GRAFT_PROFILE_FULL_ONLY=<n>: skip the stage probes and time n
+    // back-to-back full runToSinks runs (min-of-n under contention noise).
+    // SPARK_GRAFT_PROFILE_STAGES=1 additionally prints per-stage task balance
+    // (tasks, sum/max/median task ms) — where stage-tail idling hides.
+    sys.env.get("SPARK_GRAFT_PROFILE_FULL_ONLY").map(_.toInt).foreach { n =>
+      val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int,
+        (String, scala.collection.mutable.ArrayBuffer[Long])]()
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val b = stageTimes.computeIfAbsent(e.stageId,
+              _ => (e.stageId.toString, scala.collection.mutable.ArrayBuffer.empty[Long]))
+            b._2.synchronized { b._2 += e.taskInfo.duration }
+          }
+        })
+      val times = (1 to n).map { i =>
+        val out = Files.createTempDirectory(s"prof_full_$i").toString
+        val t0 = System.nanoTime()
+        TranscriptPipeline.runToSinks(spark, Transcripts.parseRawLines(spark, raw), cfg, out)
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[profile] full run $i: $sec%.2f s")
+        if (!stageTimes.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          stageTimes.asScala.toSeq.sortBy(_._1).foreach { case (sid, (_, ds)) =>
+            val s = ds.sorted
+            if (s.nonEmpty && s.sum > 500)
+              System.err.println(f"[stage] $sid%4d tasks=${s.length}%4d " +
+                f"sum=${s.sum}%6d ms max=${s.last}%6d med=${s(s.length / 2)}%5d")
+          }
+          stageTimes.clear()
+        }
+        sec
+      }
+      println(f"""[profile-json] {"cores":$cores,"turns":$nTurns,"fullRuns":${
+        times.map(t => f"$t%.2f").mkString("[", ",", "]")},"min":${times.min}%.2f}""")
+      sampling = false
+      spark.stop()
+      return
+    }
     time("read+count raw")(raw.count())
 
     val parsed = Transcripts.parseRawLines(spark, raw)

@@ -113,11 +113,44 @@ object TranscriptPipeline {
 
   // ------------------------------------------------------------------ index stage
 
+  /** For each target partition p of an n-way hash exchange, an int whose Murmur3
+    * hash lands exactly in p (pmod(hash(x, 42), n) == p) — lets a DataFrame
+    * repartition place keys in chosen partitions deterministically while staying
+    * a Tungsten hash exchange (an RDD custom partitioner would shuffle through
+    * the closure serializer). Driver-side search, ~n probes total, memoized.
+    */
+  private val hashKeyCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  private[pipeline] def hashKeysFor(n: Int): Array[Int] =
+    hashKeyCache.computeIfAbsent(n, _ => {
+      val keys = new Array[Int](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var x = 0
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+        val p = ((h % n) + n) % n
+        if (!found(p)) { found(p) = true; keys(p) = x; remaining -= 1 }
+        x += 1
+      }
+      keys
+    })
+
   def buildShards(spark: SparkSession, turns: Dataset[Turn], cfg: Config): Dataset[ShardRow] = {
     import spark.implicits._
+    // CONTIGUOUS shard blocks instead of hashing shard_id into partitions: with
+    // numShards/numPartitions ~4, Poisson hash placement gives some partitions
+    // 0 shards and others 8+ (measured 3.3x max/median task skew in the build
+    // stage — the last wave idles most cores); block p = shard * parts / shards
+    // puts exactly ceil(shards/parts) shards in every task. The block id maps
+    // through hashKeysFor so the exchange is still a plain Tungsten hash
+    // repartition; all rows of one shard still land in exactly one partition.
+    val parts = cfg.numPartitions
+    val blockKeys = hashKeysFor(parts)
+    val blockKey = element_at(lit(blockKeys),
+      expr(s"int((CAST(shard_id AS BIGINT) * $parts) DIV ${cfg.numShards})") + 1)
     turns
       .withColumn("shard_id", shardIdCol(cfg))
-      .repartition(cfg.numPartitions, col("shard_id"))
+      .repartition(parts, blockKey)
       .sortWithinPartitions(col("shard_id"), col("conv_id"), col("turn_idx"))
       .as[TurnWithShard]
       .mapPartitions { it =>
@@ -336,6 +369,13 @@ object TranscriptPipeline {
     */
   def runToSinks(spark: SparkSession, turns: Dataset[Turn], cfg: Config, outDir: String): RunReport = {
     import spark.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_PIPE_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[pipe] $name%-24s ${(now - t0) / 1e9}%7.2f s")
+      t0 = now
+    }
     val committed = committedAttempts(outDir)
     val resumed = committed.nonEmpty
     val attempt = (listMarkers(outDir, "start-") ++ committed + (-1)).max + 1
@@ -354,7 +394,13 @@ object TranscriptPipeline {
       }
 
     val shards = buildShards(spark, pendingTurns, cfg).persist()
-    val routed = route(spark, shards, cfg.rules).persist()
+    // route output is NOT cached: its only full-width consumer is the sinks write.
+    // Every later job (lineage counts, aggregates, window) re-reads this attempt's
+    // rows COLUMN-PRUNED from the parquet just written — task metrics showed the
+    // three cache scans of the text-heavy routed rows cost ~36 s of CPU at the
+    // bench corpus vs ~5 s for pruned parquet reads, plus the cache write itself
+    // disappears from the critical sinks job.
+    val routed = route(spark, shards, cfg.rules)
 
     val enriched = enrich(spark, routed).withColumn("attempt", lit(attempt))
     // cluster-width tasks before the dynamic-partition write: output file count
@@ -363,13 +409,41 @@ object TranscriptPipeline {
     // of its full input (sort-before-repartition, for retry determinism) — on
     // these text-heavy rows that sort was pure overhead, and deterministic keys
     // give the same retry safety for free. (conv_id, turn_idx) hashes uniformly.
-    enriched.repartition(spark.sparkContext.defaultParallelism,
+    // committer v2 (direct task commit, no serial driver-side rename pass) is safe
+    // for sinks + lineage ONLY because visibility is governed by the attempt
+    // markers, not the parquet committer: readers never trust an attempt without
+    // its commit marker, so a crash mid-write strands invisible files exactly as
+    // before. aggregates/window (marker-less overwrite outputs) keep the default
+    // committer.
+    val directCommit = Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+    // concurrent writers instead of the dynamic-partition sort: FileFormatWriter
+    // otherwise SORTS every task's rows by (sink, attempt) before writing — a full
+    // pass over the text-heavy payload to order at most |rules|+1 distinct keys.
+    // With enough concurrent writers the sort is skipped and each task streams
+    // rows to its (few) open sink files. Session conf, so save/restore around the
+    // write (runToSinks shares sessions with catalog queries under Verify).
+    val writersKey = "spark.sql.maxConcurrentOutputFileWriters"
+    val prevWriters = spark.conf.getOption(writersKey)
+    spark.conf.set(writersKey, math.max(8, cfg.rules.length + 2).toString)
+    try enriched.repartition(spark.sparkContext.defaultParallelism,
         col("conv_id"), col("turn_idx"))
-      .write.mode("append").partitionBy("sink", "attempt").parquet(s"$outDir/sinks")
+      .write.options(directCommit)
+      .mode("append").partitionBy("sink", "attempt").parquet(s"$outDir/sinks")
+    finally prevWriters match {
+      case Some(v) => spark.conf.set(writersKey, v)
+      case None => spark.conf.unset(writersKey)
+    }
+    mark("sinks write")
+
+    // this attempt's rows, re-read from the files just written (pruned to the
+    // columns each consumer needs; never consults commit markers, so it serves
+    // both paths' lineage counts and the fresh path's aggregates)
+    val attemptRows = spark.read.parquet(s"$outDir/sinks")
+      .filter(col("attempt") === attempt).drop("attempt")
 
     // lineage is written BY SPARK (no driver collect of per-shard rows) and appended,
     // then the attempt is committed with one atomic marker
-    val routedCounts = routed.groupBy(col("shard_id")).agg(count(lit(1)).as("__rr"))
+    val routedCounts = attemptRows.groupBy(col("shard_id")).agg(count(lit(1)).as("__rr"))
     val lineageDf = shards
       .select(col("shard_id"), col("shard_seq"), col("n_turns").cast("long").as("n_turns"),
         col("corpus_chars"), col("alphabet"), col("checksum"))
@@ -381,35 +455,43 @@ object TranscriptPipeline {
         when(col("shard_seq") === 0, coalesce(col("__rr"), lit(0L)))
           .otherwise(lit(0L)).as("rows_routed"),
         lit(attempt).as("attempt"))
-    lineageDf.write.mode("append").parquet(s"$outDir/lineage")
-    writeMarker(outDir, s"commit-$attempt", s"""{"attempt": $attempt, "committed": true}""")
-
     // aggregates must cover ALL committed data: a fresh run aggregates the in-memory
     // routed rows directly; a resumed run re-reads the committed sinks so the final
-    // output converges to exactly the single-run result (no recount drift)
-    val aggSource = if (resumed) readSinks(spark, outDir) else enriched.drop("attempt")
-
-    // the two outputs are independent -> submit them as concurrent Spark jobs
+    // output converges to exactly the single-run result (no recount drift).
+    // The three derived outputs (lineage, aggregates, window) all read the
+    // persisted shards/routed frames and are mutually independent, so in the
+    // FRESH path they run as concurrent Spark jobs (tail back-fill) — the commit
+    // marker still lands strictly after the lineage write. The RESUMED path stays
+    // sequential: its aggSource (readSinks) must observe THIS attempt's marker.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fAgg = Future {
-      conversationAggregates(aggSource).write.mode("overwrite").parquet(s"$outDir/aggregates")
+    def startAggJobs(src: DataFrame): (Future[Unit], Future[Unit]) = (
+      Future {
+        conversationAggregates(src).write.mode("overwrite").parquet(s"$outDir/aggregates")
+      },
+      Future {
+        runningWindow(src).write.mode("overwrite").parquet(s"$outDir/window")
+      })
+    val freshJobs = if (resumed) None else Some(startAggJobs(attemptRows))
+    lineageDf.write.options(directCommit).mode("append").parquet(s"$outDir/lineage")
+    mark("lineage write")
+    writeMarker(outDir, s"commit-$attempt", s"""{"attempt": $attempt, "committed": true}""")
+    // report totals for THIS attempt from its lineage (one tiny aggregate, no row
+    // collect) — submitted concurrently with the aggregate/window jobs above
+    val fStats = Future {
+      spark.read.parquet(s"$outDir/lineage")
+        .filter(col("attempt") === attempt)
+        .agg(count(lit(1)), coalesce(sum("n_turns"), lit(0L)),
+          coalesce(sum("rows_routed"), lit(0L)))
+        .first()
     }
-    val fWin = Future {
-      runningWindow(aggSource).write.mode("overwrite").parquet(s"$outDir/window")
-    }
+    val (fAgg, fWin) = freshJobs.getOrElse(startAggJobs(readSinks(spark, outDir)))
     Await.result(fAgg, Duration.Inf)
     Await.result(fWin, Duration.Inf)
-
-    // report totals for THIS attempt from its lineage (one tiny aggregate, no row collect)
-    val stats = spark.read.parquet(s"$outDir/lineage")
-      .filter(col("attempt") === attempt)
-      .agg(count(lit(1)), coalesce(sum("n_turns"), lit(0L)),
-        coalesce(sum("rows_routed"), lit(0L)))
-      .first()
+    val stats = Await.result(fStats, Duration.Inf)
+    mark("agg+window")
     shards.unpersist()
-    routed.unpersist()
     RunReport(stats.getLong(0), stats.getLong(1), stats.getLong(2), resumed)
   }
 }

@@ -1922,6 +1922,13 @@ object ManifestTables {
       s"manifest entry references partition spec $id but $p does not exist — " +
         "spec registry files are append-only and must never be deleted")
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // the embedded id must agree with the filename: a copied/renamed spec file
+    // would otherwise silently resolve stamped entries under the wrong layout —
+    // the registry's loud-failure rule for corruption
+    val embedded = "\"spec\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    require(embedded.contains(id),
+      s"spec registry corruption: $p declares spec id ${embedded.orNull}, " +
+        s"filename says $id")
     val names = s"\"partition_column\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
       .map(m => jsonUnescape(m.group(1))).getOrElse("")
     val types = s"\"partition_types\"\\s*:\\s*\"$JStr\"".r.findFirstMatchIn(txt)
