@@ -1095,8 +1095,10 @@ object CorpusQueries {
     "q45_top_terms" -> ((s, dir) => {
       import s.implicits._
       // row-local typed kernel: per-(doc, term) counts need no explode and no
-      // shuffle (the doc_id grouping key lives in the row); the lazy checkpoint
-      // still shares the frame between the df aggregation AND the join back
+      // shuffle (the doc_id grouping key lives in the row). NOT checkpointed
+      // (r06 measured the barrier slower than the now-cheap duplicate kernel
+      // pass — the q28 trade): recomputation is one columnar scan, while a
+      // checkpoint materializes a corpus-proportional cached frame
       val tf = tWide(s, dir, "documents")
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
@@ -1110,7 +1112,6 @@ object CorpusQueries {
           counts.iterator.map { case (term, c) => (id, term, c) }
         })
         .toDF("doc_id", "term", "tf")
-        .localCheckpoint(false)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
@@ -1320,12 +1321,11 @@ object CorpusQueries {
     //     corpus size — the standard shape for scoring against a fixed vocab/LM. ---
     "q48_lm_score" -> ((s, dir) => {
       // per-(doc, bigram) counts via the row-local typed kernel (the q88 shape —
-      // no explode, no first shuffle), lazily checkpointed: the LM fit and the
-      // scoring agg both read this compact frame; count(*) over instances ==
-      // sum(bn), lm_hits == sum(bn * c), oov == sum(bn) over model-miss bigrams
+      // no explode, no first shuffle). NOT checkpointed (r06: barrier measured
+      // slower than the duplicate kernel pass — the q28 trade); count(*) over
+      // instances == sum(bn), lm_hits == sum(bn * c), oov == model-miss sum(bn)
       val bgc = bigramCounts(tWide(s, dir, "documents"))
         .drop("lang")
-        .localCheckpoint(false)
       val lm = bgc.groupBy(col("bigram")).agg(sum(col("bn")).as("c"))
         .orderBy(col("c").desc, col("bigram")).limit(100)
       bgc.join(broadcast(lm), Seq("bigram"), "left")
