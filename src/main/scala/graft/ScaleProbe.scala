@@ -38,6 +38,11 @@ object ScaleProbe {
     // the round-5 selection/retrieval family: every cutoff comes from a BOUNDED
     // histogram or a broadcast table, so all three must track the linear scans
     "q88_ccnet_buckets", "q89_dsir", "q90_bm25",
+    // exact-substring dedup (r05 VERDICT watch item #2): linear in corpus CHARS
+    // but with a priced wire constant — one md5 fingerprint per character
+    // position through the duplicate-count window. The probe records wall AND
+    // shuffle-write bytes so the B/char budget is measured, not just derived
+    "q57_substring_dedup",
     // the round-5 codec-path family: q95 is the band-join class (the dHash twin of
     // q37 — md5-seeded pixels keep cross-cluster hashes independent, so candidate
     // pairs grow ~linearly); q96 is a pure per-row kernel; q97 is q86's chunk
@@ -134,6 +139,14 @@ object ScaleProbe {
     // warm codegen + noop sink once
     spark.range(1 << 20).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
 
+    // per-probe shuffle-write accounting (the q57 B/char budget evidence)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
     val out = scales.map { scale =>
       // GenVersion in the path: a cached corpus from an OLDER generator (e.g. the
       // round-4 dup-planting fix) must never be silently re-measured
@@ -156,10 +169,12 @@ object ScaleProbe {
               Seq((1L, "w17"), (1L, "w42"), (1L, "w99"), (2L, "w123"),
                 (2L, "w1234"), (3L, "w5"), (3L, "w777"), (3L, "w3141")))
           else SparkEntry.queries(q)
+        shuffleBytes.set(0L)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[probe] scale=$scale $q%-22s $sec%.2f s")
+        val mb = shuffleBytes.get() / 1e6
+        System.err.println(f"[probe] scale=$scale $q%-22s $sec%.2f s shuffleWriteMB=$mb%.0f")
         q -> sec
       }
       scale -> times
