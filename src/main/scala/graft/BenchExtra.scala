@@ -36,15 +36,29 @@ object BenchExtra {
     spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
     spark.range(1 << 20).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_PROFILE_STAGES=1: per-query task-time accounting — when the
+    // wall far exceeds taskSum/cores, the residual is DRIVER-side work
+    // (planning, commits, bounded collects, CALL procedures)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskMs.addAndGet(e.taskInfo.duration)
+      })
+
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
     val out = new StringBuilder
     qs.foreach { case (name, fn) =>
       spark.sparkContext.setJobDescription(name)
       val times = (0 until repeats).map { _ =>
+        taskMs.set(0L)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+          System.err.println(f"[extra-tasks] $name wall=$sec%.2f taskSumSec=${taskMs.get() / 1e3}%.1f")
+        sec
       }
       planDir.foreach { pd =>
         val df = fn(spark, sfDir)
